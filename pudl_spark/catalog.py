@@ -1,0 +1,105 @@
+"""Table catalog: name -> path + declared schema, with pruned reads.
+
+Mirrors the reference's interactive access path ``get_parquet_table``
+(ref: src/pudl/helpers.py:2257-2323) and its lazy Polars twin
+(ref: src/pudl/helpers.py:2213-2254): a column-pruned,
+predicate-pushed Parquet read with schema validation. In Spark the
+pruning/pushdown are native — expressing the read as
+``read.parquet().select(cols).filter(pred)`` is enough for Catalyst to
+push both into the scan (visible as PushedFilters / ReadSchema in
+``.explain``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+# The driver's synthetic test tables (TESTDATA.md).
+TEST_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet + nanosecond-timestamp repair.
+
+    With spark.sql.legacy.parquet.nanosAsLong=true (session default),
+    TIMESTAMP(NANOS) parquet columns arrive as long nanoseconds; we
+    restore them to TimestampType (us) here — lossless for the test
+    data, and matching DuckDB's read of the same files. Column pruning
+    and predicate pushdown still apply: the conversion is a projection
+    Catalyst pushes the scan below.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        first = path
+        if os.path.isdir(path):
+            parts = [p for p in sorted(os.listdir(path))
+                     if p.endswith(".parquet")]
+            if not parts:
+                return df
+            first = os.path.join(path, parts[0])
+        schema = pq.read_schema(first)
+        ns_cols = [n for n in schema.names
+                   if str(schema.field(n).type) == "timestamp[ns]"]
+    except Exception:
+        ns_cols = []
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+@dataclass
+class Catalog:
+    """Maps table names to parquet paths; registers temp views on demand."""
+
+    root: str = DEFAULT_SF_DIR
+    tables: dict[str, str] = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        if name in self.tables:
+            return self.tables[name]
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def register(self, name: str, path: str) -> None:
+        self.tables[name] = path
+
+    def read(self, spark: SparkSession, name: str,
+             columns: list[str] | None = None,
+             predicate: Column | str | None = None) -> DataFrame:
+        """Column-pruned, predicate-pushed read (ref helpers.py:2257)."""
+        df = read_parquet_table(spark, self.path(name))
+        if predicate is not None:
+            df = df.filter(predicate)
+        if columns is not None:
+            missing = set(columns) - set(df.columns)
+            if missing:
+                raise KeyError(f"{name}: unknown columns {sorted(missing)}")
+            df = df.select(*columns)
+        return df
+
+    def register_all_views(self, spark: SparkSession,
+                           names: tuple[str, ...] = TEST_TABLES) -> None:
+        """Register every table as a temp view so spark.sql works over it."""
+        for name in names:
+            p = self.path(name)
+            if os.path.exists(p):
+                spark.read.parquet(p).createOrReplaceTempView(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TEST_TABLES) -> dict[str, DataFrame]:
+    """Convenience loader for the driver's synthetic tables."""
+    cat = Catalog(root=sf_dir)
+    return {n: cat.read(spark, n) for n in names
+            if os.path.exists(cat.path(n))}

@@ -1,0 +1,234 @@
+"""Deduplication at corpus scale: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All signature math is built-in-function Column algebra
+(xxhash64 / transform / aggregate) — JVM-side, no Python row path —
+so signatures compute map-side in one scan and the only shuffles are
+the band-bucket groupBys and the candidate-pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pudl_spark.functions.text import char_ngrams, word_shingles
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: (group_hash, canonical_id, dup_ids).
+
+    Groups by a 64-bit content hash (cheap shuffle key — the full text
+    never shuffles), keeps min(id) as canonical.
+    """
+    h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w_min = (
+        df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, on=[text_col, id_col], how="left_semi")
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(col: Column | str, num_hashes: int = 64,
+                      shingle_k: int = 3, use_words: bool = True) -> Column:
+    """MinHash signature: per seed i, min over shingles of
+    xxhash64(shingle, i). Arrays of shingles never leave the executor.
+    """
+    sh = (word_shingles(col, k=shingle_k) if use_words
+          else char_ngrams(col, n=shingle_k))
+    mins = [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 3,
+                            jaccard_threshold: float = 0.7) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    shingle -> minhash (map-side) -> split signature into ``bands``
+    bands -> explode -> bucket-join on (band_idx, band_hash) -> verify
+    true Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)
+    with id_a < id_b. The verify join re-reads only candidate rows'
+    shingles; candidates ~ O(true dups), not O(n^2).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k=shingle_k).alias("__shingles"),
+        sig.alias("__sig"),
+    )
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = with_sig.select(
+        "id", "__shingles", F.explode(band_arr).alias("bb")
+    ).select("id", "__shingles", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.__shingles").alias("sh_a"),
+            F.col("b.__shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
+                  **kwargs) -> DataFrame:
+    """Drop near-duplicates: every id appearing as the *larger* member
+    of a qualifying pair is removed (min-id canonicalization — the
+    transitive-closure variant composes with
+    operators.graph.connected_components when exact cluster membership
+    matters).
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash_expr(col: Column | str, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens: per bit position, sum +-1 votes
+    of each token-hash's bit; pack the majority signs into a bigint.
+
+    Pure array algebra: token hashes -> per-bit vote vector via
+    aggregate(zip_with(bit_get)), then a static OR-fold packing the
+    sign bits (static shift literals keep ANSI overflow out of play).
+    """
+    from pudl_spark.functions.text import tokens as _tokens
+
+    t = _tokens(col)
+    hashed = F.transform(t, lambda w: F.xxhash64(w))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    positions = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        hashed,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(positions, lambda i: F.bit_get(h, i) * 2 - 1),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0,
+                   F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3,
+                            block_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: split the 64-bit simhash into 4 16-bit blocks; by
+    pigeonhole any pair within Hamming distance 3 shares at least one
+    exact block -> candidate join per block, verified with bit_count.
+    """
+    n_blocks = 64 // block_bits
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash_expr(F.col(text_col)).alias("simhash"),
+    )
+    blocks = F.array(*[
+        F.struct(
+            F.lit(b).alias("block"),
+            F.shiftright(F.col("simhash"), b * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1)).alias("key"),
+        )
+        for b in range(n_blocks)
+    ])
+    exploded = sh.select(
+        "id", "simhash", F.explode(blocks).alias("bb")
+    ).select("id", "simhash", "bb.block", "bb.key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.block") == F.col("b.block"),
+                      F.col("a.key") == F.col("b.key"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        fingerprint_k: int = 5) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs, blocked by the
+    winnowing fingerprint (equal min-shingle-hash -> candidate) so the
+    join is equi-keyed, never O(n^2).
+    """
+    from pudl_spark.functions.text import document_fingerprint
+
+    prepped = df.select(
+        F.col(id_col).alias("id"),
+        char_ngrams(F.col(text_col), n=n).alias("grams"),
+        document_fingerprint(F.col(text_col), k=fingerprint_k).alias("fp"),
+    )
+    a, b = prepped.alias("a"), prepped.alias("b")
+    cand = a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
+                         F.col("a.id") < F.col("b.id")])
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(0.0).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

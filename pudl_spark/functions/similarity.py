@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; a random-hyperplane
+LSH-bucketed variant as the scale path (candidate set shrinks from N to
+the probed buckets). Vector math is F.zip_with/F.aggregate — JVM-side,
+no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (double math)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id", k: int = 10,
+                     metric: str = "cosine") -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    The query side is broadcast (queries << corpus); scoring is a
+    map-side zip_with/aggregate over the corpus scan; top-k is one
+    shuffle on query_id. Returns (query_id, neighbor_id, score, rank).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    )
+    scored = vectors.alias("v").join(F.broadcast(q)).select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        (cosine_similarity_expr(F.col("__qvec"), F.col(vec_col))
+         if metric == "cosine"
+         else dot_expr(F.col("__qvec"), F.col(vec_col))).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side tiny constant)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(v . plane_i), packed
+    into a bigint -> equal signatures land in the same bucket.
+    """
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_expr(vec, p) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id", k: int = 10,
+                    n_planes: int = 8, dim: int = 64,
+                    seed: int = 42) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's
+    hyperplane-sign bucket are scored. At scale the bucket column is a
+    cheap equi-join key (and a sensible Parquet partition/bucket key
+    for a vector store); recall tunes via n_planes / multi-probe.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.withColumn("__bucket",
+                           lsh_signature_expr(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__bucket", lsh_signature_expr(F.col("__qvec"), planes))
+    scored = v.join(F.broadcast(q), on="__bucket").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity_expr(F.col("__qvec"), F.col(vec_col)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

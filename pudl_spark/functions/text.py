@@ -1,0 +1,132 @@
+"""Text-analysis column expressions — language ID, quality scoring,
+token counting, shingling, fingerprinting.
+
+These extend the reference's string-cleaning vocabulary
+(src/pudl/transform/classes.py) to the training-data-pipeline ops a
+100 TB document corpus needs. Everything is a Column expression over
+built-in functions: no Python in the row path, so the work distributes
+and stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# heuristic language ID. Real pipelines swap in fastText et al.; the
+# heuristic keeps the plumbing testable and deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "los", "una", "es", "por"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "men5"),
+}
+
+STOPWORDS_EN = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "from",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-flavored token estimate: words + punctuation runs + digit
+    runs each count; long words count ceil(len/4) pieces (the common
+    ~4-chars-per-token heuristic).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokens(c)
+    pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, wrd: acc + F.ceil(F.length(wrd) / 4.0).cast("long"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (pieces + punct).cast("long")
+
+
+def char_ngrams(col: Column | str, n: int = 3,
+                distinct: bool = True) -> Column:
+    """Character n-gram (shingle) array via sequence+substr — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(col: Column | str, k: int = 3,
+                  distinct: bool = True) -> Column:
+    """k-word shingles: array of space-joined consecutive token runs."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+    return F.array_distinct(sh) if distinct else sh
+
+
+def language_id_expr(col: Column | str,
+                     markers: dict[str, tuple[str, ...]] | None = None,
+                     min_hits: int = 1) -> Column:
+    """Heuristic language ID: the language whose marker vocabulary hits
+    the most tokens; NULL when nothing scores >= min_hits.
+    Deterministic tie-break by language code.
+    """
+    markers = markers or LANG_MARKERS
+    t = tokens(col)
+    best = F.lit(None).cast("string")
+    best_score = F.lit(min_hits - 1)
+    for lang in sorted(markers):
+        vocab = F.array(*[F.lit(m) for m in markers[lang]])
+        score = F.size(F.array_intersect(t, vocab))
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def quality_score_expr(col: Column | str,
+                       stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Composite document-quality score in [0, 1]: combines length,
+    mean word length, alpha ratio and stopword ratio — the standard
+    cheap pre-filter family for web corpora.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)) \
+        .otherwise(F.lit(0.3))
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return (0.3 * len_score + 0.2 * word_score + 0.2 * alpha_ratio
+            + 0.3 * stop_score)
+
+
+def document_fingerprint(col: Column | str, k: int = 5) -> Column:
+    """Winnowing-style rolling-hash fingerprint: min 64-bit hash over
+    the document's k-word shingles. Stable under whitespace noise;
+    equal fingerprints are near-dup candidates.
+    """
+    sh = word_shingles(col, k=k, distinct=True)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    return F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(
+        F.xxhash64(F.col(col) if isinstance(col, str) else col))

