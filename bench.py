@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full pipeline runs, nothing
+collected to the driver), matching how a cluster job would be bound.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the analytical core + the training-data pipeline ops.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nation_revenue_by_year",
+    "allocate_order_total",
+    "monthly_orders_densified",
+    "event_run_lengths",
+    "event_type_changelog",
+    "pivot_event_values",
+    "harvest_user_profile",
+    "weighted_median_quantity",
+    "hourly_event_windows",
+    "exact_dedup_docs",
+    "doc_quality_scores",
+    "minhash_near_dup_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from pudl_spark.plans.queries import QUERIES
+    from pudl_spark.session import get_spark
+
+    spark = get_spark("pudl_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,18 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pudl_spark.functions.text import char_ngrams, word_shingles
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a small-file input across the cluster before a
+    CPU-bound map stage (signature hashing). A 20MB parquet arrives as
+    one partition under maxPartitionBytes; hashing it on one core
+    serializes the whole stage.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, key)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -43,18 +55,48 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # -------------------------------------------------------------- minhash
 
+_MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne)
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash family
+    h_i(x) = (a_i * x + b_i) mod p. Bounded so products stay < 2^62
+    (Spark 4 runs ANSI mode; silent overflow is not an option).
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_PRIME),
+             rng.randrange(0, _MINHASH_PRIME)) for _ in range(num_hashes)]
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 64,
                       shingle_k: int = 3, use_words: bool = True) -> Column:
-    """MinHash signature: per seed i, min over shingles of
-    xxhash64(shingle, i). Arrays of shingles never leave the executor.
+    """MinHash signature via one xxhash64 per shingle + a universal
+    hash family (a*h + b) mod p per permutation — one string hash and
+    64 long multiply-adds instead of 64 string hashes (~10x cheaper on
+    wide corpora). Shingle arrays never leave the executor.
     """
     sh = (word_shingles(col, k=shingle_k) if use_words
           else char_ngrams(col, n=shingle_k))
-    mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
+                                            F.lit(_MINHASH_PRIME)))
+    p = F.lit(_MINHASH_PRIME)
+    coeffs = _minhash_coeffs(num_hashes)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    init = F.array_repeat(F.lit(_MINHASH_PRIME).cast("long"), num_hashes)
+    # One fold over the base hashes; per shingle, all num_hashes
+    # permutations update via zip_with — the base hash computes once.
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (h * a + b) % p),
+            lambda x, y: F.least(x, y),
+        ),
+    )
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -70,6 +112,7 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     shingles; candidates ~ O(true dups), not O(n^2).
     """
     rows_per_band = num_hashes // bands
+    df = _spread(df, id_col)
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
     with_sig = df.select(
         F.col(id_col).alias("id"),
@@ -170,6 +213,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     exact block -> candidate join per block, verified with bit_count.
     """
     n_blocks = 64 // block_bits
+    df = _spread(df, id_col)
     sh = df.select(
         F.col(id_col).alias("id"),
         simhash_expr(F.col(text_col)).alias("simhash"),
@@ -214,7 +258,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     from pudl_spark.functions.text import document_fingerprint
 
-    prepped = df.select(
+    prepped = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), n=n).alias("grams"),
         document_fingerprint(F.col(text_col), k=fingerprint_k).alias("fp"),

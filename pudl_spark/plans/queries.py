@@ -799,3 +799,619 @@ def rollup_revenue(spark, sf_dir):
             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
         )
     )
+
+
+# =====================================================================
+# String cleaning / categorization / spot fixes (P3, P4, P6, P11, P15)
+# =====================================================================
+
+
+@query("clean_customer_names", sql="""
+SELECT c_custkey,
+  CASE WHEN trim(regexp_replace(lower(c_name), '\\s+', ' ', 'g')) = ''
+       THEN NULL
+       ELSE trim(regexp_replace(lower(c_name), '\\s+', ' ', 'g'))
+  END AS clean_name,
+  lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS nation_code,
+  CASE c_mktsegment
+    WHEN 'BUILDING' THEN 'construction' WHEN 'AUTOMOBILE' THEN 'transport'
+    WHEN 'MACHINERY' THEN 'industrial' WHEN 'FURNITURE' THEN 'consumer'
+    WHEN 'HOUSEHOLD' THEN 'consumer' END AS segment_category
+FROM customer
+""")
+def clean_customer_names(spark, sf_dir):
+    """String-cleaning pipeline: normalize_strings (P3) +
+    zero_pad_numeric_string (P15) + categorize_strings (P6).
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("clean_name"),
+        F.col("c_nationkey").cast("string").alias("nation_code"),
+        F.col("c_mktsegment").alias("segment_category"),
+    )
+    c = normalize_strings(c, ["clean_name"])
+    c = zero_pad_numeric_string(c, "nation_code", 3)
+    c = categorize_strings(c, "segment_category", {
+        "construction": ["BUILDING"],
+        "transport": ["AUTOMOBILE"],
+        "industrial": ["MACHINERY"],
+        "consumer": ["FURNITURE", "HOUSEHOLD"],
+    })
+    return c
+
+
+@query("spot_fix_regions", sql="""
+WITH fixes(r_regionkey, fixed_name) AS (
+  VALUES (0, 'AFRICA (EMEA)'), (3, 'EUROPE (EMEA)')
+)
+SELECT r.r_regionkey,
+  COALESCE(f.fixed_name, r.r_name) AS r_name
+FROM region r LEFT JOIN fixes f USING (r_regionkey)
+""")
+def spot_fix_regions(spark, sf_dir):
+    """spot_fix_values (P11): keyed point-updates from a literal fix
+    table, broadcast-joined + coalesce.
+    """
+    r = _t(spark, sf_dir, "region")
+    return spot_fix_values(
+        r, idx_cols=["r_regionkey"], fix_cols=["r_name"],
+        fixes=[(0, "AFRICA (EMEA)"), (3, "EUROPE (EMEA)")],
+    ).select("r_regionkey", "r_name")
+
+
+@query("order_status_flags", sql="""
+SELECT CASE o_orderstatus WHEN 'O' THEN TRUE WHEN 'F' THEN FALSE END
+    AS is_open,
+  COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""")
+def order_status_flags(spark, sf_dir):
+    """convert_col_to_bool (P20): domain-mapped booleans; unmapped
+    values -> NULL.
+    """
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_open", F.col("o_orderstatus"))
+    o = convert_col_to_bool(o, "is_open", true_values=["O"],
+                            false_values=["F"])
+    return o.groupBy("is_open").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query("uncategorized_part_types", sql="""
+SELECT DISTINCT p_type AS value FROM part
+WHERE p_type NOT IN ('ECONOMY ANODIZED STEEL', 'STANDARD BRUSHED BRASS')
+  AND p_type IS NOT NULL
+""")
+def uncategorized_part_types(spark, sf_dir):
+    """Set-difference value detection (U3/U4): distinct values not in
+    the mapped vocabulary — PUDL's unmapped-string audits.
+    """
+    from pudl_spark.operators import find_new_strings
+
+    p = _t(spark, sf_dir, "part")
+    return find_new_strings(
+        p, "p_type",
+        mapped=["ECONOMY ANODIZED STEEL", "STANDARD BRUSHED BRASS"])
+
+
+# =====================================================================
+# Schema enforcement / FK integrity / unions (S8, J9, U1, P26)
+# =====================================================================
+
+
+@query("fk_orphan_counts", sql="""
+SELECT 'lineitem->orders' AS relation,
+  (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+   AND NOT EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+UNION ALL
+SELECT 'orders->customer' AS relation,
+  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+   AND NOT EXISTS (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)) AS orphans
+UNION ALL
+SELECT 'customer->nation' AS relation,
+  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+   AND NOT EXISTS (SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = c.c_nationkey)) AS orphans
+""")
+def fk_orphan_counts(spark, sf_dir):
+    """FK integrity as anti-join orphan counts (J9) — the reference's
+    check_foreign_keys re-expressed; each parent key set broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def orphans(child, ccol, parent, pcol, label):
+        keys = parent.select(F.col(pcol).alias(ccol)).dropDuplicates()
+        cnt = (
+            child.filter(F.col(ccol).isNotNull())
+            .join(F.broadcast(keys), on=ccol, how="left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(label).alias("relation"), "orphans")
+        )
+        return cnt
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey",
+                             "orders->customer"))
+        .unionByName(orphans(c, "c_nationkey", n, "n_nationkey",
+                             "customer->nation"))
+    )
+
+
+@query("union_balances_by_nation", sql="""
+WITH pool AS (
+  SELECT c_nationkey AS nationkey, c_acctbal AS acctbal,
+    'customer' AS source FROM customer
+  UNION ALL
+  SELECT s_nationkey, s_acctbal, 'supplier' FROM supplier
+)
+SELECT nationkey, source, COUNT(*) AS n,
+  CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM pool GROUP BY nationkey, source
+""")
+def union_balances_by_nation(spark, sf_dir):
+    """unionByName with missing-column fill (U1) — pd.concat analog."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("source"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("source"))
+    pool = union_by_name([c, s])
+    return pool.groupBy("nationkey", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@query("encode_order_status", sql="""
+SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+  WHEN 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+  COUNT(*) AS n
+FROM orders GROUP BY 1
+""")
+def encode_order_status(spark, sf_dir):
+    """Encoder.encode (P26): canonical-code mapping with strict
+    unknown-code detection (violations counted, not collected).
+    """
+    from pudl_spark.schema import encode_column
+
+    o = _t(spark, sf_dir, "orders")
+    o = encode_column(o, "o_orderstatus",
+                      {"O": "OPEN", "F": "FULFILLED", "P": "PENDING"},
+                      strict=True)
+    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# =====================================================================
+# Streaming-shaped windows + ramp analytics (W5, 2.14)
+# =====================================================================
+
+
+@query("hourly_event_windows", sql="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+  event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""")
+def hourly_event_windows(spark, sf_dir):
+    """Tumbling-window aggregation via F.window — identical semantics
+    to the Structured Streaming path in pudl_spark.streaming (batch
+    and stream share this plan shape).
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+@query("user_value_ramps", sql="""
+WITH diffs AS (
+  SELECT user_id,
+    CAST(value AS DECIMAL(12,2))
+      - LAG(CAST(value AS DECIMAL(12,2)))
+        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ramp
+  FROM events
+)
+SELECT user_id, COUNT(ramp) AS n_ramps,
+  CAST(MAX(ramp) AS DOUBLE) AS max_ramp,
+  CAST(MIN(ramp) AS DOUBLE) AS min_ramp,
+  CAST(SUM(ramp) AS DOUBLE) / COUNT(ramp) AS avg_ramp
+FROM diffs GROUP BY user_id
+""")
+def user_value_ramps(spark, sf_dir):
+    """Ramp rates (W5): per-unit ordered diffs + summary stats, exact
+    via decimal diffs.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = _dec("value")
+    diffs = e.withColumn("ramp", v - F.lag(v).over(w))
+    return diffs.groupBy("user_id").agg(
+        F.count("ramp").alias("n_ramps"),
+        F.max("ramp").cast("double").alias("max_ramp"),
+        F.min("ramp").cast("double").alias("min_ramp"),
+        (F.sum("ramp").cast("double") / F.count("ramp")).alias("avg_ramp"),
+    )
+
+
+@query("primary_priority_share", sql="""
+WITH spend AS (
+  SELECT o_custkey AS custkey, o_orderpriority,
+    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS amount_dec
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), shares AS (
+  SELECT custkey, o_orderpriority,
+    CAST(amount_dec AS DOUBLE)
+      / CAST(SUM(amount_dec) OVER (PARTITION BY custkey) AS DOUBLE) AS frac,
+    ROW_NUMBER() OVER (PARTITION BY custkey
+                       ORDER BY amount_dec DESC, o_orderpriority ASC) AS rn
+  FROM spend
+)
+SELECT custkey,
+  CASE WHEN frac > 0.5 THEN o_orderpriority ELSE 'mixed' END
+    AS primary_priority,
+  frac AS top_frac
+FROM shares WHERE rn = 1
+""")
+def primary_priority_share(spark, sf_dir):
+    """fuel_by_plant shape (A19): per-entity category fractions with a
+    primary-if-majority-else-'mixed' label. The window total stays
+    DECIMAL (exact under any summation order) until the final ratio.
+    """
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy(F.col("o_custkey").alias("custkey"), "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).alias("amount_dec"))
+    )
+    w_sum = Window.partitionBy("custkey")
+    w_rank = Window.partitionBy("custkey").orderBy(
+        F.col("amount_dec").desc(), F.col("o_orderpriority").asc())
+    return (
+        spend
+        .withColumn(
+            "frac",
+            F.col("amount_dec").cast("double")
+            / F.sum("amount_dec").over(w_sum).cast("double"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "custkey",
+            F.when(F.col("frac") > 0.5, F.col("o_orderpriority"))
+            .otherwise(F.lit("mixed")).alias("primary_priority"),
+            F.col("frac").alias("top_frac"),
+        )
+    )
+
+
+# =====================================================================
+# Training-data ops: text analysis + dedup + similarity search
+# =====================================================================
+
+
+@query("doc_token_stats", sql="""
+SELECT lang,
+  COUNT(*) AS n_docs,
+  SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+  SUM(length(text)) AS total_chars,
+  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+    / COUNT(*) AS avg_tokens
+FROM documents GROUP BY lang
+""")
+def doc_token_stats(spark, sf_dir):
+    """Token counting over the documents corpus: whitespace tokens,
+    chars, per-language averages. Pure JVM expressions.
+    """
+    from pudl_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("__tok", token_count(F.col("text")).cast("long"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        (F.sum("__tok").cast("double") / F.count(F.lit(1)))
+        .alias("avg_tokens"),
+    )
+
+
+@query("doc_bpe_token_estimate", sql="""
+SELECT doc_id,
+  CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+       x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+    + (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+    AS BIGINT) AS bpe_tokens
+FROM documents WHERE doc_id % 20 = 0
+""")
+def doc_bpe_token_estimate(spark, sf_dir):
+    """BPE-ish token count (ceil(len/4) pieces per word + punctuation
+    runs) — the cheap pre-tokenization size estimate.
+    """
+    from pudl_spark.functions.text import bpe_ish_token_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+
+
+@query("doc_quality_scores", sql="""
+WITH scored AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+    len(list_filter(string_split_regex(trim(text), '\\s+'),
+        x -> list_contains(['the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','as','with',
+                            'at','by','from'], lower(x)))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+  ((0.3 * least(n_tok / 100.0, 1.0)
+   + 0.2 * (CASE WHEN n_tok > 0 AND (n_chars / n_tok) >= 3
+                  AND (n_chars / n_tok) <= 10 THEN 1.0 ELSE 0.3 END))
+   + 0.2 * (CASE WHEN n_chars > 0
+            THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END))
+   + 0.3 * least((CASE WHEN n_tok > 0
+                  THEN CAST(stop_hits AS DOUBLE) / n_tok
+                  ELSE 0.0 END) * 5.0, 1.0) AS quality
+FROM scored
+""")
+def doc_quality_scores(spark, sf_dir):
+    """Document quality scoring: length/word-shape/alpha-ratio/stopword
+    composite in [0,1] — the standard cheap web-corpus pre-filter.
+    """
+    from pudl_spark.functions.text import quality_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    quality_score_expr(F.col("text")).alias("quality"))
+
+
+@query("exact_dedup_docs", sql="""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""")
+def exact_dedup_docs(spark, sf_dir):
+    """Exact deduplication: canonical min-id per distinct text; the
+    shuffle key is a 64-bit content hash, never the full text.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.xxhash64("text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+@query("minhash_near_dup_pairs")
+def minhash_near_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs over documents (no SQL oracle:
+    xxhash64 signatures aren't reproducible in DuckDB — covered by
+    unit tests against a pure-python reference instead).
+    """
+    from pudl_spark.functions.dedup import minhash_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3,
+        jaccard_threshold=0.5)
+
+
+@query("simhash_near_dup_pairs")
+def simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only check; hash not reproducible
+    in DuckDB).
+    """
+    from pudl_spark.functions.dedup import simhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+
+
+@query("ngram_jaccard_dup_pairs")
+def ngram_jaccard_dup_pairs(spark, sf_dir):
+    """Character-ngram Jaccard near-dup pairs blocked by winnowing
+    fingerprint (rows-only check).
+    """
+    from pudl_spark.functions.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
+@query("ann_cosine_topk", sql="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, 65),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(e.embedding[i] AS DOUBLE)
+                * CAST(e.embedding[i] AS DOUBLE))))), 6) AS score
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= 10
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search: query side
+    broadcast, scoring map-side, one shuffle for the per-query top-k.
+    Scores rounded to 6 dp to absorb engine-level FP fold differences.
+    """
+    from pudl_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries_df, id_col="vec_id",
+                           vec_col="embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"))
+
+
+@query("ann_lsh_bucketed")
+def ann_lsh_bucketed(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (rows-only check;
+    recall vs brute force covered by unit test).
+    """
+    from pudl_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_bucket_topk(emb, queries_df, id_col="vec_id",
+                           vec_col="embedding", k=10, n_planes=6)
+
+
+# =====================================================================
+# Harvesting + weighted quantile (A1-A5, A12, A16)
+# =====================================================================
+
+
+@query("harvest_user_profile", sql="""
+WITH votes AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, cnt,
+    SUM(cnt) OVER (PARTITION BY user_id) AS total,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM votes
+), voted AS (
+  SELECT user_id,
+    CASE WHEN cnt / total >= 0.5 THEN event_type END AS event_type
+  FROM ranked WHERE rn = 1
+), maxv AS (
+  SELECT user_id, MAX(value) AS value FROM events
+  WHERE value IS NOT NULL GROUP BY user_id
+)
+SELECT u.user_id, v.event_type, m.value
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN voted v USING (user_id)
+LEFT JOIN maxv m USING (user_id)
+""")
+def harvest_user_profile(spark, sf_dir):
+    """The harvesting engine (A1/A5/A12): three source tables (events
+    split by event_id residue) contribute attributes per user entity;
+    event_type resolved by >=0.5 consistency vote, value by max.
+    Union of the splits == the full table, so the SQL oracle votes over
+    events directly.
+    """
+    from pudl_spark.operators import harvest
+
+    e = _t(spark, sf_dir, "events")
+    sources = {
+        f"src{i}": e.filter(F.col("event_id") % 3 == i)
+        .select("user_id", "event_type", "value")
+        for i in range(3)
+    }
+    result = harvest(sources, pk=["user_id"],
+                     columns={"event_type": "most_and_more_frequent",
+                              "value": "max"},
+                     min_frequency=0.5)
+    return result.entity.select("user_id", "event_type", "value")
+
+
+@query("weighted_median_quantity", sql="""
+WITH pooled AS (
+  SELECT l_quantity AS x,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_quantity
+), cum AS (
+  SELECT x, w,
+    SUM(w) OVER (ORDER BY x) AS cw,
+    SUM(w) OVER () AS tw,
+    ROW_NUMBER() OVER (ORDER BY x) AS rn,
+    COUNT(*) OVER () AS n
+  FROM pooled
+), frac AS (
+  SELECT x, rn, n,
+    (CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2) / CAST(tw AS DOUBLE)
+      AS c,
+    LAG((CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2) / CAST(tw AS DOUBLE))
+      OVER (ORDER BY x) AS prev_c,
+    LAG(x) OVER (ORDER BY x) AS prev_x
+  FROM cum
+)
+SELECT MIN(val) AS weighted_median FROM (
+  SELECT CASE
+    WHEN rn = 1 AND 0.5 <= c THEN x
+    WHEN rn = n AND 0.5 >= c THEN x
+    WHEN prev_c < 0.5 AND 0.5 <= c
+      THEN prev_x + (x - prev_x) * ((0.5 - prev_c) / (c - prev_c))
+  END AS val FROM frac
+) WHERE val IS NOT NULL
+""")
+def weighted_median_quantity(spark, sf_dir):
+    """Interpolated weighted quantile (A16) — the dbt
+    weighted_quantile macro on Spark, ties pooled, cumulative weights
+    kept DECIMAL-exact until the final ratios.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    pooled = li.groupBy(F.col("l_quantity").alias("x")).agg(
+        F.sum(_dec("l_extendedprice")).alias("w"))
+    ow = Window.orderBy("x")
+    full = Window.partitionBy()
+    cum = (
+        pooled
+        .withColumn("cw", F.sum("w").over(
+            ow.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tw", F.sum("w").over(full))
+        .withColumn("rn", F.row_number().over(ow))
+        .withColumn("n", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "c",
+            (F.col("cw").cast("double") - F.col("w").cast("double") / 2)
+            / F.col("tw").cast("double"))
+    )
+    frac = (
+        cum
+        .withColumn("prev_c", F.lag("c").over(ow))
+        .withColumn("prev_x", F.lag("x").over(ow))
+    )
+    q = F.lit(0.5)
+    val = (
+        F.when((F.col("rn") == 1) & (q <= F.col("c")), F.col("x"))
+        .when((F.col("rn") == F.col("n")) & (q >= F.col("c")), F.col("x"))
+        .when(
+            (F.col("prev_c") < q) & (q <= F.col("c")),
+            F.col("prev_x") + (F.col("x") - F.col("prev_x"))
+            * ((q - F.col("prev_c")) / (F.col("c") - F.col("prev_c"))))
+    )
+    return (
+        frac.withColumn("val", val)
+        .filter(F.col("val").isNotNull())
+        .agg(F.min("val").alias("weighted_median"))
+    )
