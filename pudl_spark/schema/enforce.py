@@ -49,15 +49,19 @@ def format_df(df: DataFrame, resource: Resource) -> DataFrame:
     Drops extra columns, adds missing ones as typed nulls, casts types,
     snaps periodic PK columns. Never raises on missing data.
     """
-    for pk in resource.primary_key:
-        if pk not in df.columns:
-            snapped = _snap_period(df, pk)
+    for name in resource.field_names:
+        if name not in df.columns:
+            snapped = _snap_period(df, name)
             if snapped is not None:
                 df = snapped
     cols = []
     for f in resource.fields:
         if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.spark_type).alias(f.name))
+            col = F.col(f.name)
+            if f.type == "year":
+                # year type snaps to Jan-1 (ref: classes.py:2056-2063)
+                col = F.to_date(F.date_trunc("year", col))
+            cols.append(col.cast(f.spark_type).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.spark_type).alias(f.name))
     return df.select(*cols)
