@@ -61,7 +61,10 @@ def char_ngrams(col: Column | str, n: int = 3,
                 distinct: bool = True) -> Column:
     """Character n-gram (shingle) array via sequence+substr — no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    # NB sequence(1, 0) steps DOWN in Spark -> guard short strings.
+    idx = F.when(
+        F.length(c) >= n, F.sequence(F.lit(1), F.length(c) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: c.substr(i, F.lit(n)))
     return F.array_distinct(grams) if distinct else grams
 
@@ -70,7 +73,10 @@ def word_shingles(col: Column | str, k: int = 3,
                   distinct: bool = True) -> Column:
     """k-word shingles: array of space-joined consecutive token runs."""
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(0)))
+    # NB sequence(1, 0) steps DOWN in Spark -> guard short documents.
+    idx = F.when(
+        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
     return F.array_distinct(sh) if distinct else sh
 
@@ -130,3 +136,44 @@ def document_fingerprint(col: Column | str, k: int = 5) -> Column:
     hashed = F.transform(sh, lambda s: F.xxhash64(s))
     return F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(
         F.xxhash64(F.col(col) if isinstance(col, str) else col))
+
+
+def polynomial_hash(col: Column | str, mod: int = 1_000_000_007,
+                    base: int = 31) -> Column:
+    """Portable polynomial rolling hash over a string's code points:
+    h = fold(h * base + unicode(ch)) mod m. Unlike xxhash64 this is
+    reproducible in any SQL engine (the DuckDB oracle mirrors it with
+    list_reduce), so fingerprint queries are differentially testable.
+    Stays in whole-stage codegen: split/transform/aggregate are all
+    built-in higher-order functions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+def document_fingerprint_portable(col: Column | str, k: int = 5,
+                                  mod: int = 1_000_000_007,
+                                  base: int = 31) -> Column:
+    """Winnowing-style fingerprint with the portable polynomial hash:
+    min over the document's k-word shingles. Same semantics as
+    document_fingerprint (the xxhash64 production path) but oracle-
+    checkable bit-for-bit against DuckDB.
+    """
+    sh = word_shingles(col, k=k, distinct=True)
+    hashed = F.transform(
+        sh, lambda s: F.aggregate(
+            F.transform(F.split(s, ""), lambda ch: F.ascii(ch).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * base + x) % mod))
+    c = F.col(col) if isinstance(col, str) else col
+    whole = F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod)
+    return F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(whole)

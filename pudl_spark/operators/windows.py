@@ -171,3 +171,67 @@ def ramp_rates(df: DataFrame, key_cols: list[str], order_col: str,
     return df.withColumn(
         out_col, F.col(data_col) - F.lag(F.col(data_col)).over(w)
     )
+
+
+def flag_identical_run(df: DataFrame, key_cols: list[str], order_col: str,
+                       data_col: str, min_run: int = 3,
+                       flag_col: str = "is_identical_run") -> DataFrame:
+    """Flag rows inside a run of >= min_run consecutive identical
+    values per key (ref: flag_identical_run,
+    src/pudl/analysis/timeseries_cleaning.py:765+). Gaps-and-islands:
+    a change marker cumulative-summed into a run id, then the run size
+    broadcast back over a run-partitioned window — two window passes
+    over the same partitioning, one shuffle.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    changed = F.when(
+        F.lag(F.col(data_col)).over(w).eqNullSafe(F.col(data_col)),
+        F.lit(0)).otherwise(F.lit(1))
+    out = df.withColumn("__run", F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    run_w = Window.partitionBy(*key_cols, "__run")
+    return (
+        out.withColumn(flag_col,
+                       (F.count(F.lit(1)).over(run_w) >= min_run)
+                       & F.col(data_col).isNotNull())
+        .drop("__run")
+    )
+
+
+def flag_global_outlier(df: DataFrame, key_cols: list[str], data_col: str,
+                        multiplier: float = 9.0,
+                        flag_col: str = "is_global_outlier") -> DataFrame:
+    """Flag values beyond multiplier x the series median (ref:
+    flag_global_outlier, timeseries_cleaning.py:765+ — value > 9x
+    median or < median/9). The per-key median is one exact-median
+    aggregation joined back; at scale the join broadcasts (one row
+    per key).
+    """
+    med = df.groupBy(*key_cols).agg(
+        F.median(F.col(data_col)).alias("__med"))
+    return (
+        df.join(F.broadcast(med), on=key_cols, how="left")
+        .withColumn(
+            flag_col,
+            F.when(F.col(data_col).isNull() | F.col("__med").isNull(), None)
+            .otherwise((F.col(data_col) > multiplier * F.col("__med"))
+                       | (F.col(data_col) < F.col("__med") / multiplier)))
+        .drop("__med")
+    )
+
+
+def flag_double_delta(df: DataFrame, key_cols: list[str], order_col: str,
+                      data_col: str, threshold: float,
+                      flag_col: str = "is_double_delta") -> DataFrame:
+    """Flag single-point spikes: the deltas to BOTH neighbors exceed
+    the threshold with opposite signs (ref: flag_double_delta,
+    timeseries_cleaning.py:765+). Pure lag/lead over one window.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    prev_d = F.col(data_col) - F.lag(F.col(data_col)).over(w)
+    next_d = F.lead(F.col(data_col)).over(w) - F.col(data_col)
+    return df.withColumn(
+        flag_col,
+        F.when(prev_d.isNull() | next_d.isNull(), F.lit(False))
+        .otherwise((F.abs(prev_d) > threshold) & (F.abs(next_d) > threshold)
+                   & (prev_d * next_d < 0)))

@@ -1415,3 +1415,429 @@ def weighted_median_quantity(spark, sf_dir):
         .filter(F.col("val").isNotNull())
         .agg(F.min("val").alias("weighted_median"))
     )
+
+
+# =====================================================================
+# Anomaly screens, sessionization-as-CC, reconciliation, text/dedup
+# extensions (W8, G1, G2, P31, P15/P22, M1-island, Geo6 shape)
+# =====================================================================
+
+
+@query("event_anomaly_flags", sql="""
+WITH w AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    CASE WHEN event_type = lag(event_type) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS brk,
+    value - lag(value) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_d,
+    lead(value) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) - value AS next_d,
+    median(value) OVER (PARTITION BY user_id) AS med
+  FROM events
+), r AS (
+  SELECT *, sum(brk) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    AS run FROM w
+), c AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id, run) AS rl FROM r
+)
+SELECT event_id, user_id,
+  rl >= 3 AND event_type IS NOT NULL AS is_identical_run,
+  CASE WHEN value IS NULL OR med IS NULL THEN NULL
+       ELSE value > 3.0 * med OR value < med / 3.0 END AS is_global_outlier,
+  CASE WHEN prev_d IS NULL OR next_d IS NULL THEN FALSE
+       ELSE abs(prev_d) > 200.0 AND abs(next_d) > 200.0
+            AND prev_d * next_d < 0 END AS is_double_delta
+FROM c
+""")
+def event_anomaly_flags(spark, sf_dir):
+    """W8 anomaly screens (ref: flag_identical_run/_global_outlier/
+    _double_delta, src/pudl/analysis/timeseries_cleaning.py:765-1295)
+    composed over the events series: repeated-type runs, >3x-median
+    global outliers, and opposite-sign double-delta spikes. All three
+    share ONE window partitioning on user_id, so the whole screen is a
+    single shuffle at any scale.
+    """
+    from pudl_spark.operators.windows import (
+        flag_double_delta, flag_global_outlier, flag_identical_run)
+
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    out = flag_identical_run(ev, ["user_id"], order, "event_type", min_run=3)
+    out = flag_global_outlier(out, ["user_id"], "value", multiplier=3.0)
+    out = flag_double_delta(out, ["user_id"], order, "value", threshold=200.0)
+    return out.select("event_id", "user_id", "is_identical_run",
+                      "is_global_outlier", "is_double_delta")
+
+
+@query("event_sessions_cc", sql="""
+WITH w AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         <= INTERVAL '2 hours' THEN 0 ELSE 1 END AS brk
+  FROM events
+), g AS (
+  SELECT event_id, user_id, sum(brk) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    AS sid FROM w
+)
+SELECT event_id, min(event_id) OVER (PARTITION BY user_id, sid) AS session_id
+FROM g
+""")
+def event_sessions_cc(spark, sf_dir):
+    """G1 connected components (ref: boiler-generator unit inference,
+    src/pudl/transform/eia.py:701-1065): sessionization expressed as
+    CC over the consecutive-events-within-2h graph. The label-
+    propagation operator is the scale path for arbitrary graphs; the
+    SQL oracle is the gaps-and-islands closed form, valid because the
+    adjacency graph of consecutive events is a path.
+    """
+    from pudl_spark.operators.graph import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 2 * 3600 * 1_000_000
+    pairs = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_id").isNotNull()
+                & ((F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                   <= F.lit(gap_us)))
+        .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
+    )
+    labels = connected_components(pairs, "src", "dst")
+    return (
+        ev.select("event_id")
+        .join(labels, ev["event_id"] == labels["node"], "left")
+        .select("event_id",
+                F.coalesce("component", "event_id").alias("session_id"))
+    )
+
+
+def _lang_sql() -> str:
+    """DuckDB mirror of language_id_expr's score-and-argmax loop."""
+    from pudl_spark.functions.text import LANG_MARKERS
+
+    toks = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        vocab = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        scores.append(
+            f"length(list_intersect({toks}, [{vocab}])) AS s_{lang}")
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    picks = " ".join(
+        f"WHEN s_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang AS lang_actual, {', '.join(scores)}
+  FROM documents
+)
+SELECT doc_id, lang_actual,
+  CASE WHEN {g} < 1 THEN NULL {picks} END AS lang_pred
+FROM s
+"""
+
+
+@query("doc_language_id", sql=_lang_sql())
+def doc_language_id(spark, sf_dir):
+    """Heuristic language ID over the document corpus (training-data
+    op; the marker-vocabulary hit-count argmax with deterministic
+    earliest-code tie-break). Pure JVM expressions — array_intersect
+    over a literal vocabulary, no Python in the row path.
+    """
+    from pudl_spark.functions.text import language_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("lang_actual"),
+        language_id_expr(F.col("text")).alias("lang_pred"))
+
+
+@query("doc_fingerprints", sql="""
+WITH t AS (
+  SELECT doc_id, text, trim(text) AS tt,
+    regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, text,
+    CASE WHEN tt = '' THEN []::VARCHAR[]
+         WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+            range(1, len(toks) - 3),
+            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+         ELSE []::VARCHAR[] END AS shingles
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN len(shingles) > 0 THEN
+    list_min(list_transform(shingles, s ->
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(s, ''), ch -> unicode(ch)::BIGINT)),
+        (acc, x) -> (acc * 31 + x) % 1000000007)))
+  WHEN length(text) = 0 THEN 0
+  ELSE list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(text, ''), ch -> unicode(ch)::BIGINT)),
+        (acc, x) -> (acc * 31 + x) % 1000000007)
+  END AS fingerprint
+FROM sh
+""")
+def doc_fingerprints(spark, sf_dir):
+    """Winnowing-style document fingerprint (min rolling hash over
+    5-word shingles) with the portable polynomial hash so the DuckDB
+    oracle reproduces it bit-for-bit. The xxhash64 variant
+    (functions.text.document_fingerprint) is the production path.
+    """
+    from pudl_spark.functions.text import document_fingerprint_portable
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        document_fingerprint_portable(F.col("text"), k=5).alias("fingerprint"))
+
+
+@query("calc_reconcile_orders", sql="""
+WITH calc AS (
+  SELECT l_orderkey,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+    AS calculated
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS reported,
+  CAST(c.calculated AS DOUBLE) AS calculated,
+  abs(CAST(c.calculated - CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE))
+    <= 0.011 AS is_consistent,
+  CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) - c.calculated AS DOUBLE)
+    AS correction
+FROM orders o JOIN calc c ON o.o_orderkey = c.l_orderkey
+""")
+def calc_reconcile_orders(spark, sf_dir):
+    """G2 calculation reconciliation (ref: reconcile_table_calculations
+    src/pudl/transform/ferc1.py:1006-1162, calculate_values_from_
+    components :1237, add_corrections :1634): parent fact must equal
+    the sum of its children within tolerance; the correction record is
+    the residual. Decimal arithmetic end-to-end so the check is exact.
+    At scale this is the canonical co-partitioned join: orders and
+    lineitem both shuffle on orderkey once, or never if bucketed.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    charge = (_dec("l_extendedprice")
+              * (_one() - _dec("l_discount", 3, 2))
+              * (_one() + _dec("l_tax", 3, 2)))
+    calc = li.groupBy("l_orderkey").agg(F.sum(charge).alias("calculated"))
+    reported = _dec("o_totalprice")
+    return (
+        o.join(calc, o["o_orderkey"] == calc["l_orderkey"])
+        .select(
+            "o_orderkey",
+            reported.cast("double").alias("reported"),
+            F.col("calculated").cast("double").alias("calculated"),
+            (F.abs((F.col("calculated") - reported).cast("double"))
+             <= F.lit(0.011)).alias("is_consistent"),
+            (reported - F.col("calculated")).cast("double")
+            .alias("correction"),
+        )
+    )
+
+
+@query("embedding_near_dup_pairs", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(b.embedding[i] AS DOUBLE)
+              * CAST(b.embedding[i] AS DOUBLE))))), 6) AS score
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id AND
+  list_sum(list_transform(range(1, 65),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+       i -> CAST(b.embedding[i] AS DOUBLE)
+            * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
+""")
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (training-data dedup
+    family): exact all-pairs baseline. O(n^2) scoring is the
+    correctness reference; ann_lsh_bucketed is the scale path (LSH
+    buckets shrink the candidate set). Norms are precomputed once per
+    side before the self-join so each pair costs one dot product.
+    """
+    from pudl_spark.functions.similarity import dot_expr, l2_norm_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    side = e.select("vec_id", "embedding",
+                    l2_norm_expr(F.col("embedding")).alias("norm"))
+    a, b = side.alias("a"), side.alias("b")
+    score = (dot_expr(F.col("a.embedding"), F.col("b.embedding"))
+             / (F.col("a.norm") * F.col("b.norm")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("score", score)
+        .filter(F.col("score") >= 0.4)
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round("score", 6).alias("score"))
+    )
+
+
+@query("impute_event_values", sql="""
+WITH med AS (
+  SELECT user_id, median(value) AS m FROM events
+  WHERE event_type <> 'error' GROUP BY user_id
+)
+SELECT e.event_id, e.user_id,
+  CASE WHEN e.event_type = 'error' THEN med.m ELSE e.value END
+    AS value_imputed
+FROM events e LEFT JOIN med USING (user_id)
+""")
+def impute_event_values(spark, sf_dir):
+    """M1-shaped imputation island (ref: impute_latc_tubal
+    src/pudl/analysis/timeseries_cleaning.py:663,1461-1507): values of
+    'error' events are treated as missing and imputed per-user from a
+    NumPy kernel inside applyInPandas — the exact structure used for
+    the reference's tensor-completion step, where the per-group matrix
+    fits one task. The oracle is closed-form because the test kernel
+    is a median fill; the production kernel swaps in SVD without
+    touching the Spark plumbing.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        good = pdf.loc[pdf["event_type"] != "error", "value"].to_numpy()
+        med = float(np.median(good)) if good.size else np.nan
+        out = pdf["value"].to_numpy(dtype=float).copy()
+        out[(pdf["event_type"] == "error").to_numpy()] = med
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value_imputed": out,
+        })
+
+    return ev.groupBy("user_id").applyInPandas(
+        fill, "event_id long, user_id long, value_imputed double")
+
+
+@query("region_revenue_allocation", sql="""
+WITH rev AS (
+  SELECT n.n_regionkey,
+    SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS total
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_regionkey
+), cn AS (
+  SELECT c_nationkey AS n_nationkey, COUNT(*) AS n_cust
+  FROM customer GROUP BY c_nationkey
+), cr AS (
+  SELECT n.n_regionkey, SUM(cn.n_cust) AS r_cust
+  FROM cn JOIN nation n USING (n_nationkey) GROUP BY n.n_regionkey
+)
+SELECT n.n_nationkey, n.n_name,
+  CAST(cn.n_cust AS DOUBLE) / CAST(cr.r_cust AS DOUBLE) AS weight,
+  CAST(rev.total AS DOUBLE)
+    * (CAST(cn.n_cust AS DOUBLE) / CAST(cr.r_cust AS DOUBLE))
+    AS allocated_revenue
+FROM nation n
+JOIN cn USING (n_nationkey)
+JOIN cr ON n.n_regionkey = cr.n_regionkey
+JOIN rev ON n.n_regionkey = rev.n_regionkey
+""")
+def region_revenue_allocation(spark, sf_dir):
+    """Geo6 relational disaggregation shape (ref: county population-
+    weighted demand split, src/pudl/analysis/state_demand.py:159-280):
+    region-level totals allocated to nations by customer-count weight.
+    The fact aggregation is the only big shuffle; all dimension joins
+    broadcast.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("total"))
+    )
+    cn = c.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust"))
+    cr = (cn.join(F.broadcast(n), "n_nationkey")
+          .groupBy("n_regionkey").agg(F.sum("n_cust").alias("r_cust")))
+    weight = F.col("n_cust").cast("double") / F.col("r_cust").cast("double")
+    return (
+        n.join(cn, "n_nationkey")
+        .join(cr, "n_regionkey")
+        .join(rev, "n_regionkey")
+        .select("n_nationkey", "n_name", weight.alias("weight"),
+                (F.col("total").cast("double") * weight)
+                .alias("allocated_revenue"))
+    )
+
+
+@query("event_props_extract", sql="""
+SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""")
+def event_props_extract(spark, sf_dir):
+    """P31 semi-structured extraction (ref: EIA API JSON parsing,
+    src/pudl/extract/eiaapi.py:24-117): from_json over a declared
+    schema — stays in codegen, no Python. Schema-on-read for
+    API-style payload columns.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k_val"))
+
+
+@query("supplier_code_cleanup", sql="""
+SELECT s_suppkey,
+  lpad(CAST(s_nationkey AS VARCHAR), 3, '0') AS nation_code,
+  CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents,
+  CASE WHEN regexp_extract(s_name, '(-?[0-9]+(?:[.,][0-9]+)?)', 1) = ''
+       THEN NULL
+       WHEN regexp_matches(
+            replace(regexp_extract(s_name, '(-?[0-9]+(?:[.,][0-9]+)?)', 1),
+                    ',', '.'), '^[0-9]+$')
+       THEN regexp_replace(
+         replace(regexp_extract(s_name, '(-?[0-9]+(?:[.,][0-9]+)?)', 1),
+                 ',', '.'),
+         '^0+([0-9])', '\\1')
+       ELSE replace(regexp_extract(s_name, '(-?[0-9]+(?:[.,][0-9]+)?)', 1),
+                    ',', '.')
+  END AS supplier_num
+FROM supplier
+""")
+def supplier_code_cleanup(spark, sf_dir):
+    """String/unit hygiene bundle (P15 zero-pad helpers.py:1518, P16
+    leading-zero strip helpers.py:1142, P5 numeric extraction
+    transform/classes.py:404-431, P7 unit conversion classes.py:599):
+    all single-pass column expressions — one scan, no shuffle.
+    """
+    from pudl_spark.operators import (
+        remove_leading_zeros_from_numeric_strings, strip_non_numeric_values,
+        zero_pad_numeric_string)
+
+    s = _t(spark, sf_dir, "supplier")
+    s = s.select(
+        "s_suppkey",
+        F.col("s_nationkey").cast("string").alias("nation_code"),
+        (_dec("s_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+        F.col("s_name").alias("supplier_num"),
+    )
+    s = zero_pad_numeric_string(s, "nation_code", 3)
+    s = strip_non_numeric_values(s, ["supplier_num"])
+    return remove_leading_zeros_from_numeric_strings(s, "supplier_num")
