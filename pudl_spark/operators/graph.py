@@ -53,6 +53,20 @@ def connected_components(edges: DataFrame, src: str = "src",
                 ).alias("component"),
             )
         )
+        # Pointer jumping (path halving): component <- label of the
+        # component node itself. Turns per-round progress from one hop
+        # into doubling, so convergence is O(log diameter) — the
+        # difference between 40 and 6 shuffle rounds on a
+        # 10^12-edge graph with long chains.
+        jumped = new.alias("l").join(
+            new.select(F.col("node").alias("component"),
+                       F.col("component").alias("grand")).alias("g"),
+            on="component", how="left")
+        new = jumped.select(
+            "node",
+            F.least(F.col("component"),
+                    F.coalesce(F.col("grand"), F.col("component")))
+            .alias("component"))
         changed = (
             new.alias("n").join(labels.alias("o"), on="node")
             .filter(F.col("n.component") != F.col("o.component"))

@@ -1,0 +1,88 @@
+"""File sources and the Parquet sink.
+
+Refs: GenericExtractor partition loop (src/pudl/extract/extractor.py:
+129,243-288), CsvExtractor (src/pudl/extract/csv.py:16),
+ParquetExtractor (src/pudl/extract/parquet.py:13), and the Parquet
+sink with zstd + bounded row groups
+(src/pudl/dagster/io_managers.py:379-418;
+src/pudl/transform/epacems.py:279-284) plus the pre-write ordering for
+storage locality (src/pudl/transform/ferc714.py:822-824).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pudl_spark.operators.sets import union_by_name
+from pudl_spark.schema.model import Resource
+
+
+def read_csv(spark: SparkSession, path: str,
+             resource: Resource | None = None,
+             schema: T.StructType | None = None, **options) -> DataFrame:
+    """CSV source with a DECLARED schema — never inferred (§1.3).
+
+    Schema inference would require an extra pass over the data and
+    produces drifting types across partitions; the reference always
+    declares (ref: extract/csv.py:16). header defaults on.
+    """
+    opts = {"header": "true", **{k: str(v) for k, v in options.items()}}
+    reader = spark.read.options(**opts)
+    if resource is not None:
+        schema = resource.to_struct_type()
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def extract_partitions(spark: SparkSession, paths: list[str],
+                       fmt: str = "parquet",
+                       schema: T.StructType | None = None,
+                       **options) -> DataFrame:
+    """Partition-iterated extraction -> one table (ref: extractor.py:
+    243-288 concat_pages). Per-partition files may disagree on column
+    sets across years; unionByName(allowMissingColumns) reconciles
+    exactly like the reference's concat. With identical schemas Spark
+    reads the whole glob as ONE distributed scan (no driver loop).
+    """
+    if not paths:
+        raise ValueError("extract_partitions: no input paths")
+    reader = spark.read.options(**{k: str(v) for k, v in options.items()})
+    if schema is not None:
+        reader = reader.schema(schema)
+    load = getattr(reader, fmt)
+    dfs = [load(p) for p in paths]
+    cols = {tuple(df.columns) for df in dfs}
+    if len(cols) == 1 and schema is None and fmt == "parquet":
+        # Same layout: one multi-path scan beats N unions.
+        return spark.read.parquet(*paths)
+    return union_by_name(dfs)
+
+
+def write_parquet_table(df: DataFrame, path: str,
+                        partition_cols: list[str] | None = None,
+                        sort_cols: list[str] | None = None,
+                        max_records_per_file: int = 1_000_000,
+                        compression: str = "zstd",
+                        mode: str = "overwrite") -> None:
+    """Parquet sink (ref: io_managers.py:379-418): zstd compression,
+    optional hive partitioning, and pre-write clustering by sort_cols
+    for row-group skipping + compression locality (ref: ferc714.py:
+    822-824). At 100 TB the partition column choice IS the read-path
+    partition pruning; sortWithinPartitions keeps min/max statistics
+    tight without a global sort.
+    """
+    out = df
+    if sort_cols:
+        if partition_cols:
+            # One output file set per hive partition instead of
+            # (tasks x partitions) fragments.
+            out = out.repartition(*partition_cols)
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = (out.write.mode(mode)
+              .option("compression", compression)
+              .option("maxRecordsPerFile", max_records_per_file))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

@@ -1,0 +1,96 @@
+"""Streaming pipeline over the events table.
+
+readStream -> watermarked transformations -> writeStream, per the
+Structured Streaming incremental model. Every function here also
+accepts a *batch* DataFrame — the logical plan is identical, which is
+what makes the implementations testable against the DuckDB oracles of
+their batch twins (hourly_event_windows, event_sessions_cc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    """File-source stream over an events parquet directory. The
+    declared schema (required for streaming reads) doubles as the
+    contract check; maxFilesPerTrigger bounds micro-batch size so one
+    trigger never has to fit the backlog in memory.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    With a streaming input the watermark bounds state: windows older
+    than (max event time - watermark) are finalized and evicted, so
+    state size is O(active windows x types), independent of stream
+    length. On a batch input the same plan is a plain groupBy.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "2 hours",
+                      watermark: str = "4 hours") -> DataFrame:
+    """Session-window aggregation keyed by user: session = events
+    separated by < gap, exactly the event_sessions_cc batch semantics.
+    Uses the built-in session_window (state-store backed, watermark-
+    evicted) rather than a custom applyInPandasWithState operator —
+    built-ins keep state management in the JVM.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("session_id"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "session_id",
+                "n_events")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         spark: SparkSession) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory sink and
+    return the result as a batch DataFrame (test/debug utility —
+    production sinks are writeStream.format('parquet') with
+    checkpointing).
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

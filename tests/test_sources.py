@@ -1,0 +1,90 @@
+"""Sources/sinks: CSV round-trip, partition extraction, partitioned
+parquet sink, JSON records, datapackage descriptor."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from pudl_spark.schema import Field, FieldConstraints, Resource
+from pudl_spark.sources import (
+    build_datapackage_descriptor, extract_partitions, json_records_to_df,
+    read_csv, write_parquet_table,
+)
+
+RES = Resource(
+    name="plants",
+    fields=(
+        Field("plant_id", "integer", FieldConstraints(required=True)),
+        Field("name", "string"),
+        Field("capacity_mw", "number"),
+    ),
+    primary_key=("plant_id",),
+    foreign_keys=((("plant_id",), "plants_entity", ("plant_id",)),),
+)
+
+
+def test_read_csv_declared_schema(spark, tmp_path):
+    p = tmp_path / "plants.csv"
+    p.write_text("plant_id,name,capacity_mw\n1,alpha,10.5\n2,beta,\n")
+    df = read_csv(spark, str(p), resource=RES)
+    assert df.schema["plant_id"].dataType == T.LongType()
+    assert df.schema["capacity_mw"].dataType == T.DoubleType()
+    rows = {r["plant_id"]: r for r in df.collect()}
+    assert rows[2]["capacity_mw"] is None
+    assert rows[1]["name"] == "alpha"
+
+
+def test_extract_partitions_union_by_name(spark, tmp_path):
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(2, 3.5)], "id long, extra double")
+    pa, pb = str(tmp_path / "y2020"), str(tmp_path / "y2021")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    out = extract_partitions(spark, [pa, pb])
+    assert sorted(out.columns) == ["extra", "id", "name"]
+    got = {r["id"]: (r["name"], r["extra"]) for r in out.collect()}
+    assert got == {1: ("x", None), 2: (None, 3.5)}
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, part int, val double")
+    dest = str(tmp_path / "out")
+    write_parquet_table(df, dest, partition_cols=["part"],
+                        sort_cols=["id"])
+    dirs = {d for d in os.listdir(dest) if d.startswith("part=")}
+    assert dirs == {"part=0", "part=1", "part=2"}
+    back = spark.read.parquet(dest)
+    assert back.count() == 30
+    assert back.filter(F.col("part") == 1).count() == 10
+
+
+def test_json_records_to_df(spark):
+    payload = json.dumps({"records": [
+        {"period": "2020-01", "value": 1.5},
+        {"period": "2020-02", "value": 2.5},
+    ]})
+    df = spark.createDataFrame([("docA", payload)], "doc_id string, body string")
+    out = json_records_to_df(
+        df, "body", "period string, value double", keep_cols=["doc_id"])
+    rows = out.collect()
+    assert [r["period"] for r in rows] == ["2020-01", "2020-02"]
+    assert rows[1]["value"] == 2.5
+    assert rows[0]["doc_id"] == "docA"
+
+
+def test_datapackage_descriptor():
+    d = build_datapackage_descriptor([RES])
+    r = d["resources"][0]
+    assert r["name"] == "plants"
+    assert r["schema"]["primaryKey"] == ["plant_id"]
+    assert r["schema"]["foreignKeys"][0]["reference"]["resource"] == \
+        "plants_entity"
+    f0 = r["schema"]["fields"][0]
+    assert f0 == {"name": "plant_id", "type": "integer",
+                  "constraints": {"required": True}}
+    json.dumps(d)  # must be serializable

@@ -1,0 +1,50 @@
+"""Structured Streaming: batch/stream parity of the windowed and
+sessionized aggregations over the events table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pudl_spark.catalog import read_parquet_table
+from pudl_spark.streaming import (
+    read_events_stream, sessionize_stream, windowed_event_counts,
+)
+from pudl_spark.streaming.pipeline import run_stream_to_memory
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # Re-write the (nanos-timestamp) source as a plain us-timestamp
+    # parquet dir split into several files, so the file stream has
+    # multiple micro-batches to chew through.
+    src = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    dest = str(tmp_path_factory.mktemp("stream") / "events")
+    src.repartition(4).write.parquet(dest)
+    return dest
+
+
+def canon(df, keys):
+    return sorted((tuple(r[k] for k in keys) for r in df.collect()))
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expect = windowed_event_counts(batch)
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream_to_memory(
+        windowed_event_counts(stream), "win_counts", spark)
+    keys = ["window_start", "event_type", "n_events", "sum_value"]
+    assert canon(got, keys) == canon(expect, keys)
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    expect = sessionize_stream(batch)
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_stream_to_memory(
+        sessionize_stream(stream), "sessions", spark)
+    keys = ["user_id", "session_start", "session_end", "session_id",
+            "n_events"]
+    assert canon(got, keys) == canon(expect, keys)
