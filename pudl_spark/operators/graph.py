@@ -53,6 +53,10 @@ def connected_components(edges: DataFrame, src: str = "src",
                 ).alias("component"),
             )
         )
+        # Materialize before the self-join below: without it the
+        # jump recomputes `new` twice per round and the lineage cost
+        # doubles every iteration.
+        new = new.localCheckpoint(eager=True)
         # Pointer jumping (path halving): component <- label of the
         # component node itself. Turns per-round progress from one hop
         # into doubling, so convergence is O(log diameter) — the

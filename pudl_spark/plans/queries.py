@@ -1841,3 +1841,107 @@ def supplier_code_cleanup(spark, sf_dir):
     s = zero_pad_numeric_string(s, "nation_code", 3)
     s = strip_non_numeric_values(s, ["supplier_num"])
     return remove_leading_zeros_from_numeric_strings(s, "supplier_num")
+
+
+@query("linkage_best_match", sql="""
+WITH cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+    levenshtein(
+      regexp_replace(regexp_extract(c.c_name, '([0-9]+)', 1), '^0+', ''),
+      regexp_replace(regexp_extract(s.s_name, '([0-9]+)', 1), '^0+', ''))
+    AS dist
+  FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+), ranked AS (
+  SELECT c_custkey, s_suppkey, dist,
+    ROW_NUMBER() OVER (PARTITION BY c_custkey
+                       ORDER BY dist ASC, s_suppkey ASC) AS rn
+  FROM cand
+)
+SELECT c_custkey, s_suppkey AS best_suppkey, CAST(dist AS BIGINT) AS distance
+FROM ranked WHERE rn = 1
+""")
+def linkage_best_match(spark, sf_dir):
+    """J7/G4 record-linkage shape (ref: blocked fuzzy matching in
+    src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:1-40):
+    block on a join key (nation), score candidate pairs with an edit
+    distance, rank and keep the best match per left entity with a
+    deterministic tie-break. Blocking bounds the pair explosion —
+    candidates are per-block cross products, never the global one; the
+    ranking is the standard one-shuffle window dedupe (O2).
+    """
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+
+    def ent_num(col):
+        return F.regexp_replace(
+            F.regexp_extract(col, "([0-9]+)", 1), "^0+", "")
+
+    cand = (
+        c.select("c_custkey", "c_nationkey", ent_num(F.col("c_name")).alias("cn"))
+        .join(F.broadcast(
+            s.select("s_suppkey", "s_nationkey",
+                     ent_num(F.col("s_name")).alias("sn"))),
+            F.col("c_nationkey") == F.col("s_nationkey"))
+        .select("c_custkey", "s_suppkey",
+                F.levenshtein("cn", "sn").alias("dist"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("dist").asc(), F.col("s_suppkey").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", F.col("s_suppkey").alias("best_suppkey"),
+                F.col("dist").cast("bigint").alias("distance"))
+    )
+
+
+@query("event_value_quartiles", sql="""
+WITH b AS (
+  SELECT event_id, user_id, value,
+    ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT user_id, CAST(bin AS BIGINT) AS bin,
+  COUNT(*) AS n, min(value) AS lo, max(value) AS hi
+FROM b GROUP BY user_id, bin
+""")
+def event_value_quartiles(spark, sf_dir):
+    """W6 load-factor binning (ref: qcut-style equal-count bins,
+    src/pudl/analysis/operational_characteristics.py:182,422-480):
+    ntile per unit over a totally-ordered frame (value, event_id — the
+    id breaks ties deterministically), then per-bin stats. One shuffle
+    on user_id serves both the window and the aggregation.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.withColumn("bin", F.ntile(4).over(w))
+        .groupBy("user_id", F.col("bin").cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+
+
+@query("media_feature_extract")
+def media_feature_extract(spark, sf_dir):
+    """Multimodal plumbing (no SQL oracle — binary feature pipeline):
+    documents become opaque media blobs with typed metadata, then a
+    deterministic feature extractor runs as an Arrow-batched
+    mapInPandas pass (the real decode is stubbed; schema, batching and
+    partitioning are the production shape). Returns per-blob metadata
+    + feature vector stats.
+    """
+    from pudl_spark.functions.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"))
+    feats = extract_image_features(media)
+    return feats.select(
+        F.col("media_id").alias("doc_id"), "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x), 6).alias("feat_sum"),
+        F.size("feature").alias("feat_dim"),
+    )

@@ -1,0 +1,93 @@
+"""Unit tests: W8 anomaly screens on literal frames, text fingerprint
+edge cases, pointer-jumping connected components on long chains."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.text import (
+    char_ngrams, document_fingerprint_portable, word_shingles,
+)
+from pudl_spark.operators.graph import connected_components
+from pudl_spark.operators.windows import (
+    flag_double_delta, flag_global_outlier, flag_identical_run,
+)
+
+
+def test_flag_identical_run(spark):
+    rows = [("u", i, v) for i, v in enumerate(["a", "a", "a", "b", "a"])]
+    df = spark.createDataFrame(rows, "k string, t long, v string")
+    out = flag_identical_run(df, ["k"], "t", "v", min_run=3)
+    got = {r["t"]: r["is_identical_run"] for r in out.collect()}
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+
+def test_flag_identical_run_null_values_not_flagged(spark):
+    df = spark.createDataFrame(
+        [("u", 0, None), ("u", 1, None), ("u", 2, None)],
+        "k string, t long, v string")
+    out = flag_identical_run(df, ["k"], "t", "v", min_run=2)
+    assert all(not r["is_identical_run"] for r in out.collect())
+
+
+def test_flag_global_outlier(spark):
+    vals = [10.0, 10.0, 11.0, 9.0, 100.0, 1.0]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)],
+        "k string, t long, v double")
+    out = flag_global_outlier(df, ["k"], "v", multiplier=3.0)
+    got = {r["t"]: r["is_global_outlier"] for r in out.collect()}
+    assert got[4] is True     # 100 > 3 * 10
+    assert got[5] is True     # 1 < 10 / 3
+    assert got[0] is False
+
+
+def test_flag_double_delta(spark):
+    vals = [0.0, 0.0, 50.0, 0.0, 0.0, 60.0, 70.0]
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)],
+        "k string, t long, v double")
+    out = flag_double_delta(df, ["k"], "t", "v", threshold=40.0)
+    got = {r["t"]: r["is_double_delta"] for r in out.collect()}
+    assert got[2] is True      # +50 then -50 spike
+    assert got[5] is False     # +60 then +10: same sign / small next
+    assert got[0] is False     # boundary rows never flagged
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("one two three",)],
+                               "t string")
+    out = df.select(F.size(word_shingles("t", k=3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0, 1]
+
+
+def test_char_ngrams_short_string_empty(spark):
+    df = spark.createDataFrame([("ab",), ("abcd",)], "t string")
+    out = df.select(F.size(char_ngrams("t", n=3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 2]
+
+
+def test_fingerprint_short_doc_falls_back_to_whole_hash(spark):
+    df = spark.createDataFrame([("tiny doc",), ("",)], "t string")
+    out = df.select(
+        document_fingerprint_portable("t", k=5).alias("fp")).collect()
+    assert out[0]["fp"] is not None and out[0]["fp"] >= 0
+    assert out[1]["fp"] == 0
+
+
+def test_connected_components_long_chain(spark):
+    # A 64-node path: naive min-label propagation needs 63 rounds;
+    # pointer jumping must converge within max_iter=20.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long")
+    labels = connected_components(edges, max_iter=20)
+    comps = {r["component"] for r in labels.collect()}
+    assert comps == {0}
+
+
+def test_connected_components_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    labels = {r["node"]: r["component"]
+              for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
