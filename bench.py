@@ -37,6 +37,13 @@ BENCH_QUERIES = [
     "doc_quality_scores",
     "minhash_near_dup_pairs",
     "ann_cosine_topk",
+    "event_anomaly_flags",
+    "calc_reconcile_orders",
+    "doc_fingerprints_fast",
+    "impute_event_values",
+    "linkage_best_match",
+    "event_sessions_cc",
+    "media_feature_extract",
 ]
 
 

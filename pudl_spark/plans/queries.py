@@ -1945,3 +1945,19 @@ def media_feature_extract(spark, sf_dir):
                             lambda a, x: a + x), 6).alias("feat_sum"),
         F.size("feature").alias("feat_dim"),
     )
+
+
+@query("doc_fingerprints_fast")
+def doc_fingerprints_fast(spark, sf_dir):
+    """Production fingerprint path (no SQL oracle — xxhash64 isn't
+    reproducible in DuckDB; semantics covered by the portable twin
+    doc_fingerprints): one 64-bit hash per shingle via the native
+    xxhash64 codegen expression instead of per-character folding —
+    ~10x cheaper, same min-over-shingles winnowing.
+    """
+    from pudl_spark.functions.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        document_fingerprint(F.col("text"), k=5).alias("fingerprint"))
