@@ -138,10 +138,11 @@ def freshest_records(df: DataFrame, pk: list[str],
     )
 
 
-def flag_local_outlier(df: DataFrame, key_cols: list[str], order_col: str,
+def flag_local_outlier(df: DataFrame, key_cols: list[str], order_col,
                        data_col: str, window: int = 48,
                        multiplier: float = 3.0,
-                       flag_col: str = "is_local_outlier") -> DataFrame:
+                       flag_col: str = "is_local_outlier",
+                       rounded: int | None = None) -> DataFrame:
     """Rolling local-outlier screen: |x - rolling_center| >
     multiplier * rolling spread (ref: flag_local_outlier family,
     src/pudl/analysis/timeseries_cleaning.py:765-1295; the reference
@@ -155,10 +156,16 @@ def flag_local_outlier(df: DataFrame, key_cols: list[str], order_col: str,
     center = F.avg(F.col(data_col)).over(w)
     spread = F.stddev_samp(F.col(data_col)).over(w)
     dev = F.abs(F.col(data_col) - center)
+    threshold = multiplier * spread
+    if rounded is not None:
+        # Differential-testing aid: windowed moments are summation-
+        # order sensitive in the last ULPs; rounding both comparands
+        # makes the flag engine-portable.
+        dev, threshold = F.round(dev, rounded), F.round(threshold, rounded)
     return df.withColumn(
         flag_col,
         F.when(F.col(data_col).isNull(), None)
-        .otherwise((spread.isNotNull()) & (dev > multiplier * spread)),
+        .otherwise((spread.isNotNull()) & (dev > threshold)),
     )
 
 

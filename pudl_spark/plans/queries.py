@@ -1961,3 +1961,199 @@ def doc_fingerprints_fast(spark, sf_dir):
     return d.select(
         "doc_id",
         document_fingerprint(F.col("text"), k=5).alias("fingerprint"))
+
+
+@query("annual_nations_complete_months", sql="""
+WITH m AS (
+  SELECT c_nationkey, year(o_orderdate) AS yr,
+    COUNT(DISTINCT month(o_orderdate)) AS n_months
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, year(o_orderdate)
+)
+SELECT o.o_orderkey, c.c_nationkey,
+  CAST(year(o.o_orderdate) AS BIGINT) AS yr
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN m ON m.c_nationkey = c.c_nationkey AND m.yr = year(o.o_orderdate)
+WHERE m.n_months >= 12
+""")
+def annual_nations_complete_months(spark, sf_dir):
+    """W9 partial-year drop (ref: drop_ytd_for_annual_tables
+    src/pudl/output/eia923.py:124): keep only (nation, year) slices
+    with all 12 months reported. collect_set-over-window counts months
+    without a second aggregation pass.
+    """
+    from pudl_spark.operators.windows import drop_ytd_for_annual_tables
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .select("o_orderkey", "c_nationkey", "o_orderdate"))
+    kept = drop_ytd_for_annual_tables(
+        j, ["c_nationkey"], "o_orderdate", months_required=12)
+    return kept.select(
+        "o_orderkey", "c_nationkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"))
+
+
+@query("events_to_utc", sql="""
+SELECT event_id, user_id, ts,
+  ts - to_hours(CAST(user_id % 24 - 12 AS BIGINT)) AS ts_utc
+FROM events
+""")
+def events_to_utc(spark, sf_dir):
+    """T1/T2 timezone normalization (ref: convert_to_utc
+    src/pudl/transform/epacems.py:73-109; offset-code cleanup
+    src/pudl/transform/ferc714.py:735-825): local naive timestamp +
+    per-entity fixed offset -> UTC, as pure timestamp arithmetic. The
+    offset here derives deterministically from user_id (the synthetic
+    stand-in for the reference's per-plant timezone column).
+    """
+    ev = _t(spark, sf_dir, "events")
+    offset_h = (F.col("user_id") % 24 - 12).cast("long")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (F.col("ts") - F.make_interval(hours=offset_h)).alias("ts_utc"))
+
+
+@query("user_event_source_label", sql="""
+SELECT user_id,
+  CASE WHEN COUNT(DISTINCT event_type) > 1 THEN 'mixed'
+       ELSE MIN(event_type) END AS event_type
+FROM events
+WHERE event_type IN ('click', 'view')
+GROUP BY user_id
+""")
+def user_event_source_label(spark, sf_dir):
+    """A10 unique-source-or-mixed labeling (ref:
+    groupby_agg_label_unique_source_or_mixed helpers.py:1461-1474).
+    Restricted to two types so both branches occur. first() on a
+    single-value group equals MIN — used on both sides for
+    determinism.
+    """
+    from pudl_spark.operators.aggregate import label_unique_source_or_mixed
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view"))
+    return label_unique_source_or_mixed(ev, ["user_id"], "event_type")
+
+
+@query("order_year_fragments", sql="""
+SELECT o_orderkey,
+  CAST(CASE WHEN yy + 1900 < 1970 THEN yy + 2000 ELSE yy + 1900 END
+       AS BIGINT) AS repaired_year,
+  CAST(year(o_orderdate) AS BIGINT) AS actual_year
+FROM (SELECT o_orderkey, o_orderdate,
+        year(o_orderdate) % 100 AS yy FROM orders) t
+""")
+def order_year_fragments(spark, sf_dir):
+    """P19 two-digit-year repair (ref: normalize_year_fragments
+    helpers.py:2553-2624): rolling-century completion with
+    earliest_year=1970. The fragment column is synthesized from the
+    order date so the repair is verifiable against truth.
+    """
+    from pudl_spark.operators.dates import normalize_year_fragments
+
+    o = _t(spark, sf_dir, "orders")
+    frag = o.select(
+        "o_orderkey",
+        F.format_string("%02d", (F.year("o_orderdate") % 100))
+        .alias("repaired_year"),
+        F.year("o_orderdate").cast("bigint").alias("actual_year"))
+    out = normalize_year_fragments(frag, "repaired_year",
+                                   earliest_year=1970)
+    return out.withColumn(
+        "repaired_year", F.col("repaired_year").cast("bigint"))
+
+
+@query("doc_shingle_stats", sql="""
+WITH t AS (
+  SELECT doc_id, trim(text) AS tt,
+    regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN tt = '' OR len(toks) < 3 THEN 0
+       ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+       END AS BIGINT) AS n_shingles,
+  CAST(CASE WHEN length(tt) < 3 THEN 0
+       ELSE len(list_distinct(list_transform(range(1, length(tt) - 1),
+            i -> substr(tt, i, 3)))) END AS BIGINT) AS n_char_trigrams
+FROM t
+""")
+def doc_shingle_stats(spark, sf_dir):
+    """Shingling statistics (dedup-family building block): token,
+    distinct 3-word-shingle and distinct char-trigram counts per
+    document — all higher-order array expressions, no Python.
+    """
+    from pudl_spark.functions.text import char_ngrams, token_count, word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    tt = F.trim(F.col("text"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.size(word_shingles(F.col("text"), k=3)).cast("bigint")
+        .alias("n_shingles"),
+        F.size(char_ngrams(tt, n=3)).cast("bigint")
+        .alias("n_char_trigrams"),
+    )
+
+
+_TOP_NATION_SQL = """
+SELECT n.n_name,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+"""
+
+
+@query("sql_interface_nation_revenue", sql=_TOP_NATION_SQL)
+def sql_interface_nation_revenue(spark, sf_dir):
+    """The interactive SQL surface (ref: §3.3 — get_parquet_table +
+    notebook queries, src/pudl/helpers.py:2257): tables registered as
+    temp views, the query itself ANSI SQL through spark.sql. The SAME
+    string runs on DuckDB as the oracle — dialect-portable by
+    construction. Catalyst still plans it: pushdown/pruning identical
+    to the DataFrame form.
+    """
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TOP_NATION_SQL)
+
+
+@query("event_local_outliers", sql="""
+WITH w AS (
+  SELECT event_id, user_id, value,
+    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS center,
+    stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 24 FOLLOWING) AS spread
+  FROM events
+)
+SELECT event_id, user_id,
+  CASE WHEN value IS NULL THEN NULL
+       ELSE spread IS NOT NULL
+            AND round(abs(value - center), 6) > round(3.0 * spread, 6) END
+  AS is_local_outlier
+FROM w
+""")
+def event_local_outliers(spark, sf_dir):
+    """W8 local-outlier screen (ref: flag_local_outlier family,
+    src/pudl/analysis/timeseries_cleaning.py:765-1295): deviation from
+    a +/-24-row rolling center beyond 3x the rolling spread. The
+    comparison is on round(,6) values on BOTH sides to absorb
+    summation-order ULPs in the windowed moments.
+    """
+    from pudl_spark.operators.windows import flag_local_outlier
+
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    out = flag_local_outlier(ev, ["user_id"], order, "value",
+                             window=48, multiplier=3.0, rounded=6)
+    return out.select("event_id", "user_id", "is_local_outlier")
