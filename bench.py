@@ -54,6 +54,11 @@ def main() -> None:
     spark = get_spark("pudl_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Session warmup (untimed): JIT/codegen + parquet reader init, so
+    # the first query's time reflects the query, not JVM startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 

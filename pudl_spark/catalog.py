@@ -103,3 +103,16 @@ def load_tables(spark: SparkSession, sf_dir: str,
     cat = Catalog(root=sf_dir)
     return {n: cat.read(spark, n) for n in names
             if os.path.exists(cat.path(n))}
+
+
+def spread_small_input(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a small-file input across all cores before a
+    CPU-bound map stage. A few-MB parquet arrives as ONE partition
+    under maxPartitionBytes, serializing per-row-expensive expression
+    work (hashing, higher-order array functions) on a single core; at
+    real scale the files split naturally and this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, key)
+    return df

@@ -13,15 +13,9 @@ from pudl_spark.functions.text import char_ngrams, word_shingles
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition a small-file input across the cluster before a
-    CPU-bound map stage (signature hashing). A 20MB parquet arrives as
-    one partition under maxPartitionBytes; hashing it on one core
-    serializes the whole stage.
-    """
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism, key)
-    return df
+    from pudl_spark.catalog import spread_small_input
+
+    return spread_small_input(df, key)
 
 
 # ---------------------------------------------------------------- exact
@@ -128,21 +122,28 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         for b in range(bands)
     ])
+    # Bands shuffle WITHOUT the shingle arrays (ids + two longs only —
+    # the explode multiplies rows by `bands`, so payload width matters
+    # 16x); shingles re-join below for the candidate pairs only.
     banded = with_sig.select(
-        "id", "__shingles", F.explode(band_arr).alias("bb")
-    ).select("id", "__shingles", "bb.band", "bb.bucket")
+        "id", F.explode(band_arr).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bucket") == F.col("b.bucket"),
                       F.col("a.id") < F.col("b.id")])
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingles = with_sig.select("id", "__shingles")
+    pairs = (
+        cand
+        .join(shingles.select(F.col("id").alias("id_a"),
+                              F.col("__shingles").alias("sh_a")), "id_a")
+        .join(shingles.select(F.col("id").alias("id_b"),
+                              F.col("__shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

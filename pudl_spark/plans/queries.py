@@ -47,6 +47,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+
+def _spread_docs(df):
+    from pudl_spark.catalog import spread_small_input
+
+    return spread_small_input(df, "doc_id")
+
+
 def query(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1141,7 +1148,7 @@ def doc_bpe_token_estimate(spark, sf_dir):
     """
     from pudl_spark.functions.text import bpe_ish_token_count
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    d = _spread_docs(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 20 == 0)
     return d.select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
 
@@ -1175,7 +1182,7 @@ def doc_quality_scores(spark, sf_dir):
     """
     from pudl_spark.functions.text import quality_score_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
                     quality_score_expr(F.col("text")).alias("quality"))
 
@@ -1549,7 +1556,7 @@ def doc_language_id(spark, sf_dir):
     """
     from pudl_spark.functions.text import language_id_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.col("lang").alias("lang_actual"),
         language_id_expr(F.col("text")).alias("lang_pred"))
@@ -1590,7 +1597,7 @@ def doc_fingerprints(spark, sf_dir):
     """
     from pudl_spark.functions.text import document_fingerprint_portable
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         document_fingerprint_portable(F.col("text"), k=5).alias("fingerprint"))
@@ -1957,7 +1964,7 @@ def doc_fingerprints_fast(spark, sf_dir):
     """
     from pudl_spark.functions.text import document_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         document_fingerprint(F.col("text"), k=5).alias("fingerprint"))
@@ -2089,7 +2096,7 @@ def doc_shingle_stats(spark, sf_dir):
     """
     from pudl_spark.functions.text import char_ngrams, token_count, word_shingles
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
     tt = F.trim(F.col("text"))
     return d.select(
         "doc_id",
