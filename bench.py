@@ -58,6 +58,18 @@ def main() -> None:
     # the first query's time reflects the query, not JVM startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # Spawn + warm the Python/Arrow workers so pandas-UDF queries
+    # measure the operator, not daemon startup + library imports.
+    warm = spark.range(256).repartition(32)
+
+    def _noop(it):
+        import numpy  # noqa: F401
+        import pandas
+        for pdf in it:
+            yield pandas.DataFrame({"id": pdf["id"]})
+
+    warm.mapInPandas(_noop, "id long").write.format("noop") \
+        .mode("overwrite").save()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -2164,3 +2164,90 @@ def event_local_outliers(spark, sf_dir):
     out = flag_local_outlier(ev, ["user_id"], order, "value",
                              window=48, multiplier=3.0, rounded=6)
     return out.select("event_id", "user_id", "is_local_outlier")
+
+
+@query("harvest_report_consistency", sql="""
+WITH votes AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY user_id, event_type
+), r AS (
+  SELECT user_id, event_type, cnt,
+    SUM(cnt) OVER (PARTITION BY user_id) AS total,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM votes
+)
+SELECT 'event_type' AS attr, user_id, total, cnt AS top_count,
+  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS consistency,
+  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) >= 0.5 AS kept
+FROM r WHERE rn = 1
+""")
+def harvest_report_consistency(spark, sf_dir):
+    """The harvest VIOLATION REPORT side (A1's per-group error capture,
+    ref: groupby_aggregate error collection metadata/helpers.py:503-591
+    and occurrence_consistency eia.py:122-198): Spark aggregates can't
+    raise per group, so the tally (total votes, top count, consistency,
+    kept?) is emitted as a companion dataset — same observable
+    semantics, scale-safe mechanism (SURVEY §4 note 2).
+    """
+    from pudl_spark.operators.harvest import harvest
+
+    ev = _t(spark, sf_dir, "events")
+    sources = {f"s{i}": ev.filter(F.col("event_id") % 3 == i)
+               for i in range(3)}
+    res = harvest(sources, pk=["user_id"],
+                  columns={"event_type": "most_and_more_frequent"},
+                  min_frequency=0.5)
+    return res.report.select(
+        F.col("column").alias("attr"), "user_id", "total", "top_count",
+        F.round("consistency", 6).alias("consistency"), "kept")
+
+
+@query("hourly_wide_melt_roundtrip", sql="""
+SELECT user_id, CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS n
+FROM events GROUP BY user_id, hour(ts)
+""")
+def hourly_wide_melt_roundtrip(spark, sf_dir):
+    """R3 hour-column melt (ref: melt_hourx_columns_csv
+    src/pudl/transform/ferc714.py:826): pivot events to hour01..hour24
+    wide columns, then melt back through the operator — the round trip
+    must reproduce the plain per-hour counts, which is the oracle.
+    """
+    from pudl_spark.operators.reshape import melt_hour_columns
+
+    ev = _t(spark, sf_dir, "events")
+    # pivot key column: hourNN label computed from hour(ts)
+    wide = (
+        ev.withColumn("d", F.to_date(F.lit("2024-01-01")))
+        .withColumn("hr", F.format_string(
+            "hour%02d", F.hour("ts") + F.lit(1)))
+        .groupBy("user_id", "d")
+        .pivot("hr", [f"hour{h + 1:02d}" for h in range(24)])
+        .agg(F.count(F.lit(1)))
+    )
+    long = melt_hour_columns(wide, ["user_id"], "d", value_name="n")
+    return (
+        long.filter(F.col("n").isNotNull())
+        .select("user_id",
+                F.hour("datetime").cast("bigint").alias("hr"),
+                F.col("n").cast("bigint").alias("n"))
+    )
+
+
+@query("customer_unique_priority", sql="""
+SELECT o_custkey,
+  CASE WHEN COUNT(DISTINCT o_orderpriority) = 1
+       THEN MIN(o_orderpriority) END AS o_orderpriority
+FROM orders GROUP BY o_custkey
+""")
+def customer_unique_priority(spark, sf_dir):
+    """A4 unique-or-error aggregation (ref: metadata/helpers.py:
+    325-333): a single distinct non-null value passes through, any
+    conflict NULLs the cell (the harvesting error-capture behavior).
+    first() on a 1-distinct group == MIN, used on both sides.
+    """
+    from pudl_spark.operators.aggregate import unique_or_null
+
+    o = _t(spark, sf_dir, "orders")
+    return unique_or_null(o, ["o_custkey"], "o_orderpriority")
