@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis — the reference uses the same
+strategy in tests/unit/transform/ferc1_test.py): conservation and
+round-trip invariants that must hold for ANY input, not just the
+fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pudl_spark.operators.allocate import allocate_proportionally
+from pudl_spark.operators.dates import normalize_year_fragments
+
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@st.composite
+def allocation_groups(draw):
+    """A group of rows: total + per-row basis (each may be missing)."""
+    n = draw(st.integers(min_value=1, max_value=6))
+    total = draw(st.floats(min_value=0, max_value=1e6,
+                           allow_nan=False, width=32))
+    basis = draw(st.lists(
+        st.one_of(st.none(),
+                  st.floats(min_value=0, max_value=1e5,
+                            allow_nan=False, width=32)),
+        min_size=n, max_size=n))
+    return total, basis
+
+
+@SLOW
+@given(groups=st.lists(allocation_groups(), min_size=1, max_size=4))
+def test_allocation_conserves_totals(spark, groups):
+    """Σ allocations per group == group total (the reference's
+    conservation check, analysis/allocate_gen_fuel.py:63-68) in every
+    ALL/SOME/NONE coverage case — unless all bases AND fallbacks are
+    zero-weight with a zero remainder edge (excluded by construction
+    here: fallback weight is 1).
+    """
+    rows = []
+    for gi, (total, basis) in enumerate(groups):
+        for b in basis:
+            rows.append((f"g{gi}", float(total), b))
+    df = spark.createDataFrame(rows, "g string, total double, basis double")
+    out = allocate_proportionally(df, ["g"], "total", "basis")
+    got = {r["g"]: r["s"] for r in
+           out.groupBy("g").agg(F.sum("allocated").alias("s")).collect()}
+    for gi, (total, basis) in enumerate(groups):
+        reported = [b for b in basis if b is not None]
+        s = got[f"g{gi}"]
+        if reported and sum(reported) > total:
+            # over-reporting: reporters scale down to exactly total
+            assert s == pytest.approx(total, rel=1e-9, abs=1e-6)
+        else:
+            assert s == pytest.approx(total, rel=1e-9, abs=1e-6)
+
+
+@SLOW
+@given(years=st.lists(st.integers(min_value=1970, max_value=2069),
+                      min_size=1, max_size=20))
+def test_year_fragment_roundtrip(spark, years):
+    """Two-digit fragments of years in [earliest, earliest+100) repair
+    to the original year exactly."""
+    df = spark.createDataFrame(
+        [(i, f"{y % 100:02d}") for i, y in enumerate(years)],
+        "i int, y string")
+    out = normalize_year_fragments(df, "y", earliest_year=1970)
+    got = {r["i"]: r["y"] for r in out.collect()}
+    for i, y in enumerate(years):
+        assert got[i] == y
+
+
+@SLOW
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=41, unique=True))
+def test_unweighted_quantile_matches_numpy(spark, vals):
+    """weighted_quantile (the dbt macro's pooled-tie interpolation) at
+    q=0.5 with unit weights equals numpy's median whenever values are
+    DISTINCT and the count is ODD — the definitions coincide exactly
+    there (ties pool and even counts interpolate differently by
+    design, matching the reference macro, not numpy).
+    """
+    import numpy as np
+
+    from pudl_spark.operators.aggregate import weighted_quantile
+
+    if len(vals) % 2 == 0:
+        vals = vals[:-1]
+    df = spark.createDataFrame([(v, 1.0) for v in vals], "x double, w double")
+    got = weighted_quantile(df, "x", "w", 0.5).collect()[0]["weighted_quantile"]
+    expect = float(np.median(np.array(vals, dtype="float64")))
+    assert math.isclose(got, expect, rel_tol=1e-9, abs_tol=1e-9)
