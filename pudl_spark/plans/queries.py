@@ -2251,3 +2251,87 @@ def customer_unique_priority(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
     return unique_or_null(o, ["o_custkey"], "o_orderpriority")
+
+
+@query("correct_quantity_units", sql="""
+WITH raw AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity * 100.0
+         ELSE l_quantity END AS qty,
+    l_returnflag
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_returnflag = 'R' THEN
+    CASE WHEN qty BETWEEN 1.0 AND 50.0 THEN qty
+         WHEN qty * 0.01 + 0.0 BETWEEN 1.0 AND 50.0 THEN qty * 0.01 + 0.0
+         ELSE NULL END
+  ELSE qty END AS qty
+FROM raw
+""")
+def correct_quantity_units(spark, sf_dir):
+    """P9 correct_units (ref: transform/classes.py:735-786): rows of
+    one category carrying wrong-unit magnitudes get each candidate
+    conversion tried in order; the first one landing in the valid
+    range wins, in-range values pass through, hopeless values NULL.
+    The wrong units are synthesized (x100 on every 7th order) so the
+    correction is verifiable. Pure when-chain — no shuffle.
+    """
+    from pudl_spark.operators.numeric import UnitConversion, correct_units
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 7 == 0, F.col("l_quantity") * 100.0)
+        .otherwise(F.col("l_quantity")).alias("qty"),
+        "l_returnflag")
+    out = correct_units(
+        raw, "qty", "l_returnflag", "R",
+        [UnitConversion(multiplier=0.01, adder=0.0)],
+        valid_range=(1.0, 50.0))
+    return out.select("l_orderkey", "l_linenumber", "qty")
+
+
+@query("fill_monthly_revenue_gaps", sql="""
+WITH monthly AS (
+  SELECT l_suppkey AS suppkey,
+    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey, date_trunc('month', l_shipdate)
+), gappy AS (
+  SELECT suppkey, month,
+    CASE WHEN month(month) = 6 THEN NULL ELSE revenue END AS revenue
+  FROM monthly
+)
+SELECT suppkey, month,
+  COALESCE(revenue,
+           AVG(revenue) OVER (PARTITION BY suppkey ORDER BY month
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))
+    AS revenue_filled
+FROM gappy
+""")
+def fill_monthly_revenue_gaps(spark, sf_dir):
+    """W2 rolling-average imputation (ref: fillna_w_rolling_avg
+    helpers.py:1426-1458 over generate_rolling_avg :1375): June
+    revenues are nulled to synthesize gaps, then filled from the +/-2
+    month centered rolling mean (nulls skipped by avg on both
+    engines). One window shuffle.
+    """
+    from pudl_spark.operators.windows import fillna_w_rolling_avg
+
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.to_date(F.date_trunc("month", F.col("l_shipdate")))
+            .alias("month"))
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    gappy = monthly.withColumn(
+        "revenue",
+        F.when(F.month("month") == 6, F.lit(None)).otherwise(
+            F.col("revenue")))
+    out = fillna_w_rolling_avg(
+        gappy, ["suppkey"], "month", "revenue", window=4)
+    return out.select("suppkey", "month",
+                      F.col("revenue").alias("revenue_filled"))
