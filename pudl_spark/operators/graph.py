@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 20,
-                         checkpoint_every: int = 5) -> DataFrame:
-    """Label propagation: returns (node, component) where component is
-    the minimum node id reachable from node. Node ids must be orderable
-    (int/string).
+                         dst: str = "dst", max_iter: int = 20) -> DataFrame:
+    """Label propagation + pointer jumping: returns (node, component)
+    where component is the minimum node id reachable from node. Node
+    ids must be orderable (int/string); labels are checkpointed every
+    round (constant-depth lineage at any graph size).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -34,6 +34,7 @@ def connected_components(edges: DataFrame, src: str = "src",
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_sum: int | None = None
     for i in range(max_iter):
         # neighbor labels: for each node, min(label of neighbors)
         neighbor = (
@@ -70,16 +71,24 @@ def connected_components(edges: DataFrame, src: str = "src",
             "node",
             F.least(F.col("component"),
                     F.coalesce(F.col("grand"), F.col("component")))
-            .alias("component"))
-        changed = (
-            new.alias("n").join(labels.alias("o"), on="node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1).count()
-        )
+            .alias("component")).localCheckpoint(eager=True)
+        numeric = new.schema["component"].dataType.typeName() in (
+            "long", "integer", "short", "byte")
+        if numeric:
+            # Labels only ever decrease, so sum(component) is a strict
+            # monotone; fixpoint <=> the sum stops moving. One cheap
+            # aggregation on the materialized frame instead of a
+            # label-to-label join per round.
+            new_sum = new.agg(F.sum("component")).collect()[0][0]
+            done = prev_sum is not None and new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            done = (
+                new.alias("n").join(labels.alias("o"), on="node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1).count() == 0
+            )
         labels = new
-        if i and i % checkpoint_every == 0:
-            # Truncate the growing lineage on long chains.
-            labels = labels.localCheckpoint(eager=True)
-        if changed == 0:
+        if done:
             break
     return labels

@@ -86,3 +86,23 @@ def write_parquet_table(df: DataFrame, path: str,
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_bucketed_table(df: DataFrame, table_name: str,
+                         bucket_cols: list[str], num_buckets: int,
+                         sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed managed table — the shuffle-free-join layout.
+
+    At 100 TB the dominant cost of fact-to-fact joins (orders x
+    lineitem) is the shuffle. Writing both sides bucketed on the join
+    key with equal bucket counts lets Spark plan a SortMergeJoin with
+    NO Exchange: each task reads matching bucket files from both
+    sides. The one-time write cost amortizes over every downstream
+    join and aggregation on the same key (SURVEY §4 output-clustering
+    row; tests/test_bucketed.py proves the Exchange disappears).
+    """
+    writer = df.write.mode(mode).format("parquet") \
+        .bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table_name)
