@@ -2335,3 +2335,61 @@ def fill_monthly_revenue_gaps(spark, sf_dir):
         gappy, ["suppkey"], "month", "revenue", window=4)
     return out.select("suppkey", "month",
                       F.col("revenue").alias("revenue_filled"))
+
+
+@query("user_latest_good_value", sql="""
+SELECT user_id,
+  arg_max(value, ts) FILTER (WHERE event_type <> 'error')
+    AS last_good_value,
+  arg_max(event_type, ts) AS last_event_type
+FROM events GROUP BY user_id
+""")
+def user_latest_good_value(spark, sf_dir):
+    """A14 apply_diffs / freshest-non-null (ref: __apply_diffs
+    src/pudl/transform/ferc.py:14-33): per entity, the latest valid
+    value per column across refilings — max_by on the event-time order
+    ((user_id, ts) is unique in this data) with invalid rows filtered
+    per column. One map-side combinable aggregate; no window, no
+    second shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", F.when(F.col("event_type") != "error",
+                                 F.col("ts"))).alias("last_good_value"),
+        F.max_by("event_type", F.col("ts")).alias("last_event_type"),
+    )
+
+
+@query("date_merge_month", sql="""
+WITH monthly AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey, date_trunc('month', o_orderdate)
+)
+SELECT o.o_orderkey, o.o_custkey,
+  CAST(o.o_orderdate AS DATE) AS report_date, m.n_orders
+FROM orders o
+JOIN monthly m ON o.o_custkey = m.o_custkey
+  AND date_trunc('month', o.o_orderdate) = m.m
+""")
+def date_merge_month(spark, sf_dir):
+    """J2 temporal-granularity join at MONTH grain (ref: date_merge
+    helpers.py:612-716): a daily-dated fact joins a monthly aggregate
+    on (key, date_trunc month); the reconstructed report_date keeps
+    the finer side. Complements date_merge_year (annual grain).
+    """
+    from pudl_spark.operators.joins import date_merge
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.select("o_orderkey", "o_custkey",
+                     F.to_date("o_orderdate").alias("report_date"))
+    monthly = (
+        o.groupBy(
+            "o_custkey",
+            F.to_date(F.date_trunc("month", "o_orderdate"))
+            .alias("report_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    out = date_merge(daily, monthly, on=["o_custkey"], period="month",
+                     keep="finer")
+    return out.select("o_orderkey", "o_custkey", "report_date", "n_orders")
