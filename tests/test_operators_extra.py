@@ -1,0 +1,172 @@
+"""Unit coverage for the operators not exercised by the oracle queries
+or the first operators test file."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import exact_duplicates, minhash_dedup
+from pudl_spark.functions.multimodal import (
+    decode_image, make_fake_media, sample_video_frames,
+)
+from pudl_spark.operators.columns import (
+    drop_records_with_null_in_column, simplify_columns,
+)
+from pudl_spark.operators.dates import convert_to_date, hours_in_period
+from pudl_spark.operators.joins import (
+    full_timeseries_date_merge, point_in_interval_join,
+)
+from pudl_spark.operators.numeric import (
+    oob_to_nan_with_dependent_cols, standardize_percentages_ratio,
+)
+from pudl_spark.operators.reshape import (
+    melt_timeseries_matrix, pivot_timeseries, wide_to_tidy,
+)
+from pudl_spark.operators.sets import set_difference_values
+from pudl_spark.operators.strings import (
+    enforce_snake_case, replace_with_na, simplify_strings,
+)
+
+
+def test_convert_to_date(spark):
+    df = spark.createDataFrame([(2020, 3, 15), (2021, None, None)],
+                               "y int, m int, d int")
+    out = convert_to_date(df, "y", "m", "d", date_col="dt")
+    got = [str(r["dt"]) for r in out.collect()]
+    assert got[0] == "2020-03-15"
+    assert got[1] == "None"  # null month -> null date
+    out2 = convert_to_date(df, "y", date_col="dt")
+    assert [str(r["dt"]) for r in out2.collect()] == \
+        ["2020-01-01", "2021-01-01"]
+
+
+def test_hours_in_period(spark):
+    df = spark.createDataFrame([("2020-01-01", "2020-02-01")],
+                               "a string, b string")
+    out = df.select(hours_in_period(
+        F.col("a"), F.col("b")).alias("h")).collect()
+    assert out[0]["h"] == 31 * 24.0
+
+
+def test_oob_to_nan_with_dependent_cols(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, 999.0, 6.0)], "id int, x double, dep double")
+    out = oob_to_nan_with_dependent_cols(df, ["x"], ["dep"], lb=0, ub=100)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["x"] == 10.0 and rows[1]["dep"] == 5.0
+    assert rows[2]["x"] is None and rows[2]["dep"] is None
+
+
+def test_standardize_percentages_ratio(spark):
+    df = spark.createDataFrame([(50.0,), (0.25,)], "p double")
+    got = [r["p"] for r in
+           standardize_percentages_ratio(df, "p").collect()]
+    assert got == [0.5, 0.25]
+
+
+def test_drop_records_null_guard(spark):
+    df = spark.createDataFrame([(1,), (None,), (None,)], "x int")
+    assert drop_records_with_null_in_column(df, "x").count() == 1
+    with pytest.raises(ValueError, match="would drop"):
+        drop_records_with_null_in_column(df, "x", max_drop_fraction=0.5)
+
+
+def test_simplify_columns(spark):
+    df = spark.createDataFrame([(1, 2)], ["Plant ID ", "Fuel-Type"])
+    out = simplify_columns(df)
+    assert out.columns == ["plant_id", "fuel_type"]
+
+
+def test_string_cleanups(spark):
+    df = spark.createDataFrame([("  A  Big--Name ",), ("N/A",)], "s string")
+    snake = enforce_snake_case(df, "s")
+    assert [r["s"] for r in snake.collect()][0].startswith("a_big")
+    nad = replace_with_na(df, "s", ["N/A"])
+    assert [r["s"] for r in nad.collect()][1] is None
+    simp = simplify_strings(df, ["s"])
+    assert [r["s"] for r in simp.collect()][0] == "a big--name"
+
+
+def test_set_difference_values(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "v string")
+    other = spark.createDataFrame([("a",), ("b",)], "w string")
+    missing = set_difference_values(df, "v", other, "w")
+    assert [r["value"] for r in missing.collect()] == ["c"]
+
+
+def test_wide_to_tidy(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 11.0, 20.0, 21.0)],
+        ["id", "sales_dollar_value", "sales_ending_balance",
+         "cost_dollar_value", "cost_ending_balance"])
+    out = wide_to_tidy(df, ["id"], ["dollar_value", "ending_balance"])
+    rows = {r["xbrl_factoid"]: r for r in out.collect()}
+    assert rows["sales"]["dollar_value"] == 10.0
+    assert rows["cost"]["ending_balance"] == 21.0
+
+
+def test_pivot_and_melt_timeseries_roundtrip(spark):
+    long = spark.createDataFrame(
+        [("t1", "s1", 1.0), ("t1", "s2", 2.0), ("t2", "s1", 3.0)],
+        "ts string, series_id string, value double")
+    mat = pivot_timeseries(long, "ts", "series_id", "value",
+                           series_ids=["s1", "s2"])
+    back = melt_timeseries_matrix(mat, "ts")
+    got = {(r["ts"], r["series_id"]): r["value"]
+           for r in back.collect() if r["value"] is not None}
+    assert got == {("t1", "s1"): 1.0, ("t1", "s2"): 2.0, ("t2", "s1"): 3.0}
+
+
+def test_point_in_interval_join_keys(spark):
+    pts = spark.createDataFrame(
+        [(1, "2020-06-01"), (1, "2021-06-01")], "k int, ts string")
+    ivs = spark.createDataFrame(
+        [(1, "2020-01-01", "2021-01-01", "old"),
+         (1, "2021-01-01", None, "new")],
+        "k int, start string, end string, tag string")
+    out = point_in_interval_join(pts, ivs, "ts", "start", "end", on=["k"])
+    got = {r["ts"]: r["tag"] for r in out.collect()}
+    assert got == {"2020-06-01": "old", "2021-06-01": "new"}
+
+
+def test_full_timeseries_date_merge_densifies(spark):
+    left = spark.createDataFrame(
+        [(1, "2020-01-15"), (1, "2020-04-20")], "k int, report_date string")
+    left = left.withColumn("report_date", F.to_date("report_date"))
+    right = spark.createDataFrame(
+        [(1, "2020-01-01", 7.0)], "k int, report_date string, v double")
+    right = right.withColumn("report_date", F.to_date("report_date"))
+    out = full_timeseries_date_merge(left, right, on=["k"])
+    months = sorted(str(r["report_date"]) for r in out.collect())
+    # densified monthly between min and max observed dates
+    assert len(months) >= 4
+    vals = {str(r["report_date"]): r["v"] for r in out.collect()}
+    assert all(v == 7.0 for v in vals.values())  # forward-filled
+
+
+def test_exact_duplicates_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, text string")
+    out = exact_duplicates(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 1 and out[0]["member_ids"] == [1, 2]
+
+
+def test_minhash_dedup_removes_larger_ids(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here "
+                                   "that never overlap with base ones")],
+        "doc_id long, text string")
+    out = minhash_dedup(df, "doc_id", "text", jaccard_threshold=0.9)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+
+def test_multimodal_fake_media_pipeline(spark):
+    media = make_fake_media(spark, n=8)
+    frames = sample_video_frames(media.filter(
+        F.col("media_type") == "video"), every_ms=1000)
+    assert frames.count() == 4 * 5          # 4 videos x 5s at 1fps
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
