@@ -2393,3 +2393,18 @@ def date_merge_month(spark, sf_dir):
     out = date_merge(daily, monthly, on=["o_custkey"], period="month",
                      keep="finer")
     return out.select("o_orderkey", "o_custkey", "report_date", "n_orders")
+
+
+@query("embedding_blocked_clusters")
+def embedding_blocked_clusters(spark, sf_dir):
+    """G3 cross-year-clustering shape (no SQL oracle — the in-block
+    kernel is a Python island; semantics covered by
+    tests/test_clustering.py): LSH blocking bounds the quadratic work,
+    a NumPy single-linkage kernel clusters inside each block via
+    applyInPandas, cluster ids are the min member id (ref:
+    src/pudl/analysis/record_linkage/link_cross_year.py:34-300).
+    """
+    from pudl_spark.functions.clustering import cluster_embeddings_blocked
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_embeddings_blocked(e, threshold=0.4)
