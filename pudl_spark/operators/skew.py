@@ -1,0 +1,63 @@
+"""Skew-mitigation utilities.
+
+At 100 TB a handful of hot keys (one mega-plant, one viral document)
+can pin a whole stage on one task. AQE's skew-join split handles the
+JOIN side automatically (enabled in session.py); these helpers cover
+the AGGREGATION side, where Spark's partial aggregation usually —
+but not always — saves you:
+
+- map-side combine collapses per-partition duplicates, so a skewed
+  SUM/COUNT rarely hurts;
+- but high-cardinality-payload aggregates (collect_list, exact
+  distinct counts per hot key) still funnel one key's data into one
+  reduce task. Salting splits the hot key across ``salt_buckets``
+  partial groups and re-aggregates the partials — two shuffles, both
+  balanced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def with_salt(df: DataFrame, salt_buckets: int,
+              salt_col: str = "__salt") -> DataFrame:
+    """Uniform salt column in [0, salt_buckets). Deterministic per row
+    when the row has a natural id; random otherwise would break
+    retries, so we hash all columns (stable under re-execution).
+    """
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)))
+
+
+def salted_agg(df: DataFrame, key_cols: list[str],
+               partial_aggs: list[Column], final_aggs: list[Column],
+               salt_buckets: int = 16) -> DataFrame:
+    """Two-stage aggregation over (key, salt) then key.
+
+    ``partial_aggs`` run per (key, salt); ``final_aggs`` combine the
+    partials per key (their input columns are the partial aliases).
+    e.g. partial [sum(x) as px], final [sum(px) as x_total].
+    """
+    salted = with_salt(df, salt_buckets)
+    partial = salted.groupBy(*key_cols, "__salt").agg(*partial_aggs)
+    return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_collect_set(df: DataFrame, key_cols: list[str], value_col: str,
+                       salt_buckets: int = 16,
+                       out_col: str | None = None) -> DataFrame:
+    """Skew-safe collect_set: per-salt partial sets, flattened and
+    dedup'd per key — the hot key's payload crosses the wire in
+    ``salt_buckets`` pieces instead of one giant task buffer.
+    """
+    out_col = out_col or f"{value_col}_set"
+    return salted_agg(
+        df, key_cols,
+        partial_aggs=[F.collect_set(value_col).alias("__ps")],
+        final_aggs=[
+            F.array_distinct(F.flatten(F.collect_list("__ps")))
+            .alias(out_col)
+        ],
+        salt_buckets=salt_buckets,
+    )

@@ -46,6 +46,11 @@ class Asset:
     partition_cols: tuple[str, ...] = ()
     sort_cols: tuple[str, ...] = ()
     group: str = "core"                   # raw -> core -> out layering
+    # Inline asset checks (ref: Dagster asset checks,
+    # src/pudl/dagster/asset_checks.py:264): each callable maps the
+    # materialized DataFrame to a VIOLATIONS DataFrame (empty == pass,
+    # see pudl_spark.validate); failures abort the run.
+    checks: tuple = ()
 
 
 @dataclass
@@ -57,13 +62,15 @@ class AssetGraph:
     def add(self, name: str, deps: tuple[str, ...] = (),
             resource: Resource | None = None,
             partition_cols: tuple[str, ...] = (),
-            sort_cols: tuple[str, ...] = (), group: str = "core"):
+            sort_cols: tuple[str, ...] = (), group: str = "core",
+            checks: tuple = ()):
         """Decorator: register ``fn(spark, inputs)`` as an asset."""
         def deco(fn: AssetFn) -> AssetFn:
             self.assets[name] = Asset(
                 name=name, fn=fn, deps=tuple(deps), resource=resource,
                 partition_cols=tuple(partition_cols),
-                sort_cols=tuple(sort_cols), group=group)
+                sort_cols=tuple(sort_cols), group=group,
+                checks=tuple(checks))
             return fn
         return deco
 
@@ -107,4 +114,11 @@ class AssetGraph:
                 df, dest,
                 partition_cols=list(asset.partition_cols) or None,
                 sort_cols=list(asset.sort_cols) or None)
+            if asset.checks:
+                from pudl_spark.validate import assert_empty
+
+                materialized = spark.read.parquet(dest)
+                for idx, check in enumerate(asset.checks):
+                    assert_empty(check(materialized),
+                                 f"{name}.check[{idx}]")
         return paths
