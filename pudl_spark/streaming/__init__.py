@@ -13,9 +13,11 @@ tests/test_streaming.py).
 from pudl_spark.streaming.pipeline import (
     read_events_stream, sessionize_stream, windowed_event_counts,
 )
+from pudl_spark.streaming.stateful import running_user_totals
 
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stream",
+    "running_user_totals",
 ]

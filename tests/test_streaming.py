@@ -48,3 +48,40 @@ def test_sessionize_stream_matches_batch(spark, events_dir):
     keys = ["user_id", "session_start", "session_end", "session_id",
             "n_events"]
     assert canon(got, keys) == canon(expect, keys)
+
+
+def test_stateful_running_totals_match_batch(spark, events_dir):
+    """applyInPandasWithState keeps per-user state across micro-batches;
+    the LAST update emitted per user must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from pudl_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, micro-batch); the final row
+    # per user carries the complete running totals
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    batch = spark.read.parquet(events_dir)
+    expect = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for u, (n, s) in expect.items():
+        assert got[u][0] == n
+        assert abs(got[u][1] - s) < 1e-6
