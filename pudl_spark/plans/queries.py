@@ -2408,3 +2408,42 @@ def embedding_blocked_clusters(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return cluster_embeddings_blocked(e, threshold=0.4)
+
+
+@query("snake_cased_part_types", sql="""
+SELECT regexp_replace(
+         regexp_replace(lower(trim(p_type)), '\\s+', '_', 'g'),
+         '[^a-z0-9_]', '', 'g') AS part_type,
+  COUNT(*) AS n_parts
+FROM part GROUP BY 1
+""")
+def snake_cased_part_types(spark, sf_dir):
+    """P4 snake-case enforcement (ref: transform/classes.py:353-383):
+    category labels normalized to identifier-safe snake case, then a
+    cardinality count — the label becomes the (low-cardinality,
+    map-side combinable) shuffle key.
+    """
+    from pudl_spark.operators import enforce_snake_case
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_type").alias("part_type"))
+    p = enforce_snake_case(p, ["part_type"])
+    return p.groupBy("part_type").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@query("nations_with_both_roles", sql="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""")
+def nations_with_both_roles(spark, sf_dir):
+    """U5 set intersection (ref: overlap validation in
+    metadata/classes.py:499,513): nation keys present on BOTH sides.
+    INTERSECT distinct-aggregates each side before the join, so the
+    shuffle carries unique keys only.
+    """
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
