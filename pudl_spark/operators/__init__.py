@@ -10,7 +10,7 @@ from pudl_spark.operators.strings import (
     normalize_strings, enforce_snake_case, strip_non_numeric_values,
     categorize_strings, replace_with_na, standardize_na_values,
     zero_pad_numeric_string, remove_leading_zeros_from_numeric_strings,
-    simplify_strings,
+    simplify_strings, standardize_phone_column, fix_int_na,
 )
 from pudl_spark.operators.numeric import (
     convert_units, nullify_outliers, correct_units,
@@ -28,7 +28,7 @@ from pudl_spark.operators.columns import (
 )
 from pudl_spark.operators.joins import (
     date_merge, full_timeseries_date_merge, scale_by_ownership,
-    point_in_interval_join,
+    point_in_interval_join, add_codes_from_lookup,
 )
 from pudl_spark.operators.aggregate import (
     most_frequent, most_and_more_frequent, unique_or_null,
@@ -43,6 +43,7 @@ from pudl_spark.operators.windows import (
 )
 from pudl_spark.operators.reshape import (
     wide_to_tidy, pivot_timeseries, melt_hour_columns, unpivot,
+    multi_index_stack,
 )
 from pudl_spark.operators.sets import (
     union_by_name, find_new_strings, set_difference_values,

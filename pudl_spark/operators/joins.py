@@ -116,3 +116,29 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame,
         ]
         return out.select(*keep)
     return p.join(F.broadcast(i), on=cond, how=how)
+
+
+def add_codes_from_lookup(df: DataFrame, lookup: DataFrame, name_col: str,
+                          lookup_name_col: str, code_cols: list[str],
+                          pad: dict[str, int] | None = None) -> DataFrame:
+    """Attach static codes by normalized-name broadcast join — the
+    add_fips_ids shape (ref: helpers.py:273,289,306: state/county names
+    -> zero-padded FIPS via a small static lookup). The lookup is a
+    few-thousand-row table at most: always broadcast, so the big side
+    never shuffles. Name matching is case/whitespace-insensitive;
+    unmatched names leave NULL codes (caller validates).
+    """
+    key = F.upper(F.trim(F.col(name_col)))
+    lkey = F.upper(F.trim(F.col(lookup_name_col)))
+    lk = lookup.select(
+        lkey.alias("__lookup_key"),
+        *[F.col(c) for c in code_cols])
+    if pad:
+        lk = lk.withColumns({
+            c: F.lpad(F.col(c).cast("string"), n, "0")
+            for c, n in pad.items()})
+    return (
+        df.withColumn("__lookup_key", key)
+        .join(F.broadcast(lk), on="__lookup_key", how="left")
+        .drop("__lookup_key")
+    )

@@ -83,6 +83,28 @@ def melt_hour_columns(df: DataFrame, id_cols: list[str], date_col: str,
     ).drop("__hour")
 
 
+def multi_index_stack(df: DataFrame, id_cols: list[str],
+                      sep: str = "__",
+                      level_names: tuple[str, str] = ("group", "measure"),
+                      value_name: str = "value") -> DataFrame:
+    """Two-level column headers -> long rows (ref: multi_index_stack
+    src/pudl/helpers.py:88 — the two-row Excel header case). Columns
+    named ``{level0}{sep}{level1}`` unpivot to one row each, with the
+    name split into two level columns. Single narrow unpivot, no
+    shuffle; the split is constant-foldable per generated row.
+    """
+    stack_cols = [c for c in df.columns if c not in id_cols and sep in c]
+    if not stack_cols:
+        raise ValueError("multi_index_stack: no two-level columns found")
+    long = unpivot(df, id_cols, stack_cols, var_name="__col",
+                   value_name=value_name)
+    lvl0 = F.substring_index(F.col("__col"), sep, 1)
+    lvl1 = F.substring_index(F.col("__col"), sep, -1)
+    return long.select(
+        *id_cols, lvl0.alias(level_names[0]), lvl1.alias(level_names[1]),
+        F.col(value_name))
+
+
 def pivot_timeseries(df: DataFrame, ts_col: str, series_col: str,
                      value_col: str,
                      series_ids: list[str] | None = None) -> DataFrame:

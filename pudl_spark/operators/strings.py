@@ -111,6 +111,36 @@ def zero_pad_numeric_string(df: DataFrame, col: str, n_digits: int) -> DataFrame
     return df.withColumn(col, F.when(ok, padded))
 
 
+def standardize_phone_column(df: DataFrame, col: str) -> DataFrame:
+    """Normalize US phone strings to ``NNN-NNN-NNNN``
+    (ref: helpers.py:2326). Digits are extracted regardless of
+    punctuation; an 11-digit number with a leading ``1`` drops the
+    country code; anything else -> NULL. Pure regexp chain — stays in
+    whole-stage codegen.
+    """
+    digits = F.regexp_replace(F.col(col).cast("string"), r"[^0-9]", "")
+    ten = F.when(
+        (F.length(digits) == 11) & digits.startswith("1"),
+        F.substring(digits, 2, 10),
+    ).when(F.length(digits) == 10, digits)
+    formatted = F.concat_ws(
+        "-", F.substring(ten, 1, 3), F.substring(ten, 4, 3),
+        F.substring(ten, 7, 4))
+    return df.withColumn(col, F.when(ten.isNotNull(), formatted))
+
+
+def fix_int_na(df: DataFrame, col: str, sentinel: str = "") -> DataFrame:
+    """Integer column with NULLs -> string column with a sentinel for
+    NA (ref: helpers.py:964 — the pandas Int64->object dance collapses
+    to cast + coalesce in Spark).
+    """
+    return df.withColumn(
+        col,
+        F.coalesce(F.col(col).cast("bigint").cast("string"),
+                   F.lit(sentinel)),
+    )
+
+
 def remove_leading_zeros_from_numeric_strings(df: DataFrame,
                                               col: str) -> DataFrame:
     """Strip leading zeros when the value is fully numeric

@@ -2447,3 +2447,203 @@ def nations_with_both_roles(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
+
+
+@query("customer_phone_standardized", sql="""
+WITH raw AS (
+  SELECT c_custkey,
+    CASE CAST(c_custkey % 4 AS BIGINT)
+      WHEN 0 THEN '(' || CAST(200 + c_custkey % 700 AS VARCHAR) || ') '
+                  || CAST(100 + c_custkey % 900 AS VARCHAR) || '-'
+                  || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+      WHEN 1 THEN '1-' || CAST(200 + c_custkey % 700 AS VARCHAR) || '.'
+                  || CAST(100 + c_custkey % 900 AS VARCHAR) || '.'
+                  || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+      WHEN 2 THEN CAST(200 + c_custkey % 700 AS VARCHAR)
+                  || CAST(100 + c_custkey % 900 AS VARCHAR)
+                  || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+      ELSE 'x' || CAST(c_custkey AS VARCHAR)
+    END AS phone
+  FROM customer
+), digits AS (
+  SELECT c_custkey, regexp_replace(phone, '[^0-9]', '', 'g') AS d FROM raw
+), ten AS (
+  SELECT c_custkey,
+    CASE WHEN length(d) = 11 AND d LIKE '1%' THEN substr(d, 2, 10)
+         WHEN length(d) = 10 THEN d END AS d
+  FROM digits
+)
+SELECT c_custkey,
+  CASE WHEN d IS NOT NULL THEN
+    substr(d,1,3) || '-' || substr(d,4,3) || '-' || substr(d,7,4)
+  END AS phone
+FROM ten
+""")
+def customer_phone_standardized(spark, sf_dir):
+    """P22 phone standardization (ref: standardize_phone_column
+    helpers.py:2326). The synthetic schema has no phone column, so a
+    dirty one is derived deterministically from c_custkey in four
+    punctuation styles (one invalid), then normalized to NNN-NNN-NNNN.
+    Narrow regexp-only transform — no shuffle at all.
+    """
+    from pudl_spark.operators import standardize_phone_column
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    a = (F.lit(200) + k % 700).cast("string")
+    m = (F.lit(100) + k % 900).cast("string")
+    x = (F.lit(1000) + k % 9000).cast("string")
+    raw = (
+        F.when((k % 4) == 0, F.concat(F.lit("("), a, F.lit(") "), m,
+                                      F.lit("-"), x))
+        .when((k % 4) == 1, F.concat(F.lit("1-"), a, F.lit("."), m,
+                                     F.lit("."), x))
+        .when((k % 4) == 2, F.concat(a, m, x))
+        .otherwise(F.concat(F.lit("x"), k.cast("string")))
+    )
+    out = c.select("c_custkey", raw.alias("phone"))
+    return standardize_phone_column(out, "phone")
+
+
+@query("customer_intkey_sentinel", sql="""
+SELECT
+  CASE WHEN c_acctbal >= 0 THEN CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)
+       ELSE '<NA>' END AS nationkey_str,
+  COUNT(*) AS n_customers
+FROM customer
+GROUP BY 1
+""")
+def customer_intkey_sentinel(spark, sf_dir):
+    """P14 fix_int_na (ref: helpers.py:964): an integer key column is
+    deterministically nulled (negative balances), then rendered as a
+    string with an NA sentinel — the pandas Int64->object round-trip
+    collapsed to cast+coalesce. Low-cardinality groupBy on the result.
+    """
+    from pudl_spark.operators import fix_int_na
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_acctbal") >= 0,
+               F.col("c_nationkey")).alias("nationkey_str"))
+    c = fix_int_na(c, "nationkey_str", sentinel="<NA>")
+    return c.groupBy("nationkey_str").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
+@query("lineitem_multiheader_stack", sql="""
+WITH g AS (
+  SELECT l_returnflag,
+    SUM(l_quantity) AS qty_sum,
+    MAX(l_quantity) AS qty_max,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price_sum,
+    MAX(l_extendedprice) AS price_max
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS grp, 'sum' AS measure, qty_sum AS value FROM g
+UNION ALL
+SELECT l_returnflag, 'qty', 'max', qty_max FROM g
+UNION ALL
+SELECT l_returnflag, 'price', 'sum', price_sum FROM g
+UNION ALL
+SELECT l_returnflag, 'price', 'max', price_max FROM g
+""")
+def lineitem_multiheader_stack(spark, sf_dir):
+    """R6 multi_index_stack (ref: helpers.py:88 — two-row Excel headers
+    to long). Wide ``{group}__{measure}`` columns from one aggregation
+    are stacked into (group, measure, value) rows; the unpivot is a
+    narrow generate, so the only shuffle is the initial groupBy.
+    """
+    from pudl_spark.operators import multi_index_stack
+
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty__sum"),
+        F.max("l_quantity").alias("qty__max"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("price__sum"),
+        F.max("l_extendedprice").alias("price__max"),
+    )
+    return multi_index_stack(
+        g, ["l_returnflag"], sep="__",
+        level_names=("grp", "measure"), value_name="value")
+
+
+@query("imputation_mape_score", sql="""
+WITH masked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+    CASE WHEN event_id % 13 <> 0 THEN value END AS masked_value
+  FROM events
+), imputed AS (
+  SELECT *,
+    round(avg(masked_value) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS imputed_value
+  FROM masked
+)
+SELECT event_type,
+  COUNT(*) AS n_scored,
+  CAST(SUM(CAST(round(abs((value - imputed_value) / value), 6)
+                AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mape
+FROM imputed
+WHERE event_id % 13 = 0 AND value <> 0 AND imputed_value IS NOT NULL
+GROUP BY event_type
+""")
+def imputation_mape_score(spark, sf_dir):
+    """M2/M3 null simulation + imputation scoring (ref: simulate_nulls
+    timeseries_cleaning.py:1372-1424, summarize_imputed :1511). Values
+    are masked on a deterministic key rule (the reference samples null
+    runs; sampling is replaced by a reproducible mask so the oracle can
+    replay it), imputed from a centered per-user rolling mean of the
+    surviving values, and scored with MAPE over the masked cells.
+    One window shuffle on user_id, one small agg shuffle; the rolling
+    mean is rounded before scoring and the APE sum routed through
+    DECIMAL so both engines hash identically.
+    """
+    e = _t(spark, sf_dir, "events")
+    masked = e.select(
+        "user_id", "event_type", "ts", "event_id", "value",
+        F.when(F.col("event_id") % 13 != 0,
+               F.col("value")).alias("masked_value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 3))
+    imputed = masked.withColumn(
+        "imputed_value", F.round(F.avg("masked_value").over(w), 6))
+    scored = imputed.filter(
+        (F.col("event_id") % 13 == 0) & (F.col("value") != 0)
+        & F.col("imputed_value").isNotNull())
+    ape = F.round(
+        F.abs((F.col("value") - F.col("imputed_value")) / F.col("value")), 6
+    ).cast("decimal(18,6)")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.sum(ape).cast("double") / F.count(F.lit(1))).alias("mape"))
+
+
+@query("supplier_nation_codes", sql="""
+SELECT lpad(CAST(n.n_nationkey AS VARCHAR), 3, '0') AS nation_code,
+  COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def supplier_nation_codes(spark, sf_dir):
+    """P24 add_fips_ids shape (ref: helpers.py:273,289,306): attach
+    zero-padded codes by normalized-NAME broadcast join against a small
+    static lookup — the big side never shuffles for the lookup; the
+    only exchange is the final low-cardinality aggregation. The dirty
+    name column is lowercased first to exercise the case-insensitive
+    match.
+    """
+    from pudl_spark.operators import add_codes_from_lookup
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    named = s.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        s.s_nationkey == F.col("n_nationkey")).select(
+        "s_acctbal", F.lower(F.col("n_name")).alias("nation"))
+    lookup = n.select("n_name", F.col("n_nationkey").alias("nation_code"))
+    coded = add_codes_from_lookup(
+        named, lookup, name_col="nation", lookup_name_col="n_name",
+        code_cols=["nation_code"], pad={"nation_code": 3})
+    return coded.groupBy("nation_code").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"))

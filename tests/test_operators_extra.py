@@ -170,3 +170,47 @@ def test_multimodal_fake_media_pipeline(spark):
     assert frames.count() == 4 * 5          # 4 videos x 5s at 1fps
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_standardize_phone_column(spark):
+    from pudl_spark.operators.strings import standardize_phone_column
+
+    df = spark.createDataFrame(
+        [("(303) 555-0100",), ("1-303.555.0100",), ("3035550100",),
+         ("555-0100",), (None,)], "phone string")
+    got = [r["phone"]
+           for r in standardize_phone_column(df, "phone").collect()]
+    assert got == ["303-555-0100", "303-555-0100", "303-555-0100",
+                   None, None]
+
+
+def test_fix_int_na(spark):
+    from pudl_spark.operators.strings import fix_int_na
+
+    df = spark.createDataFrame([(7,), (None,)], "k long")
+    got = [r["k"] for r in fix_int_na(df, "k", sentinel="<NA>").collect()]
+    assert got == ["7", "<NA>"]
+
+
+def test_multi_index_stack(spark):
+    from pudl_spark.operators.reshape import multi_index_stack
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0)], "id string, x__sum double, x__max double")
+    out = multi_index_stack(df, ["id"], level_names=("grp", "stat"))
+    got = {(r["grp"], r["stat"]): r["value"] for r in out.collect()}
+    assert got == {("x", "sum"): 1.0, ("x", "max"): 2.0}
+    with pytest.raises(ValueError):
+        multi_index_stack(df.select("id"), ["id"])
+
+
+def test_add_codes_from_lookup(spark):
+    from pudl_spark.operators.joins import add_codes_from_lookup
+
+    data = spark.createDataFrame(
+        [(" alpha ",), ("ALPHA",), ("missing",)], "name string")
+    lookup = spark.createDataFrame([("Alpha", 7)], "nm string, code int")
+    out = add_codes_from_lookup(data, lookup, "name", "nm", ["code"],
+                                pad={"code": 3})
+    got = [r["code"] for r in out.orderBy("name").collect()]
+    assert got == ["007", "007", None]
