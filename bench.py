@@ -74,21 +74,26 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
-    # Best-of-2 per query: a single local[32] JVM shows multi-second
+    # Best-of-N per query: a single local[32] JVM shows multi-second
     # GC/JIT jitter; min-of-N is the standard way to report the
-    # operator's cost rather than the noise floor.
+    # operator's cost rather than the noise floor. Two runs normally;
+    # a third only when the first two disagree by >25% (an outlier —
+    # GC pause or a noisy neighbor on the box).
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        best = None
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.25 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 4)
 
     total = round(sum(times.values()), 4)
     print(json.dumps({

@@ -113,38 +113,40 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     # the mins combine map-side — ~5x faster on wide corpora. Docs
     # with no shingles drop out here; they can only ever form
     # jaccard=0 pairs, which the threshold (>0) removes anyway.
+    #
+    # ONE groupBy produces both the signature bands AND the verify set
+    # (as distinct shingle xxhash64s — set jaccard over hashes equals
+    # string-set jaccard modulo 64-bit collisions, and longs shuffle ~5x
+    # slimmer than shingle strings). The result is persisted: the bands
+    # path and both sides of the verify join consume it, and at corpus
+    # scale the signature table is orders of magnitude smaller than the
+    # corpus — materializing it once is the point of MinHash.
     p = F.lit(_MINHASH_PRIME)
     coeffs = _minhash_coeffs(num_hashes)
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("__s"),
-    ).withColumn("__h", F.pmod(F.xxhash64("__s"), p))
-    sig_agg = exploded.groupBy("id").agg(*[
-        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ])
-    shingle_df = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k=shingle_k).alias("__shingles"))
-    with_sig = shingle_df.join(
-        sig_agg.select(
-            "id",
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
-            .alias("__sig")),
-        on="id", how="inner")
+    ).withColumn("__sh", F.xxhash64("__s")).withColumn(
+        "__h", F.pmod(F.col("__sh"), p))
+    sig_agg = exploded.groupBy("id").agg(
+        *[F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
+          for i, (a, b) in enumerate(coeffs)],
+        F.collect_set("__sh").alias("__set"),
+    ).persist()
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band)
+                F.slice(sig, b * rows_per_band + 1, rows_per_band)
             ).alias("bucket"),
         )
         for b in range(bands)
     ])
-    # Bands shuffle WITHOUT the shingle arrays (ids + two longs only —
+    # Bands shuffle WITHOUT the verify sets (ids + two longs only —
     # the explode multiplies rows by `bands`, so payload width matters
-    # 16x); shingles re-join below for the candidate pairs only.
-    banded = with_sig.select(
+    # 16x); sets re-join below for the candidate pairs only.
+    banded = sig_agg.select(
         "id", F.explode(band_arr).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     a = banded.alias("a")
@@ -156,13 +158,13 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    shingles = with_sig.select("id", "__shingles")
+    sets = sig_agg.select("id", "__set")
     pairs = (
         cand
-        .join(shingles.select(F.col("id").alias("id_a"),
-                              F.col("__shingles").alias("sh_a")), "id_a")
-        .join(shingles.select(F.col("id").alias("id_b"),
-                              F.col("__shingles").alias("sh_b")), "id_b")
+        .join(sets.select(F.col("id").alias("id_a"),
+                          F.col("__set").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("__set").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

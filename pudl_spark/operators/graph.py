@@ -29,6 +29,11 @@ def connected_components(edges: DataFrame, src: str = "src",
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    # The adjacency list joins against labels EVERY round; materialize
+    # it once so the union+distinct shuffle (and the upstream edge
+    # computation — often a window over the raw table) doesn't replay
+    # per iteration.
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
