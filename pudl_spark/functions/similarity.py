@@ -108,3 +108,66 @@ def lsh_bucket_topk(vectors: DataFrame, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", k: int = 10,
+             nlist: int = 16, nprobe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into ``nlist`` cells; each query scores only
+    the ``nprobe`` nearest cells.
+
+    Scale shape: the quantizer fits on the corpus (Spark ML KMeans —
+    itself distributed), cell assignment is one map-side transform, the
+    (query, probed-cell) table is tiny and broadcast, so candidate
+    scoring is a broadcast join pruned to ~nprobe/nlist of the corpus
+    followed by one top-k window on query_id. The cell id is also the
+    natural Parquet partition key for a persisted vector store, turning
+    probes into partition pruning. ``nprobe == nlist`` degenerates to
+    exact brute force (used by the recall test).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    as_vec = array_to_vector(F.col(vec_col).cast("array<double>"))
+    featurized = vectors.withColumn("__features", as_vec)
+    model = KMeans(k=nlist, seed=seed, featuresCol="__features",
+                   predictionCol="__cell").fit(featurized)
+    assigned = model.transform(featurized).drop("__features")
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "__cell int, cvec array<double>")
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__qvec"), F.col("cvec"),
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("__cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", d2)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "__qvec", "__cell")
+    )
+    scored = assigned.join(F.broadcast(probes), on="__cell").select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity_expr(F.col("__qvec"), F.col(vec_col)).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

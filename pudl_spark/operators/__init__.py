@@ -11,6 +11,7 @@ from pudl_spark.operators.strings import (
     categorize_strings, replace_with_na, standardize_na_values,
     zero_pad_numeric_string, remove_leading_zeros_from_numeric_strings,
     simplify_strings, standardize_phone_column, fix_int_na,
+    parse_address,
 )
 from pudl_spark.operators.numeric import (
     convert_units, nullify_outliers, correct_units,

@@ -149,3 +149,34 @@ def remove_leading_zeros_from_numeric_strings(df: DataFrame,
     c = F.col(col)
     stripped = F.regexp_replace(c, r"^0+(\d)", "$1")
     return df.withColumn(col, F.when(c.rlike(r"^\d+$"), stripped).otherwise(c))
+
+
+_ADDRESS_RE = r"^(.*),\s*([^,]+),\s*([A-Z]{2})\s+(\d{5})(?:-\d{4})?$"
+
+
+def parse_address(df: DataFrame, col: str,
+                  out_cols: tuple[str, str, str, str] = (
+                      "street_address", "city", "state", "zip_code"),
+                  drop: bool = False) -> DataFrame:
+    """US address -> (street, city, state, zip) columns
+    (ref: helpers.py:2660-2699, which wraps the usaddress probabilistic
+    tagger). The well-formed "street, city, ST 12345[-6789]" shape —
+    the overwhelming majority of the reference's address data — parses
+    with one anchored regex that stays in whole-stage codegen;
+    non-conforming rows yield NULLs in all four columns (the reference
+    likewise nulls rows usaddress cannot tag). A learned tagger can be
+    swapped in as a Pandas UDF behind the same signature if the messy
+    tail matters.
+    """
+    src = F.col(col)
+    street = F.regexp_extract(src, _ADDRESS_RE, 1)
+    city = F.regexp_extract(src, _ADDRESS_RE, 2)
+    state = F.regexp_extract(src, _ADDRESS_RE, 3)
+    zipc = F.regexp_extract(src, _ADDRESS_RE, 4)
+    out = df.withColumns({
+        out_cols[0]: F.when(street != "", street),
+        out_cols[1]: F.when(city != "", city),
+        out_cols[2]: F.when(state != "", state),
+        out_cols[3]: F.when(zipc != "", zipc),
+    })
+    return out.drop(col) if drop else out

@@ -1296,6 +1296,23 @@ def ann_lsh_bucketed(spark, sf_dir):
                            vec_col="embedding", k=10, n_planes=6)
 
 
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: KMeans coarse quantizer +
+    nprobe cell probing (rows-only check; exactness at nprobe==nlist
+    and recall at nprobe<nlist covered by unit tests). The cell id
+    doubles as the partition key of a persisted vector store, so at
+    corpus scale a probe is partition pruning, not a scan.
+    """
+    from pudl_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries_df, id_col="vec_id",
+                    vec_col="embedding", k=10, nlist=16, nprobe=4)
+
+
 # =====================================================================
 # Harvesting + weighted quantile (A1-A5, A12, A16)
 # =====================================================================
@@ -2647,3 +2664,64 @@ def supplier_nation_codes(spark, sf_dir):
     return coded.groupBy("nation_code").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(_dec("s_acctbal")).cast("double").alias("total_acctbal"))
+
+
+@query("supplier_address_parse", sql="""
+WITH raw AS (
+  SELECT s_suppkey,
+    CASE WHEN s_suppkey % 7 = 0 THEN 'po box ' || CAST(s_suppkey AS VARCHAR)
+    ELSE CAST(100 + s_suppkey % 900 AS VARCHAR) || ' Main St, Springfield, '
+         || CASE CAST(s_suppkey % 4 AS BIGINT)
+              WHEN 0 THEN 'IL' WHEN 1 THEN 'CA' WHEN 2 THEN 'TX'
+              ELSE 'NY' END
+         || ' ' || lpad(CAST(10000 + s_suppkey % 89999 AS VARCHAR), 5, '0')
+    END AS address
+  FROM supplier
+), parsed AS (
+  SELECT s_suppkey,
+    nullif(regexp_extract(address,
+      '^(.*),\\s*([^,]+),\\s*([A-Z]{2})\\s+(\\d{5})(?:-\\d{4})?$', 1), '')
+      AS street_address,
+    nullif(regexp_extract(address,
+      '^(.*),\\s*([^,]+),\\s*([A-Z]{2})\\s+(\\d{5})(?:-\\d{4})?$', 3), '')
+      AS state,
+    nullif(regexp_extract(address,
+      '^(.*),\\s*([^,]+),\\s*([A-Z]{2})\\s+(\\d{5})(?:-\\d{4})?$', 4), '')
+      AS zip_code
+  FROM raw
+)
+SELECT state,
+  COUNT(*) AS n_rows,
+  COUNT(street_address) AS n_parsed,
+  COUNT(DISTINCT zip_code) AS n_zips
+FROM parsed
+GROUP BY state
+""")
+def supplier_address_parse(spark, sf_dir):
+    """P23 address parsing (ref: parse_address helpers.py:2660-2699).
+    The synthetic schema has no address column, so one is derived
+    deterministically from s_suppkey (1-in-7 rows get an unparseable
+    PO-box form), then split street/city/state/zip with the anchored
+    regex parser. Narrow transform + one low-cardinality aggregation.
+    """
+    from pudl_spark.operators import parse_address
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    state = (
+        F.when((k % 4) == 0, F.lit("IL"))
+        .when((k % 4) == 1, F.lit("CA"))
+        .when((k % 4) == 2, F.lit("TX"))
+        .otherwise(F.lit("NY")))
+    addr = F.when(
+        (k % 7) == 0, F.concat(F.lit("po box "), k.cast("string"))
+    ).otherwise(F.concat(
+        (F.lit(100) + k % 900).cast("string"),
+        F.lit(" Main St, Springfield, "), state, F.lit(" "),
+        F.lpad((F.lit(10000) + k % 89999).cast("string"), 5, "0")))
+    parsed = parse_address(
+        s.select("s_suppkey", addr.alias("address")), "address")
+    return parsed.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("street_address").alias("n_parsed"),
+        F.countDistinct("zip_code").alias("n_zips"))

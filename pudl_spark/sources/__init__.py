@@ -12,6 +12,9 @@ from pudl_spark.sources.files import (
 )
 from pudl_spark.sources.json_records import json_records_to_df
 from pudl_spark.sources.datapackage import build_datapackage_descriptor
+from pudl_spark.sources.sqlite import (
+    create_table_ddl, read_sqlite_table, write_sqlite_table,
+)
 
 __all__ = [
     "extract_partitions",
@@ -19,4 +22,7 @@ __all__ = [
     "write_parquet_table",
     "json_records_to_df",
     "build_datapackage_descriptor",
+    "create_table_ddl",
+    "read_sqlite_table",
+    "write_sqlite_table",
 ]

@@ -34,3 +34,29 @@ def test_blocked_clusters_found(spark):
     noise = {got[20], got[21], got[22]}
     assert noise == {20, 21, 22}               # noise stays singleton
     assert got[0] != got[10]
+
+
+def test_ivf_topk_exact_at_full_probe_and_recall(spark):
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = read_parquet_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding")
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    # nprobe == nlist scans every cell -> must equal brute force
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, queries, k=5, nlist=4, nprobe=4).collect()
+    }
+    assert full == exact
+    # partial probe: recall@5 over the 3 queries stays useful
+    part = ivf_topk(emb, queries, k=5, nlist=8, nprobe=3).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in part}
+    want = {(q, n) for (q, _), n in exact.items()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall

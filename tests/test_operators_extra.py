@@ -214,3 +214,20 @@ def test_add_codes_from_lookup(spark):
                                 pad={"code": 3})
     got = [r["code"] for r in out.orderBy("name").collect()]
     assert got == ["007", "007", None]
+
+
+def test_parse_address(spark):
+    from pudl_spark.operators.strings import parse_address
+
+    df = spark.createDataFrame(
+        [("12 Oak Ave Apt 3, Springfield, IL 62704",),
+         ("500 W 5th St, Austin, TX 78701-1234",),
+         ("po box 99",)], "addr string")
+    out = {r["addr"]: r for r in parse_address(df, "addr").collect()}
+    r1 = out["12 Oak Ave Apt 3, Springfield, IL 62704"]
+    assert (r1["street_address"], r1["city"], r1["state"], r1["zip_code"]) \
+        == ("12 Oak Ave Apt 3", "Springfield", "IL", "62704")
+    r2 = out["500 W 5th St, Austin, TX 78701-1234"]
+    assert r2["zip_code"] == "78701" and r2["city"] == "Austin"
+    r3 = out["po box 99"]
+    assert r3["street_address"] is None and r3["state"] is None

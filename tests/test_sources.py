@@ -88,3 +88,53 @@ def test_datapackage_descriptor():
     assert f0 == {"name": "plant_id", "type": "integer",
                   "constraints": {"required": True}}
     json.dumps(d)  # must be serializable
+
+
+def test_sqlite_sink_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    from pudl_spark.schema.model import Field, FieldConstraints, Resource
+    from pudl_spark.sources.sqlite import (
+        read_sqlite_table, write_sqlite_table,
+    )
+
+    res = Resource(
+        name="balances",
+        fields=(
+            Field("entity_id", "integer",
+                  FieldConstraints(required=True)),
+            Field("report_year", "year"),
+            Field("status", "string",
+                  FieldConstraints(enum=("open", "closed"))),
+            Field("amount", "number",
+                  FieldConstraints(minimum=0.0)),
+            Field("active", "boolean"),
+        ),
+        primary_key=("entity_id", "report_year"),
+    )
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(1, dt.date(2020, 1, 1), "open", 10.5, True),
+         (2, dt.date(2021, 1, 1), "closed", 0.0, None)],
+        res.to_struct_type())
+    db = str(tmp_path / "out.sqlite")
+    assert write_sqlite_table(df, db, res) == 2
+
+    back = read_sqlite_table(spark, db, res)
+    assert back.schema == res.to_struct_type()
+    rows = {r["entity_id"]: r for r in back.collect()}
+    assert rows[1]["status"] == "open" and rows[1]["active"] is True
+    assert rows[2]["amount"] == 0.0 and rows[2]["active"] is None
+
+    # year-partition filtered read (S12 refine_report_year shape)
+    only2021 = read_sqlite_table(spark, db, res, years=[2021],
+                                 year_col="report_year")
+    assert [r["entity_id"] for r in only2021.collect()] == [2]
+
+    # CHECK constraints are real: enum violation raises
+    bad = spark.createDataFrame(
+        [(3, dt.date(2022, 1, 1), "limbo", 1.0, False)],
+        res.to_struct_type())
+    import pytest as _pytest
+    with _pytest.raises(sqlite3.IntegrityError):
+        write_sqlite_table(bad, db, res, if_exists="append")
