@@ -2725,3 +2725,47 @@ def supplier_address_parse(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.count("street_address").alias("n_parsed"),
         F.countDistinct("zip_code").alias("n_zips"))
+
+
+@query("event_zone_assignment", sql="""
+WITH pts AS (
+  SELECT event_id,
+    CAST(event_id % 97 AS DOUBLE) / 10.0 AS x,
+    CAST(user_id % 89 AS DOUBLE) / 10.0 AS y
+  FROM events
+)
+SELECT 'triangle' AS zone, COUNT(*) AS n_points FROM pts
+WHERE x + y <= 5.45
+UNION ALL
+SELECT 'square' AS zone, COUNT(*) AS n_points FROM pts
+WHERE x > 3.95 AND x < 8.95 AND y > 3.95 AND y < 8.95
+""")
+def event_zone_assignment(spark, sf_dir):
+    """Geo7 point-in-polygon spatial join (ref: find_timezone
+    src/pudl/transform/eia.py:80; spatial joins spatial.py:15-289),
+    end-to-end through the WKB codec, grid-cell blocking and ray-cast
+    verify. Points derive deterministically from event/user keys; the
+    two zones (one non-axis-aligned) sit 0.05 off the point lattice so
+    the oracle's closed-form half-plane predicates agree exactly with
+    the ray cast. The polygon side is tiny and broadcast; the point
+    side only shuffles for the final 2-row aggregation.
+    """
+    from pudl_spark.functions.geo import points_in_polygons_join, polygon_wkb
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 97).cast("double") / 10.0).alias("x"),
+        ((F.col("user_id") % 89).cast("double") / 10.0).alias("y"))
+    zones = spark.createDataFrame(
+        [("triangle", bytearray(polygon_wkb(
+            [(-0.05, -0.05), (5.5, -0.05), (-0.05, 5.5)]))),
+         ("square", bytearray(polygon_wkb(
+             [(3.95, 3.95), (8.95, 3.95), (8.95, 8.95), (3.95, 8.95)])))],
+        "zone string, geom binary")
+    hit = points_in_polygons_join(pts, zones, "x", "y", "geom", cell=2.0)
+    counts = hit.groupBy("zone").agg(F.count(F.lit(1)).alias("__n"))
+    # a zone with zero points still reports (COUNT over an empty set
+    # in the oracle's UNION ALL arms is 0, not an absent row)
+    return zones.select("zone").join(counts, on="zone", how="left").select(
+        "zone", F.coalesce("__n", F.lit(0)).alias("n_points"))
