@@ -242,3 +242,85 @@ def flag_double_delta(df: DataFrame, key_cols: list[str], order_col: str,
         F.when(prev_d.isNull() | next_d.isNull(), F.lit(False))
         .otherwise((F.abs(prev_d) > threshold) & (F.abs(next_d) > threshold)
                    & (prev_d * next_d < 0)))
+
+
+def flag_anomalous_region(df: DataFrame, key_cols: list[str], order_cols,
+                          flagged_col: str, window: int = 48,
+                          threshold: float = 0.15,
+                          flag_col: str = "is_anomalous_region") -> DataFrame:
+    """Flag unflagged values surrounded by flagged values (ref:
+    flag_anomalous_region, src/pudl/analysis/timeseries_cleaning.py:
+    1186-1228). An unflagged row is flagged when ALL of:
+
+      * a flagged value exists within the trailing half-window AND
+        within the leading half-window (it sits between flags);
+      * its run of consecutive unflagged values is <= half-window
+        (it is not inside a long healthy stretch);
+      * some full-width centered window nearby has > ``threshold``
+        fraction flagged (it is inside a genuinely anomalous region).
+
+    Edges use full-window semantics (the reference's
+    ``min_periods=window`` NaN -> False). All rolling conditions share
+    one (key, order) window partitioning — a single shuffle — plus one
+    more exchange on (key, run_id) for the run lengths, exactly the
+    shape of `add_run_ids`.
+    """
+    half = window // 2
+    wo = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    fint = F.col(flagged_col).cast("int")
+    # gaps-and-islands run ids over the flagged/unflagged mask
+    changed = F.when(
+        F.lag(F.col(flagged_col)).over(wo).eqNullSafe(F.col(flagged_col)),
+        F.lit(0)).otherwise(F.lit(1))
+    run_id = F.sum(changed).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0))
+    tmp = df.withColumn("__ar_run", run_id)
+    run_len = F.count(F.lit(1)).over(
+        Window.partitionBy(*key_cols, F.col("__ar_run")))
+    w_after = wo.rowsBetween(-(half - 1), 0)
+    w_before = wo.rowsBetween(0, half - 1)
+    w_center = wo.rowsBetween(-half, half - 1)
+    is_after = ((F.count(F.lit(1)).over(w_after) == half)
+                & (F.sum(fint).over(w_after) >= 1))
+    is_before = ((F.count(F.lit(1)).over(w_before) == half)
+                 & (F.sum(fint).over(w_before) >= 1))
+    center_hit = F.when(
+        (F.count(F.lit(1)).over(w_center) == window)
+        & (F.sum(fint).over(w_center) / window > threshold),
+        F.lit(1)).otherwise(F.lit(0))
+    tmp = tmp.withColumn("__ar_center", center_hit)
+    is_region = F.max(F.col("__ar_center")).over(w_center) == 1
+    is_not_run = F.col(flagged_col) | (run_len <= half)
+    return tmp.withColumn(
+        flag_col,
+        (~F.col(flagged_col)) & is_after & is_before
+        & is_not_run & is_region,
+    ).drop("__ar_run", "__ar_center")
+
+
+def flag_bad_periods(df: DataFrame, key_cols: list[str], ts_col: str,
+                     data_col: str, period: str = "year",
+                     min_data: int = 100, min_data_fraction: float = 0.9,
+                     flag_col: str = "is_bad_period") -> DataFrame:
+    """Flag whole entity-periods missing most of their values (ref:
+    flag_bad_years, src/pudl/analysis/timeseries_cleaning.py:
+    1231-1291, generalized from year to any date_trunc period).
+
+    coverage = hours from first to last non-null hour (inclusive) in
+    the entity-period; the period is bad when coverage < ``min_data``
+    or non-null density within that span < ``min_data_fraction``.
+    One full-partition window over (key, period) — a single shuffle,
+    no join; periods with no data at all are left unflagged like the
+    reference (NaN comparisons are False there).
+    """
+    w = Window.partitionBy(*key_cols, F.date_trunc(period, F.col(ts_col)))
+    nn_sec = F.when(F.col(data_col).isNotNull(),
+                    F.unix_timestamp(F.col(ts_col)))
+    coverage = (F.floor((F.max(nn_sec).over(w) - F.min(nn_sec).over(w))
+                        / F.lit(3600)) + 1)
+    frac = F.count(F.col(data_col)).over(w) / coverage
+    return df.withColumn(
+        flag_col,
+        F.coalesce((coverage < min_data) | (frac < min_data_fraction),
+                   F.lit(False)),
+    )

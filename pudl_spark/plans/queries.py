@@ -2769,3 +2769,102 @@ def event_zone_assignment(spark, sf_dir):
     # in the oracle's UNION ALL arms is 0, not an absent row)
     return zones.select("zone").join(counts, on="zone", how="left").select(
         "zone", F.coalesce("__n", F.lit(0)).alias("n_points"))
+
+
+@query("event_anomalous_regions", sql="""
+WITH med AS (
+  SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+), fl AS (
+  SELECT e.event_id, e.user_id, e.ts, e.value,
+    coalesce(CASE WHEN e.value IS NULL OR m.med IS NULL THEN NULL
+      ELSE e.value > 3.0 * m.med OR e.value < m.med / 3.0 END,
+      FALSE) AS flagged
+  FROM events e LEFT JOIN med m USING (user_id)
+), b AS (
+  SELECT *, CASE WHEN flagged = lag(flagged) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS brk
+  FROM fl
+), r AS (
+  SELECT *, sum(brk)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS run
+  FROM b
+), c AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY user_id, run) AS rl,
+    count(*) OVER wa = 6 AND sum(CAST(flagged AS INT)) OVER wa >= 1
+      AS is_after,
+    count(*) OVER wb = 6 AND sum(CAST(flagged AS INT)) OVER wb >= 1
+      AS is_before,
+    CASE WHEN count(*) OVER wc = 12
+          AND sum(CAST(flagged AS INT)) OVER wc / 12 > 0.25
+      THEN 1 ELSE 0 END AS center_hit
+  FROM r
+  WINDOW
+    wa AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+    wb AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING),
+    wc AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+), g AS (
+  SELECT *, max(center_hit) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) = 1 AS is_region
+  FROM c
+)
+SELECT event_id, user_id, flagged,
+  (NOT flagged) AND is_after AND is_before
+    AND (flagged OR rl <= 6) AND is_region AS is_anomalous_region
+FROM g
+""")
+def event_anomalous_regions(spark, sf_dir):
+    """W8 ANOMALOUS_REGION screen (ref: flag_anomalous_region,
+    src/pudl/analysis/timeseries_cleaning.py:1186-1228): unflagged
+    values sitting between flags, outside long healthy runs, inside a
+    centered window whose flagged fraction exceeds the threshold.
+    Seeded by the global-outlier screen. All rolling conditions share
+    one (user_id, ts) window partitioning — one shuffle — plus one
+    exchange on (user_id, run_id) for run lengths.
+    """
+    from pudl_spark.operators.windows import (
+        flag_anomalous_region, flag_global_outlier)
+
+    ev = _t(spark, sf_dir, "events")
+    out = flag_global_outlier(ev, ["user_id"], "value", multiplier=3.0)
+    out = out.withColumn(
+        "flagged", F.coalesce(F.col("is_global_outlier"), F.lit(False)))
+    out = flag_anomalous_region(
+        out, ["user_id"], [F.col("ts"), F.col("event_id")], "flagged",
+        window=12, threshold=0.25)
+    return out.select("event_id", "user_id", "flagged",
+                      "is_anomalous_region")
+
+
+@query("event_bad_days", sql="""
+SELECT event_id, user_id,
+  coalesce(coverage < 4 OR n_nn / coverage < 0.25, FALSE) AS is_bad_period
+FROM (
+  SELECT event_id, user_id,
+    CAST(floor((max(sec) OVER w - min(sec) OVER w) / 3600) AS BIGINT) + 1
+      AS coverage,
+    count(value) OVER w AS n_nn
+  FROM (SELECT *, CASE WHEN value IS NOT NULL
+          THEN CAST(floor(epoch(ts)) AS BIGINT) END AS sec FROM events)
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts))
+)
+""")
+def event_bad_days(spark, sf_dir):
+    """W8/W9 BAD_YEAR screen at day grain (ref: flag_bad_years,
+    src/pudl/analysis/timeseries_cleaning.py:1231-1291): an entity-day
+    is bad when the first->last non-null span is under 4 hours or the
+    non-null density within the span is under 0.25. One full-partition
+    window over (user_id, day) — a single shuffle, no join.
+    """
+    from pudl_spark.operators.windows import flag_bad_periods
+
+    ev = _t(spark, sf_dir, "events")
+    out = flag_bad_periods(
+        ev, ["user_id"], "ts", "value", period="day",
+        min_data=4, min_data_fraction=0.25)
+    return out.select("event_id", "user_id", "is_bad_period")

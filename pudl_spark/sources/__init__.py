@@ -10,6 +10,9 @@ partitioning replaces the IO manager.
 from pudl_spark.sources.files import (
     extract_partitions, read_csv, write_parquet_table,
 )
+from pudl_spark.sources.excel import (
+    extract_excel_partitions, parse_xlsx, read_excel,
+)
 from pudl_spark.sources.json_records import json_records_to_df
 from pudl_spark.sources.datapackage import build_datapackage_descriptor
 from pudl_spark.sources.sqlite import (
@@ -20,6 +23,9 @@ __all__ = [
     "extract_partitions",
     "read_csv",
     "write_parquet_table",
+    "extract_excel_partitions",
+    "parse_xlsx",
+    "read_excel",
     "json_records_to_df",
     "build_datapackage_descriptor",
     "create_table_ddl",

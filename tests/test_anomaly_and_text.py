@@ -91,3 +91,45 @@ def test_connected_components_two_components(spark):
     labels = {r["node"]: r["component"]
               for r in connected_components(edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_flag_anomalous_region_between_flags(spark):
+    from pudl_spark.operators.windows import flag_anomalous_region
+
+    # T F T T F T | F F F F : the two isolated F's sit between flags
+    # inside a dense flagged region; the trailing 4-run of F's is a
+    # healthy stretch (> half-window) and stays unflagged.
+    pattern = [True, False, True, True, False, True,
+               False, False, False, False]
+    df = spark.createDataFrame(
+        [("u", i, fl) for i, fl in enumerate(pattern)],
+        "k string, t long, flagged boolean")
+    out = flag_anomalous_region(
+        df, ["k"], [F.col("t")], "flagged", window=4, threshold=0.4)
+    got = {r["t"]: r["is_anomalous_region"] for r in out.collect()}
+    assert got[1] is True and got[4] is True
+    assert not any(got[i] for i in (0, 2, 3, 5, 6, 7, 8, 9))
+
+
+def test_flag_bad_periods_day_grain(spark):
+    from pudl_spark.operators.windows import flag_bad_periods
+
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # A: 3 values in a 1-hour span -> coverage 2h < 4 -> bad
+    for m in (0, 30, 60):
+        rows.append(("a", base + dt.timedelta(minutes=m), 1.0))
+    # B: hourly values 00..05 -> coverage 6h, density 1.0 -> good
+    for h in range(6):
+        rows.append(("b", base + dt.timedelta(hours=h), 1.0))
+    # C: two values 10h apart -> density 2/11 < 0.25 -> bad
+    rows.append(("c", base, 1.0))
+    rows.append(("c", base + dt.timedelta(hours=10), 1.0))
+    # D: no non-null values at all -> left unflagged (ref semantics)
+    rows.append(("d", base, None))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = flag_bad_periods(df, ["k"], "ts", "v", period="day",
+                           min_data=4, min_data_fraction=0.25)
+    got = {r["k"]: r["is_bad_period"] for r in out.collect()}
+    assert got == {"a": True, "b": False, "c": True, "d": False}
