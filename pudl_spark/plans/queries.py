@@ -2868,3 +2868,139 @@ def event_bad_days(spark, sf_dir):
         ev, ["user_id"], "ts", "value", period="day",
         min_data=4, min_data_fraction=0.25)
     return out.select("event_id", "user_id", "is_bad_period")
+
+
+def _fs_linkage_sql() -> str:
+    """Oracle for fs_linkage_parts with Bayes-factor literals computed
+    by the SAME Python expressions as the Spark plan, so both engines
+    add the identical doubles in the identical order."""
+    import math
+
+    from pudl_spark.functions.linkage import bayes_factor_bits as bf
+
+    def lit(x: float) -> str:
+        # bare numeric literals parse as DECIMAL in DuckDB; an explicit
+        # CAST keeps the oracle in double arithmetic like Spark
+        return f"CAST({x!r} AS DOUBLE)"
+
+    prior = lit(math.log2(0.001 / 0.999))
+    n = [lit(bf(m, u)) for m, u in
+         [(0.5, 0.004), (0.3, 0.01), (0.1, 0.02), (0.05, 0.05),
+          (0.05, 0.916)]]
+    brand_m, brand_e = lit(bf(0.9, 0.04)), lit(bf(0.1, 0.96))
+    type_m, type_e = lit(bf(0.8, 0.15)), lit(bf(0.2, 0.85))
+    p = [lit(bf(m, u)) for m, u in
+         [(0.4, 0.01), (0.4, 0.19), (0.15, 0.3), (0.05, 0.5)]]
+    return f"""
+WITH l AS (
+  SELECT p_partkey AS lk, p_name AS l_name, p_brand AS l_brand,
+         p_type AS l_type, p_size AS l_size, p_retailprice AS l_price
+  FROM part
+), r AS (
+  SELECT p_partkey AS rk,
+    CASE WHEN p_partkey % 5 = 0
+         THEN regexp_replace(p_name, ' [a-z]+$', '')
+         ELSE p_name || 's' END AS r_name,
+    CASE WHEN p_partkey % 7 = 0 THEN 'Brand#99' ELSE p_brand END
+      AS r_brand,
+    p_type AS r_type, p_size AS r_size,
+    p_retailprice * (1.0 + CAST(p_partkey % 10 AS DOUBLE) / 100.0)
+      AS r_price
+  FROM part
+), cand AS (
+  SELECT DISTINCT lk, rk FROM (
+    SELECT lk, rk FROM l JOIN r ON l.l_type = r.r_type
+                                AND l.l_size = r.r_size
+    UNION ALL
+    SELECT lk, rk FROM l JOIN r ON l.l_brand = r.r_brand
+                                AND l.l_size = r.r_size
+  )
+), scored AS (
+  SELECT c.rk, c.lk, {prior}
+    + CASE WHEN l_name IS NULL OR r_name IS NULL THEN 0.0
+        WHEN l_name = r_name THEN {n[0]}
+        WHEN 1.0 - levenshtein(l_name, r_name)
+             / greatest(length(l_name), length(r_name)) >= 0.9 THEN {n[1]}
+        WHEN 1.0 - levenshtein(l_name, r_name)
+             / greatest(length(l_name), length(r_name)) >= 0.8 THEN {n[2]}
+        WHEN 1.0 - levenshtein(l_name, r_name)
+             / greatest(length(l_name), length(r_name)) >= 0.7 THEN {n[3]}
+        ELSE {n[4]} END
+    + CASE WHEN l_brand IS NULL OR r_brand IS NULL THEN 0.0
+        WHEN l_brand = r_brand THEN {brand_m} ELSE {brand_e} END
+    + CASE WHEN l_type IS NULL OR r_type IS NULL THEN 0.0
+        WHEN l_type = r_type THEN {type_m} ELSE {type_e} END
+    + CASE WHEN l_price IS NULL OR r_price IS NULL THEN 0.0
+        WHEN abs(l_price - r_price)
+             / greatest(abs(l_price), abs(r_price)) < 0.0001 THEN {p[0]}
+        WHEN abs(l_price - r_price)
+             / greatest(abs(l_price), abs(r_price)) < 0.05 THEN {p[1]}
+        WHEN abs(l_price - r_price)
+             / greatest(abs(l_price), abs(r_price)) < 0.1 THEN {p[2]}
+        ELSE {p[3]} END AS w
+  FROM cand c JOIN l ON c.lk = l.lk JOIN r ON c.rk = r.rk
+)
+SELECT rk, lk AS best_lk, round(w, 6) AS match_weight,
+       w > 2.0 AS is_match
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY rk ORDER BY w DESC, lk) AS rn FROM scored)
+WHERE rn = 1
+"""
+
+
+@query("fs_linkage_parts", sql=_fs_linkage_sql())
+def fs_linkage_parts(spark, sf_dir):
+    """G4 Fellegi-Sunter probabilistic linkage (ref: splink model,
+    src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:1-40;
+    levels/blocking eia_ferc1_model_config.py:12-103). Left = clean
+    parts; right = deterministically dirtied copy (pluralized or
+    word-dropped name, occasional wrong brand, up-to-9% price drift).
+    Two blocking rules union-deduped, four comparison columns compiled
+    to literal log2-Bayes-factor `when` chains (one codegen projection,
+    no UDF), weight-ranked best match per right record. At scale both
+    blocking joins shuffle on their keys; the scorer adds none.
+    """
+    from pudl_spark.functions.linkage import (
+        block_candidates, exact_comparison, fellegi_sunter_weight,
+        name_comparison, percentage_comparison)
+
+    part = _t(spark, sf_dir, "part")
+    left = part.select(
+        F.col("p_partkey").alias("lk"), F.col("p_name").alias("l_name"),
+        F.col("p_brand").alias("l_brand"), F.col("p_type").alias("l_type"),
+        F.col("p_size").alias("l_size"),
+        F.col("p_retailprice").alias("l_price"),
+        F.col("p_type").alias("bk_type"), F.col("p_size").alias("bk_size"),
+        F.col("p_brand").alias("bk_brand"))
+    right = part.select(
+        F.col("p_partkey").alias("rk"),
+        F.when(F.col("p_partkey") % 5 == 0,
+               F.regexp_replace(F.col("p_name"), " [a-z]+$", ""))
+        .otherwise(F.concat(F.col("p_name"), F.lit("s"))).alias("r_name"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("Brand#99"))
+        .otherwise(F.col("p_brand")).alias("r_brand"),
+        F.col("p_type").alias("r_type"), F.col("p_size").alias("r_size"),
+        (F.col("p_retailprice")
+         * (1.0 + (F.col("p_partkey") % 10).cast("double") / 100.0))
+        .alias("r_price"))
+    right = right.withColumn("bk_type", F.col("r_type")) \
+        .withColumn("bk_size", F.col("r_size")) \
+        .withColumn("bk_brand", F.col("r_brand"))
+    cand = block_candidates(
+        left, right, [["bk_type", "bk_size"], ["bk_brand", "bk_size"]],
+        "lk", "rk")
+    pairs = (cand.join(left.drop("bk_type", "bk_size", "bk_brand"), "lk")
+             .join(right.drop("bk_type", "bk_size", "bk_brand"), "rk"))
+    w = fellegi_sunter_weight([
+        name_comparison(F.col("l_name"), F.col("r_name")),
+        exact_comparison(F.col("l_brand"), F.col("r_brand"), 0.9, 0.04),
+        exact_comparison(F.col("l_type"), F.col("r_type"), 0.8, 0.15),
+        percentage_comparison(F.col("l_price"), F.col("r_price")),
+    ], prior=0.001)
+    scored = pairs.withColumn("w", w)
+    rn = F.row_number().over(
+        Window.partitionBy("rk").orderBy(F.desc("w"), F.asc("lk")))
+    return (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("rk", F.col("lk").alias("best_lk"),
+                    F.round("w", 6).alias("match_weight"),
+                    (F.col("w") > 2.0).alias("is_match")))

@@ -1,0 +1,57 @@
+"""G4 Fellegi-Sunter linkage: level assignment, weight math, blocking."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.linkage import (
+    bayes_factor_bits, block_candidates, exact_comparison,
+    fellegi_sunter_weight, name_comparison, similarity_ratio,
+)
+
+
+def test_name_comparison_levels(spark):
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abcdefghij", "abcdefghijs"),
+         ("abcdefghij", "zzzzzzzzzz"), (None, "x")],
+        "l string, r string")
+    out = df.select(
+        name_comparison(F.col("l"), F.col("r")).alias("bits")).collect()
+    assert out[0]["bits"] == bayes_factor_bits(0.5, 0.004)     # exact
+    assert out[1]["bits"] == bayes_factor_bits(0.3, 0.01)      # sim>=0.9
+    assert out[2]["bits"] == bayes_factor_bits(0.05, 0.916)    # else
+    assert out[3]["bits"] == 0.0                               # null level
+
+
+def test_weight_is_prior_plus_factors(spark):
+    df = spark.createDataFrame([("a", "a", "x", "y")],
+                               "l1 string, r1 string, l2 string, r2 string")
+    w = fellegi_sunter_weight([
+        exact_comparison(F.col("l1"), F.col("r1"), 0.9, 0.04),
+        exact_comparison(F.col("l2"), F.col("r2"), 0.9, 0.04),
+    ], prior=0.01)
+    got = df.select(w.alias("w")).collect()[0]["w"]
+    want = (math.log2(0.01 / 0.99) + bayes_factor_bits(0.9, 0.04)
+            + bayes_factor_bits(0.1, 0.96))
+    assert got == want
+
+
+def test_block_candidates_union_dedup(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], "lk long, b1 string, b2 string")
+    right = spark.createDataFrame(
+        [(10, "a", "x"), (20, "z", "x")], "rk long, b1 string, b2 string")
+    pairs = block_candidates(left, right, [["b1"], ["b2"]], "lk", "rk")
+    got = {(r["lk"], r["rk"]) for r in pairs.collect()}
+    # (1,10) matches BOTH rules but appears once; (2,10) via b1;
+    # (1,20) via b2
+    assert got == {(1, 10), (2, 10), (1, 20)}
+
+
+def test_similarity_ratio_bounds(spark):
+    df = spark.createDataFrame([("kitten", "sitting")], "l string, r string")
+    got = df.select(
+        similarity_ratio(F.col("l"), F.col("r")).alias("s")).collect()[0]["s"]
+    assert got == 1.0 - 3.0 / 7.0
