@@ -180,16 +180,104 @@ def envelope(geom) -> tuple[float, float, float, float]:
             float(allpts[:, 0].max()), float(allpts[:, 1].max()))
 
 
+def _open_ccw(ring: np.ndarray) -> np.ndarray:
+    """Closed WKB ring -> open CCW vertex list."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    return pts if ring_area(np.vstack([pts, pts[:1]])) > 0 else pts[::-1]
+
+
+def _close(pts: np.ndarray) -> np.ndarray:
+    return np.vstack([pts, pts[:1]])
+
+
+def _is_convex(ring: np.ndarray) -> bool:
+    """True when every turn of the (closed) ring has the same sign
+    (collinear runs allowed)."""
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(pts) < 3:
+        return False
+    e = np.roll(pts, -1, axis=0) - pts
+    cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    return bool(np.all(cross >= 0) or np.all(cross <= 0))
+
+
+def _sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None:
+    """Sutherland-Hodgman: clip an open ring by an open CONVEX CCW
+    ring. Returns the open output ring, or None when empty."""
+    out = [tuple(p) for p in subject]
+    n = len(clip)
+    for i in range(n):
+        ax, ay = clip[i]
+        bx, by = clip[(i + 1) % n]
+        dcx, dcy = bx - ax, by - ay
+        inp, out = out, []
+        if not inp:
+            return None
+        s = inp[-1]
+        s_in = dcx * (s[1] - ay) - dcy * (s[0] - ax) >= 0
+        for e in inp:
+            e_in = dcx * (e[1] - ay) - dcy * (e[0] - ax) >= 0
+            if e_in != s_in:
+                n3 = dcx * (s[1] - ay) - dcy * (s[0] - ax)
+                n4 = dcx * (e[1] - ay) - dcy * (e[0] - ax)
+                t = n3 / (n3 - n4)
+                out.append((s[0] + t * (e[0] - s[0]),
+                            s[1] + t * (e[1] - s[1])))
+            if e_in:
+                out.append(e)
+            s, s_in = e, e_in
+    return np.array(out) if len(out) >= 3 else None
+
+
 def clip_kernel(geom_a, geom_b):
-    """Polygon-polygon intersection — the one kernel that needs a real
-    computational-geometry library (ref: spatial.py:118,207 uses
-    shapely via geopandas). Swap in Sedona's ST_Intersection or
-    shapely here when available; the blocking/allocation machinery
-    around it (candidate generation, area ratios) is library-agnostic.
+    """Polygon-polygon intersection (ref: overlay/self_union,
+    src/pudl/analysis/spatial.py:118,207 — shapely via geopandas).
+
+    Pure-python Sutherland-Hodgman when either operand is a CONVEX
+    hole-free polygon (grid cells, envelopes, census-tract
+    quadrilaterals — the dominant clip shapes): each ring of the other
+    operand is clipped against it; holes clip independently and stay
+    holes. Concave-x-concave clipping still needs a real geometry
+    library — swap shapely/Sedona ST_Intersection into this function;
+    the blocking/allocation machinery around it is library-agnostic.
     """
-    raise NotImplementedError(
-        "polygon clipping requires shapely/Sedona; plug a kernel into "
-        "pudl_spark.functions.geo.clip_kernel")
+    if geom_a is None or geom_b is None:
+        return None
+
+    def _convex_clip_ring(geom):
+        kind, data = geom
+        if (kind == "polygon" and len(data) == 1
+                and _is_convex(data[0])):
+            return _open_ccw(data[0])
+        return None
+
+    clip = _convex_clip_ring(geom_b)
+    subject = geom_a
+    if clip is None:
+        clip = _convex_clip_ring(geom_a)  # intersection commutes
+        subject = geom_b
+    if clip is None:
+        raise NotImplementedError(
+            "concave-x-concave clipping requires shapely/Sedona; plug a "
+            "kernel into pudl_spark.functions.geo.clip_kernel")
+    kind, data = subject
+    parts = [data] if kind == "polygon" else data
+    out_parts = []
+    for rings in parts:
+        ext = _sh_clip(_open_ccw(rings[0]), clip)
+        if ext is None:
+            continue
+        new_rings = [_close(ext)]
+        for hole in rings[1:]:
+            h = _sh_clip(_open_ccw(hole), clip)
+            if h is not None:
+                new_rings.append(_close(h))
+        out_parts.append(new_rings)
+    if not out_parts:
+        return None
+    if len(out_parts) == 1:
+        return ("polygon", out_parts[0])
+    return ("multipolygon", out_parts)
 
 
 # ------------------------------------------------- DataFrame operators
@@ -344,3 +432,56 @@ def points_in_polygons_join(points: DataFrame, polygons: DataFrame,
                          "key against this result")
     return cand.filter(_contains(F.col(geom_col), F.col(x_col),
                                  F.col(y_col)))
+
+
+def overlay(left: DataFrame, right: DataFrame, left_key: str,
+            right_key: str, data_cols: list[str] | None = None,
+            left_geom: str = "geom", right_geom: str = "zone_geom",
+            cell: float = 1.0) -> DataFrame:
+    """Geo4: polygon overlay with area-proportional allocation (ref:
+    spatial.overlay, src/pudl/analysis/spatial.py:207 — intersect and
+    split data columns by area ratio).
+
+    Distributed shape: both sides explode to the grid cells their
+    envelopes touch; candidates come from an equi-join on the cell
+    (broadcast when the zone side is small), deduped on the pair key;
+    the exact clip + area runs Arrow-batched on candidates only. Data
+    columns scale by area(a ∩ b) / area(a) — conservation: the pieces
+    of a fully-covered left polygon sum back to its totals. Zero-area
+    intersections drop out, like geopandas' keep_geom_type pruning.
+    """
+    data_cols = data_cols or []
+    lt = add_envelope(add_area(left, left_geom, "__larea"), left_geom)
+    lcells = lt.withColumn("__cell", F.explode(_grid_cells_expr(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        cell))).drop("xmin", "ymin", "xmax", "ymax")
+    rt = add_envelope(right, right_geom)
+    rcells = rt.withColumn("__cell", F.explode(_grid_cells_expr(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        cell))).drop("xmin", "ymin", "xmax", "ymax")
+    cand = (lcells.join(rcells, on="__cell").drop("__cell")
+            .dropDuplicates([left_key, right_key]))
+
+    @pandas_udf("double")
+    def _inter_area(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ga, gb in zip(a, b):
+            if ga is None or gb is None:
+                out.append(0.0)
+                continue
+            clipped = clip_kernel(parse_wkb(ga), parse_wkb(gb))
+            out.append(geometry_area(clipped) if clipped is not None
+                       else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    pieces = cand.withColumn(
+        "__iarea", _inter_area(F.col(left_geom), F.col(right_geom)))
+    pieces = pieces.filter(F.col("__iarea") > 0.0).withColumn(
+        "__ratio", F.col("__iarea") / F.col("__larea"))
+    scaled = [(F.col(c) * F.col("__ratio")).alias(c) for c in data_cols]
+    keep = [c for c in left.columns
+            if c not in data_cols and c != left_geom]
+    return pieces.select(
+        *keep, right_key, *scaled,
+        F.col("__iarea").alias("intersection_area"),
+        F.col("__ratio").alias("area_ratio"))

@@ -3004,3 +3004,73 @@ def fs_linkage_parts(spark, sf_dir):
             .select("rk", F.col("lk").alias("best_lk"),
                     F.round("w", 6).alias("match_weight"),
                     (F.col("w") > 2.0).alias("is_match")))
+
+
+@query("nation_zone_overlay", sql="""
+WITH n AS (
+  SELECT n_nationkey,
+    CAST(n_nationkey % 5 AS DOUBLE) * 1.5 AS x1,
+    CAST(n_nationkey // 5 AS DOUBLE) * 1.5 AS y1,
+    CAST(n_nationkey AS DOUBLE) + 10.0 AS value
+  FROM nation
+), z AS (
+  SELECT 'west' AS zone, CAST(-1.0 AS DOUBLE) AS zx1,
+         CAST(-1.0 AS DOUBLE) AS zy1, CAST(3.5 AS DOUBLE) AS zx2,
+         CAST(9.0 AS DOUBLE) AS zy2
+  UNION ALL
+  SELECT 'east', CAST(3.5 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+         CAST(9.0 AS DOUBLE), CAST(9.0 AS DOUBLE)
+), pieces AS (
+  SELECT z.zone, n.value,
+    greatest(CAST(0.0 AS DOUBLE), least(x1 + 2.0, zx2) - greatest(x1, zx1))
+    * greatest(CAST(0.0 AS DOUBLE), least(y1 + 2.0, zy2) - greatest(y1, zy1))
+      AS iarea
+  FROM n CROSS JOIN z
+)
+SELECT zone,
+  CAST(count(CASE WHEN iarea > 0 THEN 1 END) AS BIGINT) AS n_pieces,
+  sum(CASE WHEN iarea > 0 THEN value * (iarea / 4.0) END) AS alloc_value
+FROM pieces GROUP BY zone
+""")
+def nation_zone_overlay(spark, sf_dir):
+    """Geo4 overlay with area-proportional allocation, end-to-end
+    through the WKB codec, grid-cell blocking and the Sutherland-
+    Hodgman clip kernel (ref: spatial.overlay,
+    src/pudl/analysis/spatial.py:207). Nations become 2x2 squares on a
+    1.5-pitch lattice (all coordinates dyadic, so every intersection
+    area and ratio is an exact double and the oracle's closed-form
+    rectangle-overlap arithmetic matches bit-for-bit); two convex
+    zones split the plane at x=3.5. The zone side is tiny and
+    broadcasts; the clip runs Arrow-batched on blocked candidates.
+    """
+    from pudl_spark.functions.geo import overlay, polygon_wkb
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5).cast("double") * 1.5).alias("x1"),
+        (F.floor(F.col("n_nationkey") / 5).cast("double") * 1.5)
+        .alias("y1"),
+        (F.col("n_nationkey").cast("double") + 10.0).alias("value"))
+
+    @pandas_udf("binary")
+    def _rect(x1, y1):
+        return pd.Series([
+            polygon_wkb([(a, b), (a + 2.0, b), (a + 2.0, b + 2.0),
+                         (a, b + 2.0)])
+            for a, b in zip(x1, y1)])
+
+    left = nat.withColumn("geom", _rect(F.col("x1"), F.col("y1"))) \
+        .select("n_nationkey", "geom", "value")
+    zones = spark.createDataFrame(
+        [("west", bytearray(polygon_wkb(
+            [(-1.0, -1.0), (3.5, -1.0), (3.5, 9.0), (-1.0, 9.0)]))),
+         ("east", bytearray(polygon_wkb(
+             [(3.5, -1.0), (9.0, -1.0), (9.0, 9.0), (3.5, 9.0)])))],
+        "zone string, zone_geom binary")
+    pieces = overlay(left, F.broadcast(zones), "n_nationkey", "zone",
+                     ["value"], cell=2.0)
+    return pieces.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+        F.sum("value").alias("alloc_value"))

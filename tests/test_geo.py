@@ -89,8 +89,61 @@ def test_area_column(spark):
     assert rows[1] == pytest.approx(0.75) and rows[2] is None
 
 
-def test_clip_kernel_is_explicitly_stubbed():
-    from pudl_spark.functions.geo import clip_kernel
+def test_clip_kernel_convex_square_overlap():
+    from pudl_spark.functions.geo import (
+        clip_kernel, geometry_area, parse_wkb)
 
+    a = parse_wkb(polygon_wkb([(0, 0), (2, 0), (2, 2), (0, 2)]))
+    b = parse_wkb(polygon_wkb([(1, 1), (3, 1), (3, 3), (1, 3)]))
+    got = clip_kernel(a, b)
+    assert got is not None and geometry_area(got) == pytest.approx(1.0)
+    # commutes
+    assert geometry_area(clip_kernel(b, a)) == pytest.approx(1.0)
+    # disjoint -> None
+    c = parse_wkb(polygon_wkb([(10, 10), (11, 10), (11, 11), (10, 11)]))
+    assert clip_kernel(a, c) is None
+
+
+def test_clip_kernel_concave_subject_and_holes():
+    from pudl_spark.functions.geo import (
+        clip_kernel, geometry_area, parse_wkb)
+
+    # L-shaped (concave) subject clipped by a convex square: area of
+    # the L inside x<=1 is 1x2 = 2.
+    ell = parse_wkb(polygon_wkb(
+        [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)]))
+    clip = parse_wkb(polygon_wkb([(0, 0), (1, 0), (1, 2), (0, 2)]))
+    assert geometry_area(clip_kernel(ell, clip)) == pytest.approx(2.0)
+    # subject with a hole: hole survives the clip where it overlaps
+    holed = parse_wkb(polygon_wkb(
+        [(0, 0), (4, 0), (4, 4), (0, 4)],
+        [[(1, 1), (3, 1), (3, 3), (1, 3)]]))
+    half = parse_wkb(polygon_wkb([(0, 0), (2, 0), (2, 4), (0, 4)]))
+    # left half: 2*4 = 8 minus clipped hole 1x2 = 2 -> 6
+    assert geometry_area(clip_kernel(holed, half)) == pytest.approx(6.0)
+    # concave x concave still gated
+    ell2 = parse_wkb(polygon_wkb(
+        [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)]))
     with pytest.raises(NotImplementedError):
-        clip_kernel(None, None)
+        clip_kernel(ell, ell2)
+
+
+def test_overlay_area_proportional_allocation(spark):
+    from pudl_spark.functions.geo import overlay
+
+    left = spark.createDataFrame(
+        [(1, bytearray(polygon_wkb([(0, 0), (2, 0), (2, 2), (0, 2)])),
+          100.0)],
+        "gid long, geom binary, load_mwh double")
+    right = spark.createDataFrame(
+        [("east", bytearray(polygon_wkb([(1, 0), (3, 0), (3, 2), (1, 2)]))),
+         ("west", bytearray(polygon_wkb([(-1, 0), (1, 0), (1, 2), (-1, 2)]))),
+         ("far", bytearray(polygon_wkb([(9, 9), (10, 9), (10, 10), (9, 10)])))],
+        "zone string, zone_geom binary")
+    out = overlay(left, right, "gid", "zone", ["load_mwh"], cell=1.5)
+    rows = {r["zone"]: r for r in out.collect()}
+    assert set(rows) == {"east", "west"}
+    assert rows["east"]["load_mwh"] == pytest.approx(50.0)
+    assert rows["west"]["load_mwh"] == pytest.approx(50.0)
+    assert rows["east"]["intersection_area"] == pytest.approx(2.0)
+    assert rows["east"]["area_ratio"] == pytest.approx(0.5)
