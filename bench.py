@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "doc_fingerprints_fast",
     "impute_event_values",
     "linkage_best_match",
+    "fs_linkage_parts",
+    "nation_zone_overlay",
     "event_sessions_cc",
     "media_feature_extract",
 ]

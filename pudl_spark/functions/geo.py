@@ -451,7 +451,26 @@ def overlay(left: DataFrame, right: DataFrame, left_key: str,
     intersections drop out, like geopandas' keep_geom_type pruning.
     """
     data_cols = data_cols or []
-    lt = add_envelope(add_area(left, left_geom, "__larea"), left_geom)
+
+    # One fused Arrow pass for the left side's area + envelope (two
+    # separate pandas_udf stages would double the Python round-trips).
+    @pandas_udf("area double, xmin double, ymin double, "
+                "xmax double, ymax double")
+    def _area_env(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            if b is None:
+                rows.append((None,) * 5)
+                continue
+            g = parse_wkb(b)
+            rows.append((geometry_area(g),) + envelope(g))
+        return pd.DataFrame(
+            rows, columns=["area", "xmin", "ymin", "xmax", "ymax"])
+
+    lt = (left.withColumn("__ae", _area_env(F.col(left_geom)))
+          .select("*", F.col("__ae.area").alias("__larea"),
+                  "__ae.xmin", "__ae.ymin", "__ae.xmax", "__ae.ymax")
+          .drop("__ae"))
     lcells = lt.withColumn("__cell", F.explode(_grid_cells_expr(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
         cell))).drop("xmin", "ymin", "xmax", "ymax")

@@ -1750,7 +1750,14 @@ def impute_event_values(spark, sf_dir):
             "value_imputed": out,
         })
 
-    return ev.groupBy("user_id").applyInPandas(
+    # Hash-repartition by the group key BEFORE the island: AQE's
+    # byte-based coalescing would squeeze this small-in-bytes but
+    # CPU-heavy stage onto ~2 cores; the explicit user partitioning is
+    # exempt from coalescing and reused by groupBy (no extra exchange).
+    from pudl_spark.catalog import spread_small_input
+
+    return spread_small_input(ev, "user_id").groupBy(
+        "user_id").applyInPandas(
         fill, "event_id long, user_id long, value_imputed double")
 
 
@@ -2955,23 +2962,27 @@ def fs_linkage_parts(spark, sf_dir):
     levels/blocking eia_ferc1_model_config.py:12-103). Left = clean
     parts; right = deterministically dirtied copy (pluralized or
     word-dropped name, occasional wrong brand, up-to-9% price drift).
-    Two blocking rules union-deduped, four comparison columns compiled
+    Two blocking rules unioned, four comparison columns compiled
     to literal log2-Bayes-factor `when` chains (one codegen projection,
     no UDF), weight-ranked best match per right record. At scale both
     blocking joins shuffle on their keys; the scorer adds none.
     """
     from pudl_spark.functions.linkage import (
-        block_candidates, exact_comparison, fellegi_sunter_weight,
-        name_comparison, percentage_comparison)
+        exact_comparison, fellegi_sunter_weight, name_comparison,
+        percentage_comparison)
+
+    from pudl_spark.catalog import spread_small_input
 
     part = _t(spark, sf_dir, "part")
-    left = part.select(
+    # The dirty side broadcasts (dimension-sized); the clean side is
+    # the probe and carries the per-pair scoring work, so spread it
+    # across cores first — a broadcast join inherits the probe side's
+    # partitioning, and a single-file input is ONE partition.
+    left = spread_small_input(part, "p_partkey").select(
         F.col("p_partkey").alias("lk"), F.col("p_name").alias("l_name"),
         F.col("p_brand").alias("l_brand"), F.col("p_type").alias("l_type"),
         F.col("p_size").alias("l_size"),
-        F.col("p_retailprice").alias("l_price"),
-        F.col("p_type").alias("bk_type"), F.col("p_size").alias("bk_size"),
-        F.col("p_brand").alias("bk_brand"))
+        F.col("p_retailprice").alias("l_price"))
     right = part.select(
         F.col("p_partkey").alias("rk"),
         F.when(F.col("p_partkey") % 5 == 0,
@@ -2983,21 +2994,29 @@ def fs_linkage_parts(spark, sf_dir):
         (F.col("p_retailprice")
          * (1.0 + (F.col("p_partkey") % 10).cast("double") / 100.0))
         .alias("r_price"))
-    right = right.withColumn("bk_type", F.col("r_type")) \
-        .withColumn("bk_size", F.col("r_size")) \
-        .withColumn("bk_brand", F.col("r_brand"))
-    cand = block_candidates(
-        left, right, [["bk_type", "bk_size"], ["bk_brand", "bk_size"]],
-        "lk", "rk")
-    pairs = (cand.join(left.drop("bk_type", "bk_size", "bk_brand"), "lk")
-             .join(right.drop("bk_type", "bk_size", "bk_brand"), "rk"))
+    # Payload-carrying blocking: each rule is one equi-join that
+    # already carries the comparison attributes, so scoring happens
+    # map-side right after each join. No pair-dedup shuffle and no
+    # re-attach joins — a pair surfaced by BOTH rules is scored twice
+    # (identical weight), and the final top-1-per-rk window absorbs
+    # the duplicate. The window input is projected to (rk, lk, w)
+    # so the big shuffle moves three narrow columns.
+    # (The general-purpose `block_candidates` keeps dedup semantics
+    # for callers that materialize the pair set itself.)
     w = fellegi_sunter_weight([
         name_comparison(F.col("l_name"), F.col("r_name")),
         exact_comparison(F.col("l_brand"), F.col("r_brand"), 0.9, 0.04),
         exact_comparison(F.col("l_type"), F.col("r_type"), 0.8, 0.15),
         percentage_comparison(F.col("l_price"), F.col("r_price")),
     ], prior=0.001)
-    scored = pairs.withColumn("w", w)
+    cand1 = left.join(
+        F.broadcast(right), (left["l_type"] == right["r_type"])
+        & (left["l_size"] == right["r_size"]))
+    cand2 = left.join(
+        F.broadcast(right), (left["l_brand"] == right["r_brand"])
+        & (left["l_size"] == right["r_size"]))
+    scored = cand1.unionByName(cand2).select(
+        "rk", "lk", w.alias("w"))
     rn = F.row_number().over(
         Window.partitionBy("rk").orderBy(F.desc("w"), F.asc("lk")))
     return (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
@@ -3074,3 +3093,121 @@ def nation_zone_overlay(spark, sf_dir):
     return pieces.groupBy("zone").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
         F.sum("value").alias("alloc_value"))
+
+
+@query("doc_gopher_repetition", sql="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  CAST(count(*) AS BIGINT) AS n_distinct_words,
+  CAST(max(c) AS BIGINT) AS top_word_count,
+  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_word_frac,
+  1.0 - CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT)
+    AS dup_word_frac,
+  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) > 0.1
+    OR 1.0 - CAST(count(*) AS BIGINT) / CAST(sum(c) AS BIGINT) > 0.8
+    AS is_repetitive
+FROM wc GROUP BY doc_id
+""")
+def doc_gopher_repetition(spark, sf_dir):
+    """Training-data quality: Gopher-style repetition signals per
+    document (top-word fraction, duplicate-word fraction) — the
+    word-level analogues of Rae et al. 2021's repeated-line/ngram
+    filters, alongside the length/stopword screens in
+    functions/text.py. Two aggregations sharing the doc_id key:
+    explode -> per-(doc, word) count (map-side combinable) -> per-doc
+    rollup; input spread across cores (single-file small input).
+    """
+    docs = _spread_docs(_t(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("bigint")
+    ndist = F.count(F.lit(1)).cast("bigint")
+    top = F.max("c").cast("bigint")
+    return wc.groupBy("doc_id").agg(
+        total.alias("n_words"),
+        ndist.alias("n_distinct_words"),
+        top.alias("top_word_count"),
+        (top / total).alias("top_word_frac"),
+        (1.0 - ndist / total).alias("dup_word_frac"),
+        ((top / total > 0.1) | (1.0 - ndist / total > 0.8))
+        .alias("is_repetitive"))
+
+
+@query("doc_pii_scrub", sql="""
+WITH aug AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now'
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '[0-9]{3}-[0-9]{4,5}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT)
+    AS n_ips,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+    '[0-9]{3}-[0-9]{4,5}', '<PHONE>', 'g'),
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+    AS scrubbed
+FROM aug
+""")
+def doc_pii_scrub(spark, sf_dir):
+    """Training-data pipeline: PII detection + redaction (emails,
+    phone fragments, IPv4) as pure regexp expressions — whole-stage
+    codegen, no UDF, no shuffle; at 100 TB this runs as a map-only
+    pass over the corpus. PII instances are injected deterministically
+    from doc_id so the screen has known ground truth at any scale.
+    """
+    docs = _spread_docs(_t(spark, sf_dir, "documents"))
+    email_re = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+    phone_re = "[0-9]{3}-[0-9]{4,5}"
+    ip_re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call 555-01"),
+                            (F.col("doc_id") % 100).cast("string")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".1")))
+            .otherwise(F.lit(""))).alias("text"))
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all("text", F.lit(ip_re), F.lit(0)))
+        .cast("bigint").alias("n_ips"),
+        F.regexp_replace(F.regexp_replace(F.regexp_replace(
+            F.col("text"),
+            email_re, "<EMAIL>"),
+            phone_re, "<PHONE>"),
+            ip_re, "<IP>").alias("scrubbed"))
