@@ -10,6 +10,7 @@ partitioning replaces the IO manager.
 from pudl_spark.sources.files import (
     extract_partitions, read_csv, write_parquet_table,
 )
+from pudl_spark.sources.dbf import dbf_struct_type, parse_dbf, read_dbf
 from pudl_spark.sources.excel import (
     extract_excel_partitions, parse_xlsx, read_excel,
 )
@@ -23,6 +24,9 @@ __all__ = [
     "extract_partitions",
     "read_csv",
     "write_parquet_table",
+    "dbf_struct_type",
+    "parse_dbf",
+    "read_dbf",
     "extract_excel_partitions",
     "parse_xlsx",
     "read_excel",
