@@ -3211,3 +3211,101 @@ def doc_pii_scrub(spark, sf_dir):
             email_re, "<EMAIL>"),
             phone_re, "<PHONE>"),
             ip_re, "<IP>").alias("scrubbed"))
+
+
+@query("user_ramp_extremes", sql="""
+WITH r AS (
+  SELECT user_id, event_id,
+    value - lag(value) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) AS ramp
+  FROM events
+), b AS (
+  SELECT user_id, ramp,
+    ntile(20) OVER (PARTITION BY user_id ORDER BY ramp, event_id)
+      AS bin
+  FROM r WHERE ramp IS NOT NULL
+)
+SELECT user_id,
+  median(CASE WHEN bin = 1 THEN ramp END) AS max_rampdown,
+  median(CASE WHEN bin = 20 THEN ramp END) AS max_rampup,
+  CAST(count(*) AS BIGINT) AS n_ramps
+FROM b GROUP BY user_id
+""")
+def user_ramp_extremes(spark, sf_dir):
+    """W5 ramp-rate summary (ref: summarize_ramp_rates,
+    src/pudl/analysis/operational_characteristics.py:269-326): per-unit
+    lag-diff ramps, ntile(20) equal-count bins, and the median of the
+    bottom/top 5% bins as the characteristic max ramp-down/up. One
+    window partitioning on user_id serves the lag, the ntile and the
+    final aggregation — a single shuffle end-to-end.
+    """
+    from pudl_spark.operators.windows import ramp_rates
+
+    ev = _t(spark, sf_dir, "events")
+    ramps = ramp_rates(
+        ev, ["user_id"], "ts", "value", out_col="ramp")
+    ramps = ramps.filter(F.col("ramp").isNotNull())
+    bin_w = Window.partitionBy("user_id").orderBy("ramp", "event_id")
+    binned = ramps.select(
+        "user_id", "ramp", F.ntile(20).over(bin_w).alias("bin"))
+    return binned.groupBy("user_id").agg(
+        F.median(F.when(F.col("bin") == 1, F.col("ramp")))
+        .alias("max_rampdown"),
+        F.median(F.when(F.col("bin") == 20, F.col("ramp")))
+        .alias("max_rampup"),
+        F.count(F.lit(1)).alias("n_ramps"))
+
+
+@query("user_stable_load_bin", sql="""
+WITH b AS (
+  SELECT user_id, event_id, ts,
+    ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+      AS bin
+  FROM events WHERE value IS NOT NULL
+), brk AS (
+  SELECT *, CASE WHEN bin = lag(bin) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END
+      AS chg
+  FROM b
+), runs AS (
+  SELECT *, sum(chg) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS run
+  FROM brk
+), sized AS (
+  SELECT user_id, bin,
+    count(*) OVER (PARTITION BY user_id, run) AS rl
+  FROM runs
+)
+SELECT user_id,
+  min(CASE WHEN rl >= 3 THEN bin END) AS min_stable_bin,
+  CAST(count(CASE WHEN rl >= 3 THEN 1 END) AS BIGINT)
+    AS n_stable_rows
+FROM sized GROUP BY user_id
+""")
+def user_stable_load_bin(spark, sf_dir):
+    """W6 load-factor binning with minimum-stable-load detection (ref:
+    operational_characteristics.py:182,422-480): qcut-style ntile(4)
+    bins per unit, then gaps-and-islands over time to find bins the
+    unit HOLDS for >= 3 consecutive events; the smallest such bin is
+    the minimum stable load. ntile and the run detection share the
+    user_id partitioning; only the run-length count adds a second
+    exchange on (user_id, run).
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    binned = ev.select(
+        "user_id", "event_id", "ts",
+        F.ntile(4).over(bin_w).alias("bin"))
+    tw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("bin").over(tw) == F.col("bin"), F.lit(0)).otherwise(F.lit(1))
+    runs = binned.withColumn(
+        "run", F.sum(chg).over(tw.rowsBetween(Window.unboundedPreceding, 0)))
+    rl = F.count(F.lit(1)).over(Window.partitionBy("user_id", "run"))
+    sized = runs.withColumn("rl", rl)
+    return sized.groupBy("user_id").agg(
+        F.min(F.when(F.col("rl") >= 3, F.col("bin")))
+        .alias("min_stable_bin"),
+        F.count(F.when(F.col("rl") >= 3, F.lit(1)))
+        .cast("bigint").alias("n_stable_rows"))

@@ -79,18 +79,45 @@ def sessionize_stream(events: DataFrame, gap: str = "2 hours",
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         spark: SparkSession) -> DataFrame:
+                         spark: SparkSession,
+                         output_mode: str | None = None) -> DataFrame:
     """Drain a stream with availableNow into an in-memory sink and
     return the result as a batch DataFrame (test/debug utility —
     production sinks are writeStream.format('parquet') with
-    checkpointing).
+    checkpointing). Aggregating streams default to complete mode;
+    row-level streams (dedup, filters) must pass append.
     """
+    if output_mode is None:
+        output_mode = "complete" if stream_df.isStreaming else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: drop repeats of the same key
+    within the watermark horizon (`dropDuplicatesWithinWatermark`),
+    bounding dedup state the way a 100 TB ingest requires — the
+    unbounded-state `dropDuplicates` would OOM on an endless stream.
+
+    The training-data twin of the batch `exact_dedup_docs` hash-
+    groupBy: at ingest time the same document/event arriving twice
+    within the horizon is emitted once. On a *batch* DataFrame Spark
+    rejects the watermark variant, so this falls back to plain
+    dropDuplicates — the logical result on a finite input is the same
+    whenever repeats land inside the horizon, which is what the
+    batch-parity test pins.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(
+            watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -85,3 +85,23 @@ def test_stateful_running_totals_match_batch(spark, events_dir):
     for u, (n, s) in expect.items():
         assert got[u][0] == n
         assert abs(got[u][1] - s) < 1e-6
+
+
+def test_dedup_stream_within_watermark(spark, events_dir):
+    """Duplicated input (every event appears twice across micro-
+    batches via a doubled file set) dedups back to the batch-distinct
+    row set, with state bounded by the watermark."""
+    from pudl_spark.streaming.pipeline import dedup_stream
+
+    batch = spark.read.parquet(events_dir)
+    dup_dir = events_dir + "_doubled"
+    batch.write.parquet(dup_dir)
+    batch.write.mode("append").parquet(dup_dir)
+
+    expect = dedup_stream(spark.read.parquet(dup_dir))
+    stream = read_events_stream(spark, dup_dir, max_files_per_trigger=3)
+    got = run_stream_to_memory(
+        dedup_stream(stream), "dedup", spark, output_mode="append")
+    keys = ["event_id", "user_id", "event_type"]
+    assert canon(got, keys) == canon(expect, keys)
+    assert got.count() == batch.count()
