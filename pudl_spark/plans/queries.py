@@ -3309,3 +3309,74 @@ def user_stable_load_bin(spark, sf_dir):
         .alias("min_stable_bin"),
         F.count(F.when(F.col("rl") >= 3, F.lit(1)))
         .cast("bigint").alias("n_stable_rows"))
+
+
+@query("customer_parts_true_gran", sql="""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+  WHERE c_acctbal < -500
+), lvl1 AS (
+  SELECT 'nation' AS part_label, 1 AS priority,
+    'nation:' || CAST(c_nationkey AS VARCHAR) AS record_id,
+    array_to_string(list(c_custkey ORDER BY c_custkey), ',')
+      AS gens_combo,
+    CAST(count(*) AS BIGINT) AS n_members
+  FROM cust GROUP BY c_nationkey
+), lvl2 AS (
+  SELECT 'nation_segment' AS part_label, 2 AS priority,
+    'nation_segment:' || CAST(c_nationkey AS VARCHAR) || ':'
+      || c_mktsegment AS record_id,
+    array_to_string(list(c_custkey ORDER BY c_custkey), ',')
+      AS gens_combo,
+    CAST(count(*) AS BIGINT) AS n_members
+  FROM cust GROUP BY c_nationkey, c_mktsegment
+), parts AS (
+  SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+)
+SELECT record_id, part_label, n_members,
+  row_number() OVER w = 1 AS true_gran,
+  first_value(part_label) OVER w AS appro_part_label,
+  first_value(record_id) OVER w AS appro_record_id
+FROM parts
+WINDOW w AS (PARTITION BY gens_combo ORDER BY priority, record_id)
+""")
+def customer_parts_true_gran(spark, sf_dir):
+    """A11 true-granularity labeling (ref: TrueGranLabeler,
+    src/pudl/analysis/plant_parts_eia.py:1103-1180): multi-granularity
+    aggregates map to their constituent-member combo (sorted id list);
+    records sharing a combo are the same slice reported at different
+    part levels — the highest-priority one is the TRUE granularity and
+    the rest point at it (appro_* columns). Spark shape: per-level
+    groupBy (shared member-scan), union, one window on the combo key.
+    The combo string is bounded by group size (plant-scale, ~10^2), so
+    the shuffle key stays small at any table size.
+    """
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_acctbal") < -500)
+            .select("c_custkey", "c_nationkey", "c_mktsegment"))
+    combo = F.concat_ws(
+        ",", F.transform(F.sort_array(F.collect_list("c_custkey")),
+                         lambda x: x.cast("string")))
+    lvl1 = cust.groupBy("c_nationkey").agg(
+        combo.alias("gens_combo"),
+        F.count(F.lit(1)).alias("n_members")).select(
+        F.lit("nation").alias("part_label"), F.lit(1).alias("priority"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string"))
+        .alias("record_id"),
+        "gens_combo", "n_members")
+    lvl2 = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        combo.alias("gens_combo"),
+        F.count(F.lit(1)).alias("n_members")).select(
+        F.lit("nation_segment").alias("part_label"),
+        F.lit(2).alias("priority"),
+        F.concat(F.lit("nation_segment:"),
+                 F.col("c_nationkey").cast("string"), F.lit(":"),
+                 F.col("c_mktsegment")).alias("record_id"),
+        "gens_combo", "n_members")
+    parts = lvl1.unionByName(lvl2)
+    w = Window.partitionBy("gens_combo").orderBy("priority", "record_id")
+    return parts.select(
+        "record_id", "part_label", "n_members",
+        (F.row_number().over(w) == 1).alias("true_gran"),
+        F.first("part_label").over(w).alias("appro_part_label"),
+        F.first("record_id").over(w).alias("appro_record_id"))
