@@ -3380,3 +3380,58 @@ def customer_parts_true_gran(spark, sf_dir):
         (F.row_number().over(w) == 1).alias("true_gran"),
         F.first("part_label").over(w).alias("appro_part_label"),
         F.first("record_id").over(w).alias("appro_record_id"))
+
+
+@query("supplier_territory_area", sql="""
+WITH terr AS (
+  SELECT s.s_suppkey, n2.n_nationkey
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN nation n2 ON n2.n_regionkey = n.n_regionkey
+)
+SELECT s_suppkey,
+  CAST(count(*) AS BIGINT) AS n_counties,
+  sum(CAST(4.0 AS DOUBLE)) AS territory_area
+FROM terr GROUP BY s_suppkey
+""")
+def supplier_territory_area(spark, sf_dir):
+    """Geo5 service-territory compilation (ref: service_territory.py:
+    65-374 — utility-year -> set of counties -> dissolve into one
+    territory geometry): suppliers serve every county cell of their
+    region; county cells are disjoint 2x2 squares on a lattice, so the
+    Geo3 part-concat dissolve is the exact union and each territory's
+    shoelace area is 4 x county-count — which is the oracle's closed
+    form. Dims broadcast; one shuffle for the dissolve groupBy; the
+    area computation is an Arrow pass over one row per supplier.
+    """
+    from pudl_spark.functions.geo import add_area, dissolve, polygon_wkb
+    from pyspark.sql.functions import pandas_udf
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    terr = (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .select("s_suppkey", "n_regionkey")
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("county_key"),
+                "n_regionkey")), "n_regionkey"))
+
+    @pandas_udf("binary")
+    def _cell(k):
+        import pandas as pd
+
+        out = []
+        for key in k:
+            x = float(key % 5) * 2.0
+            y = float(key // 5) * 2.0
+            out.append(polygon_wkb(
+                [(x, y), (x + 2.0, y), (x + 2.0, y + 2.0), (x, y + 2.0)]))
+        return pd.Series(out)
+
+    cells = terr.select(
+        "s_suppkey", _cell(F.col("county_key")).alias("geom"),
+        F.lit(1).cast("bigint").alias("n_counties"))
+    territories = dissolve(cells, ["s_suppkey"], "geom",
+                           sum_cols=["n_counties"])
+    return add_area(territories, "geom", "territory_area").select(
+        "s_suppkey", "n_counties", "territory_area")
