@@ -142,3 +142,46 @@ def add_codes_from_lookup(df: DataFrame, lookup: DataFrame, name_col: str,
         .join(F.broadcast(lk), on="__lookup_key", how="left")
         .drop("__lookup_key")
     )
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str,
+              value_cols: list[str],
+              prefix: str = "asof_") -> DataFrame:
+    """Backward as-of join: for every left row, attach the LATEST
+    right row with ``right_ts <= left_ts`` per key (the changelog /
+    point-in-time lookup shape behind J10 and the reference's
+    valid-until reads, helpers.py:2627-2657 + sec10k.py:613).
+
+    Spark has no native ASOF JOIN; a range join would be a
+    BroadcastNestedLoop at scale. This is the scalable re-expression:
+    tag and union both sides, sort within key, and carry the most
+    recent right payload forward with last(ignorenulls) — ONE shuffle
+    on the key, no range predicate, works at any table ratio. Right
+    payloads ride in a struct so legitimately-NULL right values don't
+    fall through to an older row. Ties on the timestamp order right
+    rows before left rows (<= semantics, like DuckDB's ASOF JOIN).
+    """
+    from pyspark.sql import Window
+
+    l_tag = left.withColumn("__asof_side", F.lit(1)) \
+        .withColumn("__asof_ts", F.col(left_ts))
+    payload = F.struct(F.col(right_ts).alias("__ts"),
+                       *[F.col(c) for c in value_cols])
+    r_tag = (right.select(*on, F.col(right_ts).alias("__asof_ts"),
+                          payload.alias("__asof_payload"))
+             .withColumn("__asof_side", F.lit(0)))
+    both = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (Window.partitionBy(*on)
+         .orderBy("__asof_ts", "__asof_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    matched = F.last("__asof_payload", ignorenulls=True).over(w)
+    out = both.withColumn("__asof_match", matched) \
+        .filter(F.col("__asof_side") == 1)
+    cols = [c for c in left.columns]
+    sel = out.select(
+        *cols,
+        F.col("__asof_match.__ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__asof_match.{c}").alias(f"{prefix}{c}")
+          for c in value_cols])
+    return sel

@@ -3435,3 +3435,44 @@ def supplier_territory_area(spark, sf_dir):
                            sum_cols=["n_counties"])
     return add_area(territories, "geom", "territory_area").select(
         "s_suppkey", "n_counties", "territory_area")
+
+
+@query("purchase_asof_signup", sql="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), signups AS (
+  SELECT user_id, ts, min(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, s.signup_event_id,
+  CAST(floor((floor(epoch(p.ts)) - floor(epoch(s.ts))) / 3600)
+       AS BIGINT) AS hours_since_signup
+FROM purchases p
+ASOF LEFT JOIN signups s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""")
+def purchase_asof_signup(spark, sf_dir):
+    """Backward as-of join (custom operator — Spark has no ASOF JOIN;
+    DuckDB's native ASOF JOIN is the oracle): every purchase gets the
+    latest signup at-or-before it per user, via the union +
+    last-non-null-struct pattern in `operators/joins.py::asof_join` —
+    one shuffle on user_id, no range join, any table ratio. Signups
+    are deduped per (user, ts) first so the tie pick is deterministic
+    in both engines.
+    """
+    from pudl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id", "ts")
+               .agg(F.min("event_id").alias("signup_event_id")))
+    joined = asof_join(
+        purchases, signups, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["signup_event_id"])
+    return joined.select(
+        "event_id", "user_id",
+        F.col("asof_signup_event_id").alias("signup_event_id"),
+        F.floor((F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+                / F.lit(3600)).cast("bigint").alias("hours_since_signup"))

@@ -55,3 +55,30 @@ def test_similarity_ratio_bounds(spark):
     got = df.select(
         similarity_ratio(F.col("l"), F.col("r")).alias("s")).collect()[0]["s"]
     assert got == 1.0 - 3.0 / 7.0
+
+
+def test_asof_join_backward_semantics(spark):
+    import datetime as dt
+
+    from pudl_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return t0 + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [("u", 1, at(5)), ("u", 2, at(10)), ("u", 3, at(0)),
+         ("v", 4, at(3))],
+        "k string, lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [("u", at(2), 100.0), ("u", at(5), None), ("u", at(7), 300.0),
+         ("w", at(1), 900.0)],
+        "k string, rts timestamp, val double")
+    out = asof_join(left, right, ["k"], "ts", "rts", ["val"])
+    got = {r["lid"]: (r["asof_rts"], r["asof_val"]) for r in out.collect()}
+    assert got[1] == (at(5), None)     # ties match (<=); NULL val kept
+    assert got[2] == (at(7), 300.0)    # latest at-or-before
+    assert got[3] == (None, None)      # nothing before -> left join null
+    assert got[4] == (None, None)      # key with no right rows at all
+    assert out.count() == 4            # left rows preserved exactly
