@@ -3476,3 +3476,36 @@ def purchase_asof_signup(spark, sf_dir):
         F.col("asof_signup_event_id").alias("signup_event_id"),
         F.floor((F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
                 / F.lit(3600)).cast("bigint").alias("hours_since_signup"))
+
+
+_HYPERTABLE_SQL = """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts) AS day_ts,
+         CAST(hour(ts) AS BIGINT) AS hour_no,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_type, day_ts, hour_no,
+  CAST(grouping(day_ts) * 2 + grouping(hour_no) AS BIGINT) AS grain,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(v) AS DOUBLE) AS sum_value
+FROM base
+GROUP BY GROUPING SETS ((event_type, day_ts, hour_no),
+                        (event_type, day_ts), (event_type))
+"""
+
+
+@query("event_hypertable_rollup", sql=_HYPERTABLE_SQL)
+def event_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hour, day and
+    all-time grains per event type computed in ONE grouping-sets pass
+    (grain labeled via grouping()), the multi-resolution time rollup a
+    TimescaleDB-like store materializes — and the A11 grouping-sets
+    shape applied to time. The SAME dialect-portable SQL text runs on
+    Spark (via the §3.3 SQL surface) and on the DuckDB oracle; Spark
+    executes it as a single Expand + partial/final aggregation, so the
+    corpus is scanned once for all three grains.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_HYPERTABLE_SQL)
