@@ -185,3 +185,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(f"__asof_match.{c}").alias(f"{prefix}{c}")
           for c in value_cols])
     return sel
+
+
+def banded_value_join(left: DataFrame, right: DataFrame,
+                      left_val: str, right_val: str,
+                      tolerance: float) -> DataFrame:
+    """Numeric range join: all (left, right) pairs with
+    |left_val - right_val| <= tolerance, without the
+    BroadcastNestedLoop a raw non-equi predicate would plan.
+
+    Bucket blocking: band width = tolerance, the right side explodes
+    to its bucket ± 1, candidates come from a plain equi-join on the
+    bucket id, and the exact predicate filters candidates. Complete
+    because |a-b| <= tol implies their bucket ids differ by at most 1;
+    duplicate-free because each left row holds exactly one bucket.
+    Scale: a hash-partitionable shuffle with a 3x expansion of the
+    right side only; a hot bucket (value skew) salts like any hot key.
+    """
+    bl = F.floor(F.col(left_val) / F.lit(tolerance))
+    br = F.floor(F.col(right_val) / F.lit(tolerance))
+    l_tag = left.withColumn("__band", bl)
+    r_tag = right.withColumn(
+        "__band", F.explode(F.array(br - 1, br, br + 1)))
+    out = l_tag.join(r_tag, on="__band").drop("__band")
+    return out.filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(tolerance))

@@ -3509,3 +3509,32 @@ def event_hypertable_rollup(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(_HYPERTABLE_SQL)
+
+
+@query("supplier_close_balances", sql="""
+SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+  abs(a.s_acctbal - b.s_acctbal) AS balance_gap
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+  AND abs(a.s_acctbal - b.s_acctbal) <= 10.0
+""")
+def supplier_close_balances(spark, sf_dir):
+    """Banded range join (custom operator — the non-equi |a-b|<=tol
+    predicate that would otherwise plan a BroadcastNestedLoopJoin):
+    supplier pairs with account balances within 10.0 of each other,
+    via tolerance-width bucket blocking + exact verify
+    (`operators/joins.py::banded_value_join`). The oracle states the
+    naive quadratic predicate; the Spark plan is an equi-join.
+    """
+    from pudl_spark.operators.joins import banded_value_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    a = sup.select(F.col("s_suppkey").alias("suppkey_a"),
+                   F.col("s_acctbal").alias("bal_a"))
+    b = sup.select(F.col("s_suppkey").alias("suppkey_b"),
+                   F.col("s_acctbal").alias("bal_b"))
+    pairs = banded_value_join(a, b, "bal_a", "bal_b", 10.0)
+    return (pairs.filter(F.col("suppkey_a") < F.col("suppkey_b"))
+            .select("suppkey_a", "suppkey_b",
+                    F.abs(F.col("bal_a") - F.col("bal_b"))
+                    .alias("balance_gap")))

@@ -82,3 +82,20 @@ def test_asof_join_backward_semantics(spark):
     assert got[3] == (None, None)      # nothing before -> left join null
     assert got[4] == (None, None)      # key with no right rows at all
     assert out.count() == 4            # left rows preserved exactly
+
+
+def test_banded_value_join_completeness(spark):
+    """Pairs straddling a bucket boundary are still found; pairs just
+    outside tolerance are not; no duplicates."""
+    from pudl_spark.operators.joins import banded_value_join
+
+    left = spark.createDataFrame(
+        [(1, 9.99), (2, 50.0)], "lid long, lv double")
+    right = spark.createDataFrame(
+        [(10, 10.01), (11, 19.98), (12, 20.01), (13, 49.0)],
+        "rid long, rv double")
+    out = banded_value_join(left, right, "lv", "rv", 10.0)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # 9.99 matches 10.01 (boundary straddle) and 19.98 (9.99 apart);
+    # 20.01 is 10.02 away -> excluded; 50.0 matches 49.0 only.
+    assert got == [(1, 10), (1, 11), (2, 13)]
