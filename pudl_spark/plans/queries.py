@@ -3538,3 +3538,115 @@ def supplier_close_balances(spark, sf_dir):
             .select("suppkey_a", "suppkey_b",
                     F.abs(F.col("bal_a") - F.col("bal_b"))
                     .alias("balance_gap")))
+
+
+@query("event_user_kmv_distinct", sql="""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    (user_id * 2654435761 + 104729) % 1000003 AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n_h
+  FROM h
+), sk AS (
+  SELECT event_type,
+    CAST(max(n_h) AS BIGINT) AS n_hashes,
+    round(CASE WHEN max(n_h) >= 64
+      THEN CAST(63000189 AS DOUBLE)
+           / max(CASE WHEN rn = 64 THEN hv END)
+      ELSE CAST(max(n_h) AS DOUBLE) END, 6) AS est_distinct_users
+  FROM r GROUP BY event_type
+), ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+    AS exact_distinct_users
+  FROM events GROUP BY event_type
+)
+SELECT sk.event_type, sk.n_hashes, sk.est_distinct_users,
+       ex.exact_distinct_users
+FROM sk JOIN ex ON sk.event_type = ex.event_type
+""")
+def event_user_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch, k=64 — a deterministic,
+    mergeable cardinality sketch (Bar-Yossef et al. 2002; the same
+    family as HLL but with engine-portable math, so the oracle matches
+    bit-for-bit — Spark's approx_count_distinct HLL++ registers are
+    not comparable across engines). Integer multiplicative hash stays
+    in codegen; the sketch state per group is just the k smallest
+    hashes, so at 100 TB the estimate shuffles k values per group
+    instead of the distinct set. Estimate = (k-1) * M / h_(k);
+    exact distinct computed alongside for the error story.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hv = (F.col("user_id") * F.lit(2654435761) + F.lit(104729)) \
+        % F.lit(1000003)
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    r = h.select(
+        "event_type", "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .alias("n_h"))
+    sk = r.groupBy("event_type").agg(
+        F.max("n_h").cast("bigint").alias("n_hashes"),
+        F.round(
+            F.when(F.max("n_h") >= 64,
+                   F.lit(63000189).cast("double")
+                   / F.max(F.when(F.col("rn") == 64, F.col("hv"))))
+            .otherwise(F.max("n_h").cast("double")), 6)
+        .alias("est_distinct_users"))
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint")
+        .alias("exact_distinct_users"))
+    return sk.join(ex, "event_type")
+
+
+@query("doc_stratified_sample", sql="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (doc_id * 2654435761 + 104729) % 1000003 % 100 <
+  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END
+""")
+def doc_stratified_sample(spark, sf_dir):
+    """Training-data pipeline: deterministic stratified sampling —
+    corpus rebalancing by language with per-stratum rates (50% en /
+    30% zh / 10% other), keyed on a multiplicative hash of the doc id
+    so the sample is STABLE across runs, machines and engines (unlike
+    TABLESAMPLE/rand()). Map-only predicate in codegen: at 100 TB this
+    costs one scan and prunes before any shuffle.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761) + F.lit(104729))
+              % F.lit(1000003)) % F.lit(100)
+    rate = (F.when(F.col("lang") == "en", F.lit(50))
+            .when(F.col("lang") == "zh", F.lit(30))
+            .otherwise(F.lit(10)))
+    return (docs.filter(bucket < rate)
+            .select("doc_id", "lang", "source"))
+
+
+@query("doc_token_budget", sql="""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_chars
+  FROM documents
+)
+SELECT doc_id, source, n_chars, cum_chars
+FROM c WHERE cum_chars <= 200000
+""")
+def doc_token_budget(spark, sf_dir):
+    """Training-data pipeline: per-source token budgeting (data-mix
+    curation) — take documents in stable doc_id order until each
+    source hits its 200k-char budget. One cumulative-sum window per
+    source; the budget cut is a filter on the running total, so no
+    second pass and no driver-side loop at any corpus size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c = docs.select(
+        "doc_id", "source", "n_chars",
+        F.sum("n_chars").over(w).alias("cum_chars"))
+    return c.filter(F.col("cum_chars") <= 200000)
