@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "linkage_best_match",
     "fs_linkage_parts",
     "nation_zone_overlay",
+    "purchase_asof_signup",
+    "event_hypertable_rollup",
     "event_sessions_cc",
     "media_feature_extract",
 ]
