@@ -29,6 +29,12 @@ def connected_components(edges: DataFrame, src: str = "src",
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    # Self-loops make the per-round neighbor-min aggregation subsume
+    # the node's own label, collapsing the old join-then-least step
+    # into the single groupBy — one join fewer per round. They also
+    # keep isolated-from-now-on nodes in the frame.
+    sym = sym.union(
+        sym.select(F.col("a"), F.col("a").alias("b")).distinct())
     # The adjacency list joins against labels EVERY round; materialize
     # it once so the union+distinct shuffle (and the upstream edge
     # computation — often a window over the raw table) doesn't replay
@@ -41,23 +47,13 @@ def connected_components(edges: DataFrame, src: str = "src",
     )
     prev_sum: int | None = None
     for i in range(max_iter):
-        # neighbor labels: for each node, min(label of neighbors)
-        neighbor = (
+        # min label over neighbors-plus-self (self-loop included)
+        new = (
             sym.join(labels, on=sym["b"] == labels["node"])
             .select(F.col("a").alias("node"),
                     F.col("component").alias("nbr_component"))
             .groupBy("node")
-            .agg(F.min("nbr_component").alias("nbr_component"))
-        )
-        new = (
-            labels.join(neighbor, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-            )
+            .agg(F.min("nbr_component").alias("component"))
         )
         # Materialize before the self-join below: without it the
         # jump recomputes `new` twice per round and the lineage cost
