@@ -3713,3 +3713,36 @@ def pipeline_nation_summary(spark, sf_dir):
     store = tempfile.mkdtemp(prefix="pudl_spark_assets_")
     paths = g.materialize(spark, store)
     return spark.read.parquet(paths["out_nation_summary"])
+
+
+@query("table_row_counts", sql="""
+SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+  FROM region
+UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT) FROM nation
+UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT) FROM customer
+UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier
+UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+UNION ALL SELECT 'documents', CAST(count(*) AS BIGINT) FROM documents
+UNION ALL SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+""")
+def table_row_counts(spark, sf_dir):
+    """§5 golden row counts as a query (ref: the 6089-row
+    dbt/seeds/etl_full_row_counts.csv gate enforced by
+    tests/validate/row_counts_test.py:20-46): one row per catalog
+    table with its cardinality, the frame a row-count regression gate
+    diffs against its seed. Each count is a metadata-cheap parquet
+    count(*) (row-group stats, no data read); the union is 10 tiny
+    rows.
+    """
+    names = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents", "embeddings"]
+    out = None
+    for n in names:
+        c = _t(spark, sf_dir, n).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+            F.lit(n).alias("table_name"), "n_rows")
+        out = c if out is None else out.unionByName(c)
+    return out
