@@ -88,6 +88,11 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        # Drop cached frames left by EARLIER queries (persisted
+        # signature tables etc.) so storage-memory pressure from one
+        # query can't jitter another; within a query's own run pair
+        # the cache stays, preserving min-of-N semantics.
+        spark.catalog.clearCache()
         runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
