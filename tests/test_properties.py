@@ -96,3 +96,77 @@ def test_unweighted_quantile_matches_numpy(spark, vals):
     got = weighted_quantile(df, "x", "w", 0.5).collect()[0]["weighted_quantile"]
     expect = float(np.median(np.array(vals, dtype="float64")))
     assert math.isclose(got, expect, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@st.composite
+def asof_instances(draw):
+    n_left = draw(st.integers(min_value=1, max_value=8))
+    n_right = draw(st.integers(min_value=0, max_value=8))
+    key = st.sampled_from(["k1", "k2"])
+    ts = st.integers(min_value=0, max_value=20)
+    left = [(draw(key), i, draw(ts)) for i in range(n_left)]
+    right = [(draw(key), draw(ts), float(i)) for i in range(n_right)]
+    return left, right
+
+
+@SLOW
+@given(inst=asof_instances())
+def test_asof_join_matches_bruteforce(spark, inst):
+    """asof_join == for each left row, the max right ts <= left ts per
+    key (ties: any of the equal-ts right rows after dedup; instances
+    dedup right on (key, ts) to keep the reference single-valued)."""
+    import datetime as dt
+
+    from pudl_spark.operators.joins import asof_join
+
+    left_rows, right_rows = inst
+    # dedup right on (key, ts), keep the smallest value (deterministic)
+    rmap = {}
+    for k, t, v in right_rows:
+        if (k, t) not in rmap or v < rmap[(k, t)]:
+            rmap[(k, t)] = v
+    base = dt.datetime(2024, 1, 1)
+
+    def at(h):
+        return base + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(k, i, at(t)) for k, i, t in left_rows],
+        "k string, lid long, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, at(t), v) for (k, t), v in rmap.items()],
+        "k string, rts timestamp, val double") if rmap else \
+        spark.createDataFrame([], "k string, rts timestamp, val double")
+    got = {r["lid"]: r["asof_val"]
+           for r in asof_join(left, right, ["k"], "ts", "rts",
+                              ["val"]).collect()}
+    for k, lid, t in left_rows:
+        cands = [(rt, v) for (rk, rt), v in rmap.items()
+                 if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (k, lid, t, cands)
+
+
+@SLOW
+@given(
+    lefts=st.lists(st.floats(min_value=-100, max_value=100,
+                             allow_nan=False), min_size=1, max_size=8),
+    rights=st.lists(st.floats(min_value=-100, max_value=100,
+                              allow_nan=False), min_size=1, max_size=8),
+    tol=st.sampled_from([0.5, 3.0, 10.0]),
+)
+def test_banded_join_matches_bruteforce(spark, lefts, rights, tol):
+    """banded_value_join finds EXACTLY the pairs with |l-r| <= tol
+    (bucket blocking is complete and duplicate-free), including
+    negative values and bucket-boundary straddles."""
+    from pudl_spark.operators.joins import banded_value_join
+
+    ldf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(lefts)], "lid long, lv double")
+    rdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rights)], "rid long, rv double")
+    got = sorted((r["lid"], r["rid"]) for r in
+                 banded_value_join(ldf, rdf, "lv", "rv", tol).collect())
+    want = sorted((i, j) for i, lv in enumerate(lefts)
+                  for j, rv in enumerate(rights) if abs(lv - rv) <= tol)
+    assert got == want
