@@ -3746,3 +3746,41 @@ def table_row_counts(spark, sf_dir):
             F.lit(n).alias("table_name"), "n_rows")
         out = c if out is None else out.unionByName(c)
     return out
+
+
+@query("salted_event_type_totals", sql="""
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")
+def salted_event_type_totals(spark, sf_dir):
+    """Skew-mitigated aggregation through the oracle gate: event_type
+    has only 5 values, so a naive groupBy lands the whole table on 5
+    tasks — the hot-key shape AQE's skew-join handling does NOT cover
+    (it only splits join partitions). `operators/skew.py::salted_agg`
+    splits each key into 16 salt buckets for the heavy partial
+    (decimal sums + per-bucket distinct sets), then combines tiny
+    partials per key. The oracle states the naive one-stage
+    aggregation — identical results prove the rewrite is
+    semantics-preserving, including distinct counting across buckets.
+    """
+    from pudl_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", _dec("value").alias("v"))
+    return salted_agg(
+        ev, ["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("__pc"),
+            F.sum("v").alias("__pv"),
+            F.collect_set("user_id").alias("__pu"),
+        ],
+        final_aggs=[
+            F.sum("__pc").cast("bigint").alias("n_events"),
+            F.sum("__pv").cast("double").alias("total_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("__pu"))))
+            .cast("bigint").alias("n_users"),
+        ],
+        salt_buckets=16)
