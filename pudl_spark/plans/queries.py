@@ -3784,3 +3784,42 @@ def salted_event_type_totals(spark, sf_dir):
             .cast("bigint").alias("n_users"),
         ],
         salt_buckets=16)
+
+
+@query("order_price_screens", sql="""
+WITH scr AS (
+  SELECT o_orderkey,
+    CASE WHEN CAST(o_totalprice AS DOUBLE) >= 1000.0
+          AND CAST(o_totalprice AS DOUBLE) <= 400000.0
+         THEN CAST(o_totalprice AS DOUBLE) END AS totalprice,
+    CASE WHEN lower(trim(o_orderpriority)) IN
+           ('', '-', 'n/a', 'none', 'null', '*', 'unknown', '?')
+         THEN NULL ELSE o_orderpriority END AS priority
+  FROM orders
+)
+SELECT o_orderkey, totalprice, priority,
+  CASE WHEN totalprice IS NULL THEN NULL
+       ELSE priority END AS priority_if_priced
+FROM scr
+""")
+def order_price_screens(spark, sf_dir):
+    """P25 + P10/P12 end-to-end: out-of-bounds price -> NULL with the
+    dependent column cascading to NULL alongside it (ref: oob_to_nan_
+    with_dependent_cols, helpers.py:429,460), after NA-sentinel
+    standardization of the priority strings (ref: standardize_na_
+    values, helpers.py:1178). Pure `when` chains — one codegen
+    projection, no shuffle.
+    """
+    from pudl_spark.operators.numeric import oob_to_nan_with_dependent_cols
+    from pudl_spark.operators.strings import standardize_na_values
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"))
+    o = standardize_na_values(o, ["priority"])
+    o = o.withColumn("priority_if_priced", F.col("priority"))
+    o = oob_to_nan_with_dependent_cols(
+        o, ["totalprice"], ["priority_if_priced"], 1000.0, 400000.0)
+    return o.select("o_orderkey", "totalprice", "priority",
+                    "priority_if_priced")
