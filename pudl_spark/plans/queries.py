@@ -3823,3 +3823,51 @@ def order_price_screens(spark, sf_dir):
         o, ["totalprice"], ["priority_if_priced"], 1000.0, 400000.0)
     return o.select("o_orderkey", "totalprice", "priority",
                     "priority_if_priced")
+
+
+@query("nation_multipart_explode", sql="""
+WITH parts AS (
+  SELECT n_nationkey, CAST(4.0 AS DOUBLE) AS part_area FROM nation
+  UNION ALL
+  SELECT n_nationkey, CAST(1.0 AS DOUBLE) FROM nation
+)
+SELECT n_nationkey, part_area,
+  part_area / CAST(5.0 AS DOUBLE) AS part_area_ratio
+FROM parts
+""")
+def nation_multipart_explode(spark, sf_dir):
+    """Geo1 explode with area-ratio allocation (ref: spatial.explode,
+    src/pudl/analysis/spatial.py:85): each nation's territory is a
+    MULTIPOLYGON of a 2x2 main parcel and a detached 1x1 exclave;
+    explode_parts yields one row per part with its share of the total
+    area (0.8 / 0.2 — the shoelace sums are exact dyadics, so the
+    ratio division matches the oracle's closed form bit-for-bit).
+    mapInPandas 1->N generate, no shuffle; area re-derived per part
+    via the WKB codec end-to-end.
+    """
+    from pudl_spark.functions.geo import (
+        add_area, explode_parts, multipolygon_wkb, polygon_wkb)
+    from pyspark.sql.functions import pandas_udf
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    @pandas_udf("binary")
+    def _terr(k):
+        import pandas as pd
+
+        out = []
+        for key in k:
+            x = float(key % 5) * 4.0
+            y = float(key // 5) * 4.0
+            main = polygon_wkb(
+                [(x, y), (x + 2.0, y), (x + 2.0, y + 2.0), (x, y + 2.0)])
+            exclave = polygon_wkb(
+                [(x + 2.5, y), (x + 3.5, y), (x + 3.5, y + 1.0),
+                 (x + 2.5, y + 1.0)])
+            out.append(multipolygon_wkb([main, exclave]))
+        return pd.Series(out)
+
+    terr = nat.withColumn("geom", _terr(F.col("n_nationkey")))
+    exploded = explode_parts(terr, "geom")
+    return add_area(exploded, "geom", "part_area").select(
+        "n_nationkey", "part_area", "part_area_ratio")
