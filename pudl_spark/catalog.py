@@ -39,20 +39,24 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    # Detect TIMESTAMP(NANOS) columns *before* the read: a session that
+    # was not built by pudl_spark.session.get_spark (e.g. a verification
+    # harness's plain SparkSession) throws PARQUET_TYPE_ILLEGAL on them
+    # unless the runtime-settable legacy conf is on.
     try:
         first = path
         if os.path.isdir(path):
             parts = [p for p in sorted(os.listdir(path))
                      if p.endswith(".parquet")]
-            if not parts:
-                return df
-            first = os.path.join(path, parts[0])
+            first = os.path.join(path, parts[0]) if parts else path
         schema = pq.read_schema(first)
         ns_cols = [n for n in schema.names
                    if str(schema.field(n).type) == "timestamp[ns]"]
     except Exception:
         ns_cols = []
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
@@ -94,7 +98,7 @@ class Catalog:
         for name in names:
             p = self.path(name)
             if os.path.exists(p):
-                spark.read.parquet(p).createOrReplaceTempView(name)
+                read_parquet_table(spark, p).createOrReplaceTempView(name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

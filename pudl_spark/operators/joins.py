@@ -195,18 +195,26 @@ def banded_value_join(left: DataFrame, right: DataFrame,
     BroadcastNestedLoop a raw non-equi predicate would plan.
 
     Bucket blocking: band width = tolerance, the right side explodes
-    to its bucket ± 1, candidates come from a plain equi-join on the
-    bucket id, and the exact predicate filters candidates. Complete
-    because |a-b| <= tol implies their bucket ids differ by at most 1;
-    duplicate-free because each left row holds exactly one bucket.
-    Scale: a hash-partitionable shuffle with a 3x expansion of the
-    right side only; a hot bucket (value skew) salts like any hot key.
+    to every band its [r-tol, r+tol] window can touch, candidates come
+    from a plain equi-join on the bucket id, and the exact predicate
+    filters candidates. The candidate bands are derived with the SAME
+    double arithmetic as the verify predicate — sequence(
+    floor((r-tol)/tol), floor((r+tol)/tol)) — so a pair whose computed
+    |l-r| rounds to exactly tol still lands in a shared band (a fixed
+    br±1 window misses IEEE boundary cases where the bucket ids sit 2
+    apart). Duplicate-free because each left row holds exactly one
+    bucket. Scale: a hash-partitionable shuffle with a bounded (<=5x)
+    expansion of the right side only; a hot bucket (value skew) salts
+    like any hot key.
     """
-    bl = F.floor(F.col(left_val) / F.lit(tolerance))
-    br = F.floor(F.col(right_val) / F.lit(tolerance))
+    tol = F.lit(float(tolerance))
+    bl = F.floor(F.col(left_val) / tol)
+    lo = F.floor((F.col(right_val) - tol) / tol)
+    hi = F.floor((F.col(right_val) + tol) / tol)
     l_tag = left.withColumn("__band", bl)
     r_tag = right.withColumn(
-        "__band", F.explode(F.array(br - 1, br, br + 1)))
+        "__band",
+        F.explode(F.sequence(F.least(lo, hi) - 1, F.greatest(lo, hi) + 1)))
     out = l_tag.join(r_tag, on="__band").drop("__band")
     return out.filter(
         F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(tolerance))

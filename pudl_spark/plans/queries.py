@@ -1111,8 +1111,9 @@ def primary_priority_share(spark, sf_dir):
 @query("doc_token_stats", sql="""
 SELECT lang,
   COUNT(*) AS n_docs,
-  SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
-  SUM(length(text)) AS total_chars,
+  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+    AS total_tokens,
+  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
   CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
     / COUNT(*) AS avg_tokens
 FROM documents GROUP BY lang

@@ -138,3 +138,21 @@ def test_sqlite_sink_roundtrip(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(sqlite3.IntegrityError):
         write_sqlite_table(bad, db, res, if_exists="append")
+
+
+def test_read_parquet_table_self_sufficient_on_nanos(spark, sf_dir):
+    """read_parquet_table must not depend on the session builder having
+    set spark.sql.legacy.parquet.nanosAsLong — a harness's plain
+    SparkSession reading events.parquet (TIMESTAMP NANOS) must work.
+    Simulated by unsetting the conf at runtime before the read."""
+    from pudl_spark.catalog import read_parquet_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    try:
+        df = read_parquet_table(spark, os.path.join(sf_dir, "events.parquet"))
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, "true")
