@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "purchase_asof_signup",
     "event_hypertable_rollup",
     "event_sessions_cc",
+    "event_sessions_windowed",
     "media_feature_extract",
 ]
 

@@ -128,11 +128,18 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("__s"),
     ).withColumn("__sh", F.xxhash64("__s")).withColumn(
         "__h", F.pmod(F.col("__sh"), p))
+    # Lazy localCheckpoint, not persist(): same effect (the signature
+    # table materializes once at first action and all three consumers
+    # — bands + both verify-join sides — read the stored blocks), but
+    # the blocks are owned by the RDD, so the ContextCleaner reclaims
+    # them when the returned frame is garbage-collected. persist()
+    # registers with the cache manager and leaks until an explicit
+    # unpersist, which a lazily-returned frame can never schedule.
     sig_agg = exploded.groupBy("id").agg(
         *[F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
           for i, (a, b) in enumerate(coeffs)],
         F.collect_set("__sh").alias("__set"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
     band_arr = F.array(*[
         F.struct(

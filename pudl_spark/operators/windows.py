@@ -324,3 +324,35 @@ def flag_bad_periods(df: DataFrame, key_cols: list[str], ts_col: str,
         F.coalesce((coverage < min_data) | (frac < min_data_fraction),
                    F.lit(False)),
     )
+
+
+def sessionize(df: DataFrame, key_cols: list[str], ts_col: str,
+               id_col: str, gap_seconds: int = 7200,
+               out_col: str = "session_id") -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive events per key
+    closer than ``gap_seconds`` share a session; the session id is the
+    minimum ``id_col`` in the session.
+
+    This is the closed form of connected components over the
+    consecutive-event path graph (ref: boiler-generator unit
+    inference builds the general graph, src/pudl/transform/eia.py:
+    701-1065 — but sessionization's adjacency is a path, so the
+    component label is computable in exactly ONE shuffle: two window
+    passes over the same (key) partitioning, no join, no iteration).
+    Use :func:`pudl_spark.operators.graph.connected_components` only
+    for genuinely cyclic/branching edge sets.
+    """
+    order = [ts_col, id_col]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    brk = F.when(
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) <= gap_us,
+        F.lit(0)).otherwise(F.lit(1))
+    run = F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ws = Window.partitionBy(*key_cols, "__run")
+    return (
+        df.withColumn("__run", run)
+        .withColumn(out_col, F.min(F.col(id_col)).over(ws))
+        .drop("__run")
+    )

@@ -1636,32 +1636,75 @@ FROM g
 def event_sessions_cc(spark, sf_dir):
     """G1 connected components (ref: boiler-generator unit inference,
     src/pudl/transform/eia.py:701-1065): sessionization expressed as
-    CC over the consecutive-events-within-2h graph. The label-
-    propagation operator is the scale path for arbitrary graphs; the
-    SQL oracle is the gaps-and-islands closed form, valid because the
-    adjacency graph of consecutive events is a path.
+    CC over a genuinely CYCLIC graph — consecutive-events-within-2h
+    edges plus skip-2 edges (event i to i+2 when their gap is within
+    2h), which close triangles. The skip edges never change the
+    components (a skip-2 gap <= 2h implies both consecutive gaps are
+    <= 2h, since gaps are non-negative), so the gaps-and-islands SQL
+    oracle stays exact while the operator exercises real cycle
+    handling. Path-shaped sessionization itself should use the
+    1-shuffle closed form (see event_sessions_windowed).
     """
     from pudl_spark.operators.graph import connected_components
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 2 * 3600 * 1_000_000
-    pairs = (
+    lagged = (
         ev.select("user_id", "event_id", "ts")
-        .withColumn("prev_id", F.lag("event_id").over(w))
-        .withColumn("prev_ts", F.lag("ts").over(w))
-        .filter(F.col("prev_id").isNotNull()
-                & ((F.unix_micros("ts") - F.unix_micros("prev_ts"))
-                   <= F.lit(gap_us)))
-        .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("prev_id", F.lag("event_id", 1).over(w))
+        .withColumn("prev_us", F.lag("us", 1).over(w))
+        .withColumn("prev2_id", F.lag("event_id", 2).over(w))
+        .withColumn("prev2_us", F.lag("us", 2).over(w))
     )
-    labels = connected_components(pairs, "src", "dst")
+    step = lagged.filter(
+        F.col("prev_id").isNotNull()
+        & ((F.col("us") - F.col("prev_us")) <= F.lit(gap_us))
+    ).select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
+    skip = lagged.filter(
+        F.col("prev2_id").isNotNull()
+        & ((F.col("us") - F.col("prev2_us")) <= F.lit(gap_us))
+    ).select(F.col("prev2_id").alias("src"), F.col("event_id").alias("dst"))
+    labels = connected_components(step.union(skip), "src", "dst")
     return (
         ev.select("event_id")
         .join(labels, ev["event_id"] == labels["node"], "left")
         .select("event_id",
                 F.coalesce("component", "event_id").alias("session_id"))
     )
+
+
+@query("event_sessions_windowed", sql="""
+WITH w AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         <= INTERVAL '2 hours' THEN 0 ELSE 1 END AS brk
+  FROM events
+), g AS (
+  SELECT event_id, user_id, sum(brk) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+    AS sid FROM w
+)
+SELECT event_id, min(event_id) OVER (PARTITION BY user_id, sid) AS session_id
+FROM g
+""")
+def event_sessions_windowed(spark, sf_dir):
+    """Sessionization via the gaps-and-islands closed form — the
+    engine's production entry point for path-shaped session graphs:
+    ONE shuffle (two window passes over the same user partitioning),
+    no join, no iteration, vs O(log diameter) join+agg rounds for the
+    generic CC operator. At 100 TB this is the difference between a
+    single exchange and ~6 of them.
+    """
+    from pudl_spark.operators.windows import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev.select("event_id", "user_id", "ts"),
+        key_cols=["user_id"], ts_col="ts", id_col="event_id",
+        gap_seconds=7200,
+    ).select("event_id", "session_id")
 
 
 def _lang_sql() -> str:

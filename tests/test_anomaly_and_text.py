@@ -133,3 +133,36 @@ def test_flag_bad_periods_day_grain(spark):
                            min_data=4, min_data_fraction=0.25)
     got = {r["k"]: r["is_bad_period"] for r in out.collect()}
     assert got == {"a": True, "b": False, "c": True, "d": False}
+
+
+def test_connected_components_cyclic_graph(spark):
+    # Triangle + 4-cycle sharing no nodes, plus a chord: cycles must
+    # not trap label propagation or duplicate labels.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # triangle
+         (10, 11), (11, 12), (12, 13), (13, 10), (10, 12)],  # chorded C4
+        "src long, dst long")
+    labels = {r["node"]: r["component"]
+              for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_sessionize_matches_gap_semantics(spark):
+    from pudl_spark.operators.windows import sessionize
+
+    rows = [
+        # user 1: events at 0h, 1h, 5h -> sessions {1,2}, {3}
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 01:00:00"),
+        (3, 1, "2024-01-01 05:00:00"),
+        # user 2: single event
+        (4, 2, "2024-01-01 00:00:00"),
+        # user 1 boundary: exactly 2h gap stays in-session
+        (5, 1, "2024-01-01 07:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r["session_id"]
+           for r in sessionize(df, ["user_id"], "ts", "event_id",
+                               gap_seconds=7200).collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 4, 5: 3}
