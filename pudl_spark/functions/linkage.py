@@ -46,6 +46,75 @@ def similarity_ratio(left: Column, right: Column) -> Column:
         F.length(left), F.length(right))
 
 
+def _jaro_winkler_pair(s1: str, s2: str, prefix_weight: float = 0.1,
+                       boost_threshold: float = 0.7) -> float:
+    """Textbook Jaro-Winkler (Winkler 1990): Jaro similarity from
+    windowed greedy matching + half-transposition count, then the
+    Winkler common-prefix boost (<= 4 chars) applied only above the
+    0.7 boost threshold. Semantics pinned to DuckDB's
+    jaro_winkler_similarity (empty strings -> 0.0, boost gated on
+    jaro > 0.7) so the SQL oracle reproduces the same doubles.
+    """
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    flags2 = [False] * l2
+    matched1 = []
+    matched2_idx = []
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == c:
+                flags2[j] = True
+                matched1.append(c)
+                matched2_idx.append(j)
+                break
+    m = len(matched1)
+    if m == 0:
+        return 0.0
+    matched2 = [s2[j] for j in sorted(matched2_idx)]
+    mismatches = sum(a != b for a, b in zip(matched1, matched2))
+    t = mismatches / 2.0
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if jaro > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        jaro += prefix * prefix_weight * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler(left: Column, right: Column) -> Column:
+    """Jaro-Winkler similarity as an Arrow-batched pandas UDF (ref:
+    the jaro_winkler_at_thresholds comparisons the splink model is
+    calibrated on, eia_ferc1_record_linkage.py:36 and
+    eia_ferc1_model_config.py:37-44). The kernel is per-pair Python —
+    acceptable because it runs AFTER blocking, on candidate pairs
+    only, never on the cross product; the batch transfer is Arrow.
+    NULL in -> NULL out, matching SQL semantics.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _batch(l, r):
+        import pandas as pd
+
+        return pd.Series([
+            None if a is None or b is None else _jaro_winkler_pair(a, b)
+            for a, b in zip(l, r)], dtype="float64")
+
+    return pandas_udf(_batch, "double")(left, right)
+
+
 def percentage_difference(left: Column, right: Column) -> Column:
     """|l-r| / max(|l|,|r|) (ref: PercentageDifferenceLevel,
     eia_ferc1_model_config.py:49-78)."""
@@ -79,12 +148,24 @@ def comparison_column(left: Column, right: Column,
 def name_comparison(left: Column, right: Column,
                     thresholds=(0.9, 0.8, 0.7),
                     ms=(0.5, 0.3, 0.1, 0.05, 0.05),
-                    us=(0.004, 0.01, 0.02, 0.05, 0.916)) -> Column:
+                    us=(0.004, 0.01, 0.02, 0.05, 0.916),
+                    method: str = "levenshtein") -> Column:
     """Exact / thresholded-similarity name comparison (ref:
     cl.NameComparison with jaro_winkler_thresholds=[0.9,0.8,0.7],
     eia_ferc1_model_config.py:37-44). m's and u's each sum to 1
-    across levels (they are conditional distributions of γ)."""
-    sim = similarity_ratio(left, right)
+    across levels (they are conditional distributions of γ).
+
+    ``method='jaro_winkler'`` scores with the reference's calibrated
+    similarity (rounded to 6dp before thresholding so the level
+    assignment is engine-portable); the levenshtein default keeps the
+    whole comparison inside whole-stage codegen.
+    """
+    if method == "jaro_winkler":
+        sim = F.round(jaro_winkler(left, right), 6)
+    elif method == "levenshtein":
+        sim = similarity_ratio(left, right)
+    else:
+        raise ValueError(f"unknown name comparison method: {method}")
     levels = [ComparisonLevel(left == right, ms[0], us[0])]
     for i, t in enumerate(thresholds, start=1):
         levels.append(ComparisonLevel(sim >= t, ms[i], us[i]))

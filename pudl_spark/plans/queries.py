@@ -3137,7 +3137,7 @@ def event_bad_days(spark, sf_dir):
     return out.select("event_id", "user_id", "is_bad_period")
 
 
-def _fs_linkage_sql() -> str:
+def _fs_linkage_sql(method: str = "levenshtein") -> str:
     """Oracle for fs_linkage_parts with Bayes-factor literals computed
     by the SAME Python expressions as the Spark plan, so both engines
     add the identical doubles in the identical order."""
@@ -3158,6 +3158,11 @@ def _fs_linkage_sql() -> str:
     type_m, type_e = lit(bf(0.8, 0.15)), lit(bf(0.2, 0.85))
     p = [lit(bf(m, u)) for m, u in
          [(0.4, 0.01), (0.4, 0.19), (0.15, 0.3), (0.05, 0.5)]]
+    if method == "jaro_winkler":
+        sim = "round(jaro_winkler_similarity(l_name, r_name), 6)"
+    else:
+        sim = ("1.0 - levenshtein(l_name, r_name)"
+               " / greatest(length(l_name), length(r_name))")
     return f"""
 WITH l AS (
   SELECT p_partkey AS lk, p_name AS l_name, p_brand AS l_brand,
@@ -3186,12 +3191,9 @@ WITH l AS (
   SELECT c.rk, c.lk, {prior}
     + CASE WHEN l_name IS NULL OR r_name IS NULL THEN 0.0
         WHEN l_name = r_name THEN {n[0]}
-        WHEN 1.0 - levenshtein(l_name, r_name)
-             / greatest(length(l_name), length(r_name)) >= 0.9 THEN {n[1]}
-        WHEN 1.0 - levenshtein(l_name, r_name)
-             / greatest(length(l_name), length(r_name)) >= 0.8 THEN {n[2]}
-        WHEN 1.0 - levenshtein(l_name, r_name)
-             / greatest(length(l_name), length(r_name)) >= 0.7 THEN {n[3]}
+        WHEN {sim} >= 0.9 THEN {n[1]}
+        WHEN {sim} >= 0.8 THEN {n[2]}
+        WHEN {sim} >= 0.7 THEN {n[3]}
         ELSE {n[4]} END
     + CASE WHEN l_brand IS NULL OR r_brand IS NULL THEN 0.0
         WHEN l_brand = r_brand THEN {brand_m} ELSE {brand_e} END
@@ -3215,18 +3217,9 @@ WHERE rn = 1
 """
 
 
-@query("fs_linkage_parts", sql=_fs_linkage_sql())
-def fs_linkage_parts(spark, sf_dir):
-    """G4 Fellegi-Sunter probabilistic linkage (ref: splink model,
-    src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:1-40;
-    levels/blocking eia_ferc1_model_config.py:12-103). Left = clean
-    parts; right = deterministically dirtied copy (pluralized or
-    word-dropped name, occasional wrong brand, up-to-9% price drift).
-    Two blocking rules unioned, four comparison columns compiled
-    to literal log2-Bayes-factor `when` chains (one codegen projection,
-    no UDF), weight-ranked best match per right record. At scale both
-    blocking joins shuffle on their keys; the scorer adds none.
-    """
+def _fs_linkage_run(spark, sf_dir, method: str):
+    """Shared body of fs_linkage_parts / jw_linkage_parts — the G4
+    pipeline with the name-similarity method as the only variable."""
     from pudl_spark.functions.linkage import (
         exact_comparison, fellegi_sunter_weight, name_comparison,
         percentage_comparison)
@@ -3264,7 +3257,7 @@ def fs_linkage_parts(spark, sf_dir):
     # (The general-purpose `block_candidates` keeps dedup semantics
     # for callers that materialize the pair set itself.)
     w = fellegi_sunter_weight([
-        name_comparison(F.col("l_name"), F.col("r_name")),
+        name_comparison(F.col("l_name"), F.col("r_name"), method=method),
         exact_comparison(F.col("l_brand"), F.col("r_brand"), 0.9, 0.04),
         exact_comparison(F.col("l_type"), F.col("r_type"), 0.8, 0.15),
         percentage_comparison(F.col("l_price"), F.col("r_price")),
@@ -3283,6 +3276,70 @@ def fs_linkage_parts(spark, sf_dir):
             .select("rk", F.col("lk").alias("best_lk"),
                     F.round("w", 6).alias("match_weight"),
                     (F.col("w") > 2.0).alias("is_match")))
+
+
+@query("fs_linkage_parts", sql=_fs_linkage_sql())
+def fs_linkage_parts(spark, sf_dir):
+    """G4 Fellegi-Sunter probabilistic linkage (ref: splink model,
+    src/pudl/analysis/record_linkage/eia_ferc1_record_linkage.py:1-40;
+    levels/blocking eia_ferc1_model_config.py:12-103). Left = clean
+    parts; right = deterministically dirtied copy (pluralized or
+    word-dropped name, occasional wrong brand, up-to-9% price drift).
+    Two blocking rules unioned, four comparison columns compiled
+    to literal log2-Bayes-factor `when` chains (one codegen projection,
+    no UDF), weight-ranked best match per right record. At scale both
+    blocking joins shuffle on their keys; the scorer adds none.
+    """
+    return _fs_linkage_run(spark, sf_dir, method="levenshtein")
+
+
+@query("jw_linkage_parts", sql=_fs_linkage_sql("jaro_winkler"))
+def jw_linkage_parts(spark, sf_dir):
+    """G4 linkage scored with the reference's calibrated similarity:
+    jaro-winkler name levels (ref: jaro_winkler_thresholds=[.9,.8,.7],
+    eia_ferc1_model_config.py:37-44, replacing the levenshtein
+    stand-in of fs_linkage_parts). The JW kernel is an Arrow-batched
+    pandas UDF pinned bit-for-bit to DuckDB's jaro_winkler_similarity
+    (boost gated on jaro > 0.7, prefix weight 0.1, empties -> 0), and
+    the level comparison uses the 6dp-rounded score on both engines,
+    so the γ assignment — not just the final weight — is
+    differentially checked.
+    """
+    return _fs_linkage_run(spark, sf_dir, method="jaro_winkler")
+
+
+@query("jw_part_name_similarity", sql="""
+SELECT p_partkey,
+  round(jaro_winkler_similarity(
+    p_name,
+    CASE WHEN p_partkey % 5 = 0
+         THEN regexp_replace(p_name, ' [a-z]+$', '')
+         WHEN p_partkey % 3 = 0 THEN reverse(p_name)
+         ELSE p_name || 's' END), 6) AS jw
+FROM part
+""")
+def jw_part_name_similarity(spark, sf_dir):
+    """Direct Jaro-Winkler parity surface: every part name scored
+    against a deterministically mangled twin (word-dropped, reversed,
+    or pluralized — covering high-, low- and mid-similarity regimes
+    plus the prefix-boost and no-boost branches). One map-side
+    projection; the oracle is DuckDB's native jaro_winkler_similarity
+    over the identical pairs.
+    """
+    from pudl_spark.functions.linkage import jaro_winkler
+
+    from pudl_spark.catalog import spread_small_input
+
+    part = spread_small_input(_t(spark, sf_dir, "part"), "p_partkey")
+    twin = (
+        F.when(F.col("p_partkey") % 5 == 0,
+               F.regexp_replace(F.col("p_name"), " [a-z]+$", ""))
+        .when(F.col("p_partkey") % 3 == 0, F.reverse(F.col("p_name")))
+        .otherwise(F.concat(F.col("p_name"), F.lit("s")))
+    )
+    return part.select(
+        "p_partkey",
+        F.round(jaro_winkler(F.col("p_name"), twin), 6).alias("jw"))
 
 
 @query("nation_zone_overlay", sql="""

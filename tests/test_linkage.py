@@ -99,3 +99,46 @@ def test_banded_value_join_completeness(spark):
     # 9.99 matches 10.01 (boundary straddle) and 19.98 (9.99 apart);
     # 20.01 is 10.02 away -> excluded; 50.0 matches 49.0 only.
     assert got == [(1, 10), (1, 11), (2, 13)]
+
+
+JW_CASES = [
+    ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+    ("JELLYFISH", "SMELLYFISH"), ("DUANE", "DWAYNE"),
+    ("", ""), ("", "A"), ("ABC", "ABC"), ("AB", "BA"), ("a", "b"),
+    ("CRATE", "TRACE"), ("abcd", "abcd "), ("x", "x"),
+    ("ab", "abzzzzzzzz"),                 # boost above threshold
+    ("abqrst", "abxyzw"),                 # prefix but jaro <= 0.7: no boost
+    ("az", "aq"),                         # jaro == 2/3: boundary, no boost
+    ("abcdefgh", "abcdefghijklmnop"),     # prefix capped at 4
+    ("lavender midnight", "lavender midnights"),
+    ("thgindim rednevals", "lavender midnight"),
+]
+
+
+def test_jaro_winkler_matches_duckdb_exactly(spark):
+    """The pandas-UDF kernel must reproduce DuckDB's
+    jaro_winkler_similarity double-for-double — this is what makes
+    the jw_* query oracles valid."""
+    import duckdb
+
+    from pudl_spark.functions.linkage import jaro_winkler
+
+    df = spark.createDataFrame(JW_CASES, "a string, b string")
+    got = {(r["a"], r["b"]): r["jw"] for r in df.select(
+        "a", "b", jaro_winkler(F.col("a"), F.col("b")).alias("jw")
+    ).collect()}
+    for a, b in JW_CASES:
+        want = duckdb.sql(
+            "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert got[(a, b)] == want, (a, b, got[(a, b)], want)
+
+
+def test_jaro_winkler_null_propagates(spark):
+    from pudl_spark.functions.linkage import jaro_winkler
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "y"), ("x", "y")], "a string, b string")
+    vals = [r["jw"] for r in df.select(
+        jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()]
+    assert vals[0] is None and vals[1] is None and vals[2] == 0.0
