@@ -60,3 +60,87 @@ def test_ivf_topk_exact_at_full_probe_and_recall(spark):
     want = {(q, n) for (q, _), n in exact.items()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, recall
+
+
+# ------------------------- cross-year pipeline (reference semantics)
+
+def _cross_year_df(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["rid", "report_year", "x", "y"])
+
+
+def _run_pipeline(pdf, **kw):
+    from pudl_spark.functions.clustering import cluster_records_cross_year
+
+    labs = cluster_records_cross_year(
+        pdf, feature_cols=["x", "y"], metric="euclidean", **kw)
+    return dict(zip(pdf["rid"], labs))
+
+
+def test_cross_year_basic_entities_span_years():
+    # Two entities, three years each, far apart: DBSCAN links each
+    # entity's yearly records (distance ~0.1 < eps), year penalty
+    # keeps the two entities separate.
+    pdf = _cross_year_df([
+        (0, 2018, 0.0, 0.0), (1, 2019, 0.1, 0.0), (2, 2020, 0.0, 0.1),
+        (10, 2018, 5.0, 5.0), (11, 2019, 5.1, 5.0), (12, 2020, 5.0, 5.1),
+    ])
+    got = _run_pipeline(pdf, eps=0.5)
+    assert got[0] == got[1] == got[2]
+    assert got[10] == got[11] == got[12]
+    assert got[0] != got[10]
+
+
+def test_cross_year_same_year_records_never_dbscan_link():
+    # Two same-year records at identical coordinates: the year
+    # penalty forces them apart; each pairs with its own next-year
+    # twin instead.
+    pdf = _cross_year_df([
+        (0, 2018, 0.0, 0.0), (1, 2018, 0.0, 0.0),
+        (2, 2019, 0.05, 0.0), (3, 2019, 5.0, 5.0),
+    ])
+    got = _run_pipeline(pdf, eps=0.5, orphan_threshold=0.5)
+    # 0 and 1 both sit within eps of record 2 -> DBSCAN would merge
+    # all three into one cluster with duplicated year 2018; the split
+    # step must break the tie so no final cluster holds two 2018 rows.
+    by_label = {}
+    for rid, lab in got.items():
+        by_label.setdefault(lab, []).append(rid)
+    for members in by_label.values():
+        years = [int(pdf.loc[pdf.rid == r, "report_year"].iloc[0])
+                 for r in members]
+        assert len(set(years)) == len(years), (members, years)
+
+
+def test_cross_year_orphan_attaches_to_near_cluster():
+    # Record 5 is isolated (no single neighbor within eps) so DBSCAN
+    # calls it noise, but it sits close to the (0,1) cluster on
+    # average -> the orphan pass attaches it. Record 9 is far from
+    # everything and must stay its own cluster.
+    pdf = _cross_year_df([
+        (0, 2018, 0.0, 0.0), (1, 2019, 0.1, 0.0),
+        (5, 2020, 0.7, 0.0),       # 0.6-0.7 away: outside eps=0.5
+        (9, 2020, 50.0, 50.0),
+    ])
+    got = _run_pipeline(pdf, eps=0.5, orphan_threshold=1.0)
+    assert got[0] == got[1] == got[5]
+    assert got[9] != got[0]
+
+
+def test_cross_year_spark_island_stable_ids(spark):
+    from pudl_spark.functions.clustering import cluster_embeddings_cross_year
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64)
+    rows = []
+    for i, year in enumerate([2018, 2019, 2020]):
+        rows.append((i, year, (base + 0.01 * rng.randn(64)).tolist()))
+    rows.append((50, 2018, (-base + 0.01 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, report_year int, embedding array<double>")
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in cluster_embeddings_cross_year(
+               df, eps=0.5, metric="cosine").collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[50] == 50
