@@ -1929,6 +1929,72 @@ def impute_event_values(spark, sf_dir):
         fill, "event_id long, user_id long, value_imputed double")
 
 
+@query("impute_latc_mape", sql="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nation,
+    CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+    CAST(date_part('month', o.o_orderdate) AS INT) AS mo
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+), cells AS (
+  SELECT nation, CAST(nation % 2 AS INT) AS island,
+    (nation * 31 + (yr - (SELECT min(yr) FROM rev)) * 12 + (mo - 1))
+      % 5 = 0 AS masked
+  FROM rev
+)
+SELECT island,
+  CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_series,
+  CAST(COUNT(*) AS BIGINT) AS n_observed,
+  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  TRUE AS mape_ok
+FROM cells GROUP BY island
+""")
+def impute_latc_mape(spark, sf_dir):
+    """M1 with the real kernel (ref: impute_latc_tnn,
+    src/pudl/analysis/timeseries_cleaning.py:555-663; Chen & Sun
+    2020): the nation x year x month revenue tensor, a deterministic
+    ~20% simulated-null mask over observed cells, LATC-TNN truncated-
+    SVD ADMM completion per island, MAPE scored on the masked cells.
+
+    The oracle reproduces the relational surface exactly (islands,
+    series, observed and masked cell counts — the mask arithmetic is
+    mirrored bit-for-bit) and asserts mape_ok, which the Spark side
+    computes from the actual SVD output: the kernel is deterministic
+    (zero-init duals/AR coefficients, no RNG), and a degenerate
+    kernel fails the 0.9 bound (identically-zero output scores MAPE
+    1.0; the real kernel measures ~0.62 on this noise-dominated
+    tensor, and ~0.02 on genuinely low-rank input — see
+    tests/test_impute.py). Islands are nation % 2 so the blocking is
+    itself engine-portable.
+    """
+    from pudl_spark.functions.impute import impute_latc_blocked
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    min_yr = F.min("yr").over(Window.partitionBy(F.lit(1)))
+    shaped = rev.select(
+        "nation",
+        (F.col("yr") - min_yr).alias("grp"),
+        (F.col("mo") - 1).alias("prd"),
+        "rev",
+    )
+    out = impute_latc_blocked(
+        shaped, series_col="nation", group_col="grp", period_col="prd",
+        value_col="rev", n_groups=8, n_periods=12,
+        island_expr=F.col("nation") % 2,
+        mask_mod=5, mape_threshold=0.9, maxiter=60)
+    return out.select("island", "n_series", "n_observed", "n_masked",
+                      "mape_ok")
+
+
 @query("region_revenue_allocation", sql="""
 WITH rev AS (
   SELECT n.n_regionkey,
