@@ -260,6 +260,120 @@ def _sh_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray | None:
     return np.array(out) if len(out) >= 3 else None
 
 
+def triangulate_ring(pts: np.ndarray) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple open CCW ring (no
+    holes): O(n^2), the textbook two-ears theorem algorithm. Returns
+    a list of (3, 2) arrays whose interiors are disjoint and whose
+    union is the polygon — the decomposition that reduces
+    concave-x-concave clipping to convex-convex pieces.
+    """
+    pts = np.asarray(pts, dtype="float64")
+    n = len(pts)
+    if n < 3:
+        return []
+    if n == 3:
+        return [pts.copy()]
+    # relative epsilon for "zero-area" turns/ears
+    span = float(np.max(np.ptp(pts, axis=0)))
+    eps = (span * span) * 1e-12 if span > 0 else 1e-30
+    idx = list(range(n))
+    tris: list[np.ndarray] = []
+    guard = 0
+    while len(idx) > 3 and guard < 2 * n * n:
+        guard += 1
+        ear_found = False
+        for k in range(len(idx)):
+            ia = idx[k - 1]
+            ib = idx[k]
+            ic = idx[(k + 1) % len(idx)]
+            a, b, c = pts[ia], pts[ib], pts[ic]
+            cross = ((b[0] - a[0]) * (c[1] - a[1])
+                     - (b[1] - a[1]) * (c[0] - a[0]))
+            if cross <= eps:          # reflex or degenerate corner
+                continue
+            # ear test: no other remaining vertex strictly inside abc
+            ok = True
+            for j in idx:
+                if j in (ia, ib, ic):
+                    continue
+                p = pts[j]
+                d1 = ((b[0] - a[0]) * (p[1] - a[1])
+                      - (b[1] - a[1]) * (p[0] - a[0]))
+                d2 = ((c[0] - b[0]) * (p[1] - b[1])
+                      - (c[1] - b[1]) * (p[0] - b[0]))
+                d3 = ((a[0] - c[0]) * (p[1] - c[1])
+                      - (a[1] - c[1]) * (p[0] - c[0]))
+                if d1 >= -eps and d2 >= -eps and d3 >= -eps:
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.vstack([a, b, c]))
+                del idx[k]
+                ear_found = True
+                break
+        if not ear_found:
+            # all remaining corners reflex/degenerate under eps —
+            # drop the flattest corner and continue (robustness
+            # escape for collinear runs)
+            flat = min(range(len(idx)), key=lambda k: abs(
+                (pts[idx[k]][0] - pts[idx[k - 1]][0])
+                * (pts[idx[(k + 1) % len(idx)]][1] - pts[idx[k - 1]][1])
+                - (pts[idx[k]][1] - pts[idx[k - 1]][1])
+                * (pts[idx[(k + 1) % len(idx)]][0] - pts[idx[k - 1]][0])))
+            del idx[flat]
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        cross = ((b[0] - a[0]) * (c[1] - a[1])
+                 - (b[1] - a[1]) * (c[0] - a[0]))
+        if cross > eps:
+            tris.append(np.vstack([a, b, c]))
+    return tris
+
+
+def _triangles_of(geom) -> list[np.ndarray] | None:
+    """Triangulate every (hole-free) part of a polygon/multipolygon;
+    None when any part has holes (the triangulation path doesn't
+    carry holes)."""
+    kind, data = geom
+    parts = [data] if kind == "polygon" else data
+    tris: list[np.ndarray] = []
+    for rings in parts:
+        if len(rings) > 1:
+            return None
+        tris.extend(triangulate_ring(_open_ccw(rings[0])))
+    return tris
+
+
+def _triangulated_clip(geom_a, geom_b):
+    """Exact concave-x-concave intersection by triangle
+    decomposition: ear-clip both operands, Sutherland-Hodgman each
+    triangle pair (triangles are always convex), return the
+    interior-disjoint pieces as a multipolygon. Piece areas sum to
+    the exact intersection area; shared piece edges are measure-zero.
+    """
+    tris_a = _triangles_of(geom_a)
+    tris_b = _triangles_of(geom_b)
+    if tris_a is None or tris_b is None:
+        raise NotImplementedError(
+            "concave-x-concave clipping with interior holes requires "
+            "shapely/Sedona; plug a kernel into "
+            "pudl_spark.functions.geo.clip_kernel")
+    pieces = []
+    for ta in tris_a:
+        for tb in tris_b:
+            p = _sh_clip(ta, tb)
+            if p is None:
+                continue
+            closed = _close(p)
+            if abs(ring_area(closed)) > 0:
+                pieces.append([closed])
+    if not pieces:
+        return None
+    if len(pieces) == 1:
+        return ("polygon", pieces[0])
+    return ("multipolygon", pieces)
+
+
 def clip_kernel(geom_a, geom_b):
     """Polygon-polygon intersection (ref: overlay/self_union,
     src/pudl/analysis/spatial.py:118,207 — shapely via geopandas).
@@ -268,9 +382,10 @@ def clip_kernel(geom_a, geom_b):
     hole-free polygon (grid cells, envelopes, census-tract
     quadrilaterals — the dominant clip shapes): each ring of the other
     operand is clipped against it; holes clip independently and stay
-    holes. Concave-x-concave clipping still needs a real geometry
-    library — swap shapely/Sedona ST_Intersection into this function;
-    the blocking/allocation machinery around it is library-agnostic.
+    holes. Concave-x-concave falls back to ear-clipping triangle
+    decomposition (:func:`_triangulated_clip`) — exact pieces, exact
+    total area, no external geometry library; only
+    concave-with-holes x concave still needs shapely/Sedona.
     """
     if geom_a is None or geom_b is None:
         return None
@@ -288,9 +403,7 @@ def clip_kernel(geom_a, geom_b):
         clip = _convex_clip_ring(geom_a)  # intersection commutes
         subject = geom_b
     if clip is None:
-        raise NotImplementedError(
-            "concave-x-concave clipping requires shapely/Sedona; plug a "
-            "kernel into pudl_spark.functions.geo.clip_kernel")
+        return _triangulated_clip(geom_a, geom_b)
     kind, data = subject
     parts = [data] if kind == "polygon" else data
     out_parts = []

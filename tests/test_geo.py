@@ -121,11 +121,11 @@ def test_clip_kernel_concave_subject_and_holes():
     half = parse_wkb(polygon_wkb([(0, 0), (2, 0), (2, 4), (0, 4)]))
     # left half: 2*4 = 8 minus clipped hole 1x2 = 2 -> 6
     assert geometry_area(clip_kernel(holed, half)) == pytest.approx(6.0)
-    # concave x concave still gated
+    # concave x concave now routes through triangulated clipping;
+    # ell sits entirely inside ell2 so the intersection is ell itself
     ell2 = parse_wkb(polygon_wkb(
         [(0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3)]))
-    with pytest.raises(NotImplementedError):
-        clip_kernel(ell, ell2)
+    assert geometry_area(clip_kernel(ell, ell2)) == pytest.approx(3.0)
 
 
 def test_overlay_area_proportional_allocation(spark):
@@ -147,3 +147,77 @@ def test_overlay_area_proportional_allocation(spark):
     assert rows["west"]["load_mwh"] == pytest.approx(50.0)
     assert rows["east"]["intersection_area"] == pytest.approx(2.0)
     assert rows["east"]["area_ratio"] == pytest.approx(0.5)
+
+
+# --------------------------- concave x concave (triangulated clip)
+
+def _poly(pts):
+    import numpy as np
+
+    ring = np.array(pts + [pts[0]], dtype="float64")
+    return ("polygon", [ring])
+
+
+def _clip_area(a, b):
+    from pudl_spark.functions.geo import clip_kernel, geometry_area
+
+    out = clip_kernel(a, b)
+    return 0.0 if out is None else geometry_area(out)
+
+
+L_A = [(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)]       # area 12
+L_B = [(1, 1), (5, 1), (5, 3), (3, 3), (3, 5), (1, 5)]       # A shifted
+
+
+def test_triangulate_ring_covers_polygon():
+    import numpy as np
+
+    from pudl_spark.functions.geo import ring_area, triangulate_ring
+
+    ring = np.array(L_A, dtype="float64")
+    tris = triangulate_ring(ring)
+    assert len(tris) == len(L_A) - 2
+    total = sum(abs(ring_area(np.vstack([t, t[:1]]))) for t in tris)
+    assert total == pytest.approx(12.0)
+
+
+def test_concave_concave_rectilinear_exact():
+    # two interlocking L-shapes; intersection decomposes into
+    # [1,4]x[1,2] + [1,2]x[2,3] + [1,2]x[3,4] = 3 + 1 + 1 = 5
+    a, b = _poly(L_A), _poly(L_B)
+    assert _clip_area(a, b) == pytest.approx(5.0, abs=1e-9)
+    # intersection commutes
+    assert _clip_area(b, a) == pytest.approx(5.0, abs=1e-9)
+    # self-intersection is the polygon itself
+    assert _clip_area(a, a) == pytest.approx(12.0, abs=1e-9)
+
+
+def test_concave_concave_nonaxis_grid_checked():
+    # a concave arrow vs its rotated copy: verify the triangulated
+    # area against dense-grid containment integration
+    import numpy as np
+
+    from pudl_spark.functions.geo import geometry_contains_many
+
+    arrow = [(0, 0), (4, 1), (8, 0), (7, 4), (4, 2.5), (1, 4)]
+    rot = [(8 - x, 4 - y) for (x, y) in arrow]       # 180-degree spin
+    a, b = _poly(arrow), _poly(list(rot))
+    got = _clip_area(a, b)
+    xs, ys = np.meshgrid(np.linspace(0, 8, 801), np.linspace(0, 4, 401))
+    xs, ys = xs.ravel(), ys.ravel()
+    inside = (geometry_contains_many(a, xs, ys)
+              & geometry_contains_many(b, xs, ys))
+    approx = inside.mean() * 8.0 * 4.0
+    assert got == pytest.approx(approx, rel=0.02)
+    assert got > 0
+
+
+def test_concave_with_holes_still_gated():
+    import numpy as np
+
+    outer = np.array(L_A + [L_A[0]], dtype="float64")
+    hole = np.array([(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0),
+                     (0.5, 0.5)], dtype="float64")
+    holey = ("polygon", [outer, hole])
+    with pytest.raises(NotImplementedError):
+        _clip_area(holey, _poly(L_B))
