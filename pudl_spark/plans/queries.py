@@ -1929,6 +1929,71 @@ def impute_event_values(spark, sf_dir):
         fill, "event_id long, user_id long, value_imputed double")
 
 
+@query("xbrl_roundtrip_totals", sql="""
+WITH agg AS (
+  SELECT CAST(c.c_nationkey AS VARCHAR) AS entity_id,
+    CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+    SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev,
+    COUNT(*) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT entity_id, 'Revenue' AS concept, 'duration' AS period_type,
+  CAST(yr AS VARCHAR) || '-01-01' AS start_date,
+  CAST(yr AS VARCHAR) || '-12-31' AS end_date,
+  CAST(NULL AS VARCHAR) AS instant_date,
+  CAST(rev AS DOUBLE) AS value_num
+FROM agg
+UNION ALL
+SELECT entity_id, 'OrderCount', 'instant',
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(yr AS VARCHAR) || '-12-31', CAST(cnt AS DOUBLE)
+FROM agg
+""")
+def xbrl_roundtrip_totals(spark, sf_dir):
+    """S6 XBRL extraction, exercised end to end (ref: convert_form,
+    src/pudl/extract/xbrl.py:90-140): per (nation, year) revenue and
+    order-count aggregates are rendered into minimal valid XBRL
+    instance documents (duration context for the revenue fact,
+    instant context for the count, a USD unit), then the distributed
+    converter (sources/xbrl.py, mapInPandas ElementTree parse) reads
+    the facts back out. The oracle computes the same aggregates
+    relationally — generate -> parse must be the identity, so any
+    context-resolution, period-typing or numeric-parsing defect in
+    the converter breaks the hash. Decimal routing: revenue renders
+    as a DECIMAL(12,2) string and reparses as the correctly-rounded
+    double, matching DuckDB's decimal->double cast.
+    """
+    from pudl_spark.sources.xbrl import build_instance_xml, extract_xbrl_facts
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("string").alias("entity_id"),
+            F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+    yr_s = F.col("yr").cast("string")
+    docs = agg.select(
+        F.concat(F.col("entity_id"), F.lit("-"), yr_s).alias("filing"),
+        build_instance_xml(
+            F.col("entity_id"),
+            duration_facts=[("Revenue", F.col("rev"))],
+            instant_facts=[("OrderCount", F.col("cnt"))],
+            start=F.concat(yr_s, F.lit("-01-01")),
+            end=F.concat(yr_s, F.lit("-12-31")),
+            instant=F.concat(yr_s, F.lit("-12-31")),
+        ).alias("xml"),
+    )
+    facts = extract_xbrl_facts(docs)
+    return facts.select(
+        "entity_id", "concept", "period_type", "start_date", "end_date",
+        "instant_date", "value_num")
+
+
 @query("impute_latc_mape", sql="""
 WITH rev AS (
   SELECT c.c_nationkey AS nation,
