@@ -1929,6 +1929,77 @@ def impute_event_values(spark, sf_dir):
         fill, "event_id long, user_id long, value_imputed double")
 
 
+@query("parse_address_tagged_suppliers", sql="""
+SELECT s.s_suppkey,
+  CAST(s.s_suppkey AS VARCHAR) || ' '
+    || list_extract(['N','S','E','W'],
+                    CAST(s.s_suppkey % 4 + 1 AS INT)) || ' '
+    || n.n_name || ' '
+    || list_extract(['St','Ave','Blvd'],
+                    CAST(s.s_suppkey % 3 + 1 AS INT))
+    || CASE WHEN s.s_suppkey % 2 = 1
+         THEN ' Apt ' || CAST(s.s_suppkey % 20 + 1 AS VARCHAR)
+         ELSE '' END AS street_address,
+  r.r_name AS city,
+  list_extract(['CA','NY','TX','IL','WA'],
+               CAST(s.s_suppkey % 5 + 1 AS INT)) AS state,
+  CAST(10000 + s.s_suppkey % 80000 AS VARCHAR) AS zip_code
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def parse_address_tagged_suppliers(spark, sf_dir):
+    """P23 probabilistic address tagging (ref: parse_address wrapping
+    the usaddress CRF, src/pudl/helpers.py:2660-2699): deterministic
+    synthetic addresses built from supplier/nation/region columns —
+    half well-formed with commas, half comma-less with occupancy
+    units, with multi-word street AND city names (including the
+    directional-bearing 'MIDDLE EAST' both as street and city) — are
+    decoded by the Viterbi tagger (functions/address.py). The oracle
+    reconstructs the expected components directly from the same
+    source columns, so the check is parse-vs-identity: any
+    mislabeling in the lattice breaks the hash. The regex twin
+    (operators/strings.py::parse_address) handles only the
+    well-formed half of these.
+    """
+    from pudl_spark.functions.address import parse_address_probabilistic
+
+    from pudl_spark.catalog import spread_small_input
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    base = (
+        spread_small_input(sup, "s_suppkey")
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+    )
+    k = F.col("s_suppkey")
+    dir_ = F.element_at(F.array(F.lit("N"), F.lit("S"), F.lit("E"),
+                                F.lit("W")), (k % 4 + 1).cast("int"))
+    ptype = F.element_at(F.array(F.lit("St"), F.lit("Ave"),
+                                 F.lit("Blvd")), (k % 3 + 1).cast("int"))
+    state = F.element_at(F.array(F.lit("CA"), F.lit("NY"), F.lit("TX"),
+                                 F.lit("IL"), F.lit("WA")),
+                         (k % 5 + 1).cast("int"))
+    zipc = (F.lit(10000) + k % 80000).cast("string")
+    apt = F.concat(F.lit(" Apt "), (k % 20 + 1).cast("string"))
+    addr = F.when(
+        k % 2 == 0,
+        F.concat(k.cast("string"), F.lit(" "), dir_, F.lit(" "),
+                 F.col("n_name"), F.lit(" "), ptype, F.lit(", "),
+                 F.col("r_name"), F.lit(", "), state, F.lit(" "), zipc)
+    ).otherwise(
+        F.concat(k.cast("string"), F.lit(" "), dir_, F.lit(" "),
+                 F.col("n_name"), F.lit(" "), ptype, apt, F.lit(" "),
+                 F.col("r_name"), F.lit(" "), state, F.lit(" "), zipc)
+    )
+    parsed = parse_address_probabilistic(
+        base.select("s_suppkey", addr.alias("addr")), "addr", drop=True)
+    return parsed.select("s_suppkey", "street_address", "city", "state",
+                         "zip_code")
+
+
 @query("xbrl_roundtrip_totals", sql="""
 WITH agg AS (
   SELECT CAST(c.c_nationkey AS VARCHAR) AS entity_id,

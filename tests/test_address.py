@@ -1,0 +1,83 @@
+"""P23 probabilistic address tagger: Viterbi lattice semantics on the
+messy shapes the anchored-regex twin nulls out."""
+
+from __future__ import annotations
+
+from pudl_spark.functions.address import parse_address_tagged, tag_address
+
+
+def test_well_formed_with_commas():
+    assert parse_address_tagged("123 Main St, Springfield, IL 62704") == (
+        "123 Main St", "Springfield", "IL", "62704")
+
+
+def test_comma_less_with_occupancy():
+    got = parse_address_tagged("123 N Main St Apt 4B Springfield IL 62704")
+    assert got == ("123 N Main St Apt 4B", "Springfield", "IL", "62704")
+
+
+def test_post_directional_and_zip_plus_four():
+    got = parse_address_tagged(
+        "1600 Pennsylvania Ave NW Washington DC 20500-0003")
+    assert got == ("1600 Pennsylvania Ave NW", "Washington", "DC",
+                   "20500-0003")
+
+
+def test_multi_word_street_and_city():
+    got = parse_address_tagged(
+        "1000 W Martin Luther King Jr Blvd Austin TX 78701")
+    assert got == ("1000 W Martin Luther King Jr Blvd", "Austin", "TX",
+                   "78701")
+    got2 = parse_address_tagged("5 Broadway New York NY 10004")
+    assert got2 == ("5 Broadway", "New York", "NY", "10004")
+
+
+def test_hash_occupancy_marker():
+    got = parse_address_tagged("12 Cherry Hill Rd # 7 Trenton NJ 08601")
+    assert got == ("12 Cherry Hill Rd # 7", "Trenton", "NJ", "08601")
+
+
+def test_directional_city_name():
+    # 'EAST' is in the directional lexicon but must still tag as part
+    # of the city here
+    got = parse_address_tagged("8 S Elm Ave Apt 3 Middle East TX 10008")
+    assert got == ("8 S Elm Ave Apt 3", "Middle East", "TX", "10008")
+
+
+def test_degenerate_inputs():
+    assert parse_address_tagged(None) == (None, None, None, None)
+    assert parse_address_tagged("") == (None, None, None, None)
+    assert parse_address_tagged("   ,  , ") == (None, None, None, None)
+    # no city/state/zip: everything stays street-side, rest None
+    street, city, state, zipc = parse_address_tagged("PO BOX 123")
+    assert state is None and zipc is None
+
+
+def test_tag_labels_roundtrip():
+    pairs = tag_address("123 N Main St Apt 4 Springfield IL 62704")
+    labels = dict(pairs)
+    assert labels["123"] == "AddressNumber"
+    assert labels["N"] == "StreetNamePreDirectional"
+    assert labels["Main"] == "StreetName"
+    assert labels["St"] == "StreetNamePostType"
+    assert labels["Apt"] == "OccupancyType"
+    assert labels["4"] == "OccupancyIdentifier"
+    assert labels["Springfield"] == "PlaceName"
+    assert labels["IL"] == "StateName"
+    assert labels["62704"] == "ZipCode"
+
+
+def test_spark_column_surface(spark):
+    from pudl_spark.functions.address import parse_address_probabilistic
+
+    df = spark.createDataFrame(
+        [(1, "9 E Oak Blvd Apt 2 Reno NV 89501"),
+         (2, "77 Pine St, Boise, ID 83702"),
+         (3, None)],
+        "id long, addr string")
+    out = {r["id"]: (r["street_address"], r["city"], r["state"],
+                     r["zip_code"])
+           for r in parse_address_probabilistic(df, "addr").collect()}
+    assert out[1] == ("9 E Oak Blvd Apt 2", "Reno", "NV", "89501")
+    assert out[2] == ("77 Pine St", "Boise", "ID", "83702")
+    assert out[3] == (None, None, None, None)
