@@ -1929,6 +1929,90 @@ def impute_event_values(spark, sf_dir):
         fill, "event_id long, user_id long, value_imputed double")
 
 
+@query("excel_roundtrip_nation", sql="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def excel_roundtrip_nation(spark, sf_dir):
+    """S2 Excel extraction, exercised end to end: the nation dimension
+    renders into a real .xlsx (sources/excel.py::write_xlsx — inline
+    strings + numeric cells), then read_excel parses it back with a
+    declared schema (ref: ExcelExtractor.load_source,
+    src/pudl/extract/excel.py:94,203-248 — driver-side parse like the
+    reference, bounded because Excel inputs are dimension-sized by
+    nature). Oracle = the source table: generate -> parse must be the
+    identity, so any cell-decode or coercion defect breaks the hash.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from pudl_spark.sources.excel import read_excel, write_xlsx
+
+    nat = _t(spark, sf_dir, "nation")
+    rows = [["n_nationkey", "n_name", "n_regionkey"]] + [
+        [r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+        for r in nat.select("n_nationkey", "n_name",
+                            "n_regionkey").collect()]
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ])
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "nation.xlsx")
+        write_xlsx(p, {"nation": rows})
+        return read_excel(spark, p, sheet_name="nation", schema=schema)
+
+
+@query("dbf_roundtrip_supplier", sql="""
+SELECT CASE WHEN s_suppkey = 0 THEN NULL ELSE s_suppkey END AS s_suppkey,
+  s_name, CAST(s_acctbal AS DOUBLE) AS acctbal,
+  s_acctbal > 0 AS positive,
+  CAST(DATE '1995-01-01'
+       + to_days(CAST(s_suppkey % 1000 AS INT)) AS DATE) AS ship_date
+FROM supplier
+""")
+def dbf_roundtrip_supplier(spark, sf_dir):
+    """S5 DBF extraction, exercised end to end: supplier rows render
+    into a real dBase III file covering all four decoded field types
+    (C character, N numeric with decimals, L logical, D date), then
+    parse_dbf/read_dbf reads them back (ref: FercDbfReader,
+    src/pudl/extract/dbf.py:294,403). Oracle recomputes the same
+    columns relationally — including the reference's FERC bad-numeric
+    quirk, faithfully mirrored: parseN lstrips zeros, so a literal
+    "0" integer field parses to NULL (dbf.py:229-252; the oracle's
+    CASE on s_suppkey = 0 asserts the quirk). The N-with-decimals
+    round trip is exact because TPC-H balances carry exactly two
+    decimals.
+    """
+    import tempfile
+
+    from pudl_spark.sources.dbf import read_dbf, write_dbf
+
+    sup = _t(spark, sf_dir, "supplier")
+    src = sup.select(
+        "s_suppkey", "s_name", "s_acctbal",
+        (F.col("s_acctbal") > 0).alias("positive"),
+        F.date_add(F.lit("1995-01-01").cast("date"),
+                   (F.col("s_suppkey") % 1000).cast("int"))
+        .alias("ship_date")).collect()
+    fields = [("SUPPKEY", "N", 10, 0), ("NAME", "C", 30, 0),
+              ("ACCTBAL", "N", 12, 2), ("POSITIVE", "L", 1, 0),
+              ("SHIPDATE", "D", 8, 0)]
+    rows = [(r["s_suppkey"], r["s_name"], r["s_acctbal"], r["positive"],
+             r["ship_date"]) for r in src]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "supplier.dbf")
+        write_dbf(p, fields, rows)
+        out = read_dbf(spark, p)
+    return out.select(
+        F.col("suppkey").alias("s_suppkey"),
+        F.col("name").alias("s_name"),
+        F.col("acctbal").alias("acctbal"),
+        F.col("positive").alias("positive"),
+        F.col("shipdate").alias("ship_date"))
+
+
 @query("parse_address_tagged_suppliers", sql="""
 SELECT s.s_suppkey,
   CAST(s.s_suppkey AS VARCHAR) || ' '

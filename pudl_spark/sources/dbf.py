@@ -142,3 +142,51 @@ def read_dbf(spark: SparkSession, path: str,
         idx = [by_name[f.name.lower()] for f in schema.fields]
         rows = [tuple(r[i] for i in idx) for r in rows]
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------- writer
+
+def write_dbf(path: str, fields, rows, encoding: str = "latin-1") -> None:
+    """Minimal dBase III writer (round-trip scaffolding for the S5
+    path). ``fields`` = [(name, type, length, decimals)] with the
+    C/N/D/L types :func:`parse_dbf` decodes; values render in the
+    fixed-width conventions FoxPro uses (C left-justified, N
+    right-justified, D as YYYYMMDD, L as T/F, None as blanks).
+    """
+    import datetime as _dt
+
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(f[2] for f in fields)
+    buf = bytearray()
+    buf += struct.pack(
+        "<BBBBIHH20x", 0x03, 24, 1, 1, len(rows), header_size, record_size)
+    for name, ftype, length, decimals in fields:
+        desc = bytearray(32)
+        desc[0:11] = name.encode("ascii")[:11].ljust(11, b"\x00")
+        desc[11] = ord(ftype)
+        desc[16] = length
+        desc[17] = decimals
+        buf += desc
+    buf += b"\x0d"
+    for row in rows:
+        buf += b" "  # not-deleted flag
+        for (name, ftype, length, decimals), v in zip(fields, row):
+            if v is None:
+                buf += b" " * length
+            elif ftype == "C":
+                buf += str(v).encode(encoding)[:length].ljust(length, b" ")
+            elif ftype == "N":
+                text = (f"{v:.{decimals}f}" if decimals
+                        else str(int(v)))
+                buf += text.encode("ascii")[:length].rjust(length, b" ")
+            elif ftype == "D":
+                d = v if isinstance(v, _dt.date) else _dt.date.fromisoformat(
+                    str(v)[:10])
+                buf += d.strftime("%Y%m%d").encode("ascii")
+            elif ftype == "L":
+                buf += b"T" if v else b"F"
+            else:
+                raise ValueError(f"unsupported DBF write type {ftype!r}")
+    buf += b"\x1a"
+    with open(path, "wb") as fh:
+        fh.write(bytes(buf))

@@ -81,3 +81,32 @@ def test_read_dbf_spark_schema(spark, tmp_path):
     rows = {r["rspndnt"]: r for r in df.collect()}
     assert rows["alpha"]["revenue"] == 1234.5
     assert rows["beta"]["year"] == 20
+
+
+def test_write_dbf_roundtrip():
+    import datetime
+    import tempfile
+
+    from pudl_spark.sources.dbf import parse_dbf, write_dbf
+
+    fields = [("KEY", "N", 8, 0), ("NAME", "C", 10, 0),
+              ("BAL", "N", 10, 2), ("OK", "L", 1, 0),
+              ("DAY", "D", 8, 0)]
+    rows = [
+        (7, "seven", -12.34, True, datetime.date(2020, 2, 29)),
+        (None, None, 0.25, False, None),
+        # the FERC parseN quirk: a literal 0 integer nulls on read
+        (0, "zero", 0.0, True, datetime.date(1999, 1, 1)),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/t.dbf"
+        write_dbf(p, fields, rows)
+        got_fields, got_rows = parse_dbf(p)
+    assert [(f[0], f[1]) for f in got_fields] == [
+        ("KEY", "N"), ("NAME", "C"), ("BAL", "N"), ("OK", "L"),
+        ("DAY", "D")]
+    assert got_rows[0] == (7, "seven", -12.34, True,
+                           datetime.date(2020, 2, 29))
+    assert got_rows[1] == (None, None, 0.25, False, None)
+    assert got_rows[2] == (None, "zero", 0.0, True,
+                           datetime.date(1999, 1, 1))

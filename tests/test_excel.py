@@ -168,3 +168,29 @@ def test_extract_excel_partitions_per_year_maps(spark, tmp_path):
     assert got[1]["county"] is None           # NULL-filled missing column
     assert got[3]["county"] == "kent"
     assert got[3]["report_year"] == 2021
+
+
+def test_write_xlsx_roundtrip(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pudl_spark.sources.excel import read_excel, write_xlsx
+
+    p = str(tmp_path / "rt.xlsx")
+    write_xlsx(p, {"s1": [
+        ["id", "name", "score", "flag"],
+        [1, "alpha", 1.5, True],
+        [2, "be&<to>", -2.0, False],
+        [3, None, None, None],
+    ]})
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("flag", T.BooleanType()),
+    ])
+    got = {r["id"]: r for r in read_excel(spark, p, schema=schema).collect()}
+    assert got[1]["name"] == "alpha" and got[1]["score"] == 1.5
+    assert got[1]["flag"] is True
+    assert got[2]["name"] == "be&<to>"      # XML escaping round-trips
+    assert got[2]["flag"] is False
+    assert got[3]["name"] is None and got[3]["score"] is None
