@@ -4229,6 +4229,112 @@ def doc_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+@query("doc_decontaminate", sql="""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 4, 0) + 1),
+    i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS s
+  FROM toks
+), bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % 50 <> 0
+)
+SELECT d.doc_id,
+  d.doc_id IN (SELECT doc_id FROM hits) AS is_contaminated
+FROM documents d WHERE d.doc_id % 50 <> 0
+""")
+def doc_decontaminate(spark, sf_dir):
+    """Training-data decontamination: flag corpus documents sharing
+    any 5-word shingle with a benchmark/eval set (the GPT-3/Pile
+    n-gram decontamination recipe; benchmark here = every 50th doc).
+    Spark plan is the 100 TB shape: benchmark shingles hash to one
+    small distinct set that BROADCASTS (eval sets are tiny by
+    nature), the corpus side streams through a map-side semi-join on
+    the 64-bit shingle hash — the corpus never shuffles its text, and
+    the only wide shuffle is the final distinct over contaminated
+    ids. The oracle joins shingle STRINGS, so agreement also verifies
+    the hash-blocking loses nothing (64-bit collisions aside).
+    """
+    from pudl_spark.functions.text import word_shingles
+
+    docs = _spread_docs(_t(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), k=5)).alias("s"),
+    ).withColumn("h", F.xxhash64("s"))
+    bench = (sh.filter(F.col("doc_id") % 50 == 0)
+             .select("h").distinct())
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    hit_ids = (corpus.join(F.broadcast(bench), "h", "left_semi")
+               .select("doc_id").distinct()
+               .withColumn("is_contaminated", F.lit(True)))
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0).select("doc_id")
+        .join(hit_ids, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("is_contaminated", F.lit(False))
+                .alias("is_contaminated"))
+    )
+
+
+@query("doc_pack_sequences", sql="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), packed(source, rn, doc_id, n_chars, bin_id, bin_fill) AS (
+  SELECT source, rn, doc_id, n_chars, CAST(0 AS BIGINT), n_chars
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_chars,
+    CASE WHEN p.bin_fill + d.n_chars <= 2000
+         THEN p.bin_id ELSE p.bin_id + 1 END,
+    CASE WHEN p.bin_fill + d.n_chars <= 2000
+         THEN p.bin_fill + d.n_chars ELSE d.n_chars END
+  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_chars, bin_id FROM packed
+""")
+def doc_pack_sequences(spark, sf_dir):
+    """Training-data sequence packing: greedy first-fit-in-order
+    binning of documents into fixed 2000-char context windows per
+    source — the standard pretraining batch-packing step. The
+    recurrence (each doc's bin depends on the running fill) is
+    intrinsically sequential WITHIN a source, so it runs as a
+    per-source applyInPandas island — sources are the parallelism
+    unit, exactly like the reference's per-entity islands; nothing
+    driver-side at any corpus size. The oracle replays the identical
+    recurrence as a recursive CTE.
+    """
+    import pandas as pd
+
+    from pudl_spark.catalog import spread_small_input
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, bin_id, fill = [], 0, 0
+        for n in pdf["n_chars"]:
+            if fill > 0 and fill + n > 2000:
+                bin_id += 1
+                fill = 0
+            fill += n
+            bins.append(bin_id)
+        return pdf.assign(bin_id=bins)[
+            ["source", "doc_id", "n_chars", "bin_id"]]
+
+    return spread_small_input(docs, "source").groupBy(
+        "source").applyInPandas(
+        pack, "source string, doc_id long, n_chars long, bin_id long")
+
+
 @query("doc_token_budget", sql="""
 WITH c AS (
   SELECT doc_id, source, n_chars,
