@@ -65,3 +65,34 @@ def test_bucket_blocked_range_join_is_equi(spark):
     plan = _plan(spark, "supplier_close_balances")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_semi_join(spark):
+    plan = _plan(spark, "doc_decontaminate")
+    # the benchmark shingle-hash set broadcasts; the corpus side is
+    # never on the build side of a shuffled join
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    plan = _plan(spark, "event_sessions_windowed")
+    # both window passes share the user partitioning: exactly one
+    # hash exchange in the whole plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_latc_islands_partition_by_island_key(spark):
+    plan = _plan(spark, "impute_latc_mape")
+    # the pandas island consumes the explicit island repartitioning;
+    # no extra exchange between the spread and the applyInPandas
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_island_per_source(spark):
+    plan = _plan(spark, "doc_pack_sequences")
+    assert "FlatMapGroupsInPandas" in plan
+    # island input projected to three narrow columns, never the text
+    assert "text" not in plan
