@@ -4229,6 +4229,116 @@ def doc_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+def _curation_sql() -> str:
+    """Oracle for doc_curation_decisions: the language/repetition/
+    quality sub-expressions are the same SQL the per-operator oracles
+    use, composed with the first-failing-rule CASE."""
+    from pudl_spark.functions.text import LANG_MARKERS
+
+    toks = r"list_distinct(regexp_split_to_array(trim(text), '\s+'))"
+    scores = ", ".join(
+        "length(list_intersect({}, [{}])) AS s_{}".format(
+            toks, ", ".join(f"'{m}'" for m in LANG_MARKERS[la]), la)
+        for la in sorted(LANG_MARKERS))
+    langs = sorted(LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+    {scores}
+  FROM documents
+), lang AS (
+  SELECT doc_id, n_tok,
+    CASE WHEN {g} < 1 THEN FALSE ELSE TRUE END AS has_lang
+  FROM s
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), rep AS (
+  SELECT doc_id,
+    CAST(max(c) AS DOUBLE) / sum(c) > 0.1
+      OR 1.0 - CAST(count(*) AS DOUBLE) / sum(c) > 0.8 AS is_rep
+  FROM wc GROUP BY doc_id
+), qual AS (
+  SELECT doc_id,
+    ((0.3 * least(n_tok / 100.0, 1.0)
+     + 0.2 * (CASE WHEN n_tok > 0 AND (n_chars / n_tok) >= 3
+                    AND (n_chars / n_tok) <= 10 THEN 1.0 ELSE 0.3 END))
+     + 0.2 * (CASE WHEN n_chars > 0
+              THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END))
+     + 0.3 * least((CASE WHEN n_tok > 0
+                    THEN CAST(stop_hits AS DOUBLE) / n_tok
+                    ELSE 0.0 END) * 5.0, 1.0) AS q
+  FROM (
+    SELECT doc_id,
+      len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+      length(text) AS n_chars,
+      length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+      len(list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> list_contains(['the','a','an','and','or','of','to','in',
+                              'is','it','that','for','on','as','with',
+                              'at','by','from'], lower(x)))) AS stop_hits
+    FROM documents)
+)
+SELECT l.doc_id,
+  CASE WHEN l.n_tok < 15 THEN 'too_short'
+       WHEN NOT l.has_lang THEN 'no_language'
+       WHEN r.is_rep THEN 'repetitive'
+       WHEN q.q < 0.5 THEN 'low_quality'
+       ELSE 'kept' END AS decision,
+  CASE WHEN l.n_tok < 15 OR NOT l.has_lang OR r.is_rep OR q.q < 0.5
+       THEN FALSE ELSE TRUE END AS keep
+FROM lang l JOIN rep r ON l.doc_id = r.doc_id
+JOIN qual q ON l.doc_id = q.doc_id
+"""
+
+
+@query("doc_curation_decisions", sql=_curation_sql())
+def doc_curation_decisions(spark, sf_dir):
+    """The end-to-end corpus-curation pipeline AS one query: compose
+    the length screen, language ID, Gopher repetition screens and
+    quality score into a keep/drop decision with the first failing
+    rule as the reason — the shape of a real pretraining data filter
+    (each operator also runs standalone: doc_language_id,
+    doc_gopher_repetition, doc_quality_scores). Everything except the
+    repetition rollup is map-side codegen over one scan; the rollup
+    shares the doc_id key, so the whole pipeline costs one
+    aggregation exchange plus one co-keyed join.
+    """
+    from pudl_spark.functions.text import (
+        language_id_expr, quality_score_expr, tokens)
+
+    docs = _spread_docs(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "text",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        language_id_expr(F.col("text")).isNotNull().alias("has_lang"),
+        quality_score_expr(F.col("text")).alias("q"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").cast("bigint")
+    ndist = F.count(F.lit(1)).cast("bigint")
+    top = F.max("c").cast("bigint")
+    rep = wc.groupBy("doc_id").agg(
+        ((top / total > 0.1) | (1.0 - ndist / total > 0.8))
+        .alias("is_rep"))
+    joined = base.join(rep, "doc_id")
+    fails = ((F.col("n_tok") < 15) | ~F.col("has_lang")
+             | F.col("is_rep") | (F.col("q") < 0.5))
+    decision = (
+        F.when(F.col("n_tok") < 15, F.lit("too_short"))
+        .when(~F.col("has_lang"), F.lit("no_language"))
+        .when(F.col("is_rep"), F.lit("repetitive"))
+        .when(F.col("q") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("kept")))
+    return joined.select(
+        "doc_id", decision.alias("decision"), (~fails).alias("keep"))
+
+
 @query("doc_decontaminate", sql="""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
