@@ -142,3 +142,29 @@ def test_jaro_winkler_null_propagates(spark):
     vals = [r["jw"] for r in df.select(
         jaro_winkler(F.col("a"), F.col("b")).alias("jw")).collect()]
     assert vals[0] is None and vals[1] is None and vals[2] == 0.0
+
+
+def test_jaro_winkler_batch_matches_scalar_randomized():
+    """The vectorized batch kernel must be bitwise-identical to the
+    scalar reference on randomized strings (incl. empties, equals,
+    prefix-extends, non-ASCII)."""
+    import random
+
+    from pudl_spark.functions.linkage import (
+        _jaro_winkler_batch, _jaro_winkler_pair)
+
+    rng = random.Random(7)
+    alpha = "abcdefgh XYZ0123é"
+    cases = []
+    for _ in range(2000):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 30)))
+        if rng.random() < 0.2:
+            b = a
+        if rng.random() < 0.2:
+            b = a[:rng.randint(0, len(a))] + b
+        cases.append((a, b))
+    got = _jaro_winkler_batch([a for a, _ in cases],
+                              [b for _, b in cases])
+    for (a, b), v in zip(cases, got):
+        assert v == _jaro_winkler_pair(a, b), (a, b)
