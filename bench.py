@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "event_sessions_cc",
     "event_sessions_windowed",
     "media_feature_extract",
+    "jw_linkage_parts",
+    "doc_curation_decisions",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "impute_latc_mape",
 ]
 
 
