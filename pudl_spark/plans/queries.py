@@ -1675,6 +1675,37 @@ def event_sessions_cc(spark, sf_dir):
     )
 
 
+@query("user_running_stats", sql="""
+WITH w AS (
+  SELECT event_id, user_id, ts,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS seq_no,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)
+         <= INTERVAL '2 hours' THEN 0 ELSE 1 END AS brk
+  FROM events
+)
+SELECT event_id, user_id, CAST(seq_no AS BIGINT) AS seq_no,
+  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+FROM w
+""")
+def user_running_stats(spark, sf_dir):
+    """Batch twin of the custom stateful streaming operator
+    (streaming/pipeline.py::user_running_stats_stream,
+    applyInPandasWithState): every event labeled with its per-user
+    lifetime sequence number and session index. The semantics are
+    exact integers, so the oracle (row_number + gaps-and-islands
+    session count) checks the kernel bit-for-bit, and the streaming
+    test pins stream == batch across micro-batch boundaries.
+    """
+    from pudl_spark.streaming.pipeline import user_running_stats_stream
+
+    ev = _t(spark, sf_dir, "events")
+    return user_running_stats_stream(
+        ev.select("event_id", "user_id", "ts"), gap_seconds=7200)
+
+
 @query("event_sessions_windowed", sql="""
 WITH w AS (
   SELECT event_id, user_id, ts,

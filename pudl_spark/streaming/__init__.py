@@ -11,7 +11,8 @@ tests/test_streaming.py).
 """
 
 from pudl_spark.streaming.pipeline import (
-    read_events_stream, sessionize_stream, windowed_event_counts,
+    read_events_stream, sessionize_stream, user_running_stats_stream,
+    windowed_event_counts,
 )
 from pudl_spark.streaming.stateful import running_user_totals
 
@@ -20,4 +21,5 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stream",
     "running_user_totals",
+    "user_running_stats_stream",
 ]

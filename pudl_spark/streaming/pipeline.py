@@ -121,3 +121,91 @@ def dedup_stream(events: DataFrame, keys: list[str] | None = None,
         return events.withWatermark(
             watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+RUNNING_STATS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("seq_no", T.LongType()),
+    T.StructField("session_no", T.LongType()),
+])
+
+_RUNNING_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_sessions", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def user_running_stats_stream(events: DataFrame,
+                              gap_seconds: int = 7200) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event counters that survive across micro-batches
+    — each event is emitted with its lifetime sequence number and the
+    index of the session it opened or continued (session = gap
+    under ``gap_seconds``, the event_sessions semantics).
+
+    This is the operator shape the built-in aggregations can't
+    express: row-level output (append mode) driven by keyed state
+    (count, session count, last timestamp) that lives in the state
+    store between triggers. Semantics are EXACT integers, so the
+    batch twin (one window pass; see queries.user_running_stats) is a
+    bit-for-bit oracle whenever per-user event-time order is
+    respected across batches — the caveat of any order-sensitive
+    streaming state machine; a production deployment feeds it from a
+    per-user-ordered source or accepts resequencing at the boundary.
+
+    On a batch frame this routes to the same applyInPandas kernel
+    without state (one group = whole history) for differential
+    testing.
+    """
+    import pandas as pd
+
+    def _advance(pdf, n_events, n_sessions, last_us):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        seq, ses = [], []
+        gap_us = gap_seconds * 1_000_000
+        for t in us:
+            n_events += 1
+            if last_us is None or t - last_us > gap_us:
+                n_sessions += 1
+            last_us = int(t)
+            seq.append(n_events)
+            ses.append(n_sessions)
+        out = pd.DataFrame({
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "seq_no": seq,
+            "session_no": ses,
+        })
+        return out, n_events, n_sessions, last_us
+
+    if events.isStreaming:
+        from pyspark.sql.streaming.state import (
+            GroupState, GroupStateTimeout)
+
+        def with_state(key, pdf_iter, state: GroupState):
+            if state.exists:
+                n_events, n_sessions, last_us = state.get
+            else:
+                n_events, n_sessions, last_us = 0, 0, None
+            for pdf in pdf_iter:
+                out, n_events, n_sessions, last_us = _advance(
+                    pdf, n_events, n_sessions, last_us)
+                yield out
+            state.update((n_events, n_sessions,
+                          -1 if last_us is None else last_us))
+
+        return (
+            events.groupBy("user_id").applyInPandasWithState(
+                with_state, RUNNING_STATS_SCHEMA, _RUNNING_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout)
+        )
+
+    def batch_kernel(pdf):
+        out, *_ = _advance(pdf, 0, 0, None)
+        return out
+
+    return events.groupBy("user_id").applyInPandas(
+        batch_kernel, RUNNING_STATS_SCHEMA)

@@ -105,3 +105,42 @@ def test_dedup_stream_within_watermark(spark, events_dir):
     keys = ["event_id", "user_id", "event_type"]
     assert canon(got, keys) == canon(expect, keys)
     assert got.count() == batch.count()
+
+
+def test_user_running_stats_stream_matches_batch(spark, tmp_path_factory):
+    """The row-level applyInPandasWithState operator: state (seq and
+    session counters) must carry across micro-batches. Files are
+    range-partitioned by ts so arrival respects per-user event-time
+    order — the operator's documented contract."""
+    from pudl_spark.streaming import user_running_stats_stream
+
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    src = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    dest = str(tmp_path_factory.mktemp("ordered") / "events")
+    # four sequential writes with distinct mtimes: the file source
+    # orders by modification time, so arrival follows event time
+    ordered = src.orderBy("ts", "event_id").withColumn(
+        "__rank", F.monotonically_increasing_id())
+    n = src.count()
+    cuts = [0, n // 4, n // 2, 3 * n // 4, n]
+    rows = ordered.collect()
+    for i in range(4):
+        chunk = spark.createDataFrame(
+            [r for r in rows[cuts[i]:cuts[i + 1]]], ordered.schema
+        ).drop("__rank")
+        chunk.coalesce(1).write.mode("append").parquet(dest)
+        _time.sleep(0.1)
+    batch = spark.read.parquet(dest)
+    expect = user_running_stats_stream(batch)
+    stream = read_events_stream(spark, dest, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        user_running_stats_stream(stream), "running_stats", spark,
+        output_mode="append")
+    keys = ["event_id", "user_id", "seq_no", "session_no"]
+    assert canon(got, keys) == canon(expect, keys)
+    # counters genuinely span batches: some user's seq_no exceeds the
+    # size of any single micro-batch contribution
+    assert max(r["seq_no"] for r in got.collect()) > 1
