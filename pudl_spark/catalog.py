@@ -60,6 +60,17 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     for c in ns_cols:
         df = df.withColumn(
             c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # tz-naive parquet timestamps (isAdjustedToUTC=false) arrive as
+    # TIMESTAMP_NTZ under inferTimestampNTZ (default on). The engine's
+    # operators and DuckDB oracles are written against TimestampType;
+    # casting NTZ->LTZ interprets the wall clock in the session tz and
+    # toPandas inverts with the same tz, so oracle parity holds under
+    # any harness session. The cast is a projection Catalyst keeps
+    # above the scan without disturbing pruning/pushdown.
+    from pyspark.sql.types import TimestampNTZType
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df
 
 

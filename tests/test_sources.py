@@ -140,19 +140,45 @@ def test_sqlite_sink_roundtrip(spark, tmp_path):
         write_sqlite_table(bad, db, res, if_exists="append")
 
 
-def test_read_parquet_table_self_sufficient_on_nanos(spark, sf_dir):
+def test_read_parquet_table_self_sufficient_on_nanos(spark, tmp_path):
     """read_parquet_table must not depend on the session builder having
     set spark.sql.legacy.parquet.nanosAsLong — a harness's plain
-    SparkSession reading events.parquet (TIMESTAMP NANOS) must work.
-    Simulated by unsetting the conf at runtime before the read."""
+    SparkSession reading a TIMESTAMP(NANOS) parquet must work.
+    Simulated by writing a nanos fixture and unsetting the conf at
+    runtime before the read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from pudl_spark.catalog import read_parquet_table
+
+    path = str(tmp_path / "nanos.parquet")
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_001,
+                        1_700_000_000_000_001_000,
+                        1_700_000_100_000_000_000],
+                       pa.timestamp("ns")),
+    })
+    pq.write_table(tbl, path)
 
     key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
     try:
-        df = read_parquet_table(spark, os.path.join(sf_dir, "events.parquet"))
+        df = read_parquet_table(spark, path)
         assert dict(df.dtypes)["ts"] == "timestamp"
-        assert df.count() > 0
+        assert df.count() == 3
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, "true")
+
+
+def test_read_parquet_table_normalizes_ntz_to_ltz(spark, sf_dir):
+    """Driver-regenerated testdata stores tz-naive timestamp[us], which
+    a plain session reads as TIMESTAMP_NTZ; the catalog must normalize
+    to TimestampType so LTZ-only functions (unix_micros, windows over
+    ts) and the DuckDB oracles keep working under any harness session."""
+    from pudl_spark.catalog import read_parquet_table
+
+    df = read_parquet_table(spark, os.path.join(sf_dir, "events.parquet"))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
