@@ -193,3 +193,55 @@ def document_fingerprint_portable(col: Column | str, k: int = 5,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + x) % mod)
     return F.when(F.size(sh) > 0, F.array_min(hashed)).otherwise(whole)
+
+
+def bm25_scores(df, text_col: str, terms: list[str],
+                k1: float = 1.2, b: float = 0.75):
+    """BM25 relevance of every document against a fixed query-term
+    list — the relevance-filtering step of a corpus curation pipeline
+    ("keep documents that look like X").
+
+    Scale shape: one aggregation pass computes the corpus statistics
+    (N, avg doc length, per-term document frequencies) as a SINGLE
+    row; a broadcast cross-join attaches it; tf and the score are then
+    map-only higher-order array expressions inside codegen. Two scans,
+    one 1-row shuffle, no explode of the token stream (term count is
+    fixed and small, so per-term ``array_contains``/``filter`` beats
+    an explode+join by the width of the token explosion).
+
+    Per-term scores are summed in list order (a fixed-length chain,
+    not a SUM aggregate) so the float result is order-deterministic
+    and mirrors an oracle writing the same chain.
+
+    Returns df plus: ``doc_len`` (bigint) and ``bm25`` (double,
+    rounded to 6 dp to absorb the ULP difference between ln()
+    implementations).
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    df = df.withColumn("__toks", toks)
+    dl = F.size(F.col("__toks")).cast("long")
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(dl).cast("double").alias("__sumdl"),
+        *[F.sum(F.array_contains(F.col("__toks"), t).cast("long"))
+          .cast("double").alias(f"__df_{i}")
+          for i, t in enumerate(terms)],
+    )
+    out = df.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))
+                    ).cast("double")
+        idf = F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5)) + F.lit(1.0))
+        denom = (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                 + F.lit(b) * F.col("__dl").cast("double")
+                 / (F.col("__sumdl") / F.col("__n"))))
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+    return (
+        out.withColumn("doc_len", F.col("__dl"))
+        .withColumn("bm25", F.round(score, 6))
+        .drop("__toks", "__dl", "__n", "__sumdl",
+              *[f"__df_{i}" for i in range(len(terms))])
+    )

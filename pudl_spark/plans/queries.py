@@ -4721,3 +4721,91 @@ def nation_multipart_explode(spark, sf_dir):
     exploded = explode_parts(terr, "geom")
     return add_area(exploded, "geom", "part_area").select(
         "n_nationkey", "part_area", "part_area_ratio")
+
+
+@query("doc_bm25_relevance", sql="""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> lower(t)) END AS toks
+  FROM documents
+), s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(len(toks)) AS DOUBLE) AS sumdl,
+    CAST(SUM(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END)
+         AS DOUBLE) AS df0,
+    CAST(SUM(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END)
+         AS DOUBLE) AS df1,
+    CAST(SUM(CASE WHEN list_contains(toks, 'shuffle') THEN 1 ELSE 0 END)
+         AS DOUBLE) AS df2
+  FROM d
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+    CAST(len(list_filter(toks, x -> x = 'query')) AS DOUBLE) AS tf1,
+    CAST(len(list_filter(toks, x -> x = 'shuffle')) AS DOUBLE) AS tf2
+  FROM d
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS doc_len,
+  round(
+    0.0
+    + ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+      * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+      * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n)))
+    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+      * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sumdl / n))),
+  6) AS bm25
+FROM t, s
+""")
+def doc_bm25_relevance(spark, sf_dir):
+    """BM25 relevance scoring against a fixed query — the relevance-
+    filtering stage of a curation pipeline. One 1-row stats aggregate
+    broadcast to a map-only scoring pass; the per-term score chain is
+    summed in fixed order so the double result is deterministic, and
+    both sides round to 6 dp to absorb ln() ULP differences.
+    (Training-data family; no reference counterpart — the reference
+    has no relevance scoring.)
+    """
+    from pudl_spark.functions.text import bm25_scores
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    out = bm25_scores(d, "text", ["spark", "query", "shuffle"])
+    return out.select("doc_id", "doc_len", "bm25")
+
+
+@query("doc_bloom_incremental_dedup", sql="""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE doc_id % 7 = 0
+)
+SELECT b.doc_id,
+  EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text) AS is_dup
+FROM batch b
+""")
+def doc_bloom_incremental_dedup(spark, sf_dir):
+    """Incremental dedup of a new batch against an existing corpus,
+    Bloom-prefiltered but exact (functions/bloom.py): corpus hashes ->
+    distributed Bloom build (bit_or over num_bits/64 words), broadcast
+    probe (vectorized numpy over Arrow batches), exact confirm join on
+    the content hash for candidates only. The batch replays every 7th
+    corpus doc under a shifted id so the duplicate path is exercised
+    deterministically. (Training-data family.)
+    """
+    from pudl_spark.functions.bloom import bloom_incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    )
+    out = bloom_incremental_dedup(corpus, batch, "doc_id", "text",
+                                  num_bits=1 << 17, k=4)
+    return out.select("doc_id", "is_dup")

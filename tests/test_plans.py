@@ -96,3 +96,22 @@ def test_pack_sequences_island_per_source(spark):
     assert "FlatMapGroupsInPandas" in plan
     # island input projected to three narrow columns, never the text
     assert "text" not in plan
+
+
+def test_bm25_is_map_only_with_broadcast_stats(spark):
+    plan = _plan(spark, "doc_bm25_relevance")
+    # the only join is the 1-row corpus-stats broadcast; scoring is a
+    # map-only projection over the token arrays
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_joins_stay_hash_or_broadcast(spark):
+    plan = _plan(spark, "doc_bloom_incremental_dedup")
+    # candidate confirm + flag join: equi-joins only, no sort-merge on
+    # the full batch and never a cartesian; text never reaches a join
+    # (both sides carry the 64-bit hash)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
