@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_pack_sequences",
     "impute_latc_mape",
+    "doc_bm25_relevance",
+    "doc_bloom_incremental_dedup",
 ]
 
 

@@ -3582,9 +3582,17 @@ def _fs_linkage_run(spark, sf_dir, method: str):
     cand1 = left.join(
         F.broadcast(right), (left["l_type"] == right["r_type"])
         & (left["l_size"] == right["r_size"]))
+    # Rule 2 excludes pairs rule 1 already produced (same type+size):
+    # both rules share the size predicate, and the dirty copy keeps
+    # the type, so without the type-inequality guard nearly every
+    # rule-2 pair is a rule-1 duplicate and the similarity kernel
+    # scores it twice. The guard is a map-side filter (null-safe so a
+    # null-typed pair still surfaces through rule 2), halving scorer
+    # input with no extra shuffle; the top-1 window is indifferent.
     cand2 = left.join(
         F.broadcast(right), (left["l_brand"] == right["r_brand"])
-        & (left["l_size"] == right["r_size"]))
+        & (left["l_size"] == right["r_size"])
+        & ~left["l_type"].eqNullSafe(right["r_type"]))
     scored = cand1.unionByName(cand2).select(
         "rk", "lk", w.alias("w"))
     rn = F.row_number().over(
