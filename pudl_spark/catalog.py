@@ -57,9 +57,18 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Repair only columns that actually arrived as long nanoseconds:
+    # pyarrow also reports INT96 (Spark's own default parquet
+    # timestamp encoding) as timestamp[ns], but Spark reads INT96 as a
+    # proper TIMESTAMP — applying the div-1000 repair there would be
+    # a type error on perfectly good Spark-written files.
+    from pyspark.sql.types import LongType
+    arrived_long = {f.name for f in df.schema.fields
+                    if isinstance(f.dataType, LongType)}
     for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if c in arrived_long:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     # tz-naive parquet timestamps (isAdjustedToUTC=false) arrive as
     # TIMESTAMP_NTZ under inferTimestampNTZ (default on). The engine's
     # operators and DuckDB oracles are written against TimestampType;

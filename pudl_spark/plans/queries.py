@@ -4817,3 +4817,35 @@ def doc_bloom_incremental_dedup(spark, sf_dir):
     out = bloom_incremental_dedup(corpus, batch, "doc_id", "text",
                                   num_bits=1 << 17, k=4)
     return out.select("doc_id", "is_dup")
+
+
+@query("event_sliding_windows", sql="""
+SELECT ws AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events, LATERAL (SELECT unnest([
+    CAST(date_trunc('hour', ts) AS TIMESTAMP),
+    CAST(date_trunc('hour', ts) - INTERVAL '1 hour' AS TIMESTAMP)]) AS ws)
+GROUP BY ws, event_type
+""")
+def event_sliding_windows(spark, sf_dir):
+    """Sliding (hopping) window aggregation via F.window with a slide
+    shorter than the width — the third window variant next to the
+    tumbling (hourly_event_windows) and session
+    (event_sessions_windowed) forms, all sharing semantics with the
+    Structured Streaming path. Spark's window() generates the
+    per-event window memberships before the aggregation, so the plan
+    is one explode-by-2 and one shuffle; the oracle spells the same
+    membership out with UNNEST.
+    """
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                  "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )

@@ -182,3 +182,30 @@ def test_read_parquet_table_normalizes_ntz_to_ltz(spark, sf_dir):
     df = read_parquet_table(spark, os.path.join(sf_dir, "events.parquet"))
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_read_parquet_table_handles_spark_int96_timestamps(spark, tmp_path):
+    """Spark's own parquet writer emits INT96 timestamps (by default),
+    which pyarrow reports as timestamp[ns] — the same footer signature
+    as the long-ns case. The repair must not fire for columns Spark
+    already read as TIMESTAMP (regression: div-1000 on a TIMESTAMP is
+    a type error, found by the 10x scale-stress harness reading its
+    own Spark-written data)."""
+    import datetime as dt
+
+    from pudl_spark.catalog import read_parquet_table
+
+    path = str(tmp_path / "int96")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 5, 1, 12, 30, 15))],
+            "id long, ts timestamp").write.mode("overwrite").parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    df = read_parquet_table(spark, path)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    row = df.collect()[0]
+    assert row["ts"] == dt.datetime(2024, 5, 1, 12, 30, 15)

@@ -1,0 +1,124 @@
+"""Scale-stress harness: does each operator family scale ~linearly?
+
+Synthesizes a ~10x copy of the sf0.1 testdata (id-shifted unions, so
+key structure and per-user/per-doc locality are preserved while user,
+document and order cardinalities genuinely grow), then times a
+representative query per family at sf0.1 and at 10x. A plan that
+hides an all-pairs join, a driver collect, or a lineage blow-up shows
+up as super-linear wall time here long before a cluster run would.
+
+Usage: python tools/scale_stress.py [--mult N] [name ...]
+Writes nothing outside /tmp; prints one JSON line per query with
+(base_sec, scaled_sec, ratio, rows_base, rows_scaled).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/spark_graft_scaled"
+
+# Per-table id-shift recipe: (column, stride) pairs applied per copy i
+# as col + i*stride. Strides are far above real key ranges, so copies
+# never collide and referential joins to the unscaled dims still work.
+SHIFTS = {
+    "events": [("event_id", 10**9), ("user_id", 10**7)],
+    "documents": [("doc_id", 10**7)],
+    "embeddings": [("vec_id", 10**7)],
+    "orders": [("o_orderkey", 10**9)],
+    "lineitem": [("l_orderkey", 10**9)],
+}
+COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
+
+DEFAULT_QUERIES = [
+    "pricing_summary",          # scan+agg
+    "nation_revenue_by_year",   # broadcast snowflake join
+    "allocate_order_total",     # window allocation
+    "event_anomaly_flags",      # shared-partition windows
+    "event_sessions_cc",        # iterative CC
+    "minhash_near_dup_pairs",   # LSH dedup
+    "doc_bloom_incremental_dedup",
+    "doc_bm25_relevance",
+    "purchase_asof_signup",     # as-of join
+    "jw_linkage_parts",         # similarity linkage
+]
+
+
+def build_scaled(spark, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+
+    if os.path.exists(SCALED):
+        shutil.rmtree(SCALED)
+    os.makedirs(SCALED)
+    for t in COPY_AS_IS:
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(SCALED, f"{t}.parquet")
+        shutil.copy(src, dst)
+    for t, shifts in SHIFTS.items():
+        df = read_parquet_table(spark, os.path.join(BASE, f"{t}.parquet"))
+        parts = []
+        for i in range(mult):
+            c = df
+            for col, stride in shifts:
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # one dir of parquet files; queries read it like a table
+        out.write.mode("overwrite").parquet(
+            os.path.join(SCALED, f"{t}.parquet"))
+
+
+def main() -> int:
+    mult = 10
+    args = sys.argv[1:]
+    if args[:1] == ["--mult"]:
+        mult = int(args[1]); args = args[2:]
+    names = args or DEFAULT_QUERIES
+
+    from pudl_spark.plans.queries import QUERIES
+    from pudl_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    print(f"building {mult}x testdata under {SCALED} ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    build_scaled(spark, mult)
+    print(f"built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    results = {}
+    for name in names:
+        fn = QUERIES[name]
+        row = {}
+        for label, sf_dir in (("base", BASE), ("scaled", SCALED)):
+            spark.catalog.clearCache()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            row[label] = round(min(runs), 3)
+        row["ratio"] = round(row["scaled"] / row["base"], 2)
+        row["per_mult"] = round(row["ratio"] / mult, 2)
+        results[name] = row
+        print(json.dumps({"query": name, **row}))
+    print(json.dumps({"mult": mult, "results": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
