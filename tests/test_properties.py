@@ -170,3 +170,28 @@ def test_banded_join_matches_bruteforce(spark, lefts, rights, tol):
     want = sorted((i, j) for i, lv in enumerate(lefts)
                   for j, rv in enumerate(rights) if abs(lv - rv) <= tol)
     assert got == want
+
+
+@SLOW
+@given(
+    members=st.lists(st.text(min_size=0, max_size=30), min_size=1,
+                     max_size=40, unique=True),
+    probes=st.lists(st.text(min_size=0, max_size=30), min_size=1,
+                    max_size=40, unique=True),
+)
+def test_bloom_dedup_exact_for_any_strings(spark, members, probes):
+    """Bloom-prefiltered incremental dedup must be EXACT for arbitrary
+    member/probe strings (including empty strings, unicode, and heavy
+    member/probe overlap): the filter may only shrink the confirm
+    join's input, never the answer."""
+    from pudl_spark.functions.bloom import bloom_incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(members)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(probes)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["is_dup"] for r in bloom_incremental_dedup(
+        corpus, batch, "doc_id", "text", num_bits=1 << 10, k=3).collect()}
+    member_set = set(members)
+    assert got == {1000 + i: t in member_set for i, t in enumerate(probes)}
