@@ -45,8 +45,9 @@ _PRIORITY = [
     "weighted_median_quantity", "rollup_revenue",
     "allocate_order_total", "top_revenue_orders", "date_merge_year",
     "scale_by_ownership_suppliers", "union_balances_by_nation",
-    "uncategorized_part_types", "unpivot_lineitem_measures",
-    "clean_customer_names", "spot_fix_regions", "order_status_flags",
+    "unpivot_lineitem_measures",
+    "clean_customer_names", "sqlite_roundtrip_orders",
+    "parquet_sink_roundtrip", "csv_partition_extract_nation",
     "encode_order_status", "parse_address_tagged_suppliers",
     "fk_orphan_counts", "calc_reconcile_orders", "fs_linkage_parts",
     "jw_linkage_parts", "embedding_blocked_clusters",
@@ -54,7 +55,8 @@ _PRIORITY = [
     "xbrl_roundtrip_totals", "dbf_roundtrip_supplier",
     "exact_dedup_docs", "minhash_near_dup_pairs",
     "doc_bm25_relevance", "doc_bloom_incremental_dedup",
-    "excel_roundtrip_nation", "simhash_near_dup_pairs",
+    "excel_roundtrip_nation", "uncategorized_part_types",
+    "spot_fix_regions", "order_status_flags", "simhash_near_dup_pairs",
     "ngram_jaccard_dup_pairs", "embedding_near_dup_pairs",
     "ann_cosine_topk", "ann_ivf_topk", "doc_language_id",
     "doc_quality_scores", "doc_token_stats", "doc_fingerprints",

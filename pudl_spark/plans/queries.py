@@ -4849,3 +4849,129 @@ def event_sliding_windows(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "total_value")
     )
+
+
+@query("sqlite_roundtrip_orders", sql="""
+SELECT o_orderkey, o_orderstatus,
+  CAST(o_totalprice AS DOUBLE) AS totalprice,
+  CAST(o_orderdate AS TIMESTAMP) AS order_date
+FROM orders
+WHERE o_orderkey % 50 = 0
+  AND year(o_orderdate) IN (1995, 1996)
+""")
+def sqlite_roundtrip_orders(spark, sf_dir):
+    """S11+S12 typed SQLite sink and filtered read-back, end to end
+    (ref: PudlSqliteIOManager io_managers.py:154,432 and the
+    report-year read-back :724-785): a subset of orders streams into a
+    CHECK-constrained SQLite table, then reads back with the year
+    filter running INSIDE SQLite; declared types restore timestamps
+    from their ISO text form, so the oracle is the same selection done
+    relationally. The sink boundary is driver-side by design — SQLite
+    is the single-file interchange copy; Parquet (S10) is the
+    distributed sink.
+    """
+    import tempfile
+
+    from pudl_spark.schema import Field, FieldConstraints, Resource
+    from pudl_spark.sources.sqlite import (
+        read_sqlite_table, write_sqlite_table)
+
+    res = Resource(
+        name="orders_subset",
+        fields=(
+            Field("o_orderkey", "integer", FieldConstraints(required=True)),
+            Field("o_orderstatus", "string",
+                  FieldConstraints(enum=("O", "F", "P"))),
+            Field("totalprice", "number", FieldConstraints(minimum=0)),
+            Field("order_date", "datetime"),
+        ),
+        primary_key=("o_orderkey",),
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    sub = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderdate").alias("order_date"))
+    with tempfile.TemporaryDirectory() as td:
+        db = os.path.join(td, "interchange.sqlite")
+        write_sqlite_table(sub, db, res)
+        out = read_sqlite_table(spark, db, res, years=[1995, 1996],
+                                year_col="order_date")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+@query("parquet_sink_roundtrip", sql="""
+SELECT l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+""")
+def parquet_sink_roundtrip(spark, sf_dir):
+    """S10 partitioned/sorted zstd Parquet sink, proven through its
+    own read path (ref: io_managers.py:379-418 + the epacems
+    sort-before-write, transform/epacems.py:250-288): lineitem lands
+    hive-partitioned by returnflag and clustered by shipdate, then the
+    aggregation reads ONLY the l_returnflag=R partition — the filter
+    must resolve at the directory level (partition pruning), which is
+    the entire point of choosing the partition column at 100 TB.
+    """
+    import tempfile
+
+    from pudl_spark.sources.files import write_parquet_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_shipdate")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "lineitem_sink")
+        write_parquet_table(li, p, partition_cols=["l_returnflag"],
+                            sort_cols=["l_shipdate"])
+        back = spark.read.parquet(p).filter(F.col("l_returnflag") == "R")
+        out = back.groupBy("l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+@query("csv_partition_extract_nation", sql="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def csv_partition_extract_nation(spark, sf_dir):
+    """S1/S3 partition-iterated CSV extraction (ref: concat_pages,
+    extract/extractor.py:243-288 + extract/csv.py:16): nation splits
+    into one CSV per region (the reference's per-year partition files),
+    then extract_partitions unions them back under the DECLARED schema
+    — never inferred, so types are stable across partitions by
+    construction.
+    """
+    import tempfile
+
+    from pudl_spark.schema import Field, FieldConstraints, Resource
+    from pudl_spark.sources.files import extract_partitions
+
+    res = Resource(
+        name="nation_csv",
+        fields=(
+            Field("n_nationkey", "integer", FieldConstraints(required=True)),
+            Field("n_name", "string"),
+            Field("n_regionkey", "integer"),
+        ),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for rk in range(5):
+            p = os.path.join(td, f"region={rk}")
+            nat.filter(F.col("n_regionkey") == rk).write \
+                .option("header", "true").mode("overwrite").csv(p)
+            paths.append(p)
+        out = extract_partitions(
+            spark, paths, fmt="csv",
+            schema=res.to_struct_type(), header="true")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
