@@ -41,7 +41,7 @@ _PRIORITY = [
     "event_sliding_windows", "purchase_asof_signup",
     "event_hypertable_rollup", "salted_event_type_totals",
     "user_running_stats", "monthly_orders_densified",
-    "rolling_monthly_revenue", "supplier_month_utilization",
+    "declarative_transform_orders", "supplier_month_utilization",
     "weighted_median_quantity", "rollup_revenue",
     "allocate_order_total", "top_revenue_orders", "date_merge_year",
     "scale_by_ownership_suppliers", "union_balances_by_nation",
@@ -62,7 +62,7 @@ _PRIORITY = [
     "doc_quality_scores", "doc_token_stats", "doc_fingerprints",
     "doc_gopher_repetition", "doc_pii_scrub", "doc_decontaminate",
     "doc_pack_sequences", "doc_curation_decisions",
-    "media_feature_extract",
+    "media_feature_extract", "rolling_monthly_revenue",
 ]
 
 

@@ -4975,3 +4975,61 @@ def csv_partition_extract_nation(spark, sf_dir):
             schema=res.to_struct_type(), header="true")
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query("declarative_transform_orders", sql="""
+WITH t AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey = 7 THEN 'X' ELSE o_orderstatus END
+      AS o_orderstatus,
+    CASE WHEN lower(o_orderpriority) IN ('1-urgent', '2-high')
+           THEN 'urgent'
+         WHEN lower(o_orderpriority) IN ('3-medium', '4-not specified')
+           THEN 'normal'
+         ELSE NULL END AS priority,
+    o_totalprice * 0.001 + 0.0 AS kd
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus, priority,
+  CASE WHEN kd BETWEEN 1.0 AND 300.0 THEN kd END
+    AS total_price_kilodollars
+FROM t
+WHERE priority IS NOT NULL
+""")
+def declarative_transform_orders(spark, sf_dir):
+    """The reference's central architecture end to end: a pure params
+    DICT (rename -> normalize -> categorize -> convert_units with
+    unit-suffix rename -> nullify_outliers -> drop_invalid_rows ->
+    spot_fix_values) hydrated by TableTransformParams.from_dict and
+    applied by TableTransformer (ref: classes.py:993-1340 and the
+    params modules like transform/params/ferc1.py, which are nothing
+    but these dicts). Every step is a Column expression, so the whole
+    declared pipeline collapses into one codegen projection over the
+    scan plus the broadcast spot-fix join — the oracle recomputes the
+    same semantics relationally.
+    """
+    from pudl_spark.plans.transform import transform_table
+
+    params = {
+        "rename_columns": {"o_orderpriority": "priority",
+                           "o_totalprice": "total_price_dollars"},
+        "normalize_strings": {"priority": {}},
+        "categorize_strings": {"priority": {
+            "urgent": ["1-urgent", "2-high"],
+            "normal": ["3-medium", "4-not specified"],
+        }},
+        "convert_units": {"total_price_dollars": {
+            "multiplier": 0.001, "adder": 0.0,
+            "from_unit": "dollars", "to_unit": "kilodollars"}},
+        "nullify_outliers": {"total_price_kilodollars": {
+            "lower_bound": 1.0, "upper_bound": 300.0}},
+        "drop_invalid_rows": [{"required_valid_cols": ["priority"],
+                               "invalid_values": []}],
+        "spot_fix_values": [{"idx_cols": ["o_orderkey"],
+                             "fix_cols": ["o_orderstatus"],
+                             "fixes": [(7, "X")]}],
+    }
+    o = _t(spark, sf_dir, "orders")
+    out = transform_table(o, params)
+    return out.select("o_orderkey", "o_orderstatus", "priority",
+                      "total_price_kilodollars")
