@@ -37,19 +37,24 @@ def read_events_stream(spark: SparkSession, path: str,
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts + value sums per event_type.
+                          watermark: str = "2 hours",
+                          slide: str | None = None) -> DataFrame:
+    """Tumbling (or, with ``slide``, hopping) window counts + value
+    sums per event_type.
 
     With a streaming input the watermark bounds state: windows older
     than (max event time - watermark) are finalized and evicted, so
     state size is O(active windows x types), independent of stream
-    length. On a batch input the same plan is a plain groupBy.
+    length — for hopping windows multiplied by the width/slide
+    overlap factor, still stream-length-independent. On a batch input
+    the same plan is a plain groupBy.
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        src.groupBy(w.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",

@@ -144,3 +144,25 @@ def test_user_running_stats_stream_matches_batch(spark, tmp_path_factory):
     # counters genuinely span batches: some user's seq_no exceeds the
     # size of any single micro-batch contribution
     assert max(r["seq_no"] for r in got.collect()) > 1
+
+
+def test_sliding_window_stream_matches_batch(spark, events_dir):
+    """Hopping windows (2h width, 1h slide): every event lands in two
+    windows; the streaming result across micro-batch boundaries must
+    equal the batch plan's."""
+    from pyspark.sql import functions as F
+
+    def rounded(df):
+        return df.withColumn("sum_value", F.round("sum_value", 6))
+
+    batch = spark.read.parquet(events_dir)
+    expect = rounded(
+        windowed_event_counts(batch, window="2 hours", slide="1 hour"))
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = rounded(run_stream_to_memory(
+        windowed_event_counts(stream, window="2 hours", slide="1 hour"),
+        "sliding_counts", spark))
+    # sums rounded: incremental state merge and the batch plan add
+    # doubles in different orders (ULP-level drift is expected)
+    keys = ["window_start", "event_type", "n_events", "sum_value"]
+    assert canon(got, keys) == canon(expect, keys)
