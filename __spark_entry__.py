@@ -62,6 +62,7 @@ _PRIORITY = [
     "doc_quality_scores", "doc_token_stats", "doc_fingerprints",
     "doc_gopher_repetition", "doc_pii_scrub", "doc_decontaminate",
     "doc_pack_sequences", "doc_curation_decisions",
+    "embedding_quantization",
     "media_feature_extract", "rolling_monthly_revenue",
 ]
 

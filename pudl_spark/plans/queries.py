@@ -5033,3 +5033,44 @@ def declarative_transform_orders(spark, sf_dir):
     out = transform_table(o, params)
     return out.select("o_orderkey", "o_orderstatus", "priority",
                       "total_price_kilodollars")
+
+
+@query("embedding_quantization", sql="""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v, list_min(v) AS mn,
+    (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, mn, scale,
+    list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0
+        ELSE CAST(round((x - mn) / scale) AS INT) END) AS qv
+  FROM m
+)
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS n_dims,
+  CAST(list_min(qv) AS BIGINT) AS q_min,
+  CAST(list_max(qv) AS BIGINT) AS q_max,
+  round(list_max(list_transform(v, x ->
+    abs(CAST(CASE WHEN scale = 0.0 THEN 0
+             ELSE CAST(round((x - mn) / scale) AS INT) END AS DOUBLE)
+        * scale + mn - x))), 6) AS max_abs_err
+FROM q
+""")
+def embedding_quantization(spark, sf_dir):
+    """Int8 affine quantization over the embedding store with a
+    per-vector reconstruction-error bound (training-data family;
+    similarity search's storage path). Map-only array algebra; the
+    oracle replays the identical affine chain with DuckDB list
+    functions, so codes AND the error bound are differentially
+    checked.
+    """
+    from pudl_spark.functions.similarity import embedding_quantize_stats
+
+    from pudl_spark.catalog import spread_small_input
+
+    e = spread_small_input(_t(spark, sf_dir, "embeddings"), "vec_id")
+    return embedding_quantize_stats(e)

@@ -144,3 +144,23 @@ def test_cross_year_spark_island_stable_ids(spark):
                df, eps=0.5, metric="cosine").collect()}
     assert got[0] == got[1] == got[2] == 0
     assert got[50] == 50
+
+
+def test_embedding_quantization_roundtrip_and_guard(spark):
+    from pudl_spark.functions.similarity import embedding_quantize_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]),          # exact endpoints + midpoint
+         (2, [3.0, 3.0, 3.0]),          # zero-range vector (guard path)
+         (3, [-2.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in embedding_quantize_stats(df).collect()}
+    # endpoints land exactly on code 0/255; max error bounded by scale/2
+    assert (out[1]["q_min"], out[1]["q_max"]) == (0, 255)
+    # reported err is rounded to 6dp, so allow half an ulp of that
+    assert out[1]["max_abs_err"] <= (1.0 / 255.0) / 2 + 5e-7
+    # constant vector: all codes 0, perfect reconstruction
+    assert (out[2]["q_min"], out[2]["q_max"]) == (0, 0)
+    assert out[2]["max_abs_err"] == 0.0
+    assert out[3]["n_dims"] == 2
+    assert out[3]["max_abs_err"] == 0.0  # endpoints quantize exactly
