@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "impute_latc_mape",
     "doc_bm25_relevance",
     "doc_bloom_incremental_dedup",
+    "declarative_transform_orders",
+    "event_sliding_windows",
+    "embedding_quantization",
 ]
 
 
