@@ -81,14 +81,17 @@ def spot_fix_values(df: DataFrame, idx_cols: list[str],
     (ref: transform/classes.py:943-987). The fix table is tiny by
     construction -> broadcast left join + coalesce(fix, original).
     """
+    if expect_unique:
+        # The fix table is a literal Python list — validate it locally
+        # instead of spending two Spark jobs (count + distinct) on a
+        # handful of rows.
+        keys = [tuple(fx[:len(idx_cols)]) for fx in fixes]
+        if len(keys) != len(set(keys)):
+            raise ValueError("spot_fix_values: duplicate keys in fix table")
     spark = SparkSession.getActiveSession()
     fix_df = spark.createDataFrame(
         fixes, schema=idx_cols + [f"__fix_{c}" for c in fix_cols]
     )
-    if expect_unique:
-        n, nd = fix_df.count(), fix_df.select(*idx_cols).distinct().count()
-        if n != nd:
-            raise ValueError("spot_fix_values: duplicate keys in fix table")
     out = df.join(F.broadcast(fix_df), on=idx_cols, how="left")
     updates = {
         c: F.coalesce(F.col(f"__fix_{c}"), F.col(c)) for c in fix_cols

@@ -5029,7 +5029,12 @@ def declarative_transform_orders(spark, sf_dir):
                              "fix_cols": ["o_orderstatus"],
                              "fixes": [(7, "X")]}],
     }
-    o = _t(spark, sf_dir, "orders")
+    from pudl_spark.catalog import spread_small_input
+
+    # The declared chain is regexp/translate-heavy: spread the
+    # single-file test input across cores (no-op at real scale, where
+    # the scan splits naturally).
+    o = spread_small_input(_t(spark, sf_dir, "orders"), "o_orderkey")
     out = transform_table(o, params)
     return out.select("o_orderkey", "o_orderstatus", "priority",
                       "total_price_kilodollars")
