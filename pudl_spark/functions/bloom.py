@@ -98,6 +98,11 @@ def bloom_probe(df: DataFrame, col: Column, words: np.ndarray,
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     num_bits = len(words) * 64
+    for reserved in ("__bloom_pos", flag_col):
+        if reserved in df.columns:
+            raise ValueError(
+                f"bloom_probe: input already has a column named "
+                f"{reserved!r}; rename it or pass a different flag_col")
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(words)
     tagged = df.withColumn(
@@ -123,21 +128,31 @@ def bloom_incremental_dedup(corpus: DataFrame, batch: DataFrame,
                             num_bits: int = 1 << 20,
                             k: int = 4) -> DataFrame:
     """Mark each batch row with ``is_dup``: does its text already
-    exist in the corpus? Exact result; Bloom-bounded work.
+    exist in the corpus? Exact up to a 2^-128 hash-pair collision;
+    Bloom-bounded work.
 
     Only Bloom-positive candidates reach the confirm join, and both
-    join sides carry (hash, id) — the full text never shuffles; text
-    equality is represented by the 64-bit content hash (upgrade to a
-    128-bit hash pair at real scale to make collisions negligible,
-    same plan shape).
+    join sides carry (hash-pair, id) — the full text never shuffles.
+    Text equality is represented by a 128-bit hash pair (two
+    independently-seeded xxhash64 values), so a false ``is_dup``
+    needs a simultaneous collision in both 64-bit hashes
+    (~2^-128 per pair — negligible at any corpus size). A NULL batch
+    text is never a duplicate (SQL ``c.text = b.text`` is not true
+    for NULL = NULL), so NULL-text rows are excluded from the
+    candidate set and surface with ``is_dup = false``; NULL corpus
+    texts are likewise dropped before the filter build.
     """
-    h = F.xxhash64(F.col(text_col))
-    words = bloom_build(corpus, F.col(text_col), num_bits=num_bits, k=k)
-    probed = bloom_probe(batch, F.col(text_col), words, k=k)
+    corpus_nn = corpus.filter(F.col(text_col).isNotNull())
+    h1 = F.xxhash64(F.col(text_col))
+    h2 = F.xxhash64(F.col(text_col), F.lit(_H2_SEED))
+    words = bloom_build(corpus_nn, F.col(text_col), num_bits=num_bits, k=k)
+    probed = bloom_probe(
+        batch.filter(F.col(text_col).isNotNull()), F.col(text_col), words, k=k)
     cand = (probed.filter(F.col("bloom_hit"))
-            .select(F.col(id_col), h.alias("__h")))
+            .select(F.col(id_col), h1.alias("__h1"), h2.alias("__h2")))
     confirmed = cand.join(
-        corpus.select(h.alias("__h")).distinct(), on="__h", how="left_semi"
+        corpus_nn.select(h1.alias("__h1"), h2.alias("__h2")).distinct(),
+        on=["__h1", "__h2"], how="left_semi"
     ).select(id_col).withColumn("__dup", F.lit(True))
     return (
         batch.join(confirmed, on=id_col, how="left")

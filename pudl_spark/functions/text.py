@@ -217,6 +217,13 @@ def bm25_scores(df, text_col: str, terms: list[str],
     rounded to 6 dp to absorb the ULP difference between ln()
     implementations).
     """
+    reserved = {"__toks", "__n", "__sumdl", "__dl", "doc_len", "bm25"} | {
+        f"__df_{i}" for i in range(len(terms))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bm25_scores: input already has column(s) {sorted(clash)} "
+            "that this operator uses as temp/output names; rename them")
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     df = df.withColumn("__toks", toks)
     dl = F.size(F.col("__toks")).cast("long")

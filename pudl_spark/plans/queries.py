@@ -3586,13 +3586,15 @@ def _fs_linkage_run(spark, sf_dir, method: str):
     # both rules share the size predicate, and the dirty copy keeps
     # the type, so without the type-inequality guard nearly every
     # rule-2 pair is a rule-1 duplicate and the similarity kernel
-    # scores it twice. The guard is a map-side filter (null-safe so a
-    # null-typed pair still surfaces through rule 2), halving scorer
-    # input with no extra shuffle; the top-1 window is indifferent.
+    # scores it twice. Exclude exactly the pairs rule 1 produced
+    # (plain `==`, which never matches NULLs): a pair whose types are
+    # both NULL was NOT matched by rule 1, so it must stay eligible
+    # here — `~coalesce(l==r, false)` keeps it, where an eqNullSafe
+    # guard would wrongly drop it. Map-side filter, no extra shuffle.
     cand2 = left.join(
         F.broadcast(right), (left["l_brand"] == right["r_brand"])
         & (left["l_size"] == right["r_size"])
-        & ~left["l_type"].eqNullSafe(right["r_type"]))
+        & ~F.coalesce(left["l_type"] == right["r_type"], F.lit(False)))
     scored = cand1.unionByName(cand2).select(
         "rk", "lk", w.alias("w"))
     rn = F.row_number().over(
