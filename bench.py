@@ -91,9 +91,15 @@ def main() -> None:
 
     # Best-of-N per query: a single local[32] JVM shows multi-second
     # GC/JIT jitter; min-of-N is the standard way to report the
-    # operator's cost rather than the noise floor. Two runs normally;
-    # a third only when the first two disagree by >25% (an outlier —
-    # GC pause or a noisy neighbor on the box).
+    # operator's cost rather than the noise floor. Two runs normally,
+    # and keep re-running (cap 4) while the timings are still either
+    # (a) disagreeing by >25% — a GC pause / noisy-neighbor outlier —
+    # or (b) monotonically improving by >10% — the JVM still C2-JITing
+    # this query's generated code. Case (b) is what made BENCH_r02's
+    # event_anomaly_flags read 1.46 s: each query compiles its own
+    # whole-stage-codegen class, and that one needs a 3rd execution to
+    # reach steady state (isolated runs: 1.36 → 0.84 → 0.83 s); the
+    # old rule stopped at 2 agreeing-but-cold runs.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES.get(name)
@@ -101,18 +107,20 @@ def main() -> None:
             continue
         # Drop cached frames left by EARLIER queries (persisted
         # signature tables etc.) so storage-memory pressure from one
-        # query can't jitter another; within a query's own run pair
+        # query can't jitter another; within a query's own run set
         # the cache stays, preserving min-of-N semantics.
         spark.catalog.clearCache()
-        runs: list[float] = []
-        for _ in range(2):
+
+        def _timed() -> float:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        if max(runs) > 1.25 * min(runs):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        runs = [_timed(), _timed()]
+        while len(runs) < 4 and (
+                max(runs) > 1.25 * min(runs)
+                or runs[-1] < 0.9 * min(runs[:-1])):
+            runs.append(_timed())
         times[name] = round(min(runs), 4)
 
     total = round(sum(times.values()), 4)
