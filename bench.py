@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "impute_event_values",
     "linkage_best_match",
     "fs_linkage_parts",
+    "fs_linkage_trained",
     "nation_zone_overlay",
     "purchase_asof_signup",
     "event_hypertable_rollup",

@@ -318,3 +318,113 @@ def fellegi_sunter_weight(comparison_cols: list[Column],
     for c in comparison_cols:
         w = w + c
     return w
+
+
+def gamma_column(conditions: list[Column]) -> Column:
+    """Discrete γ-level index for one comparison: first-match-wins
+    over ``conditions`` (highest level first), catch-all level 0.
+
+    ``conditions[0]`` assigns level ``len(conditions)``, the next
+    ``len(conditions)-1``, … so higher agreement = higher index —
+    splink's gamma convention. NULL on either side should be encoded
+    by the caller as its own condition if it matters; otherwise NULLs
+    fall through to level 0 (``when`` treats NULL predicates as
+    false).
+    """
+    n = len(conditions)
+    out = F.when(conditions[0], F.lit(n))
+    for i, cond in enumerate(conditions[1:], start=1):
+        out = out.when(cond, F.lit(n - i))
+    return out.otherwise(F.lit(0))
+
+
+@dataclass(frozen=True)
+class EMParams:
+    """Trained Fellegi-Sunter parameters.
+
+    ``m[c][l]`` = P(γ_c = l | match); ``u[c][l]`` = P(γ_c = l |
+    non-match); ``lam`` = estimated match proportion of the candidate
+    pair population.
+    """
+    lam: float
+    m: dict[str, list[float]]
+    u: dict[str, list[float]]
+    iters: int
+
+    def bayes_bits(self, comparison: str, level: int) -> float:
+        return math.log2(self.m[comparison][level]
+                         / self.u[comparison][level])
+
+
+def em_train(pairs: DataFrame, gamma_cols: dict[str, Column],
+             n_levels: dict[str, int], lam0: float = 0.3,
+             iters: int = 100, tol: float = 1e-9,
+             smooth: float = 1e-6) -> EMParams:
+    """Unsupervised EM estimation of Fellegi-Sunter m/u probabilities
+    (ref: splink's estimate_parameters_using_expectation_maximisation,
+    consumed by src/pudl/analysis/record_linkage/
+    eia_ferc1_record_linkage.py:36-40 — the reference TRAINS its
+    linkage model; scoring alone is `fellegi_sunter_weight`).
+
+    Scale shape: ONE distributed aggregation — `groupBy(γ_1..γ_k)
+    .count()` — reduces the pair population (billions at 100 TB) to
+    its γ-pattern sufficient statistics (≤ ∏ n_levels rows, e.g.
+    3×2×2 = 12). Every EM iteration is then driver-side numpy on that
+    tiny table: per-pattern posterior P(match | γ) under conditional
+    independence, then re-estimated λ, m, u. No per-iteration Spark
+    job, no further shuffle.
+
+    Deterministic: fixed init (λ = lam0; m ∝ level+1, u ∝
+    n_levels−level so agreement is match-indicative at the start),
+    fixed iteration cap, float64 throughout. ``smooth`` is Laplace
+    smoothing that keeps zero-count levels from collapsing a
+    probability to exactly 0 (log-undefined downstream).
+    """
+    import numpy as np
+
+    comps = list(gamma_cols)
+    pat_df = (pairs.select(*[gamma_cols[c].alias(f"__g_{c}")
+                             for c in comps])
+              .groupBy(*[f"__g_{c}" for c in comps]).count().collect())
+    patterns = np.array([[r[f"__g_{c}"] for c in comps] for r in pat_df],
+                        dtype=np.int64)
+    counts = np.array([r["count"] for r in pat_df], dtype=np.float64)
+
+    lam = float(lam0)
+    m = {c: np.array([(l + 1.0) for l in range(n_levels[c])]) for c in comps}
+    u = {c: np.array([(n_levels[c] - l + 0.0) for l in range(n_levels[c])])
+         for c in comps}
+    for c in comps:
+        m[c] /= m[c].sum()
+        u[c] /= u[c].sum()
+
+    n_total = counts.sum()
+    it = 0
+    for it in range(1, iters + 1):
+        pm = np.full(len(counts), lam)
+        pu = np.full(len(counts), 1.0 - lam)
+        for j, c in enumerate(comps):
+            pm *= m[c][patterns[:, j]]
+            pu *= u[c][patterns[:, j]]
+        w = pm / (pm + pu)
+        new_lam = float((w * counts).sum() / n_total)
+        delta = abs(new_lam - lam)
+        wm = w * counts
+        wu = (1.0 - w) * counts
+        for j, c in enumerate(comps):
+            nm = np.bincount(patterns[:, j], weights=wm,
+                             minlength=n_levels[c]) + smooth
+            nu = np.bincount(patterns[:, j], weights=wu,
+                             minlength=n_levels[c]) + smooth
+            nm /= nm.sum()
+            nu /= nu.sum()
+            delta = max(delta, float(np.abs(nm - m[c]).max()),
+                        float(np.abs(nu - u[c]).max()))
+            m[c], u[c] = nm, nu
+        lam = new_lam
+        if delta < tol:
+            break
+    return EMParams(lam=lam,
+                    m={c: [float(x) for x in m[c]] for c in comps},
+                    u={c: [float(x) for x in u[c]] for c in comps},
+                    iters=it)

@@ -168,3 +168,60 @@ def test_jaro_winkler_batch_matches_scalar_randomized():
                               [b for _, b in cases])
     for (a, b), v in zip(cases, got):
         assert v == _jaro_winkler_pair(a, b), (a, b)
+
+
+def test_gamma_column_levels_and_nulls(spark):
+    from pudl_spark.functions.linkage import gamma_column
+
+    df = spark.createDataFrame(
+        [("abc", "abc"), ("abc", "abd"), ("abc", "zzz"), (None, "abc")],
+        "l string, r string")
+    g = gamma_column([F.col("l") == F.col("r"),
+                      F.levenshtein("l", "r") <= 1])
+    got = [r[0] for r in df.select(g).collect()]
+    assert got == [2, 1, 0, 0]
+
+
+def test_em_train_recovers_planted_mixture(spark):
+    """EM on a synthetic two-class population with known m/u must
+    recover the planted parameters from unlabeled pattern counts.
+
+    Three comparisons: the Fellegi-Sunter conditional-independence
+    mixture is only identifiable with k >= 3 (2 binary comparisons
+    give 3 observed degrees of freedom for 5 parameters)."""
+    import random
+
+    from pudl_spark.functions.linkage import em_train
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(4000):
+        if rng.random() < 0.4:  # match class
+            a = 1 if rng.random() < 0.9 else 0
+            b = 1 if rng.random() < 0.8 else 0
+            c = 1 if rng.random() < 0.7 else 0
+        else:
+            a = 1 if rng.random() < 0.05 else 0
+            b = 1 if rng.random() < 0.2 else 0
+            c = 1 if rng.random() < 0.1 else 0
+        rows.append((a, b, c))
+    df = spark.createDataFrame(rows, "a int, b int, c int")
+    em = em_train(df, {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")},
+                  {"a": 2, "b": 2, "c": 2})
+    assert abs(em.lam - 0.4) < 0.05
+    assert abs(em.m["a"][1] - 0.9) < 0.05
+    assert abs(em.u["a"][1] - 0.05) < 0.05
+    assert abs(em.m["b"][1] - 0.8) < 0.07
+    assert abs(em.u["b"][1] - 0.2) < 0.07
+    assert abs(em.m["c"][1] - 0.7) < 0.07
+    assert abs(em.u["c"][1] - 0.1) < 0.07
+
+
+def test_em_train_deterministic(spark):
+    from pudl_spark.functions.linkage import em_train
+
+    df = spark.createDataFrame(
+        [(i % 2, (i // 2) % 2) for i in range(100)], "a int, b int")
+    r1 = em_train(df, {"a": F.col("a"), "b": F.col("b")}, {"a": 2, "b": 2})
+    r2 = em_train(df, {"a": F.col("a"), "b": F.col("b")}, {"a": 2, "b": 2})
+    assert r1 == r2
