@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_pack_sequences",
     "impute_latc_mape",
+    "impute_latc_tubal_mape",
     "doc_bm25_relevance",
     "doc_bloom_incremental_dedup",
     "declarative_transform_orders",

@@ -5244,3 +5244,65 @@ def fs_linkage_trained(spark, sf_dir):
                      "m_true", "u_true", "em_ok"))
         out = d if out is None else out.unionByName(d)
     return out
+
+
+@query("impute_latc_tubal_mape", sql="""
+WITH rev AS (
+  SELECT c.c_nationkey AS nation,
+    CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+    CAST(date_part('month', o.o_orderdate) AS INT) AS mo
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+), cells AS (
+  SELECT nation, CAST(nation % 3 AS INT) AS island,
+    (nation * 31 + (yr - (SELECT min(yr) FROM rev)) * 12 + (mo - 1))
+      % 5 = 0 AS masked
+  FROM rev
+)
+SELECT island,
+  CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_series,
+  CAST(COUNT(*) AS BIGINT) AS n_observed,
+  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  TRUE AS mape_ok
+FROM cells GROUP BY island
+""")
+def impute_latc_tubal_mape(spark, sf_dir):
+    """M1 Tubal variant (ref: impute_latc_tubal + _tsvt,
+    src/pudl/analysis/timeseries_cleaning.py:650-748 — the reference's
+    PRODUCTION default for its imputation path, :1461-1507): same
+    nation x year x month revenue tensor and deterministic mask as
+    `impute_latc_mape`, solved with the low-tubal-rank transform-
+    domain SVT instead of three TNN unfoldings. Islands are nation % 3
+    (vs TNN's % 2) so the two queries exercise different blockings.
+
+    Oracle discipline identical to the TNN query: the relational
+    surface is mirrored bit-for-bit and mape_ok is computed from the
+    actual kernel output — the zero-guard in `latc_tubal` means a
+    degenerate solve scores MAPE 1.0 and fails the bound.
+    """
+    from pudl_spark.functions.impute import impute_latc_blocked
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    min_yr = F.min("yr").over(Window.partitionBy(F.lit(1)))
+    shaped = rev.select(
+        "nation",
+        (F.col("yr") - min_yr).alias("grp"),
+        (F.col("mo") - 1).alias("prd"),
+        "rev",
+    )
+    out = impute_latc_blocked(
+        shaped, series_col="nation", group_col="grp", period_col="prd",
+        value_col="rev", n_groups=8, n_periods=12,
+        island_expr=F.col("nation") % 3,
+        mask_mod=5, mape_threshold=0.9, method="tubal", maxiter=120)
+    return out.select("island", "n_series", "n_observed", "n_masked",
+                      "mape_ok")
