@@ -8,11 +8,13 @@ geometry library, so this module implements the geometry kernels that
 are exactly computable in pure NumPy — WKB codec, shoelace area,
 ray-cast point-in-polygon, envelopes — and keeps the Spark-side shape
 (grid-cell blocked spatial joins, mapInPandas batching, area-ratio
-allocation) real and tested. The one kernel that genuinely needs a
-computational-geometry library (arbitrary polygon-polygon intersection
-for Geo2/Geo4 overlays) is isolated behind ``clip_kernel`` and raises
-NotImplementedError until Sedona/shapely is available; everything
-around it runs.
+allocation) real and tested. Polygon-polygon intersection
+(``clip_kernel``) is fully self-contained: Sutherland-Hodgman against
+convex clips, and for the general case an exact convex
+decomposition (ear-clipping triangles for hole-free parts, vertical
+trapezoidal sweep for holed parts), so arbitrary simple polygons —
+concave, holed, multipart — intersect exactly with no external
+geometry library.
 
 Scale notes: geometry never shuffles raw unless matched — spatial
 joins block on integer grid-cell keys (equi-join, hash-partitionable,
@@ -330,17 +332,80 @@ def triangulate_ring(pts: np.ndarray) -> list[np.ndarray]:
     return tris
 
 
-def _triangles_of(geom) -> list[np.ndarray] | None:
-    """Triangulate every (hole-free) part of a polygon/multipolygon;
-    None when any part has holes (the triangulation path doesn't
-    carry holes)."""
+def _convex_pieces_with_holes(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Exact convex decomposition of a polygon WITH interior holes:
+    vertical trapezoidal (sweep) decomposition. Strips are bounded by
+    the sorted distinct vertex x-coordinates, so inside a strip every
+    edge crossing it spans it fully; the polygon's slice in a strip is
+    a stack of trapezoids between consecutive edge crossings in
+    even-odd order. Each trapezoid (two vertical sides, one lower and
+    one upper linear edge) is convex, the pieces are interior-disjoint,
+    and their areas sum exactly to outer minus holes — no bridging, no
+    external geometry library, robust to the doubled-vertex artifacts
+    that defeat ear-clipping on hole-cut rings.
+
+    ``rings``: closed vertex arrays, outer first, holes after (any
+    orientation — parity handles containment). Returns open CCW
+    convex rings.
+    """
+    edges = []
+    for ring in rings:
+        pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+        n = len(pts)
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            if a[0] != b[0]:
+                edges.append((float(a[0]), float(a[1]),
+                              float(b[0]), float(b[1])))
+    if not edges:
+        return []
+    xs = sorted({float(p[0]) for ring in rings for p in ring})
+    pieces: list[np.ndarray] = []
+    for x1, x2 in zip(xs, xs[1:]):
+        if x2 <= x1:
+            continue
+        xm = 0.5 * (x1 + x2)
+        crossings = []
+        for ax, ay, bx, by in edges:
+            lo, hi = (ax, bx) if ax < bx else (bx, ax)
+            if lo < xm < hi:
+                t = (xm - ax) / (bx - ax)
+                ym = ay + t * (by - ay)
+                t1 = (x1 - ax) / (bx - ax)
+                t2 = (x2 - ax) / (bx - ax)
+                crossings.append((ym, ay + t1 * (by - ay),
+                                  ay + t2 * (by - ay)))
+        crossings.sort()
+        for k in range(0, len(crossings) - 1, 2):
+            _, la, lb = crossings[k]        # lower edge at x1, x2
+            _, ua, ub = crossings[k + 1]    # upper edge at x1, x2
+            quad = [(x1, la), (x2, lb), (x2, ub), (x1, ua)]
+            # drop zero-height sides -> triangle; drop empty pieces
+            ring = []
+            for pt in quad:
+                if not ring or (abs(pt[0] - ring[-1][0]) > 0
+                                or abs(pt[1] - ring[-1][1]) > 0):
+                    ring.append(pt)
+            if len(ring) >= 3:
+                arr = np.array(ring, dtype="float64")
+                if abs(ring_area(_close(arr))) > 0:
+                    pieces.append(arr)
+    return pieces
+
+
+def _triangles_of(geom) -> list[np.ndarray]:
+    """Convex decomposition of every part of a polygon/multipolygon:
+    ear-clipping triangles for hole-free parts, exact trapezoidal
+    pieces (:func:`_convex_pieces_with_holes`) for parts with
+    interior holes — arbitrary simple polygons decompose exactly."""
     kind, data = geom
     parts = [data] if kind == "polygon" else data
     tris: list[np.ndarray] = []
     for rings in parts:
         if len(rings) > 1:
-            return None
-        tris.extend(triangulate_ring(_open_ccw(rings[0])))
+            tris.extend(_convex_pieces_with_holes(rings))
+        else:
+            tris.extend(triangulate_ring(_open_ccw(rings[0])))
     return tris
 
 
@@ -353,11 +418,6 @@ def _triangulated_clip(geom_a, geom_b):
     """
     tris_a = _triangles_of(geom_a)
     tris_b = _triangles_of(geom_b)
-    if tris_a is None or tris_b is None:
-        raise NotImplementedError(
-            "concave-x-concave clipping with interior holes requires "
-            "shapely/Sedona; plug a kernel into "
-            "pudl_spark.functions.geo.clip_kernel")
     pieces = []
     for ta in tris_a:
         for tb in tris_b:
@@ -384,8 +444,9 @@ def clip_kernel(geom_a, geom_b):
     operand is clipped against it; holes clip independently and stay
     holes. Concave-x-concave falls back to ear-clipping triangle
     decomposition (:func:`_triangulated_clip`) — exact pieces, exact
-    total area, no external geometry library; only
-    concave-with-holes x concave still needs shapely/Sedona.
+    total area, no external geometry library; parts with interior
+    holes decompose through the trapezoidal sweep, so arbitrary
+    simple polygons (holed, concave, multipart) clip exactly.
     """
     if geom_a is None or geom_b is None:
         return None
