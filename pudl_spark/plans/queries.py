@@ -5306,3 +5306,91 @@ def impute_latc_tubal_mape(spark, sf_dir):
         mask_mod=5, mape_threshold=0.9, method="tubal", maxiter=120)
     return out.select("island", "n_series", "n_observed", "n_masked",
                       "mape_ok")
+
+
+@query("nation_holed_zone_overlay", sql="""
+WITH n AS (
+  SELECT n_nationkey,
+    CAST(n_nationkey % 5 AS DOUBLE) * 1.5 AS x1,
+    CAST(n_nationkey // 5 AS DOUBLE) * 1.5 AS y1,
+    CAST(n_nationkey AS DOUBLE) + 10.0 AS value
+  FROM nation
+), zr AS (
+  -- each concave L zone as its two disjoint axis rectangles
+  SELECT 'west' AS zone, CAST(-1.0 AS DOUBLE) AS rx1,
+         CAST(-1.0 AS DOUBLE) AS ry1, CAST(3.5 AS DOUBLE) AS rx2,
+         CAST(4.0 AS DOUBLE) AS ry2
+  UNION ALL SELECT 'west', -1.0, 4.0, 2.0, 9.0
+  UNION ALL SELECT 'east', 3.5, -1.0, 9.0, 9.0
+  UNION ALL SELECT 'east', 2.0, 4.0, 3.5, 9.0
+), ov AS (
+  SELECT n.n_nationkey, zr.zone, n.value,
+    ( greatest(0.0, least(x1 + 2.0, rx2) - greatest(x1, rx1))
+      * greatest(0.0, least(y1 + 2.0, ry2) - greatest(y1, ry1)) )
+    - ( greatest(0.0, least(x1 + 1.25, rx2) - greatest(x1 + 0.75, rx1))
+        * greatest(0.0, least(y1 + 1.25, ry2) - greatest(y1 + 0.75, ry1)) )
+      AS iarea
+  FROM n CROSS JOIN zr
+), pair AS (
+  SELECT zone, n_nationkey, value, SUM(iarea) AS iarea
+  FROM ov GROUP BY zone, n_nationkey, value
+)
+SELECT zone,
+  CAST(count(CASE WHEN iarea > 0 THEN 1 END) AS BIGINT) AS n_pieces,
+  ROUND(sum(CASE WHEN iarea > 0
+            THEN value * (iarea / 3.75) END), 6) AS alloc_value
+FROM pair GROUP BY zone
+""")
+def nation_holed_zone_overlay(spark, sf_dir):
+    """Geo2/Geo4 with HOLED subjects and CONCAVE zones — the exact
+    general-polygon clip path (ref: spatial.overlay handles arbitrary
+    polygons via geopandas, src/pudl/analysis/spatial.py:207; round 2
+    gated this case behind NotImplementedError). Nations are 2x2
+    squares with a centred 0.5x0.5 hole (area 3.75); zones are two
+    concave L-shapes splitting the plane. clip_kernel therefore takes
+    the trapezoidal-sweep decomposition on the holed side and
+    ear-clipped triangles on the concave side — no convex fast path.
+
+    The oracle stays closed-form: every L is the union of two
+    disjoint axis rectangles, so each pair's intersection area is
+    (outer-overlap - hole-overlap) summed over the zone's rectangles,
+    all dyadic arithmetic. alloc_value rounds to 6 dp on both sides
+    because the triangle x trapezoid Sutherland-Hodgman introduces
+    float intersection points on the Ls' diagonal triangulation edges
+    (~1e-13 total, far inside the rounding guard).
+    """
+    from pudl_spark.functions.geo import overlay, polygon_wkb
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.col("n_nationkey") % 5).cast("double") * 1.5).alias("x1"),
+        (F.floor(F.col("n_nationkey") / 5).cast("double") * 1.5)
+        .alias("y1"),
+        (F.col("n_nationkey").cast("double") + 10.0).alias("value"))
+
+    @pandas_udf("binary")
+    def _holed_rect(x1, y1):
+        return pd.Series([
+            polygon_wkb(
+                [(a, b), (a + 2.0, b), (a + 2.0, b + 2.0), (a, b + 2.0)],
+                [[(a + 0.75, b + 0.75), (a + 1.25, b + 0.75),
+                  (a + 1.25, b + 1.25), (a + 0.75, b + 1.25)]])
+            for a, b in zip(x1, y1)])
+
+    left = nat.withColumn("geom", _holed_rect(F.col("x1"), F.col("y1"))) \
+        .select("n_nationkey", "geom", "value")
+    zones = spark.createDataFrame(
+        [("west", bytearray(polygon_wkb(
+            [(-1.0, -1.0), (3.5, -1.0), (3.5, 4.0), (2.0, 4.0),
+             (2.0, 9.0), (-1.0, 9.0)]))),
+         ("east", bytearray(polygon_wkb(
+             [(3.5, -1.0), (9.0, -1.0), (9.0, 9.0), (2.0, 9.0),
+              (2.0, 4.0), (3.5, 4.0)])))],
+        "zone string, zone_geom binary")
+    pieces = overlay(left, F.broadcast(zones), "n_nationkey", "zone",
+                     ["value"], cell=2.0)
+    return pieces.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+        F.round(F.sum("value"), 6).alias("alloc_value"))
