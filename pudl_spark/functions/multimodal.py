@@ -2,17 +2,25 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas functions over ``mapInPandas`` — the Spark-side plumbing
-(schema, partition sizing, batch shape) is real and tested; the actual
-codec calls are STUBBED (the image/audio libraries are not available
-in this environment) behind ``decode_image``'s deterministic fake and
-a clearly-marked NotImplementedError for real decoding.
+pandas functions over ``mapInPandas``.
+
+PNG decoding is REAL and self-contained: a pure stdlib+numpy codec
+(zlib inflate, chunk parse, all five scanline filters including Paeth)
+lives in :func:`decode_png` / :func:`encode_png`, so
+``media_png_features`` computes features from actual pixels. Other
+codecs (JPEG/audio/video) still raise a clearly-marked
+NotImplementedError — their libraries are not in this container — and
+``_fake_features`` remains as the deterministic stand-in for those
+paths only.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -35,14 +43,149 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
 ])
 
-REAL_DECODE = False  # flip when PIL/librosa/ffmpeg are available
+# PNG decodes for real (stdlib codec below); other formats remain
+# honestly gated until their libraries exist in the container.
+REAL_DECODE = True
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_image(content: bytes) -> "object":
-    """Real image decode — unavailable in this container."""
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA) to a uint8 array of shape (height, width, channels) using
+    only the stdlib: chunk walk, zlib inflate, and the five scanline
+    filters (None/Sub/Up/Average/Paeth) from the PNG spec (RFC 2083).
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    off = 8
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while off < len(data):
+        (length,) = struct.unpack(">I", data[off:off + 4])
+        ctype = data[off + 4:off + 8]
+        body = data[off + 8:off + 8 + length]
+        off += 12 + length                      # skip CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, ilace =                 struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if ilace:
+                raise NotImplementedError("interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} not supported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int32)
+        pos += 1 + stride
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:
+            recon = (line + prior) & 0xFF
+        elif ftype in (1, 3, 4):
+            recon = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = recon[i - ch] if i >= ch else 0
+                up = prior[i]
+                ul = prior[i - ch] if i >= ch else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    pred = _paeth(int(left), int(up), int(ul))
+                recon[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(height, width, ch)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a uint8 array (h, w) or (h, w, {1,2,3,4}) as a valid
+    non-interlaced 8-bit PNG. Scanline y uses filter type ``y % 5`` —
+    deliberately cycling through ALL five filters so a round-trip
+    through :func:`decode_png` exercises every unfilter path.
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    arr = arr.astype(np.int32)
+    stride = w * ch
+    flat = arr.reshape(h, stride)
+    lines = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        raw = flat[y]
+        ftype = y % 5
+        left = np.concatenate([np.zeros(ch, dtype=np.int32),
+                               raw[:-ch]]) if stride > ch else             np.zeros(stride, dtype=np.int32)
+        ul = np.concatenate([np.zeros(ch, dtype=np.int32),
+                             prior[:-ch]]) if stride > ch else             np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            filt = raw
+        elif ftype == 1:
+            filt = (raw - left) & 0xFF
+        elif ftype == 2:
+            filt = (raw - prior) & 0xFF
+        elif ftype == 3:
+            filt = (raw - ((left + prior) >> 1)) & 0xFF
+        else:
+            pred = np.array([_paeth(int(a), int(b), int(c))
+                             for a, b, c in zip(left, prior, ul)],
+                            dtype=np.int32)
+            filt = (raw - pred) & 0xFF
+        lines.append(ftype)
+        lines.extend(filt.astype(np.uint8).tobytes())
+        prior = raw
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image payload to a uint8 pixel array. PNG is decoded
+    for real by the stdlib codec; any other format still needs
+    PIL/libjpeg, which this container lacks."""
+    if content[:8] == _PNG_MAGIC:
+        return decode_png(content)
     raise NotImplementedError(
-        "image decoding requires PIL/libjpeg; not installed here. "
-        "The mapInPandas plumbing below uses a deterministic fake.")
+        "only PNG decoding is self-contained; JPEG and other codecs "
+        "require PIL/libjpeg, not installed here.")
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:
@@ -96,6 +239,40 @@ def extract_image_features(media: DataFrame,
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+PNG_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("r_sum", T.LongType(), True),
+    T.StructField("g_sum", T.LongType(), True),
+    T.StructField("b_sum", T.LongType(), True),
+])
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Real-pixel features over a PNG binary column: dimensions and
+    exact per-channel pixel sums (integer math — engine-portable).
+    Arrow-batched mapInPandas like every media kernel; the decode is
+    the stdlib PNG codec, not a fake."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_png(bytes(content))
+                h, w, ch = px.shape
+                sums = px.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+                r = int(sums[0])
+                g = int(sums[1]) if ch >= 3 else r
+                b = int(sums[2]) if ch >= 3 else r
+                rows.append((int(mid), w, h, r, g, b))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "r_sum", "g_sum", "b_sum"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=PNG_FEATURES_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
