@@ -59,8 +59,8 @@ _PRIORITY = [
     "fill_monthly_revenue_gaps", "jw_part_name_similarity",
     "supplier_address_parse", "supplier_nation_codes",
     "doc_shingle_stats", "doc_fingerprints_fast",
-    "doc_stratified_sample", "doc_token_budget",
-    "event_user_kmv_distinct",
+    "doc_stratified_sample", "event_user_kmv_distinct",
+    "doc_token_budget",
     # -- never-green, simplest families (certified elsewhere); these
     # -- spill past the 50-cap and rotate in next round --
     "table_row_counts", "order_price_screens",

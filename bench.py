@@ -126,12 +126,50 @@ def main() -> None:
         times[name] = round(min(runs), 4)
 
     total = round(sum(times.values()), 4)
+
+    # sf1 stress section (VERDICT r2 next-round #8): synthesize a 10x
+    # copy of the bench data (id-shifted unions — tools/scale_stress
+    # recipe) and time the five heaviest queries once each. Catches
+    # super-linear plans that sf0.1 fixed costs hide; the bar is
+    # ratio_vs_base <= 10 for 10x data. Guarded: SPARK_GRAFT_SF1=0
+    # skips, and any failure degrades to an "error" note rather than
+    # killing the bench line.
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            import importlib.util
+            import shutil
+
+            repo = os.path.dirname(os.path.abspath(__file__))
+            spec = importlib.util.spec_from_file_location(
+                "scale_stress", os.path.join(repo, "tools",
+                                             "scale_stress.py"))
+            ss = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(ss)
+            ss.build_scaled(spark, 10, base=SF_DIR)
+            for name in ("nation_revenue_by_year", "calc_reconcile_orders",
+                         "jw_linkage_parts", "minhash_near_dup_pairs",
+                         "event_sessions_cc"):
+                fn = QUERIES.get(name)
+                if fn is None or name not in times:
+                    continue
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, ss.SCALED).write.format("noop")                     .mode("overwrite").save()
+                sec = round(time.perf_counter() - t0, 4)
+                sf1[name] = {"sec": sec,
+                             "ratio_vs_base": round(sec / times[name], 2)}
+            shutil.rmtree(ss.SCALED, ignore_errors=True)
+        except Exception as e:  # pragma: no cover - defensive
+            sf1 = {"error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "sf1": sf1,
     }))
     spark.stop()
 

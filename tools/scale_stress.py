@@ -51,7 +51,7 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_scaled(spark, mult: int) -> None:
+def build_scaled(spark, mult: int, base: str = BASE) -> None:
     from pyspark.sql import functions as F
 
     from pudl_spark.catalog import read_parquet_table
@@ -60,11 +60,11 @@ def build_scaled(spark, mult: int) -> None:
         shutil.rmtree(SCALED)
     os.makedirs(SCALED)
     for t in COPY_AS_IS:
-        src = os.path.join(BASE, f"{t}.parquet")
+        src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(SCALED, f"{t}.parquet")
         shutil.copy(src, dst)
     for t, shifts in SHIFTS.items():
-        df = read_parquet_table(spark, os.path.join(BASE, f"{t}.parquet"))
+        df = read_parquet_table(spark, os.path.join(base, f"{t}.parquet"))
         parts = []
         for i in range(mult):
             c = df
