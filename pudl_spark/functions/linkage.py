@@ -428,3 +428,24 @@ def em_train(pairs: DataFrame, gamma_cols: dict[str, Column],
                     m={c: [float(x) for x in m[c]] for c in comps},
                     u={c: [float(x) for x in u[c]] for c in comps},
                     iters=it)
+
+
+def score_with_em(gamma_cols: dict[str, Column], params: EMParams,
+                  prior: float | None = None) -> Column:
+    """Match weight scored with TRAINED parameters: each comparison's
+    γ level looks up its EM-estimated log2 Bayes factor through a
+    literal `when` chain, so the scorer stays one whole-stage-codegen
+    projection exactly like the hand-set `fellegi_sunter_weight`
+    path — training changes the literals, not the plan shape.
+
+    ``prior`` defaults to the EM-estimated match proportion λ.
+    """
+    lam = params.lam if prior is None else prior
+    w = F.lit(math.log2(lam / (1.0 - lam)))
+    for c, g in gamma_cols.items():
+        levels = len(params.m[c])
+        expr = F.when(g == 0, F.lit(params.bayes_bits(c, 0)))
+        for lv in range(1, levels):
+            expr = expr.when(g == lv, F.lit(params.bayes_bits(c, lv)))
+        w = w + F.coalesce(expr, F.lit(0.0))
+    return w

@@ -225,3 +225,32 @@ def test_em_train_deterministic(spark):
     r1 = em_train(df, {"a": F.col("a"), "b": F.col("b")}, {"a": 2, "b": 2})
     r2 = em_train(df, {"a": F.col("a"), "b": F.col("b")}, {"a": 2, "b": 2})
     assert r1 == r2
+
+
+def test_score_with_em_separates_planted_classes(spark):
+    """End-to-end train -> score: EM-trained weights must rank true
+    matches above non-matches on the planted-mixture fixture."""
+    import random
+
+    from pudl_spark.functions.linkage import em_train, score_with_em
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(2000):
+        is_match = rng.random() < 0.4
+        if is_match:
+            a = 1 if rng.random() < 0.9 else 0
+            b = 1 if rng.random() < 0.8 else 0
+            c = 1 if rng.random() < 0.7 else 0
+        else:
+            a = 1 if rng.random() < 0.05 else 0
+            b = 1 if rng.random() < 0.2 else 0
+            c = 1 if rng.random() < 0.1 else 0
+        rows.append((is_match, a, b, c))
+    df = spark.createDataFrame(rows, "is_match boolean, a int, b int, c int")
+    gammas = {"a": F.col("a"), "b": F.col("b"), "c": F.col("c")}
+    em = em_train(df, gammas, {"a": 2, "b": 2, "c": 2})
+    scored = df.withColumn("w", score_with_em(gammas, em))
+    agg = scored.groupBy("is_match").agg(F.avg("w").alias("mw")).collect()
+    means = {r.is_match: r.mw for r in agg}
+    assert means[True] > means[False] + 3.0  # clear separation in bits

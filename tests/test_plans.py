@@ -115,3 +115,20 @@ def test_bloom_dedup_joins_stay_hash_or_broadcast(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_png_features_map_only_no_exchange(spark):
+    """media_png_features is encode->decode->sum map-only: zero
+    Exchanges anywhere in the plan, and the nation scan prunes to the
+    single key column."""
+    plan = _plan(spark, "media_png_features")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "struct<n_nationkey" in plan
+
+
+def test_holed_overlay_broadcasts_zone_side(spark):
+    """nation_holed_zone_overlay: the 2-row zone side broadcasts; the
+    only hash exchanges are the pair dedup and final zone rollup."""
+    plan = _plan(spark, "nation_holed_zone_overlay")
+    assert "BroadcastExchange" in plan
