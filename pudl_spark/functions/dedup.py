@@ -370,3 +370,129 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- duplicated substrings
+
+def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 5) -> DataFrame:
+    """Exact duplicated-substring span detection (the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): a position p
+    in a document is *duplicated* when the k-token shingle starting at
+    p also occurs in at least one OTHER document. Returns per document
+
+        (id, n_grams, n_dup_grams, max_dup_run, dup_ratio)
+
+    where max_dup_run is the longest run of consecutive duplicated
+    positions — the length (in shingle starts) of the longest span
+    shared verbatim with the rest of the corpus.
+
+    Scale shape: shingles hash to 64-bit map-side, so the shuffles
+    carry (hash, id, pos) triples only — the text never leaves the
+    scan stage. One groupBy(hash) marks cross-document grams with a
+    min!=max comparison (no distinct-count sketch needed), one
+    hash-join flags positions, and the run detection is a single
+    gaps-and-islands window per document. Ref: the reference corpus
+    tooling has no equivalent; this is a training-data-pipeline
+    extension (SURVEY.md LLM ops).
+    """
+    grams = word_shingles(F.col(text_col), k=k, distinct=False)
+    # Per-doc totals are map-side arithmetic on the base table — no
+    # shuffle, no explode; the exploded frame below carries only
+    # (id, pos, hash).
+    totals = df.select(F.col(id_col).alias("id"),
+                       F.size(grams).alias("n_grams"))
+    pos = (
+        df.select(F.col(id_col).alias("id"), grams.alias("__g"))
+        .select(
+            "id",
+            F.posexplode(
+                F.transform("__g", lambda g: F.xxhash64(g))
+            ).alias("pos", "gh"),
+        )
+    )
+    # Cross-document grams: any hash seen under two distinct ids —
+    # min!=max on the id, cheaper than a distinct-count.
+    dup_h = (
+        pos.groupBy("gh")
+        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("gh")
+    )
+    flagged = (
+        pos.join(dup_h, on="gh", how="left_semi")
+        .select("id", "pos")
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        flagged
+        .withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "__isl")
+        .agg(F.count(F.lit(1)).alias("__rl"))
+        .groupBy("id")
+        .agg(F.sum("__rl").alias("n_dup_grams"),
+             F.max("__rl").alias("max_dup_run"))
+    )
+    out = (
+        totals.join(runs, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce("max_dup_run", F.lit(0)).cast("long")
+            .alias("max_dup_run"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_dup_grams").cast("double") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    return out
+
+
+def minhash_clusters(df: DataFrame, id_col: str, text_col: str,
+                     **kwargs) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash+LSH candidate
+    pairs -> connected components -> per-document cluster assignment
+
+        (id, cluster_id, cluster_size, is_kept)
+
+    cluster_id is the minimum member id (exactly what
+    operators.graph.connected_components labels with), singleton
+    documents cluster with themselves, and is_kept marks the one
+    canonical document a dedup pass would retain — the full
+    pairs->clusters->keep-list recipe production corpus dedup runs
+    (e.g. the RefinedWeb / SlimPajama pipelines), not just the pair
+    list. Scale: pairs are LSH-blocked (never all-pairs), CC is
+    O(log diameter) pointer-jumping rounds, and the final size/keep
+    computation is one groupBy on the cluster key.
+    """
+    from pudl_spark.operators.graph import connected_components
+
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
+    labels = connected_components(
+        pairs.select(F.col("id_a"), F.col("id_b")), src="id_a", dst="id_b")
+    assigned = (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("node", "id"), on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        assigned.join(sizes, on="cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_kept"),
+        )
+    )

@@ -252,3 +252,44 @@ def bm25_scores(df, text_col: str, terms: list[str],
         .drop("__toks", "__dl", "__n", "__sumdl",
               *[f"__df_{i}" for i in range(len(terms))])
     )
+
+
+def quality_logit_expr(col: Column | str,
+                       stopwords: tuple[str, ...] = STOPWORDS_EN,
+                       weights: tuple[float, float, float, float] =
+                       (1.8, 2.2, 1.4, 0.9),
+                       bias: float = -2.5) -> Column:
+    """Linear quality-classifier logit (fasttext-style linear model
+    with fixed weights — the model-based document filter of curation
+    pipelines like CCNet/DCLM, made deterministic so an SQL oracle can
+    reproduce it bit-for-bit). Features, in weight order:
+
+      x1 = min(n_tok/100, 1)          (length)
+      x2 = alpha_ratio                 (symbol pollution)
+      x3 = min(stopword_ratio*5, 1)    (English-ness)
+      x4 = 1.0 if 3<=mean_word_len<=10 else 0.3   (word shape)
+
+    Returns the raw logit z = ((w1*x1 + w2*x2) + w3*x3) + w4*x4 + b;
+    callers derive sigmoid(z) and the keep/drop label. The expression
+    shape (association order) is part of the contract — mirror it
+    exactly in any oracle. Map-only, whole-stage-codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(c)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    mean_word = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(c, r"[^A-Za-z ]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    stop_hits = F.size(F.filter(t, lambda w: F.array_contains(sw, F.lower(w))))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    x1 = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    x2 = alpha_ratio
+    x3 = F.least(stop_ratio * 5.0, F.lit(1.0))
+    x4 = F.when((mean_word >= 3) & (mean_word <= 10), F.lit(1.0)) \
+        .otherwise(F.lit(0.3))
+    w1, w2, w3, w4 = weights
+    return (((F.lit(w1) * x1 + F.lit(w2) * x2) + F.lit(w3) * x3)
+            + F.lit(w4) * x4) + F.lit(bias)

@@ -5451,3 +5451,224 @@ def media_png_features(spark, sf_dir):
 
     media = ids.withColumn("content", _mk_png(F.col("media_id")))
     return png_pixel_stats(media)
+
+
+@query("doc_dup_spans", sql=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), tot AS (
+  SELECT doc_id, greatest(len(t) - 4, 0) AS n_grams FROM toks
+), pos AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS p, t
+  FROM toks
+), g AS (
+  SELECT doc_id, p, array_to_string(list_slice(t, p, p + 4), ' ') AS s
+  FROM pos
+), dup AS (
+  SELECT s FROM g GROUP BY s HAVING min(doc_id) <> max(doc_id)
+), flags AS (
+  SELECT doc_id, p FROM g JOIN dup USING (s)
+), runs AS (
+  SELECT doc_id,
+    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+  FROM flags
+), runlen AS (
+  SELECT doc_id, isl, count(*) AS rl FROM runs GROUP BY doc_id, isl
+), agg AS (
+  SELECT doc_id, CAST(sum(rl) AS BIGINT) AS n_dup_grams,
+         CAST(max(rl) AS BIGINT) AS max_dup_run
+  FROM runlen GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+  CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+  CAST(COALESCE(a.max_dup_run, 0) AS BIGINT) AS max_dup_run,
+  CASE WHEN t.n_grams > 0
+       THEN CAST(COALESCE(a.n_dup_grams, 0) AS DOUBLE) / t.n_grams
+       ELSE 0.0 END AS dup_ratio
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""")
+def doc_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring span detection (Lee et al. 2022
+    suffix-array dedup, re-expressed relationally): per document, how
+    many 5-token shingle positions also occur verbatim in another
+    document, and the longest such consecutive span. The oracle joins
+    on the shingle STRINGS while the Spark plan blocks on xxhash64 —
+    a hash-mismatch would surface any collision/blocking bug.
+
+    Scale shape: the shuffles carry (hash, id, pos) only; the text
+    never leaves the scan; run detection is one gaps-and-islands
+    window per doc.
+    """
+    from pudl_spark.functions.dedup import duplicated_span_stats
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    return duplicated_span_stats(d, "doc_id", "text", k=5)
+
+
+@query("minhash_dedup_clusters", sql=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2,
+                      0) + 1),
+    i -> array_to_string(
+      list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+), csize AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id,
+  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+  c.doc_id = c.cluster_id AS is_kept
+FROM comp c JOIN csize s USING (cluster_id)
+""")
+def minhash_dedup_clusters(spark, sf_dir):
+    """End-to-end near-duplicate CLUSTERING: MinHash+LSH pairs ->
+    connected components -> per-doc (cluster_id, cluster_size,
+    is_kept) — the full pairs->clusters->keep-list recipe production
+    corpus dedup runs, not just the pair list. The oracle recomputes
+    the exact-Jaccard pair graph and its transitive closure with a
+    recursive CTE (min-label reachability), so both the LSH blocking
+    AND the distributed CC labeling are verified end-to-end.
+    Parameters match `minhash_near_dup_pairs` (j >= 0.5, 3-shingles),
+    whose blocking-completeness argument carries over.
+    """
+    from pudl_spark.functions.dedup import minhash_clusters
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    return minhash_clusters(d, "doc_id", "text", num_hashes=64,
+                            bands=16, shingle_k=3,
+                            jaccard_threshold=0.5)
+
+
+@query("doc_quality_classifier", sql=r"""
+WITH feats AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS n_alpha,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> list_contains(['the','a','an','and','or','of','to','in',
+                            'is','it','that','for','on','as','with',
+                            'at','by','from'], lower(x)))) AS stop_hits
+  FROM documents
+), z AS (
+  SELECT doc_id,
+    (((1.8 * least(n_tok / 100.0, 1.0)
+       + 2.2 * (CASE WHEN n_chars > 0
+                THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END))
+      + 1.4 * least((CASE WHEN n_tok > 0
+                     THEN CAST(stop_hits AS DOUBLE) / n_tok
+                     ELSE 0.0 END) * 5.0, 1.0))
+     + 0.9 * (CASE WHEN n_tok > 0 AND (n_chars / n_tok) >= 3
+                    AND (n_chars / n_tok) <= 10 THEN 1.0 ELSE 0.3 END))
+    + -2.5 AS z
+  FROM feats
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS keep_prob,
+  z > 0 AS keep
+FROM z
+""")
+def doc_quality_classifier(spark, sf_dir):
+    """Model-based document filtering: a fixed-weight linear
+    classifier (fasttext-style, the CCNet/DCLM curation step) over
+    the quality features, returning sigmoid keep-probability and the
+    keep/drop decision. Deterministic: the logit's association order
+    is mirrored exactly in the oracle; round(.,6) absorbs exp() ULPs.
+    Map-only whole-stage-codegen — zero shuffles before the sink.
+    """
+    from pudl_spark.functions.text import quality_logit_expr
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    z = quality_logit_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("keep_prob"),
+        (z > 0).alias("keep"),
+    )
+
+
+@query("doc_tfidf_topk", sql=r"""
+WITH raw AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), toks AS (
+  SELECT doc_id, lower(tok) AS term FROM raw WHERE tok <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nn AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(tf.tf AS DOUBLE) * ln((nn.n + 1.0) / (dfreq.df + 1.0)) AS s
+  FROM tf JOIN dfreq USING (term), nn
+), ranked AS (
+  SELECT doc_id, term, s,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, round(s, 6) AS tfidf
+FROM ranked WHERE rank <= 3
+""")
+def doc_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF keyterms per document — the keyword-extraction /
+    topic-tagging step of a curation pipeline. Plan: explode tokens
+    (lowercased), one (doc, term) count, one term-level document
+    frequency, the 1-row corpus count broadcast, then a per-doc top-k
+    window. Ordering is total (score desc, term asc) so ranks are
+    deterministic; ln() shapes mirrored; round(.,6) on output only.
+
+    Scale: shuffles on (doc,term) then (term) — both well-spread
+    keys; df table joins on term (shuffle or broadcast per AQE); no
+    all-pairs anything.
+    """
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda t: F.lower(t)))
+        .alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id", "term",
+            (F.col("tf").cast("double")
+             * F.log((F.col("n") + F.lit(1.0))
+                     / (F.col("df") + F.lit(1.0)))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"),
+                F.round("s", 6).alias("tfidf"))
+    )

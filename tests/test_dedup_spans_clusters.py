@@ -1,0 +1,96 @@
+"""Unit tests for duplicated-substring span detection and cluster-level
+MinHash dedup — edge cases the synthetic corpus doesn't exercise
+(short docs, transitive chains, singletons).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import (
+    duplicated_span_stats, minhash_clusters,
+)
+
+
+def test_duplicated_span_stats_known_span(spark):
+    # docs 1 and 2 share the 7-token run "a b c d e f g" -> with k=3
+    # that is 5 consecutive duplicated shingle starts; doc 3 shares
+    # nothing; doc 4 is too short for any shingle.
+    rows = [
+        (1, "x y a b c d e f g q r"),
+        (2, "a b c d e f g z z z z"),
+        (3, "totally different words here now ok"),
+        (4, "one two"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, "doc_id", "text", k=3).collect()}
+    assert out[1]["n_grams"] == 9
+    assert out[1]["n_dup_grams"] == 5
+    assert out[1]["max_dup_run"] == 5
+    assert out[2]["n_dup_grams"] == 5
+    assert out[2]["max_dup_run"] == 5
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["max_dup_run"] == 0
+    assert out[3]["dup_ratio"] == 0.0
+    assert out[4]["n_grams"] == 0
+    assert out[4]["dup_ratio"] == 0.0
+    assert len(out) == 4
+
+
+def test_duplicated_span_stats_two_separate_runs(spark):
+    # doc 1 shares two non-adjacent trigram runs with docs 2/3 ->
+    # max_dup_run must be the longest single run, not the total.
+    rows = [
+        (1, "a b c q q q q d e f q q q q"),
+        (2, "z a b c z"),
+        (3, "z d e f z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, "doc_id", "text", k=3).collect()}
+    assert out[1]["n_dup_grams"] == 2
+    assert out[1]["max_dup_run"] == 1
+
+
+def test_minhash_clusters_transitive_chain(spark):
+    # A==B and B==C textually (exact dup -> jaccard 1), D is a
+    # singleton: one cluster {1,2,3} keyed by min id, D self-keyed.
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text), (2, text), (3, text),
+            (4, "completely unrelated content with many distinct words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           minhash_clusters(df, "doc_id", "text", num_hashes=64,
+                            bands=16, shingle_k=3,
+                            jaccard_threshold=0.5).collect()}
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["cluster_size"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert [out[i]["is_kept"] for i in (1, 2, 3, 4)] == [
+        True, False, False, True]
+    assert out[4]["cluster_id"] == 4 and out[4]["cluster_size"] == 1
+
+
+def test_minhash_clusters_no_pairs(spark):
+    rows = [(7, "alpha beta gamma delta epsilon zeta eta theta"),
+            (9, "iota kappa lambda mu nu xi omicron pi rho")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           minhash_clusters(df, "doc_id", "text").collect()}
+    assert out[7]["cluster_id"] == 7 and out[7]["is_kept"]
+    assert out[9]["cluster_id"] == 9 and out[9]["is_kept"]
+
+
+def test_quality_logit_empty_and_signs(spark):
+    from pudl_spark.functions.text import quality_logit_expr
+
+    rows = [(1, ""), (2, "the and of to in is it that for on as with "
+                         "at by from the and of to in is it that")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["z"] for r in df.select(
+        "doc_id", quality_logit_expr(F.col("text")).alias("z")).collect()}
+    # empty text: x1=0, x2=0, x3=0, x4=0.3 -> z = 0.27 - 2.5 < 0
+    assert out[1] == pytest.approx(0.9 * 0.3 - 2.5)
+    # all-stopword text scores x3 at the cap
+    assert out[2] > out[1]
