@@ -107,45 +107,76 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     rows_per_band = num_hashes // bands
     df = _spread(df, id_col)
-    # Signature via explode + 64 codegen'd min-aggregates instead of
-    # the higher-order-function fold (minhash_signature): identical
-    # values, but every (a*h+b)%p stays inside whole-stage codegen and
-    # the mins combine map-side — ~5x faster on wide corpora. Docs
-    # with no shingles drop out here; they can only ever form
-    # jaccard=0 pairs, which the threshold (>0) removes anyway.
-    #
-    # ONE groupBy produces both the signature bands AND the verify set
-    # (as distinct shingle xxhash64s — set jaccard over hashes equals
-    # string-set jaccard modulo 64-bit collisions, and longs shuffle ~5x
-    # slimmer than shingle strings). The result is persisted: the bands
-    # path and both sides of the verify join consume it, and at corpus
-    # scale the signature table is orders of magnitude smaller than the
-    # corpus — materializing it once is the point of MinHash.
-    p = F.lit(_MINHASH_PRIME)
-    coeffs = _minhash_coeffs(num_hashes)
+    # One-permutation hashing (OPH, Li/Owen/Zhang 2012 — the scheme
+    # production corpus dedup uses): instead of num_hashes independent
+    # permutation minima (num_hashes agg-buffer updates PER SHINGLE —
+    # the dominant cost at corpus scale), hash each distinct shingle
+    # once, route it to bin h mod num_hashes, and take ONE min per
+    # occupied (id, bin). That is a single cheap agg update per
+    # shingle; the per-bin minima then pivot into the fixed-length
+    # signature in a second, num_hashes-times-smaller aggregation.
+    # Empty bins densify by ROTATION (Shrivastava & Li 2014, improved
+    # densification): bin i copies the value of the next non-empty
+    # bin scanning i+1, i+2, ... mod num_hashes — computed in
+    # log2(num_hashes) coalesce-doubling passes over the array, each
+    # a cheap map-side projection. Rotation keeps the per-bin
+    # collision probability ~= j even for short documents (a
+    # global-min fill would correlate every empty bin on one value
+    # and measurably miss high-j short-doc pairs), so the banding
+    # recall bound matches classic MinHash. Verified empirically:
+    # every exact-Jaccard pair >= threshold at sf0.01 and sf0.1 is
+    # produced (oracle equality is the driver gate), and precision is
+    # exact regardless — the verify step computes true Jaccard on the
+    # full shingle-hash sets.
+    nb = F.lit(num_hashes)
     exploded = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k=shingle_k)).alias("__s"),
-    ).withColumn("__sh", F.xxhash64("__s")).withColumn(
-        "__h", F.pmod(F.col("__sh"), p))
+        F.explode(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), k=shingle_k),
+                            lambda s: F.xxhash64(s)))).alias("__sh"),
+    )
+    binned = exploded.groupBy(
+        "id", F.pmod("__sh", nb).alias("__bin")
+    ).agg(F.min("__sh").alias("__mh"))
+    sig_map = binned.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig_map = sig_map.withColumn(
+        "__v0",
+        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
+    # Rotation densification by coalesce-doubling: after pass r,
+    # __v{r}[i] = first non-empty among bins i .. i+2^r-1 (mod nb).
+    # Each pass materializes as its own projected column so the
+    # expression tree stays linear (re-referencing the prior array
+    # EXPRESSION would copy its subtree and blow up codegen).
+    def _double(prev: str, s: int):
+        return lambda i: F.coalesce(
+            F.element_at(F.col(prev), i + 1),
+            F.element_at(F.col(prev),
+                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
+        )
+
+    step, r = 1, 0
+    while step < num_hashes:
+        sig_map = sig_map.withColumn(
+            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
+        step, r = step * 2, r + 1
     # Lazy localCheckpoint, not persist(): same effect (the signature
-    # table materializes once at first action and all three consumers
-    # — bands + both verify-join sides — read the stored blocks), but
-    # the blocks are owned by the RDD, so the ContextCleaner reclaims
-    # them when the returned frame is garbage-collected. persist()
-    # registers with the cache manager and leaks until an explicit
-    # unpersist, which a lazily-returned frame can never schedule.
-    sig_agg = exploded.groupBy("id").agg(
-        *[F.min((F.col("__h") * F.lit(a) + F.lit(b)) % p).alias(f"__m{i}")
-          for i, (a, b) in enumerate(coeffs)],
-        F.collect_set("__sh").alias("__set"),
-    ).localCheckpoint(eager=False)
-    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    # table materializes once at first action and the bands path plus
+    # both verify-join sides read the stored blocks), but the blocks
+    # are owned by the RDD, so the ContextCleaner reclaims them when
+    # the returned frame is garbage-collected. persist() registers
+    # with the cache manager and leaks until an explicit unpersist,
+    # which a lazily-returned frame can never schedule.
+    sig_agg = sig_map.select(
+        "id", F.col(f"__v{r}").alias("__sig")).localCheckpoint(eager=False)
     band_arr = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.slice(sig, b * rows_per_band + 1, rows_per_band)
+                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
             ).alias("bucket"),
         )
         for b in range(bands)
@@ -165,7 +196,16 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = sig_agg.select("id", "__set")
+    # Verify sets are MAP-SIDE array algebra on the base table (no
+    # shuffle, no object-hash aggregate): distinct shingle xxhash64s —
+    # set jaccard over 64-bit hashes equals string-set jaccard modulo
+    # collisions, and longs are ~5x slimmer than shingle strings. Only
+    # candidate ids' sets ever shuffle, via the two joins below.
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), k=shingle_k),
+                        lambda s: F.xxhash64(s))).alias("__set"))
     pairs = (
         cand
         .join(sets.select(F.col("id").alias("id_a"),

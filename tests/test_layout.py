@@ -1,0 +1,63 @@
+"""Z-order layout: Morton values match a reference implementation and
+the range-repartitioned write really produces disjoint, narrow
+Z-ranges per partition (the property min/max pruning relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pudl_spark.operators.layout import zorder_expr, zorder_layout
+
+
+def _morton2(x: int, y: int, bits: int = 20) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_expr_matches_reference(spark):
+    rows = [(x, y) for x in (0, 1, 2, 3, 255, 1023, 54321)
+            for y in (0, 1, 7, 999, 65535)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y",
+                     zorder_expr(["x", "y"]).alias("z")).collect()}
+    for (x, y), z in got.items():
+        assert z == _morton2(x, y), (x, y)
+
+
+def test_zorder_expr_overflow_guard():
+    import pytest
+
+    with pytest.raises(ValueError):
+        zorder_expr(["a", "b", "c"], bits=21)
+
+
+def test_zorder_layout_partitions_are_disjoint_z_ranges(spark):
+    import itertools
+
+    n = 4096
+    rows = [(i % 64, (i * 37) % 64) for i in range(n)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    laid = zorder_layout(df, ["x", "y"], bits=6, num_files=8)
+    got = (
+        laid.withColumn("z", zorder_expr(["x", "y"], bits=6))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"),
+             F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert sum(r["cnt"] for r in got) == n
+    spans = sorted((r["lo"], r["hi"]) for r in got)
+    # ranges must not overlap: file-level min/max pruning depends on it
+    for (a, b), (c, d) in itertools.pairwise(spans):
+        assert b <= c
+    # and clustering must beat random layout: each partition covers a
+    # small fraction of the full z-span
+    full = max(d for _, d in spans) - min(a for a, _ in spans)
+    avg_span = sum(b - a for a, b in spans) / len(spans)
+    assert avg_span < full / 4
