@@ -61,6 +61,11 @@ BENCH_QUERIES = [
     "declarative_transform_orders",
     "event_sliding_windows",
     "embedding_quantization",
+    "doc_dup_spans",
+    "minhash_dedup_clusters",
+    "doc_quality_classifier",
+    "doc_tfidf_topk",
+    "lineitem_zorder_stats",
 ]
 
 

@@ -132,3 +132,49 @@ def test_holed_overlay_broadcasts_zone_side(spark):
     only hash exchanges are the pair dedup and final zone rollup."""
     plan = _plan(spark, "nation_holed_zone_overlay")
     assert "BroadcastExchange" in plan
+
+
+def test_quality_classifier_map_only(spark):
+    plan = _plan(spark, "doc_quality_classifier")
+    # fixed-weight classifier is pure projection: only the explicit
+    # small-file spread exchange, nothing induced by the operator
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "Window" not in plan
+
+
+def test_dup_spans_shuffles_hashes_not_text(spark):
+    plan = _plan(spark, "doc_dup_spans", "formatted")
+    # every operator-INDUCED exchange (ENSURE_REQUIREMENTS) carries
+    # hashes/ids only — the text column never shuffles. (The explicit
+    # REPARTITION_BY_NUM spread of the small base table is exempt: it
+    # moves the raw docs by design and self-disables at real scale.)
+    import re
+
+    induced = [m.group(0) for m in re.finditer(
+        r"\(\d+\) Exchange\n(?:.*\n)*?Arguments: [^\n]*", plan)
+        if "ENSURE_REQUIREMENTS" in m.group(0)]
+    assert induced, "expected at least the gram-hash aggregation exchange"
+    for sec in induced:
+        assert "text" not in sec
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    plan = _plan(spark, "doc_tfidf_topk")
+    # rank<=3 must push into the shuffle as WindowGroupLimit (top-k
+    # never materializes the full ranked term list per doc), and the
+    # 1-row corpus count must broadcast, not shuffle the tf table
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_stats_single_exchange_pruned_scan(spark):
+    plan = _plan(spark, "lineitem_zorder_stats", "formatted")
+    # z-value and bucket are map-side bit algebra: exactly one
+    # aggregation exchange, and the scan reads only the two key
+    # columns (never the wide lineitem payload)
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "REPARTITION" not in plan
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+    assert "partial_min" in plan  # map-side combine before the shuffle
