@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_quality_classifier",
     "doc_tfidf_topk",
     "lineitem_zorder_stats",
+    "doc_bigram_perplexity",
 ]
 
 

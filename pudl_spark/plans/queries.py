@@ -5718,3 +5718,91 @@ def lineitem_zorder_stats(spark, sf_dir):
              F.min("sk").alias("min_supp"),
              F.max("sk").alias("max_supp"))
     )
+
+
+@query("doc_bigram_perplexity", sql=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i, t
+  FROM toks
+), big AS (
+  SELECT doc_id, lower(t[i]) AS w1, lower(t[i + 1]) AS w2 FROM pos
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), vocab AS (
+  SELECT count(DISTINCT lower(w)) AS v FROM uni
+), scored AS (
+  SELECT b.doc_id,
+    round(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v * 1.0)), 6) AS lnp
+  FROM big b
+  JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+  JOIN c1 ON b.w1 = c1.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(lnp AS DECIMAL(20,6))) AS DOUBLE) / count(*)
+    AS avg_logprob,
+  round(exp(-(CAST(SUM(CAST(lnp AS DECIMAL(20,6))) AS DOUBLE)
+              / count(*))), 6) AS perplexity
+FROM scored GROUP BY doc_id
+""")
+def doc_bigram_perplexity(spark, sf_dir):
+    """Perplexity filtering with a corpus-trained bigram language
+    model — the CCNet/KenLM curation step, made fully relational and
+    deterministic: train add-one-smoothed bigram counts over the
+    corpus itself (two aggregations), score every document's average
+    log-probability, and report perplexity. Docs with fewer than two
+    tokens have no bigrams and drop out (they carry no LM signal).
+
+    Determinism: each ln() is rounded to 6 dp and summed as
+    DECIMAL(20,6) — exact, order-free summation on both engines — and
+    the final exp() is rounded to 6 dp; expression shapes mirrored.
+
+    Scale shape: the model is two groupBys keyed on (w1,w2)/(w1) —
+    vocabulary-bounded tables that AQE broadcasts when small and
+    shuffle-joins when not; the vocab size is a 1-row broadcast; the
+    scoring join shuffles (doc_id, w1, w2) triples, never the text.
+    """
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    from pudl_spark.functions.text import tokens as _tok
+
+    t = F.transform(_tok(F.col("text")), lambda w: F.lower(w))
+    docs = d.select("doc_id", t.alias("t"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
+    big = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(idx, lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ))).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(F.explode("t").alias("w")).agg(
+        F.count_distinct("w").alias("v"))
+    lnp = F.round(
+        F.log((F.col("c12") + F.lit(1.0))
+              / (F.col("c1") + F.col("v") * F.lit(1.0))), 6)
+    scored = (
+        big.join(c12, on=["w1", "w2"])
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lnp.alias("lnp"))
+    )
+    ssum = F.sum(F.col("lnp").cast("decimal(20,6)"))
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("doc_id").agg(
+        cnt.alias("n_bigrams"),
+        (ssum.cast("double") / cnt).alias("avg_logprob"),
+        F.round(F.exp(-(ssum.cast("double") / cnt)), 6)
+        .alias("perplexity"),
+    )

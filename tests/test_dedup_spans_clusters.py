@@ -94,3 +94,30 @@ def test_quality_logit_empty_and_signs(spark):
     assert out[1] == pytest.approx(0.9 * 0.3 - 2.5)
     # all-stopword text scores x3 at the cap
     assert out[2] > out[1]
+
+
+def test_bigram_perplexity_tiny_fixture(spark):
+    import math
+
+    from pudl_spark.plans.queries import QUERIES
+    import tempfile, os
+    rows = [(1, "a b a b"), (2, "a b"), (3, "solo")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, ["doc_id", "text"]).write.parquet(
+                os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in
+               QUERIES["doc_bigram_perplexity"](spark, td).collect()}
+    # corpus bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b)
+    # c12: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=3 (a,b,solo)
+    # doc3 has no bigrams and must drop out
+    assert set(out) == {1, 2}
+    lnp_ab = round(math.log((3 + 1.0) / (3 + 3.0)), 6)
+    lnp_ba = round(math.log((1 + 1.0) / (1 + 3.0)), 6)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == pytest.approx(lnp_ab, abs=1e-9)
+    exp1 = (2 * lnp_ab + lnp_ba) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-6)
+    assert out[1]["perplexity"] == pytest.approx(
+        round(math.exp(-out[1]["avg_logprob"]), 6), abs=1e-5)
