@@ -5806,3 +5806,60 @@ def doc_bigram_perplexity(spark, sf_dir):
         F.round(F.exp(-(ssum.cast("double") / cnt)), 6)
         .alias("perplexity"),
     )
+
+
+@query("doc_chunk_windows", sql=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), spans AS (
+  SELECT doc_id, t,
+    unnest(range(0,
+      CASE WHEN len(t) > 64
+           THEN (len(t) - 64 + 47) // 48 ELSE 0 END + 1)) AS k
+  FROM toks
+), chunks AS (
+  SELECT doc_id, k, 1 + k * 48 AS s,
+    list_slice(t, 1 + k * 48, 1 + k * 48 + 63) AS c
+  FROM spans
+)
+SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+  CAST(s AS BIGINT) AS start_tok,
+  CAST(len(c) AS BIGINT) AS n_tok,
+  array_to_string(c, ' ') AS chunk_text
+FROM chunks WHERE len(c) >= 1
+""")
+def doc_chunk_windows(spark, sf_dir):
+    """Sliding-window document chunking (64-token windows, stride 48,
+    16-token overlap) — the retrieval/embedding-prep step of a RAG or
+    pretraining pipeline. Chunk count is closed-form
+    (1 + ceil(max(n-64,0)/48)) so the explode is exact integer
+    arithmetic on both engines; the final partial window keeps its
+    true token count. Map-only: tokenize, sequence, slice, join — no
+    shuffle at all before the sink, and chunk boundaries never split
+    a token.
+    """
+    from pudl_spark.functions.text import tokens as _tok
+
+    W, S = 64, 48
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    docs = d.filter(F.trim("text") != "").select(
+        "doc_id", _tok(F.col("text")).alias("t"))
+    n = F.size("t")
+    extra = F.when(n > W, F.floor((n - W + (S - 1)) / S).cast("int")) \
+        .otherwise(F.lit(0))
+    ks = F.sequence(F.lit(0), extra)
+    chunks = docs.select(
+        "doc_id", "t", F.explode(ks).alias("k")
+    ).select(
+        "doc_id",
+        F.col("k").cast("int").alias("chunk_idx"),
+        (1 + F.col("k") * S).cast("bigint").alias("start_tok"),
+        F.slice("t", (1 + F.col("k") * S).cast("int"), W).alias("c"),
+    )
+    return (
+        chunks.filter(F.size("c") >= 1)
+        .select("doc_id", "chunk_idx", "start_tok",
+                F.size("c").cast("bigint").alias("n_tok"),
+                F.array_join("c", " ").alias("chunk_text"))
+    )

@@ -121,3 +121,34 @@ def test_bigram_perplexity_tiny_fixture(spark):
     assert out[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-6)
     assert out[1]["perplexity"] == pytest.approx(
         round(math.exp(-out[1]["avg_logprob"]), 6), abs=1e-5)
+
+
+def test_chunk_windows_boundaries(spark):
+    import tempfile, os
+
+    from pudl_spark.plans.queries import QUERIES
+
+    mk = lambda n: " ".join(f"w{i}" for i in range(1, n + 1))
+    rows = [(1, mk(64)), (2, mk(65)), (3, mk(112)), (4, mk(113)),
+            (5, "one"), (6, "   ")]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, ["doc_id", "text"]).write.parquet(
+                os.path.join(td, "documents.parquet"))
+        out = QUERIES["doc_chunk_windows"](spark, td).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r["chunk_idx"])
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tok"] == 64
+    assert [r["n_tok"] for r in by_doc[2]] == [64, 17]
+    assert [r["start_tok"] for r in by_doc[2]] == [1, 49]
+    assert [r["n_tok"] for r in by_doc[3]] == [64, 64]
+    assert [r["n_tok"] for r in by_doc[4]] == [64, 64, 17]
+    assert [r["start_tok"] for r in by_doc[4]] == [1, 49, 97]
+    assert by_doc[5][0]["chunk_text"] == "one"
+    assert 6 not in by_doc  # whitespace-only doc yields no chunks
+    # overlap property: consecutive chunks share exactly 16 tokens
+    c0, c1 = by_doc[3][0]["chunk_text"].split(), by_doc[3][1]["chunk_text"].split()
+    assert c0[-16:] == c1[:16]
