@@ -155,7 +155,8 @@ def main() -> None:
             ss.build_scaled(spark, 10, base=SF_DIR)
             for name in ("nation_revenue_by_year", "calc_reconcile_orders",
                          "jw_linkage_parts", "minhash_near_dup_pairs",
-                         "event_sessions_cc"):
+                         "event_sessions_cc", "minhash_dedup_clusters",
+                         "doc_dup_spans"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue

@@ -51,6 +51,14 @@ class Asset:
     # materialized DataFrame to a VIOLATIONS DataFrame (empty == pass,
     # see pudl_spark.validate); failures abort the run.
     checks: tuple = ()
+    # Incremental-materialization inputs (ref: Dagster code_version /
+    # memoization): `version` is the asset's declared code version —
+    # bump it when the transform changes; `inputs_signature` (for
+    # source assets) returns a string capturing the external inputs'
+    # state (e.g. file sizes+mtimes) so upstream data changes
+    # invalidate the asset without a manual bump.
+    version: str = "1"
+    inputs_signature: Callable[[], str] | None = None
 
 
 @dataclass
@@ -63,16 +71,44 @@ class AssetGraph:
             resource: Resource | None = None,
             partition_cols: tuple[str, ...] = (),
             sort_cols: tuple[str, ...] = (), group: str = "core",
-            checks: tuple = ()):
+            checks: tuple = (), version: str = "1",
+            inputs_signature: Callable[[], str] | None = None):
         """Decorator: register ``fn(spark, inputs)`` as an asset."""
         def deco(fn: AssetFn) -> AssetFn:
             self.assets[name] = Asset(
                 name=name, fn=fn, deps=tuple(deps), resource=resource,
                 partition_cols=tuple(partition_cols),
                 sort_cols=tuple(sort_cols), group=group,
-                checks=tuple(checks))
+                checks=tuple(checks), version=version,
+                inputs_signature=inputs_signature)
             return fn
         return deco
+
+    def fingerprints(self, selection: list[str] | None = None
+                     ) -> dict[str, str]:
+        """Content-addressed freshness keys: an asset's fingerprint
+        hashes its declared code version, its external-input
+        signature, its sink configuration (schema / partitioning /
+        sort), and — transitively — every upstream fingerprint. Any
+        change upstream therefore re-keys the whole downstream
+        closure, which is exactly the invalidation rule Dagster's
+        memoization and every lakehouse incremental build uses.
+        """
+        import hashlib
+
+        fps: dict[str, str] = {}
+        for name in self.order(selection):
+            a = self.assets[name]
+            parts = [
+                f"v={a.version}",
+                f"sig={a.inputs_signature() if a.inputs_signature else ''}",
+                f"schema={a.resource.name if a.resource else ''}",
+                f"part={','.join(a.partition_cols)}",
+                f"sort={','.join(a.sort_cols)}",
+            ] + [f"dep:{d}={fps[d]}" for d in sorted(a.deps)]
+            fps[name] = hashlib.sha256(
+                "|".join(parts).encode()).hexdigest()[:32]
+        return fps
 
     def order(self, selection: list[str] | None = None) -> list[str]:
         """Topological materialization order (full graph or the
@@ -93,17 +129,37 @@ class AssetGraph:
 
     def materialize(self, spark: SparkSession, store_dir: str,
                     selection: list[str] | None = None,
-                    skip_existing: bool = False) -> dict[str, str]:
+                    skip_existing: bool = False,
+                    incremental: bool = False) -> dict[str, str]:
         """Run the DAG; each asset is written to
         ``store_dir/<name>.parquet`` and downstream assets read the
         materialized copy (checkpoint semantics — shallow lineage,
         restartable). Returns name -> path.
+
+        ``incremental=True`` skips any asset whose fingerprint (code
+        version + external-input signature + upstream closure, see
+        :meth:`fingerprints`) matches the manifest recorded by the
+        previous run AND whose output still exists — so a 100 TB
+        rebuild after a one-asset change recomputes only that asset's
+        downstream cone, not the world. The manifest updates after
+        EVERY asset, so an interrupted run resumes where it stopped.
         """
+        import json
+
+        manifest_path = os.path.join(store_dir, "_manifest.json")
+        manifest: dict[str, str] = {}
+        if incremental and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        fps = self.fingerprints(selection) if incremental else {}
         paths: dict[str, str] = {}
         for name in self.order(selection):
             asset = self.assets[name]
             dest = os.path.join(store_dir, f"{name}.parquet")
             paths[name] = dest
+            if (incremental and manifest.get(name) == fps[name]
+                    and os.path.exists(dest)):
+                continue
             if skip_existing and os.path.exists(dest):
                 continue
             inputs = {d: spark.read.parquet(paths[d]) for d in asset.deps}
@@ -121,4 +177,9 @@ class AssetGraph:
                 for idx, check in enumerate(asset.checks):
                     assert_empty(check(materialized),
                                  f"{name}.check[{idx}]")
+            if incremental:
+                manifest[name] = fps[name]
+                os.makedirs(store_dir, exist_ok=True)
+                with open(manifest_path, "w") as f:
+                    json.dump(manifest, f, indent=0, sort_keys=True)
         return paths

@@ -83,3 +83,61 @@ def test_schema_enforced_at_sink(spark, tmp_path):
 
     with pytest.raises(SchemaError, match="duplicate"):
         g.materialize(spark, str(tmp_path))
+
+
+def test_incremental_materialization_skips_fresh_assets(spark, tmp_path):
+    calls = []
+
+    def build(v_up="1", v_down="1"):
+        g = AssetGraph()
+
+        @g.add("up", version=v_up)
+        def up(spark_, inputs):
+            calls.append("up")
+            return spark_.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+
+        @g.add("down", deps=("up",), version=v_down)
+        def down(spark_, inputs):
+            calls.append("down")
+            return inputs["up"].withColumn("n", F.lit(1))
+
+        return g
+
+    store = str(tmp_path)
+    build().materialize(spark, store, incremental=True)
+    assert calls == ["up", "down"]
+
+    # unchanged versions: nothing recomputes
+    build().materialize(spark, store, incremental=True)
+    assert calls == ["up", "down"]
+
+    # bumping only the downstream version recomputes only downstream
+    build(v_down="2").materialize(spark, store, incremental=True)
+    assert calls == ["up", "down", "down"]
+
+    # bumping upstream invalidates the whole downstream cone
+    build(v_up="2", v_down="2").materialize(spark, store, incremental=True)
+    assert calls == ["up", "down", "down", "up", "down"]
+
+
+def test_incremental_inputs_signature_invalidates(spark, tmp_path):
+    calls = []
+    sig = {"v": "s1"}
+
+    def build():
+        g = AssetGraph()
+
+        @g.add("src", inputs_signature=lambda: sig["v"])
+        def src(spark_, inputs):
+            calls.append("src")
+            return spark_.createDataFrame([(1,)], ["k"])
+
+        return g
+
+    store = str(tmp_path)
+    build().materialize(spark, store, incremental=True)
+    build().materialize(spark, store, incremental=True)
+    assert calls == ["src"]
+    sig["v"] = "s2"  # external data changed
+    build().materialize(spark, store, incremental=True)
+    assert calls == ["src", "src"]
