@@ -5863,3 +5863,63 @@ def doc_chunk_windows(spark, sf_dir):
                 F.size("c").cast("bigint").alias("n_tok"),
                 F.array_join("c", " ").alias("chunk_text"))
     )
+
+
+@query("media_wav_features", sql="""
+WITH ids AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation
+), dims AS (
+  SELECT media_id, 256 + 16 * (media_id % 8) AS n,
+    CAST(8000 + 100 * (media_id % 4) AS INT) AS rate
+  FROM ids
+), xs AS (
+  SELECT media_id, n, rate, unnest(range(0, n)) AS i FROM dims
+), s AS (
+  SELECT media_id, n, rate,
+    (media_id * 13 + i * 7) % 4096 - 2048 AS v
+  FROM xs
+)
+SELECT media_id, rate AS sample_rate,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(SUM(v) AS BIGINT) AS sum_samples,
+  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+  CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s GROUP BY media_id, rate, n
+""")
+def media_wav_features(spark, sf_dir):
+    """Multimodal audio with a REAL decode: 16-bit PCM samples
+    generated from a closed-form formula, written to actual RIFF/WAVE
+    bytes (stdlib writer), then decoded back by `decode_wav` and
+    reduced to exact integer sample statistics. The oracle computes
+    the same statistics directly from the formula — a decoder that
+    misreads one chunk offset or one sample hash-mismatches.
+    sample(i) = (id*13 + i*7) % 4096 - 2048 with per-clip length
+    256 + 16*(id%8) and rate 8000 + 100*(id%4).
+
+    Scale shape: encode and decode are Arrow-batched map-only islands
+    (no shuffle until the driver's collect); binary payloads never
+    join or aggregate.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pudl_spark.functions.multimodal import encode_wav, wav_sample_stats
+
+    ids = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("media_id"))
+
+    @pandas_udf("binary")
+    def _mk_wav(mid):
+        out = []
+        for m in mid:
+            m = int(m)
+            n = 256 + 16 * (m % 8)
+            i = np.arange(n, dtype=np.int64)
+            v = (m * 13 + i * 7) % 4096 - 2048
+            out.append(encode_wav(v.astype(np.int16),
+                                  rate=8000 + 100 * (m % 4)))
+        return pd.Series(out)
+
+    media = ids.withColumn("content", _mk_wav(F.col("media_id")))
+    return wav_sample_stats(media)
