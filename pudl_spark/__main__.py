@@ -7,6 +7,7 @@ The reference drives everything through `dg launch --job pudl`
     python -m pudl_spark query <name> [--sf-dir D] [-n 20]
     python -m pudl_spark explain <name> [--sf-dir D]
     python -m pudl_spark validate [--sf-dir D]     # FK + PK checks
+    python -m pudl_spark etl --store DIR [--incremental]  # demo DAG
 """
 
 from __future__ import annotations
@@ -36,6 +37,16 @@ def main(argv: list[str] | None = None) -> int:
                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                           "/root/testdata/sf0.01"))
 
+    e = sub.add_parser(
+        "etl", help="materialize the demo asset DAG (raw->core->out)")
+    e.add_argument("--sf-dir",
+                   default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                          "/root/testdata/sf0.01"))
+    e.add_argument("--store", required=True,
+                   help="output directory for per-asset parquet")
+    e.add_argument("--incremental", action="store_true",
+                   help="skip assets whose fingerprint is unchanged")
+
     args = ap.parse_args(argv)
 
     from pudl_spark.plans.queries import ORACLES, QUERIES
@@ -61,6 +72,49 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         else:
             df.show(args.rows, truncate=False)
+        return 0
+
+    if args.cmd == "etl":
+        from pyspark.sql import functions as F
+
+        from pudl_spark.catalog import read_parquet_table
+        from pudl_spark.plans.pipeline import AssetGraph
+
+        sf = args.sf_dir
+        g = AssetGraph()
+
+        def _sig(table):
+            p = os.path.join(sf, f"{table}.parquet")
+            st = os.stat(p)
+            return f"{p}:{st.st_size}:{int(st.st_mtime)}"
+
+        @g.add("core_customers", group="core", version="1",
+               inputs_signature=lambda: _sig("customer"))
+        def core_customers(sp, inputs):
+            from pudl_spark.operators.strings import normalize_strings
+
+            c = read_parquet_table(
+                sp, os.path.join(sf, "customer.parquet"))
+            c = c.withColumn("clean_name", F.col("c_name"))
+            return normalize_strings(c, ["clean_name"]).select(
+                "c_custkey", "c_nationkey", "clean_name", "c_acctbal")
+
+        @g.add("out_nation_summary", deps=("core_customers",),
+               group="out", version="1",
+               inputs_signature=lambda: _sig("nation"))
+        def out_nation_summary(sp, inputs):
+            n = read_parquet_table(
+                sp, os.path.join(sf, "nation.parquet"))
+            return (inputs["core_customers"]
+                    .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+                    .groupBy("n_name")
+                    .agg(F.count(F.lit(1)).alias("n_customers"),
+                         F.sum("c_acctbal").alias("total_balance")))
+
+        paths = g.materialize(spark, args.store,
+                              incremental=args.incremental)
+        for name, path in paths.items():
+            print(f"materialized {name} -> {path}")
         return 0
 
     if args.cmd == "validate":
