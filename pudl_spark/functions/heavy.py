@@ -1,0 +1,90 @@
+"""Heavy hitters at corpus scale: per-partition Misra-Gries candidate
+sketches + exact recount, with a certified-exactness guarantee.
+
+The naive top-k (`groupBy(item).count().orderBy(...).limit(k)`)
+shuffles the ENTIRE item dictionary — at 100 TB that is the token
+vocabulary of the whole corpus. The sketch route shuffles only
+O(partitions x capacity) candidate rows:
+
+1. each partition streams its items through a Misra-Gries summary of
+   ``capacity`` counters (undercount per partition <= n_p/(capacity+1));
+2. the union of all partition candidates is a superset of every item
+   with true count > N/(capacity+1) (summing the per-partition bounds);
+3. an exact recount runs restricted to the candidate set (broadcast
+   semi-join before the groupBy, so the aggregation key space is the
+   candidate list, not the dictionary);
+4. the result is CERTIFIED: if the k-th exact candidate count is
+   > N/(capacity+1), no non-candidate item can belong to the true
+   top-k, so the output equals the exact answer. Otherwise the
+   operator raises rather than silently returning approximations —
+   callers pick a bigger capacity.
+
+Misra & Gries 1982; the merge bound is the standard mergeable-summary
+result (Agarwal et al. 2013). The Python sketch is a per-partition
+``mapInPandas`` island (dict ops over Arrow batches); everything else
+is JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class HeavyHitterUncertain(ValueError):
+    """Capacity too small to certify the exact top-k."""
+
+
+def heavy_hitters(items: DataFrame, col: str, k: int = 10,
+                  capacity: int = 4096) -> DataFrame:
+    """Exact, certified top-k most frequent values of ``items[col]``.
+
+    Returns (item, n, rank) ordered by count desc then item asc —
+    a total order, so ranks are deterministic. Raises
+    HeavyHitterUncertain when the sketch cannot certify exactness.
+    """
+    src = items.select(F.col(col).alias("item")).filter(
+        F.col("item").isNotNull())
+
+    def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf["item"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    cands = src.mapInPandas(sketch, schema="item string").distinct()
+    exact = (
+        src.join(F.broadcast(cands), on="item", how="left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("item").asc())
+        .limit(k)
+    )
+    rows = exact.collect()
+    total = src.count()
+    bound = total / (capacity + 1)
+    if rows and rows[-1]["n"] <= bound:
+        raise HeavyHitterUncertain(
+            f"k-th candidate count {rows[-1]['n']} <= N/(capacity+1) "
+            f"= {bound:.1f}; raise capacity to certify exactness")
+    spark = items.sparkSession
+    out = spark.createDataFrame(
+        [(r["item"], r["n"], i + 1) for i, r in enumerate(rows)],
+        "item string, n long, rank int")
+    return out

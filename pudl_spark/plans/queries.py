@@ -5923,3 +5923,39 @@ def media_wav_features(spark, sf_dir):
 
     media = ids.withColumn("content", _mk_wav(F.col("media_id")))
     return wav_sample_stats(media)
+
+
+@query("doc_top_terms", sql=r"""
+WITH raw AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), toks AS (
+  SELECT lower(tok) AS item FROM raw WHERE tok <> ''
+), counts AS (
+  SELECT item, count(*) AS n FROM toks GROUP BY item
+), ranked AS (
+  SELECT item, n,
+    row_number() OVER (ORDER BY n DESC, item ASC) AS rank
+  FROM counts
+)
+SELECT item, CAST(n AS BIGINT) AS n, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+""")
+def doc_top_terms(spark, sf_dir):
+    """Certified-exact corpus heavy hitters: top-20 tokens via
+    per-partition Misra-Gries sketches + exact recount restricted to
+    the candidate set (`functions/heavy.py`). The naive top-k
+    shuffles the whole vocabulary; the sketch route shuffles
+    O(partitions x capacity) candidates, then CERTIFIES the answer
+    (k-th count > N/(capacity+1), else it raises) — so the oracle's
+    plain GROUP BY top-20 must match exactly, by construction.
+    """
+    from pudl_spark.functions.heavy import heavy_hitters
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    toks = d.select(
+        F.explode(F.transform(
+            F.split(F.trim("text"), r"\s+"), lambda t: F.lower(t)))
+        .alias("item"),
+    ).filter(F.col("item") != "")
+    return heavy_hitters(toks, "item", k=20, capacity=4096)
