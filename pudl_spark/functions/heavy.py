@@ -46,7 +46,10 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
     a total order, so ranks are deterministic. Raises
     HeavyHitterUncertain when the sketch cannot certify exactness.
     """
-    src = items.select(F.col(col).alias("item")).filter(
+    # items sketch as strings (the mapInPandas schema is fixed); the
+    # exact recount also runs on the string form, so mixed-type input
+    # columns group by their canonical string rendering.
+    src = items.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull())
 
     def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -5959,3 +5959,64 @@ def doc_top_terms(spark, sf_dir):
         .alias("item"),
     ).filter(F.col("item") != "")
     return heavy_hitters(toks, "item", k=20, capacity=4096)
+
+
+@query("doc_leakage_safe_split", sql=r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2,
+                      0) + 1),
+    i -> array_to_string(
+      list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
+  ))) AS s FROM documents
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+  CAST(cluster_id % 10 AS INT) AS split,
+  CAST(CASE WHEN cluster_id % 10 < 8 THEN 'train'
+            WHEN cluster_id % 10 = 8 THEN 'valid'
+            ELSE 'test' END AS VARCHAR) AS role
+FROM comp
+""")
+def doc_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/valid/test assignment: split by the
+    near-duplicate CLUSTER id, not the document id, so near-copies of
+    one document can never straddle the train/eval boundary — the
+    leakage failure mode naive hash splits have on undeduplicated
+    corpora. 80/10/10 by cluster_id mod 10; singleton docs cluster
+    with themselves. Composes minhash_clusters (LSH pairs ->
+    connected components) with a map-only assignment; the oracle
+    replays the exact-Jaccard transitive closure.
+    """
+    from pudl_spark.functions.dedup import minhash_clusters
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    clustered = minhash_clusters(d, "doc_id", "text", num_hashes=64,
+                                 bands=16, shingle_k=3,
+                                 jaccard_threshold=0.5)
+    m = F.col("cluster_id") % 10
+    return clustered.select(
+        "doc_id", "cluster_id",
+        m.cast("int").alias("split"),
+        F.when(m < 8, F.lit("train"))
+         .when(m == 8, F.lit("valid"))
+         .otherwise(F.lit("test")).alias("role"),
+    )
