@@ -87,9 +87,11 @@ def connected_components(edges: DataFrame, src: str = "src",
             # Labels only ever decrease, so sum(component) is a strict
             # monotone; fixpoint <=> the sum stops moving. One cheap
             # aggregation on the materialized frame instead of a
-            # label-to-label join per round.
+            # label-to-label join per round. prev_sum is seeded from
+            # round 1 before the loop, so None==None here means an
+            # EMPTY edge set — converged by definition, not a skip.
             new_sum = new.agg(F.sum("component")).collect()[0][0]
-            done = prev_sum is not None and new_sum == prev_sum
+            done = new_sum == prev_sum
             prev_sum = new_sum
         else:
             done = (
