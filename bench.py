@@ -117,6 +117,14 @@ def main() -> None:
         # signature tables etc.) so storage-memory pressure from one
         # query can't jitter another; within a query's own run set
         # the cache stays, preserving min-of-N semantics.
+        # localCheckpoint blocks are NOT in the catalog cache — they
+        # free when the owning (Python) DataFrame is garbage-collected
+        # and the async ContextCleaner notices. Force the Python GC so
+        # dead checkpoint blocks from earlier queries cannot pile into
+        # executor storage and inflate later queries' timings.
+        import gc
+
+        gc.collect()
         spark.catalog.clearCache()
 
         def _timed() -> float:
