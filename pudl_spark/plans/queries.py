@@ -5786,7 +5786,10 @@ def doc_bigram_perplexity(spark, sf_dir):
         .select("doc_id", "bg.w1", "bg.w2")
     )
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c(w1) = count of bigram STARTS = sum over w2 of c(w1,w2): derive
+    # it from the (much smaller) bigram table instead of re-exploding
+    # the corpus — one fewer corpus-sized scan+shuffle.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = docs.select(F.explode("t").alias("w")).agg(
         F.count_distinct("w").alias("v"))
     lnp = F.round(
