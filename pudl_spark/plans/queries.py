@@ -6023,3 +6023,135 @@ def doc_leakage_safe_split(spark, sf_dir):
          .when(m == 8, F.lit("valid"))
          .otherwise(F.lit("test")).alias("role"),
     )
+
+
+@query("corpus_snapshot_diff", sql="""
+WITH new_snap AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 13 = 5
+), o AS (SELECT doc_id, text FROM documents), n AS (
+  SELECT doc_id, text FROM new_snap
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE
+    WHEN o.doc_id IS NULL THEN 'added'
+    WHEN n.doc_id IS NULL THEN 'removed'
+    WHEN o.text = n.text THEN 'unchanged'
+    ELSE 'changed'
+  END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""")
+def corpus_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diffing — the CDC step of incremental corpus
+    ingestion: given yesterday's corpus and today's, classify every
+    doc_id as added / removed / changed / unchanged. The comparison
+    key is a 64-bit content hash, so the full outer join shuffles
+    (id, hash) pairs, never the text — at 100 TB the diff costs two
+    scans plus one id-keyed join of slim rows. The 'today' snapshot
+    is derived deterministically from the base table (edit every 7th
+    doc, drop ids ≡3 mod 11, add shifted copies of ids ≡5 mod 13) so
+    the oracle reproduces it relationally; the oracle compares full
+    text while Spark compares hashes, which differentially verifies
+    the hash shortcut itself.
+    """
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_snap = (
+        d.filter(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 13 == 5)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    )
+    o = d.select(F.col("doc_id").alias("o_id"),
+                 F.xxhash64("text").alias("o_h"))
+    n = new_snap.select(F.col("doc_id").alias("n_id"),
+                        F.xxhash64("text").alias("n_h"))
+    j = o.join(n, on=o["o_id"] == n["n_id"], how="full_outer")
+    return j.select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+         .when(F.col("n_id").isNull(), F.lit("removed"))
+         .when(F.col("o_h") == F.col("n_h"), F.lit("unchanged"))
+         .otherwise(F.lit("changed")).alias("status"),
+    )
+
+
+@query("event_seasonal_decompose", sql="""
+WITH series AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+    CAST(extract(hour FROM ts) AS INT) AS h,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), tr AS (
+  SELECT event_type, d, h, cnt,
+    CAST(SUM(cnt) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS trend
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY d, h
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+), dev AS (
+  SELECT *, CAST(round(cnt - trend, 6) AS DECIMAL(18,6)) AS dev6
+  FROM tr
+), seas AS (
+  SELECT *,
+    CAST(SUM(dev6) OVER s AS DOUBLE) / (COUNT(*) OVER s) AS seasonal
+  FROM dev
+  WINDOW s AS (PARTITION BY event_type, h)
+)
+SELECT event_type, d, h, cnt,
+  round(trend, 6) AS trend,
+  round(seasonal, 6) AS seasonal,
+  round((cnt - trend) - seasonal, 6) AS resid
+FROM seas
+""")
+def event_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the per-type
+    hourly event-count series (the timeseries-cleaning family of the
+    reference, ref src/pudl/analysis/timeseries_cleaning.py): trend =
+    centered 25-hour moving average, hour-of-day seasonal factor =
+    mean detrended deviation, residual = the rest. Determinism:
+    window sums run over exact BIGINT counts; deviations round to 6dp
+    and sum as DECIMAL (order-free); every divided shape is mirrored.
+
+    Scale shape: windows partition by the series key (event_type), so
+    each series sorts within its own partition — no global ordering;
+    the seasonal window reuses the same shuffle key family. One
+    aggregation plus two window passes.
+    """
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    series = (
+        e.groupBy(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").cast("int").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (W.partitionBy("event_type").orderBy("d", "h")
+         .rowsBetween(-12, 12))
+    tr = series.withColumn(
+        "trend",
+        F.sum("cnt").over(w).cast("double") / F.count(F.lit(1)).over(w))
+    dev = tr.withColumn(
+        "dev6", F.round(F.col("cnt") - F.col("trend"), 6)
+        .cast("decimal(18,6)"))
+    s = W.partitionBy("event_type", "h")
+    seas = dev.withColumn(
+        "seasonal",
+        F.sum("dev6").over(s).cast("double") / F.count(F.lit(1)).over(s))
+    return seas.select(
+        "event_type", "d", "h",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round((F.col("cnt") - F.col("trend")) - F.col("seasonal"), 6)
+        .alias("resid"),
+    )
