@@ -6155,3 +6155,37 @@ def event_seasonal_decompose(spark, sf_dir):
         F.round((F.col("cnt") - F.col("trend")) - F.col("seasonal"), 6)
         .alias("resid"),
     )
+
+
+@query("event_user_pseudonymize", sql="""
+WITH m AS (
+  SELECT event_id, user_id,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(string_split('u-' || CAST(user_id AS VARCHAR), ''),
+                     ch -> unicode(ch)::BIGINT)),
+      (acc, x) -> (acc * 31 + x) % 1000000007) AS user_anon
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(user_anon AS BIGINT) AS user_anon
+FROM m
+""")
+def event_user_pseudonymize(spark, sf_dir):
+    """Consistent pseudonymization (the PII-minimization step next to
+    doc_pii_scrub): user ids remap through a salted portable
+    polynomial hash, so the SAME user always maps to the SAME
+    pseudonym — joins and aggregations over the anonymized table
+    still line up (referential consistency), but the raw id never
+    leaves the scan. Map-only codegen, no shuffle; the portable hash
+    makes the oracle bit-exact (xxhash64 is the production variant —
+    swap one Column expression).
+    """
+    from pudl_spark.functions.text import polynomial_hash
+
+    e = _t(spark, sf_dir, "events")
+    anon = polynomial_hash(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")))
+    return e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        anon.cast("bigint").alias("user_anon"),
+    )
