@@ -5508,8 +5508,10 @@ def doc_dup_spans(spark, sf_dir):
     return duplicated_span_stats(d, "doc_id", "text", k=5)
 
 
-@query("minhash_dedup_clusters", sql=r"""
-WITH RECURSIVE sh AS (
+# Exact-Jaccard near-dup graph -> transitive closure (recursive CTE,
+# min-label reachability): the shared oracle scaffold for every
+# cluster-level dedup query. Ends at `comp(doc_id, cluster_id)`.
+_CLUSTER_CLOSURE_SQL = r"""WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2,
                       0) + 1),
@@ -5535,7 +5537,10 @@ p0 AS (
   SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
 ), comp AS (
   SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
-), csize AS (
+)"""
+
+
+@query("minhash_dedup_clusters", sql=_CLUSTER_CLOSURE_SQL + r""", csize AS (
   SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
 )
 SELECT c.doc_id, c.cluster_id,
@@ -5964,34 +5969,7 @@ def doc_top_terms(spark, sf_dir):
     return heavy_hitters(toks, "item", k=20, capacity=4096)
 
 
-@query("doc_leakage_safe_split", sql=r"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2,
-                      0) + 1),
-    i -> array_to_string(
-      list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' ')
-  ))) AS s FROM documents
-), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-p0 AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM p0
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL SELECT id_b, id_a FROM pairs
-), reach(node, lab) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
-), comp AS (
-  SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
-)
+@query("doc_leakage_safe_split", sql=_CLUSTER_CLOSURE_SQL + r"""
 SELECT doc_id, cluster_id,
   CAST(cluster_id % 10 AS INT) AS split,
   CAST(CASE WHEN cluster_id % 10 < 8 THEN 'train'
