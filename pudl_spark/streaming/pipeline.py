@@ -214,3 +214,58 @@ def user_running_stats_stream(events: DataFrame,
 
     return events.groupBy("user_id").applyInPandas(
         batch_kernel, RUNNING_STATS_SCHEMA)
+
+
+def upsert_stream_to_parquet(stream_df: DataFrame, path: str,
+                             keys: list[str], order_col: str,
+                             checkpoint_dir: str):
+    """Streaming CDC upsert sink (the lakehouse MERGE pattern via
+    foreachBatch): each micro-batch keeps its freshest record per key
+    (max order_col), then merges into the parquet snapshot at `path` —
+    existing keys are replaced, new keys appended, untouched keys
+    carried over. The merge writes to a temp directory and swaps, so
+    a crashed batch never leaves a half-written snapshot, and the
+    stream checkpoint makes redelivery idempotent (the merge is a
+    deterministic function of (snapshot, batch)).
+
+    On a real cluster the swap step is what a table format (Delta/
+    Iceberg/Hudi) replaces with a metadata commit — the merge PLAN
+    (anti-join + union on the key) is identical; only the atomic-
+    publish mechanism differs. Returns the started StreamingQuery
+    (availableNow trigger — drains what exists, then stops).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in keys])
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        if os.path.exists(path):
+            cur = spark.read.parquet(path)
+            merged = cur.join(latest.select(*keys), on=keys,
+                              how="left_anti").unionByName(latest)
+        else:
+            merged = latest
+        tmp = path + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = path + ".__old__"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

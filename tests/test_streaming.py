@@ -166,3 +166,43 @@ def test_sliding_window_stream_matches_batch(spark, events_dir):
     # doubles in different orders (ULP-level drift is expected)
     keys = ["window_start", "event_type", "n_events", "sum_value"]
     assert canon(got, keys) == canon(expect, keys)
+
+
+def test_upsert_stream_to_parquet_cdc_merge(spark, tmp_path_factory):
+    """Two waves of updates through the CDC upsert sink must leave the
+    snapshot equal to the batch freshest-record-per-key result."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pudl_spark.streaming.pipeline import upsert_stream_to_parquet
+
+    base = tmp_path_factory.mktemp("upsert")
+    src = str(base / "in")
+    snap = str(base / "snapshot")
+    ckpt = str(base / "ckpt")
+    os.makedirs(src)
+
+    schema = "k long, v string, ver long"
+    wave1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 2), (3, "c-old", 1)], schema)
+    wave1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = (spark.readStream.schema(schema).parquet(src))
+        q = upsert_stream_to_parquet(stream, snap, keys=["k"],
+                                     order_col="ver",
+                                     checkpoint_dir=ckpt)
+        q.awaitTermination()
+
+    drain()
+    got1 = {(r["k"], r["v"], r["ver"])
+            for r in spark.read.parquet(snap).collect()}
+    assert got1 == {(1, "a", 1), (2, "b", 1), (3, "c", 2)}
+
+    # wave 2: update k=2, add k=4; k=1/3 must carry over untouched
+    wave2 = spark.createDataFrame([(2, "b2", 5), (4, "d", 1)], schema)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got2 = {(r["k"], r["v"], r["ver"])
+            for r in spark.read.parquet(snap).collect()}
+    assert got2 == {(1, "a", 1), (2, "b2", 5), (3, "c", 2), (4, "d", 1)}
