@@ -453,18 +453,18 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
         )
     )
     # Cross-document grams: any hash seen under two distinct ids —
-    # min!=max on the id, cheaper than a distinct-count.
-    dup_h = (
-        pos.groupBy("gh")
-        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
-        .filter(F.col("__mn") != F.col("__mx"))
-        .select("gh")
-    )
+    # min!=max of the id over the gram-hash WINDOW partition, so the
+    # flagging costs ONE shuffle of the exploded positions and zero
+    # joins (a groupBy+semi-join formulation would scan and explode
+    # the corpus a second time to rebuild the position stream).
+    from pyspark.sql import Window
+    wg = Window.partitionBy("gh")
     flagged = (
-        pos.join(dup_h, on="gh", how="left_semi")
+        pos.withColumn("__mn", F.min("id").over(wg))
+        .withColumn("__mx", F.max("id").over(wg))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("id", "pos")
     )
-    from pyspark.sql import Window
     w = Window.partitionBy("id").orderBy("pos")
     runs = (
         flagged
