@@ -6167,3 +6167,64 @@ def event_user_pseudonymize(spark, sf_dir):
         F.col("event_id").cast("bigint").alias("event_id"),
         anon.cast("bigint").alias("user_anon"),
     )
+
+
+@query("orders_profile", sql="""
+WITH s AS (
+  SELECT count(*) AS n,
+    count(o_custkey) AS nn1, count(DISTINCT o_custkey) AS nd1,
+    CAST(min(o_custkey) AS DOUBLE) AS mn1,
+    CAST(max(o_custkey) AS DOUBLE) AS mx1,
+    count(o_totalprice) AS nn2, count(DISTINCT o_totalprice) AS nd2,
+    CAST(min(o_totalprice) AS DOUBLE) AS mn2,
+    CAST(max(o_totalprice) AS DOUBLE) AS mx2,
+    count(o_orderkey) AS nn3, count(DISTINCT o_orderkey) AS nd3,
+    CAST(min(o_orderkey) AS DOUBLE) AS mn3,
+    CAST(max(o_orderkey) AS DOUBLE) AS mx3
+  FROM orders
+)
+SELECT col, CAST(n AS BIGINT) AS n_rows,
+  CAST(n - non_null AS BIGINT) AS n_null,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  min_val, max_val
+FROM (
+  SELECT 'o_custkey' AS col, n, nn1 AS non_null, nd1 AS n_distinct,
+         mn1 AS min_val, mx1 AS max_val FROM s
+  UNION ALL
+  SELECT 'o_totalprice', n, nn2, nd2, mn2, mx2 FROM s
+  UNION ALL
+  SELECT 'o_orderkey', n, nn3, nd3, mn3, mx3 FROM s
+)
+""")
+def orders_profile(spark, sf_dir):
+    """Table profiling (the deequ/dbt-docs data-quality summary): per
+    column, row count, null count, exact distinct count, min and max
+    — computed in ONE scan (a single aggregate with every statistic,
+    unpivoted to long form afterwards), not one scan per column. At
+    100 TB swap the exact distinct for approx_count_distinct and the
+    plan shape is unchanged; everything else is already sketch-free
+    map-side combine.
+    """
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).alias(f"nn{i}"),
+            F.count_distinct(F.col(c)).alias(f"nd{i}"),
+            F.min(c).cast("double").alias(f"mn{i}"),
+            F.max(c).cast("double").alias(f"mx{i}"),
+        ]
+    s = o.agg(*aggs)
+    parts = F.array(*[
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("n") - F.col(f"nn{i}")).cast("long").alias("n_null"),
+            F.col(f"nd{i}").cast("long").alias("n_distinct"),
+            F.col(f"mn{i}").alias("min_val"),
+            F.col(f"mx{i}").alias("max_val"),
+        )
+        for i, c in enumerate(cols)
+    ])
+    return s.select(F.explode(parts).alias("p")).select("p.*")
