@@ -44,7 +44,7 @@ _PRIORITY = [
     "doc_chunk_windows", "media_wav_features", "doc_top_terms",
     "doc_leakage_safe_split", "corpus_snapshot_diff",
     "event_seasonal_decompose", "event_user_pseudonymize",
-    "orders_profile",
+    "orders_profile", "part_name_levenshtein_pairs",
     # -- never-green from rounds 1-2 --
     "excel_roundtrip_nation", "linkage_best_match",
     "media_feature_extract", "ann_lsh_bucketed", "ann_ivf_topk",
