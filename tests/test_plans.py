@@ -178,3 +178,39 @@ def test_zorder_stats_single_exchange_pruned_scan(spark):
     assert "REPARTITION" not in plan
     assert "l_comment" not in plan and "l_extendedprice" not in plan
     assert "partial_min" in plan  # map-side combine before the shuffle
+
+
+def test_pseudonymize_is_map_only(spark):
+    plan = _plan(spark, "event_user_pseudonymize")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "Window" not in plan
+
+
+def test_seasonal_decompose_partitions_by_series_key(spark):
+    plan = _plan(spark, "event_seasonal_decompose", "formatted")
+    # every exchange keys on the series (event_type ...) — no global
+    # single-partition ordering anywhere in the plan
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan.replace("\n", " ") or \
+        "hashpartitioning" in plan
+
+
+def test_snapshot_diff_joins_on_id_never_text(spark):
+    plan = _plan(spark, "corpus_snapshot_diff", "formatted")
+    import re
+
+    for m in re.finditer(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|"
+                         r"BroadcastHashJoin)\n(?:.*\n)*?Arguments: [^\n]*",
+                         plan):
+        assert "text" not in m.group(0)
+
+
+def test_profile_is_single_scan(spark):
+    import re
+
+    plan = _plan(spark, "orders_profile", "formatted")
+    # formatted output shows each node in the tree AND the detail
+    # list; count distinct detail entries "(n) Scan parquet"
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1
