@@ -6257,3 +6257,45 @@ def part_name_levenshtein_pairs(spark, sf_dir):
                 F.col("b.p_partkey").alias("id_b"),
                 dist.cast("int").alias("dist"))
     )
+
+
+@query("embedding_random_projection", sql=f"""
+WITH planes(pid, pv) AS (VALUES {_planes_values_sql(n_planes=16)}),
+proj AS (
+  SELECT e.vec_id, p.pid,
+    round(list_sum(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * pv[i])), 6) AS comp
+  FROM embeddings e CROSS JOIN planes p
+)
+SELECT vec_id, CAST(pid AS INT) AS dim, comp
+FROM proj
+""")
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64-d -> 16-d: the
+    dimensionality-reduction front of an ANN/clustering pipeline
+    (pairwise distances preserved within (1 +- eps) w.h.p.). The
+    projection matrix is the deterministic hyperplane family the LSH
+    bucketing already embeds, so Spark and the oracle multiply by
+    bit-identical constants; each component rounds to 6 dp. Map-only:
+    16 fixed dot products per row inside codegen, long output form
+    (vec_id, dim, comp) — no shuffle, no UDF.
+    """
+    from pudl_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 16, seed=42)
+    e = _t(spark, sf_dir, "embeddings")
+    rows = []
+    for pid, pv in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in pv])
+        comp = F.round(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), arr,
+                           lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x),
+            6)
+        rows.append(F.struct(F.lit(pid).cast("int").alias("dim"),
+                             comp.alias("comp")))
+    return e.select(
+        "vec_id", F.explode(F.array(*rows)).alias("p")
+    ).select("vec_id", "p.dim", "p.comp")
