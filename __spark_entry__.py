@@ -45,7 +45,7 @@ _PRIORITY = [
     "doc_leakage_safe_split", "corpus_snapshot_diff",
     "event_seasonal_decompose", "event_user_pseudonymize",
     "orders_profile", "part_name_levenshtein_pairs",
-    "embedding_random_projection",
+    "embedding_random_projection", "doc_source_mixture",
     # -- never-green from rounds 1-2 --
     "excel_roundtrip_nation", "linkage_best_match",
     "media_feature_extract", "ann_lsh_bucketed", "ann_ivf_topk",

@@ -6299,3 +6299,56 @@ def embedding_random_projection(spark, sf_dir):
     return e.select(
         "vec_id", F.explode(F.array(*rows)).alias("p")
     ).select("vec_id", "p.dim", "p.comp")
+
+
+@query("doc_source_mixture", sql=r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS t, count(*) AS k FROM per
+)
+SELECT source, n_docs, n_tokens,
+  round(CAST(n_tokens AS DOUBLE) / t, 6) AS natural_share,
+  round(1.0 / k, 6) AS target_share,
+  round(least(1.0, (1.0 / k) / (CAST(n_tokens AS DOUBLE) / t)), 6)
+    AS sampling_rate,
+  CAST(floor(n_tokens
+    * least(1.0, (1.0 / k) / (CAST(n_tokens AS DOUBLE) / t)))
+    AS BIGINT) AS yielded_tokens
+FROM per CROSS JOIN tot
+""")
+def doc_source_mixture(spark, sf_dir):
+    """Data-mixture planning (the source-reweighting step of corpus
+    assembly, Pile/DoReMi family): per source, token inventory,
+    natural share, a uniform target share, the downsampling rate that
+    achieves it without upsampling (capped at 1), and the token yield
+    after sampling. One aggregation keyed by source + a 1-row
+    broadcast of the totals; every divided double mirrors the
+    oracle's expression shape and rounds to 6 dp (floor for the
+    integer yield — no round-half ambiguity across engines).
+    """
+    from pudl_spark.functions.text import token_count
+
+    d = _spread_docs(_t(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("n_tokens"))
+    tot = per.agg(F.sum("n_tokens").alias("t"),
+                  F.count(F.lit(1)).alias("k"))
+    nat = F.col("n_tokens").cast("double") / F.col("t")
+    tgt = F.lit(1.0) / F.col("k")
+    rate = F.least(F.lit(1.0), tgt / nat)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(nat, 6).alias("natural_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(rate, 6).alias("sampling_rate"),
+            F.floor(F.col("n_tokens") * rate).cast("bigint")
+            .alias("yielded_tokens"),
+        )
+    )
