@@ -6352,3 +6352,91 @@ def doc_source_mixture(spark, sf_dir):
             .alias("yielded_tokens"),
         )
     )
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled power-iteration PageRank oracle in exact BIGINT
+    micro-units (1.0 == 10^9): contributions use integer division,
+    the damping update is (sum * 85) // 100 — no floating point
+    anywhere in the iteration, so both engines are bit-identical by
+    construction (standard SQL forbids aggregation inside a recursive
+    term, hence the unroll)."""
+    head = """
+WITH base AS (
+  SELECT DISTINCT o.o_custkey * 2 AS cust, l.l_suppkey * 2 + 1 AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), e AS (
+  SELECT cust AS a, supp AS b FROM base
+  UNION ALL SELECT supp, cust FROM base
+), deg AS (SELECT a, count(*) AS d FROM e GROUP BY a),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)"""
+    body = ""
+    for k in range(1, iters + 1):
+        body += f""",
+c{k} AS (
+  SELECT e.b AS node, SUM(p.r // d.d) AS s
+  FROM pr{k - 1} p JOIN deg d ON d.a = p.node
+  JOIN e ON e.a = p.node
+  GROUP BY e.b
+), pr{k} AS (
+  SELECT n.node,
+    CAST(150000000 + (COALESCE(c{k}.s, 0) * 85) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{k} ON c{k}.node = n.node
+)"""
+    return head + body + f"""
+SELECT CAST(node AS BIGINT) AS node,
+  CAST(r AS BIGINT) AS micro_rank FROM pr{iters}
+"""
+
+
+@query("supplier_customer_pagerank", sql=_pagerank_oracle_sql(5))
+def supplier_customer_pagerank(spark, sf_dir):
+    """PageRank over the customer-supplier bipartite graph (who
+    trades with whom, via orders x lineitem): 5 power iterations,
+    damping 0.85 — entity-importance scoring, the second iterative
+    graph operator beside connected components. Determinism: ranks
+    live in BIGINT micro-units (1.0 == 10^9) and every step is exact
+    integer arithmetic (`div`), so the two engines agree bit-for-bit
+    at every iteration — no float rounding boundary can ever differ.
+
+    Scale shape: one edges-by-source join + one destination-keyed
+    aggregation per iteration — the same exchange pair every round,
+    which AQE reuses; lineage stays linear (each iteration consumes
+    the previous rank frame exactly once, no checkpoint needed for a
+    fixed small iteration count).
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, on=o["o_orderkey"] == li["l_orderkey"])
+        .select((F.col("o_custkey") * 2).alias("cust"),
+                (F.col("l_suppkey") * 2 + 1).alias("supp"))
+        .distinct()
+    )
+    e = base.select(F.col("cust").alias("a"),
+                    F.col("supp").alias("b")) \
+        .unionAll(base.select(F.col("supp").alias("a"),
+                              F.col("cust").alias("b")))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    nodes = e.select(F.col("a").alias("node")).distinct()
+    pr = nodes.withColumn("r", F.lit(1_000_000_000).cast("bigint"))
+    for _ in range(5):
+        contrib = (
+            pr.join(deg, on=pr["node"] == deg["a"]).drop("a")
+            .join(e, on=pr["node"] == e["a"])
+            .select(F.col("b").alias("node"),
+                    F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (F.lit(150_000_000).cast("bigint")
+                 + F.expr("coalesce(s, 0) * 85 div 100"))
+                .cast("bigint").alias("r"))
+        )
+    return pr.select(F.col("node").cast("bigint").alias("node"),
+                     F.col("r").cast("bigint").alias("micro_rank"))
