@@ -62,3 +62,61 @@ def zorder_layout(df: DataFrame, cols: list[str], bits: int = 20,
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def plan_compaction(files: list[tuple[str, int]],
+                    target_bytes: int = 128 * 1024 * 1024
+                    ) -> list[list[str]]:
+    """Greedy first-fit-decreasing bin packing of parquet files into
+    compaction groups of ~target_bytes — the planning half of a
+    lakehouse OPTIMIZE/compaction pass. Files already at or above the
+    target stay alone (rewriting them buys nothing); small files pack
+    together so a 100 TB table stops paying per-file open/footer cost
+    on every scan. Deterministic: ties break by path.
+    """
+    singles = [[p] for p, s in files if s >= target_bytes]
+    small = sorted(((s, p) for p, s in files if s < target_bytes),
+                   key=lambda t: (-t[0], t[1]))
+    bins: list[tuple[int, list[str]]] = []
+    for s, p in small:
+        for i, (used, members) in enumerate(bins):
+            if used + s <= target_bytes:
+                bins[i] = (used + s, members + [p])
+                break
+        else:
+            bins.append((s, [p]))
+    return sorted(singles) + [sorted(m) for _, m in
+                              sorted(bins, key=lambda b: b[1])]
+
+
+def compact_parquet(spark, directory: str,
+                    target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Execute a compaction plan over a local parquet directory:
+    every multi-file group is read and rewritten as one file, the
+    originals removed. Returns the number of groups rewritten. (On a
+    real cluster the same plan drives a table-format rewrite commit;
+    here the publish step is a file swap.)
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [(p, os.path.getsize(p))
+             for p in sorted(glob.glob(os.path.join(directory, "*.parquet")))]
+    plan = plan_compaction(files, target_bytes)
+    rewritten = 0
+    for group in plan:
+        if len(group) < 2:
+            continue
+        tmp = os.path.join(directory, f"__compact_{rewritten}__")
+        spark.read.parquet(*group).coalesce(1) \
+            .write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(
+            directory, f"compacted-{rewritten:05d}.parquet")
+        shutil.move(part, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for p in group:
+            os.remove(p)
+        rewritten += 1
+    return rewritten

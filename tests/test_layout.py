@@ -61,3 +61,47 @@ def test_zorder_layout_partitions_are_disjoint_z_ranges(spark):
     full = max(d for _, d in spans) - min(a for a, _ in spans)
     avg_span = sum(b - a for a, b in spans) / len(spans)
     assert avg_span < full / 4
+
+
+def test_plan_compaction_packs_small_keeps_large():
+    from pudl_spark.operators.layout import plan_compaction
+
+    files = [("big.parquet", 200), ("a.parquet", 40), ("b.parquet", 40),
+             ("c.parquet", 30), ("d.parquet", 10), ("e.parquet", 90)]
+    plan = plan_compaction(files, target_bytes=100)
+    assert ["big.parquet"] in plan
+    multi = [g for g in plan if len(g) > 1]
+    # every packed group fits the target
+    sizes = dict(files)
+    for g in multi:
+        assert sum(sizes[p] for p in g) <= 100
+    # all files appear exactly once
+    flat = [p for g in plan for p in g]
+    assert sorted(flat) == sorted(sizes)
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    import glob
+    import os
+
+    from pudl_spark.operators.layout import compact_parquet
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    rows = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    # write ten tiny single-file parquets
+    for i in range(10):
+        part = df.filter((F.col("k") % 10) == i).coalesce(1)
+        tmp = d + f"/__w{i}"
+        part.write.parquet(tmp)
+        src = glob.glob(tmp + "/part-*.parquet")[0]
+        os.rename(src, os.path.join(d, f"chunk-{i}.parquet"))
+        import shutil
+        shutil.rmtree(tmp)
+    n_before = len(glob.glob(d + "/*.parquet"))
+    rewritten = compact_parquet(spark, d, target_bytes=1024 * 1024)
+    n_after = len(glob.glob(d + "/*.parquet"))
+    assert rewritten >= 1 and n_after < n_before
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
+    assert got == sorted(rows)
