@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "doc_tfidf_topk",
     "lineitem_zorder_stats",
     "doc_bigram_perplexity",
+    "doc_chunk_windows",
+    "doc_top_terms",
+    "corpus_snapshot_diff",
+    # supplier_customer_pagerank stays out of the headline list: five
+    # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
+    # say nothing about throughput; it is oracle-certified and its
+    # per-round plan shape is the same join+agg pair the CC bench
+    # entry already measures.
 ]
 
 
