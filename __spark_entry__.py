@@ -46,7 +46,7 @@ _PRIORITY = [
     "event_seasonal_decompose", "event_user_pseudonymize",
     "orders_profile", "part_name_levenshtein_pairs",
     "embedding_random_projection", "doc_source_mixture",
-    "supplier_customer_pagerank",
+    "supplier_customer_pagerank", "signup_conversion_funnel",
     # -- never-green from rounds 1-2 --
     "excel_roundtrip_nation", "linkage_best_match",
     "media_feature_extract", "ann_lsh_bucketed", "ann_ivf_topk",

@@ -6440,3 +6440,55 @@ def supplier_customer_pagerank(spark, sf_dir):
         )
     return pr.select(F.col("node").cast("bigint").alias("node"),
                      F.col("r").cast("bigint").alias("micro_rank"))
+
+
+@query("signup_conversion_funnel", sql="""
+WITH s AS (
+  SELECT event_id, user_id, ts, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+), conv AS (
+  SELECT DISTINCT s.event_id
+  FROM s JOIN p ON p.user_id = s.user_id
+   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+)
+SELECT d,
+  CAST(count(*) AS BIGINT) AS n_signups,
+  CAST(count(conv.event_id) AS BIGINT) AS n_converted,
+  round(CAST(count(conv.event_id) AS DOUBLE) / count(*), 6)
+    AS conversion_rate
+FROM s LEFT JOIN conv ON conv.event_id = s.event_id
+GROUP BY d
+""")
+def signup_conversion_funnel(spark, sf_dir):
+    """Funnel conversion analysis: per signup day, how many signups
+    see a purchase by the same user within the next 7 days. The
+    classic product-analytics funnel as one equi-join on the user key
+    (per-user event lists are naturally bounded, so the range
+    predicate evaluates inside join groups — no interval blocking
+    needed) plus one day-keyed aggregation. count(col) counts
+    non-nulls on both engines, giving the converted tally straight
+    off the left join.
+    """
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("d"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    conv = (
+        s.join(p, on=[F.col("pu") == F.col("user_id"),
+                      F.col("pts") > F.col("ts"),
+                      F.col("pts") <= F.col("ts")
+                      + F.expr("INTERVAL 7 DAY")])
+        .select("event_id").distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        s.join(conv, on="event_id", how="left")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_signups"),
+             F.count("__c").alias("n_converted"),
+             F.round(F.count("__c").cast("double")
+                     / F.count(F.lit(1)), 6).alias("conversion_rate"))
+    )
