@@ -26,58 +26,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
-# prefix). Rounds 1-2 certified 65 distinct queries green; this round
-# rotates the prefix so the first 50 slots are queries that have
-# NEVER had a green driver row (VERDICT r2 "Next round" #1), starting
-# with this round's new operators. Already-green queries follow — they
-# stay covered by tests/test_oracle_parity.py and tools/driver_sim.py.
-# The last few entries of the never-green block are deliberately the
-# simplest string/date ops (their operator families are already
-# certified) so they are the ones that spill past the cap.
+# prefix). Rounds 1-3 certified 114 distinct queries green; this
+# final rotation (VERDICT r3 "Next round" #2) puts the 32 queries
+# that have NEVER had a driver row at the head — after it, every
+# registered query has been driver-certified in some round — and
+# fills the remaining 18 slots with RE-certification of the most
+# load-bearing round-1 rows (flagship scan/agg/join/window paths and
+# the dedup/ANN family), so their certification stays current.
 _PRIORITY = [
-    # -- round-3 additions (never had any driver row) --
-    "fs_linkage_trained", "impute_latc_tubal_mape",
-    "nation_holed_zone_overlay", "media_png_features",
-    "doc_dup_spans", "minhash_dedup_clusters",
-    "doc_quality_classifier", "doc_tfidf_topk",
-    "lineitem_zorder_stats", "doc_bigram_perplexity",
-    "doc_chunk_windows", "media_wav_features", "doc_top_terms",
-    "doc_leakage_safe_split", "corpus_snapshot_diff",
-    "event_seasonal_decompose", "event_user_pseudonymize",
-    "orders_profile", "part_name_levenshtein_pairs",
-    "embedding_random_projection", "doc_source_mixture",
-    "supplier_customer_pagerank", "signup_conversion_funnel",
-    # -- never-green from rounds 1-2 --
-    "excel_roundtrip_nation", "linkage_best_match",
-    "media_feature_extract", "ann_lsh_bucketed", "ann_ivf_topk",
-    "simhash_near_dup_pairs", "ngram_jaccard_dup_pairs",
-    "doc_token_stats", "doc_gopher_repetition", "doc_pii_scrub",
-    "doc_decontaminate", "doc_pack_sequences", "doc_curation_decisions",
-    "embedding_quantization", "event_zone_assignment",
-    "nation_multipart_explode", "supplier_territory_area",
-    "supplier_close_balances", "pipeline_nation_summary",
-    "sql_interface_nation_revenue", "imputation_mape_score",
-    "impute_event_values", "harvest_report_consistency",
-    "hourly_wide_melt_roundtrip", "lineitem_multiheader_stack",
-    "region_revenue_allocation", "event_props_extract",
-    "events_to_utc", "annual_nations_complete_months",
-    "event_local_outliers", "event_anomalous_regions",
-    "event_bad_days", "event_value_quartiles", "user_ramp_extremes",
+    # -- the last 32 never-driver-checked queries --
+    "harvest_report_consistency",  # r3 red on oracle HUGEINT; CAST fixed
+    "doc_token_budget",  # same latent HUGEINT, caught by the type sweep
+    "supplier_code_cleanup", "event_value_quartiles",
+    "doc_fingerprints_fast", "annual_nations_complete_months",
+    "events_to_utc", "user_event_source_label",
+    "order_year_fragments", "doc_shingle_stats",
+    "event_local_outliers", "customer_unique_priority",
+    "correct_quantity_units", "fill_monthly_revenue_gaps",
+    "user_latest_good_value", "date_merge_month",
+    "snake_cased_part_types", "nations_with_both_roles",
+    "customer_phone_standardized", "customer_intkey_sentinel",
+    "supplier_nation_codes", "supplier_address_parse",
+    "event_anomalous_regions", "event_bad_days",
+    "jw_part_name_similarity", "user_ramp_extremes",
     "user_stable_load_bin", "customer_parts_true_gran",
-    "user_event_source_label", "user_latest_good_value",
-    "fill_monthly_revenue_gaps", "jw_part_name_similarity",
-    "supplier_address_parse", "supplier_nation_codes",
-    "doc_shingle_stats", "doc_fingerprints_fast",
-    "doc_stratified_sample", "event_user_kmv_distinct",
-    "doc_token_budget",
-    # -- never-green, simplest families (certified elsewhere); these
-    # -- spill past the 50-cap and rotate in next round --
+    "event_user_kmv_distinct", "doc_stratified_sample",
     "table_row_counts", "order_price_screens",
-    "customer_unique_priority", "correct_quantity_units",
-    "order_year_fragments", "snake_cased_part_types",
-    "nations_with_both_roles", "customer_phone_standardized",
-    "customer_intkey_sentinel", "supplier_code_cleanup",
-    "date_merge_month",
+    # -- re-certification of load-bearing round-1 rows (18 slots) --
+    "pricing_summary", "nation_revenue_by_year",
+    "allocate_order_total", "calc_reconcile_orders",
+    "harvest_user_profile", "rollup_revenue",
+    "weighted_avg_price", "weighted_median_quantity",
+    "monthly_orders_densified", "event_sessions_cc",
+    "exact_dedup_docs", "minhash_near_dup_pairs",
+    "ann_cosine_topk", "event_anomaly_flags",
+    "rolling_monthly_revenue", "top_revenue_orders",
+    "date_merge_year", "scale_by_ownership_suppliers",
 ]
 
 # A typo or a renamed query must fail loudly at import time, not

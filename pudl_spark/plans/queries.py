@@ -703,8 +703,9 @@ WITH own(s_suppkey, owner_id, fraction_owned) AS (
     s_acctbal * 1.0 AS acctbal_scaled
   FROM joined
 )
-SELECT s_suppkey, owner_id, fraction_owned, ownership_record_type,
-  acctbal_scaled
+SELECT s_suppkey, owner_id,
+  CAST(fraction_owned AS DOUBLE) AS fraction_owned,
+  ownership_record_type, acctbal_scaled
 FROM slices
 """)
 def scale_by_ownership_suppliers(spark, sf_dir):
@@ -2738,7 +2739,9 @@ WITH votes AS (
   GROUP BY user_id, event_type
 ), r AS (
   SELECT user_id, event_type, cnt,
-    SUM(cnt) OVER (PARTITION BY user_id) AS total,
+    -- CAST: DuckDB types windowed SUM(BIGINT) as HUGEINT, which
+    -- hash-mismatches Spark's BIGINT even when values are equal.
+    CAST(SUM(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total,
     ROW_NUMBER() OVER (PARTITION BY user_id
                        ORDER BY cnt DESC, event_type ASC) AS rn
   FROM votes
@@ -4496,7 +4499,8 @@ WITH c AS (
                        ROWS UNBOUNDED PRECEDING) AS cum_chars
   FROM documents
 )
-SELECT doc_id, source, n_chars, cum_chars
+SELECT doc_id, source, n_chars,
+  CAST(cum_chars AS BIGINT) AS cum_chars
 FROM c WHERE cum_chars <= 200000
 """)
 def doc_token_budget(spark, sf_dir):

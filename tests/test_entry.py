@@ -48,13 +48,17 @@ def test_readme_query_count_matches_registry():
     assert int(m.group(1)) == len(QUERIES) == len(ORACLES)
 
 
-def test_driver_checked_prefix_is_never_green_rotation():
-    """The first 50 queries() entries this round must be queries with
-    no green row in CORRECTNESS_r01/r02 (VERDICT r2 next-round #1)."""
+def test_driver_checked_prefix_completes_coverage():
+    """Round-4 rotation (VERDICT r3 next-round #2): the first 50
+    queries() entries must contain EVERY query that has never had an
+    all-green row in CORRECTNESS_r01/r02/r03 — after this round's
+    driver run, all registered queries have been certified in some
+    round.  The remaining prefix slots re-certify round-1 rows."""
     import json
 
     green = set()
-    for fn in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for fn in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
+               "CORRECTNESS_r03.json"):
         path = os.path.join(REPO, fn)
         if not os.path.exists(path):
             continue
@@ -62,5 +66,8 @@ def test_driver_checked_prefix_is_never_green_rotation():
             if (v.get("rows_match") and v.get("schema_match")
                     and v.get("hash_match")):
                 green.add(k)
-    first50 = list(entry.queries())[:50]
-    assert [n for n in first50 if n in green] == []
+    never_green = {q for q in QUERIES if q not in green}
+    first50 = set(list(entry.queries())[:50])
+    assert never_green <= first50, (
+        f"never-driver-certified queries outside the checked prefix: "
+        f"{sorted(never_green - first50)}")
