@@ -80,12 +80,26 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
         .limit(k)
     )
     rows = exact.collect()
-    total = src.count()
-    bound = total / (capacity + 1)
-    if rows and rows[-1]["n"] <= bound:
-        raise HeavyHitterUncertain(
-            f"k-th candidate count {rows[-1]['n']} <= N/(capacity+1) "
-            f"= {bound:.1f}; raise capacity to certify exactness")
+    if len(rows) < k:
+        # Fewer than k candidates: the bound check below would test a
+        # non-k-th count (or nothing at all when rows is empty), so it
+        # cannot certify. The result is still exact iff the candidate
+        # set covers EVERY corpus item — checked by a broadcast
+        # anti-join (no dictionary-wide shuffle); any survivor means a
+        # non-candidate item could occupy ranks len(rows)+1..k.
+        leftover = (src.join(F.broadcast(cands), on="item",
+                             how="left_anti").limit(1).count())
+        if leftover:
+            raise HeavyHitterUncertain(
+                f"only {len(rows)} candidates for k={k} and the corpus "
+                f"has non-candidate items; raise capacity to certify")
+    else:
+        total = src.count()
+        bound = total / (capacity + 1)
+        if rows[-1]["n"] <= bound:
+            raise HeavyHitterUncertain(
+                f"k-th candidate count {rows[-1]['n']} <= N/(capacity+1) "
+                f"= {bound:.1f}; raise capacity to certify exactness")
     spark = items.sparkSession
     out = spark.createDataFrame(
         [(r["item"], r["n"], i + 1) for i, r in enumerate(rows)],

@@ -52,9 +52,16 @@ def connected_components(edges: DataFrame, src: str = "src",
     )
     numeric = labels.schema["component"].dataType.typeName() in (
         "long", "integer", "short", "byte")
-    prev_sum: int | None = None
+    # Fixpoint detection sums labels as DECIMAL(38,0): a plain long
+    # sum can wrap modulo 2^64 (non-ANSI sessions wrap silently), so
+    # two DIFFERENT labelings whose sums differ by a multiple of 2^64
+    # could alias as "converged". Decimal sums cannot wrap — overflow
+    # surfaces as null/error, never a false equality — and the headroom
+    # (10^38 vs n * 2^63) covers any graph below ~10^19 nodes.
+    _dsum = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_sum = None
     if numeric:
-        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        prev_sum = labels.agg(_dsum).collect()[0][0]
     for _ in range(1, max_iter):
         # min label over neighbors-plus-self (self-loop included)
         new = (
@@ -90,7 +97,7 @@ def connected_components(edges: DataFrame, src: str = "src",
             # label-to-label join per round. prev_sum is seeded from
             # round 1 before the loop, so None==None here means an
             # EMPTY edge set — converged by definition, not a skip.
-            new_sum = new.agg(F.sum("component")).collect()[0][0]
+            new_sum = new.agg(_dsum).collect()[0][0]
             done = new_sum == prev_sum
             prev_sum = new_sum
         else:

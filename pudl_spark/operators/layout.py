@@ -100,6 +100,7 @@ def compact_parquet(spark, directory: str,
     import glob
     import os
     import shutil
+    import uuid
 
     files = [(p, os.path.getsize(p))
              for p in sorted(glob.glob(os.path.join(directory, "*.parquet")))]
@@ -108,12 +109,19 @@ def compact_parquet(spark, directory: str,
     for group in plan:
         if len(group) < 2:
             continue
-        tmp = os.path.join(directory, f"__compact_{rewritten}__")
+        # Unique output names: a fixed compacted-NNNNN scheme restarts
+        # at 0 every invocation, so a second pass could clobber a
+        # retained file — or delete its own fresh output when the
+        # collision is a group member. A uuid suffix makes the dest
+        # collision-free by construction; assert anyway.
+        token = uuid.uuid4().hex[:12]
+        tmp = os.path.join(directory, f"__compact_{token}__")
         spark.read.parquet(*group).coalesce(1) \
             .write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dest = os.path.join(
-            directory, f"compacted-{rewritten:05d}.parquet")
+            directory, f"compacted-{rewritten:05d}-{token}.parquet")
+        assert not os.path.exists(dest) and dest not in group
         shutil.move(part, dest)
         shutil.rmtree(tmp, ignore_errors=True)
         for p in group:

@@ -5742,9 +5742,13 @@ WITH toks AS (
 ), c1 AS (
   SELECT w1, count(*) AS c1 FROM big GROUP BY w1
 ), uni AS (
+  -- w <> '' : string_split_regex(trim(''), '\s+') yields [''] for
+  -- empty/whitespace-only docs, while Spark's tokens() yields an
+  -- empty array — keep the vocabularies identical (matches
+  -- doc_tfidf_topk's filter)
   SELECT unnest(t) AS w FROM toks
 ), vocab AS (
-  SELECT count(DISTINCT lower(w)) AS v FROM uni
+  SELECT count(DISTINCT lower(w)) AS v FROM uni WHERE w <> ''
 ), scored AS (
   SELECT b.doc_id,
     round(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v * 1.0)), 6) AS lnp

@@ -243,8 +243,26 @@ def upsert_stream_to_parquet(stream_df: DataFrame, path: str,
         if not batch_df.columns:
             return
         spark = batch_df.sparkSession
+        tmp = path + ".__tmp__"
+        old = path + ".__old__"
+        # Crash recovery (ADVICE r3): the swap below is two renames,
+        # so a crash between them leaves no snapshot at `path` while
+        # the previous one sits at `old`. Restore it BEFORE merging —
+        # otherwise checkpoint redelivery would rebuild from the batch
+        # alone and silently drop every previously merged key. Stale
+        # tmp/old from any other crash point are dead and removed.
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # Per-key latest: order_col desc, ties broken by a content
+        # hash of the full row — keys are constant within the window
+        # partition, so without the hash equal-order_col ties would
+        # resolve nondeterministically across redeliveries, breaking
+        # the claimed deterministic merge (ADVICE r3).
         w = Window.partitionBy(*keys).orderBy(
-            F.col(order_col).desc(), *[F.col(k) for k in keys])
+            F.col(order_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch_df.columns]).asc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn")
@@ -255,9 +273,7 @@ def upsert_stream_to_parquet(stream_df: DataFrame, path: str,
                               how="left_anti").unionByName(latest)
         else:
             merged = latest
-        tmp = path + ".__tmp__"
         merged.write.mode("overwrite").parquet(tmp)
-        old = path + ".__old__"
         if os.path.exists(path):
             os.rename(path, old)
         os.rename(tmp, path)

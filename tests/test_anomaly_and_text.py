@@ -166,3 +166,18 @@ def test_sessionize_matches_gap_semantics(spark):
            for r in sessionize(df, ["user_id"], "ts", "event_id",
                                gap_seconds=7200).collect()}
     assert out == {1: 1, 2: 1, 3: 3, 4: 4, 5: 3}
+
+
+def test_connected_components_huge_labels_no_wrap(spark):
+    """VERDICT r3 #8: node ids near 2^62 would wrap a plain long-sum
+    fixpoint check; the decimal(38,0) sum must stay exact and converge
+    to the true components."""
+    big = 1 << 62
+    edges = spark.createDataFrame(
+        [(big + i, big + i + 1) for i in range(6)]
+        + [(big + 100, big + 101)], ["src", "dst"])
+    got = {(r["node"], r["component"])
+           for r in connected_components(edges, max_iter=20).collect()}
+    chain = {(big + i, big) for i in range(7)}
+    pair = {(big + 100, big + 100), (big + 101, big + 100)}
+    assert got == chain | pair

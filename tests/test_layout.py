@@ -105,3 +105,40 @@ def test_compact_parquet_roundtrip(spark, tmp_path):
     assert rewritten >= 1 and n_after < n_before
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
     assert got == sorted(rows)
+
+
+def test_compact_parquet_repeated_runs_lose_nothing(spark, tmp_path):
+    """ADVICE r3: a second compaction pass must not clobber or delete
+    files produced by the first (output names used to restart at
+    compacted-00000 every run)."""
+    import glob
+    import os
+    import shutil
+
+    from pudl_spark.operators.layout import compact_parquet
+
+    d = str(tmp_path / "tbl2")
+    os.makedirs(d)
+    rows = [(i, "x" * 50) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    def add_chunks(tag, lo, hi, n):
+        for i in range(n):
+            part = df.filter((F.col("k") >= lo) & (F.col("k") < hi)
+                             & ((F.col("k") % n) == i)).coalesce(1)
+            tmp = d + f"/__w{tag}{i}"
+            part.write.parquet(tmp)
+            src = glob.glob(tmp + "/part-*.parquet")[0]
+            os.rename(src, os.path.join(d, f"chunk-{tag}-{i}.parquet"))
+            shutil.rmtree(tmp)
+
+    add_chunks("a", 0, 150, 6)
+    r1 = compact_parquet(spark, d, target_bytes=1024 * 1024)
+    # second batch of small files arrives; pass 2 packs them together
+    # with the pass-1 output (all still under target) — pass-1 data
+    # must survive the rewrite
+    add_chunks("b", 150, 300, 6)
+    r2 = compact_parquet(spark, d, target_bytes=1024 * 1024)
+    assert r1 >= 1 and r2 >= 1
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
+    assert got == sorted(rows)

@@ -206,3 +206,73 @@ def test_upsert_stream_to_parquet_cdc_merge(spark, tmp_path_factory):
     got2 = {(r["k"], r["v"], r["ver"])
             for r in spark.read.parquet(snap).collect()}
     assert got2 == {(1, "a", 1), (2, "b2", 5), (3, "c", 2), (4, "d", 1)}
+
+
+def test_upsert_sink_recovers_from_crashed_swap(spark, tmp_path_factory):
+    """ADVICE r3: a crash between the two swap renames leaves the
+    snapshot at `.__old__` and nothing at `path`; the next merge must
+    restore it before merging, not rebuild from the batch alone."""
+    import os
+
+    from pudl_spark.streaming.pipeline import upsert_stream_to_parquet
+
+    base = tmp_path_factory.mktemp("upsert_crash")
+    src = str(base / "in")
+    snap = str(base / "snapshot")
+    os.makedirs(src)
+
+    schema = "k long, v string, ver long"
+    spark.createDataFrame([(1, "a", 1), (2, "b", 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = upsert_stream_to_parquet(stream, snap, keys=["k"],
+                                     order_col="ver",
+                                     checkpoint_dir=str(base / ckpt))
+        q.awaitTermination()
+
+    drain("ckpt1")
+    # simulate the crash window: path renamed away, tmp half-written
+    os.rename(snap, snap + ".__old__")
+    os.makedirs(snap + ".__tmp__")
+    open(snap + ".__tmp__/garbage", "w").write("partial")
+
+    spark.createDataFrame([(3, "c", 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    drain("ckpt2")  # fresh checkpoint redelivers everything
+    got = {(r["k"], r["v"], r["ver"])
+           for r in spark.read.parquet(snap).collect()}
+    assert got == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+    assert not os.path.exists(snap + ".__old__")
+    assert not os.path.exists(snap + ".__tmp__")
+
+
+def test_upsert_sink_equal_version_ties_deterministic(spark,
+                                                      tmp_path_factory):
+    """Equal order_col for the same key must resolve identically on
+    every redelivery (content-hash tiebreaker, ADVICE r3)."""
+    import os
+
+    from pudl_spark.streaming.pipeline import upsert_stream_to_parquet
+
+    schema = "k long, v string, ver long"
+    results = []
+    for run in range(3):
+        base = tmp_path_factory.mktemp(f"upsert_tie{run}")
+        src = str(base / "in")
+        snap = str(base / "snapshot")
+        # two records, same key, same version, different payloads —
+        # shuffled differently per run via partitioning
+        df = spark.createDataFrame(
+            [(1, "left", 7), (1, "right", 7)], schema)
+        df.repartition(4 if run % 2 else 2).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = upsert_stream_to_parquet(stream, snap, keys=["k"],
+                                     order_col="ver",
+                                     checkpoint_dir=str(base / "ckpt"))
+        q.awaitTermination()
+        results.append({(r["k"], r["v"], r["ver"])
+                        for r in spark.read.parquet(snap).collect()})
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 1
