@@ -172,7 +172,8 @@ def main() -> None:
             for name in ("nation_revenue_by_year", "calc_reconcile_orders",
                          "jw_linkage_parts", "minhash_near_dup_pairs",
                          "event_sessions_cc", "minhash_dedup_clusters",
-                         "doc_dup_spans"):
+                         "doc_dup_spans", "doc_bigram_perplexity",
+                         "doc_top_terms"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue

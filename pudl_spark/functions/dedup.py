@@ -453,18 +453,24 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
         )
     )
     # Cross-document grams: any hash seen under two distinct ids —
-    # min!=max of the id over the gram-hash WINDOW partition, so the
-    # flagging costs ONE shuffle of the exploded positions and zero
-    # joins (a groupBy+semi-join formulation would scan and explode
-    # the corpus a second time to rebuild the position stream).
+    # min(id)!=max(id) per gram hash. Computed as groupBy(gh) + a
+    # gh-keyed semi-join back to the position stream, NOT a window
+    # over partitionBy(gh): a window puts every occurrence of one
+    # hash in ONE partition, and a boilerplate shingle (license
+    # header, chat template) appearing billions of times at corpus
+    # scale becomes an unsplittable straggler — AQE can split skewed
+    # JOINS but not skewed window partitions. The groupBy form
+    # collapses heavy hitters map-side (partial min/max) before the
+    # shuffle, and the semi-join probe side is this same exploded
+    # frame, so no second scan/explode of the corpus is planned.
     from pyspark.sql import Window
-    wg = Window.partitionBy("gh")
-    flagged = (
-        pos.withColumn("__mn", F.min("id").over(wg))
-        .withColumn("__mx", F.max("id").over(wg))
+    cross = (
+        pos.groupBy("gh")
+        .agg(F.min("id").alias("__mn"), F.max("id").alias("__mx"))
         .filter(F.col("__mn") != F.col("__mx"))
-        .select("id", "pos")
+        .select("gh")
     )
+    flagged = pos.join(cross, on="gh", how="left_semi").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     runs = (
         flagged

@@ -152,3 +152,31 @@ def test_chunk_windows_boundaries(spark):
     # overlap property: consecutive chunks share exactly 16 tokens
     c0, c1 = by_doc[3][0]["chunk_text"].split(), by_doc[3][1]["chunk_text"].split()
     assert c0[-16:] == c1[:16]
+
+
+def test_duplicated_span_stats_heavy_hitter_shingle(spark):
+    """VERDICT r3 #3 (de-skew): one boilerplate shingle planted in 10%
+    of docs must (a) stay correct and (b) be flagged via a splittable
+    groupBy+semi-join, never a Window over partitionBy(gh) — a skewed
+    window partition is unsplittable at corpus scale."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, (boiler if i % 10 == 0
+                 else f"unique body {i} with") + f" tail {i} words {i}")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    out = duplicated_span_stats(df, "doc_id", "text", k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Window in the plan is the per-doc run detection
+    # (partitionBy id); the cross-doc flag must be a semi-join
+    assert "LeftSemi" in plan
+    import re
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "gh" not in m.group(1)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # every 10th doc shares exactly the boilerplate 4-gram ("all
+    # rights reserved worldwide" + " tail" etc diverge at token 5 via
+    # the distinct i), so dup grams == 1 for them, 0 for the rest
+    assert got[0]["n_dup_grams"] >= 1
+    assert got[10]["n_dup_grams"] >= 1
+    assert got[1]["n_dup_grams"] == 0
+    assert got[7]["n_dup_grams"] == 0
