@@ -52,6 +52,8 @@ _PRIORITY = [
     "user_stable_load_bin", "customer_parts_true_gran",
     "event_user_kmv_distinct", "doc_stratified_sample",
     "table_row_counts", "order_price_screens",
+    # -- new this round (overlapping-dissolve union) --
+    "supplier_overlap_union_area",
     # -- re-certification of load-bearing round-1 rows (18 slots) --
     "pricing_summary", "nation_revenue_by_year",
     "allocate_order_total", "calc_reconcile_orders",
@@ -61,7 +63,7 @@ _PRIORITY = [
     "exact_dedup_docs", "minhash_near_dup_pairs",
     "ann_cosine_topk", "event_anomaly_flags",
     "rolling_monthly_revenue", "top_revenue_orders",
-    "date_merge_year", "scale_by_ownership_suppliers",
+    "scale_by_ownership_suppliers",
 ]
 
 # A typo or a renamed query must fail loudly at import time, not

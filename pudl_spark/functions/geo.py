@@ -393,6 +393,113 @@ def _convex_pieces_with_holes(rings: list[np.ndarray]) -> list[np.ndarray]:
     return pieces
 
 
+def _seg_intersect_x(e: tuple, f: tuple) -> float | None:
+    """x-coordinate of the proper interior intersection of two
+    segments (ax, ay, bx, by), or None (parallel, disjoint, or
+    touching at an endpoint — endpoint x's are already strip
+    boundaries)."""
+    ax, ay, bx, by = e
+    cx, cy, dx, dy = f
+    rX, rY = bx - ax, by - ay
+    sX, sY = dx - cx, dy - cy
+    den = rX * sY - rY * sX
+    if den == 0:
+        return None
+    t = ((cx - ax) * sY - (cy - ay) * sX) / den
+    u = ((cx - ax) * rY - (cy - ay) * rX) / den
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        return ax + t * rX
+    return None
+
+
+def _poly_union_pieces(parts: list[list[np.ndarray]]) -> list[np.ndarray]:
+    """Exact union of possibly-OVERLAPPING simple polygons (each a
+    rings list: outer first, holes after) — the trapezoidal sweep of
+    :func:`_convex_pieces_with_holes`, generalized from one polygon's
+    even-odd parity to coverage counting across polygons.
+
+    Strip boundaries are every vertex x PLUS every proper
+    inter-polygon edge intersection x, so no two edges cross inside a
+    strip and the midpoint y-ordering of crossings is valid across
+    the whole strip. Per strip: each polygon's even-odd crossing
+    pairs give its covered y-intervals; a depth sweep over all
+    polygons' intervals emits one trapezoid per maximal covered run —
+    the union, exactly, as interior-disjoint convex pieces. O(E^2)
+    for the refinement, applied per dissolve group (group geometry is
+    small; the corpus-scale dimension is the NUMBER of groups, which
+    the surrounding groupBy distributes).
+    """
+    edges: list[tuple[int, float, float, float, float]] = []
+    for pid, rings in enumerate(parts):
+        for ring in rings:
+            pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+            n = len(pts)
+            for i in range(n):
+                a, b = pts[i], pts[(i + 1) % n]
+                if a[0] != b[0]:
+                    edges.append((pid, float(a[0]), float(a[1]),
+                                  float(b[0]), float(b[1])))
+    if not edges:
+        return []
+    xs = {float(p[0]) for rings in parts for ring in rings for p in ring}
+    for i in range(len(edges)):
+        for j in range(i + 1, len(edges)):
+            if edges[i][0] == edges[j][0]:
+                continue
+            x = _seg_intersect_x(edges[i][1:], edges[j][1:])
+            if x is not None:
+                xs.add(x)
+    xs_sorted = sorted(xs)
+    pieces: list[np.ndarray] = []
+    for x1, x2 in zip(xs_sorted, xs_sorted[1:]):
+        if x2 <= x1:
+            continue
+        xm = 0.5 * (x1 + x2)
+        per_poly: dict[int, list[tuple[float, float, float]]] = {}
+        for pid, ax, ay, bx, by in edges:
+            lo, hi = (ax, bx) if ax < bx else (bx, ax)
+            if lo < xm < hi:
+                t = (xm - ax) / (bx - ax)
+                t1 = (x1 - ax) / (bx - ax)
+                t2 = (x2 - ax) / (bx - ax)
+                per_poly.setdefault(pid, []).append(
+                    (ay + t * (by - ay), ay + t1 * (by - ay),
+                     ay + t2 * (by - ay)))
+        # (ym, delta, y@x1, y@x2); at equal ym starts sort before ends
+        # so abutting intervals merge instead of pinching to zero
+        events: list[tuple[float, int, float, float]] = []
+        for crs in per_poly.values():
+            crs.sort()
+            for k in range(0, len(crs) - 1, 2):
+                events.append((crs[k][0], -1, crs[k][1], crs[k][2]))
+                events.append((crs[k + 1][0], 1, crs[k + 1][1],
+                               crs[k + 1][2]))
+        events.sort(key=lambda ev: (ev[0], ev[1]))
+        depth = 0
+        cur: tuple[float, float] | None = None
+        for _, delta, y1, y2 in events:
+            if delta == -1:
+                if depth == 0:
+                    cur = (y1, y2)
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0 and cur is not None:
+                    la, lb = cur
+                    quad = [(x1, la), (x2, lb), (x2, y2), (x1, y1)]
+                    ring: list[tuple[float, float]] = []
+                    for pt in quad:
+                        if not ring or (abs(pt[0] - ring[-1][0]) > 0
+                                        or abs(pt[1] - ring[-1][1]) > 0):
+                            ring.append(pt)
+                    if len(ring) >= 3:
+                        arr = np.array(ring, dtype="float64")
+                        if abs(ring_area(_close(arr))) > 0:
+                            pieces.append(arr)
+                    cur = None
+    return pieces
+
+
 def _triangles_of(geom) -> list[np.ndarray]:
     """Convex decomposition of every part of a polygon/multipolygon:
     ear-clipping triangles for hole-free parts, exact trapezoidal
@@ -542,11 +649,14 @@ def explode_parts(df: DataFrame, geom_col: str,
 def dissolve(df: DataFrame, keys: list[str], geom_col: str,
              sum_cols: list[str] | None = None) -> DataFrame:
     """Geo3 dissolve (ref: spatial.py:173): groupBy + geometric union
-    + sum of data columns. The union here is part-concatenation into a
-    MULTIPOLYGON, which equals the true geometric union exactly when
-    the inputs are disjoint — true for the reference's use (counties
-    are a planar partition being dissolved into utility territories).
-    Overlapping inputs need ``clip_kernel``. One shuffle on the keys.
+    + sum of data columns. Disjoint parts (the reference's case —
+    counties are a planar partition being dissolved into utility
+    territories) union by part-concatenation into a MULTIPOLYGON,
+    byte-stable and exact. Parts that genuinely OVERLAP (positive
+    intersection area, not just a shared boundary) are detected per
+    group and routed through the trapezoidal sweep union
+    (:func:`_poly_union_pieces`), so dissolve is exact
+    unconditionally. One shuffle on the keys either way.
     """
     sum_cols = sum_cols or []
     out_fields = keys + [geom_col] + sum_cols
@@ -554,21 +664,53 @@ def dissolve(df: DataFrame, keys: list[str], geom_col: str,
         f"{c} {dict(df.dtypes)[c]}" for c in out_fields)
 
     def _dissolve(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts: list[bytes] = []
+        part_rings: list[list[np.ndarray]] = []
+        part_bytes: list[bytes] = []
         for b in pdf[geom_col]:
             geom = parse_wkb(b)
             if geom is None:
                 continue
             kind, data = geom
             if kind == "polygon":
-                parts.append(bytes(b))
+                part_rings.append(data)
+                part_bytes.append(bytes(b))
             else:
                 for rings in data:
-                    parts.append(polygon_wkb(
+                    part_rings.append(rings)
+                    part_bytes.append(polygon_wkb(
                         [tuple(p) for p in rings[0]],
                         [[tuple(q) for q in h] for h in rings[1:]]))
+
+        def _overlaps() -> bool:
+            # envelope prefilter, then an exact clip; adjacent parts
+            # sharing only a boundary clip to ~zero area and stay on
+            # the concatenation path (keeps reference output stable)
+            envs = [envelope(("polygon", rings)) for rings in part_rings]
+            areas = [abs(polygon_area(rings)) for rings in part_rings]
+            for i in range(len(part_rings)):
+                for j in range(i + 1, len(part_rings)):
+                    a, b = envs[i], envs[j]
+                    if (a[2] <= b[0] or b[2] <= a[0]
+                            or a[3] <= b[1] or b[3] <= a[1]):
+                        continue
+                    inter = clip_kernel(("polygon", part_rings[i]),
+                                        ("polygon", part_rings[j]))
+                    if inter is None:
+                        continue
+                    bound = 1e-9 * max(min(areas[i], areas[j]), 1e-30)
+                    if abs(geometry_area(inter)) > bound:
+                        return True
+            return False
+
+        if len(part_rings) > 1 and _overlaps():
+            pieces = _poly_union_pieces(part_rings)
+            geom_out = multipolygon_wkb(
+                [polygon_wkb([tuple(p) for p in pc]) for pc in pieces]
+            ) if pieces else None
+        else:
+            geom_out = multipolygon_wkb(part_bytes) if part_bytes else None
         row = {k: [pdf[k].iloc[0]] for k in keys}
-        row[geom_col] = [multipolygon_wkb(parts) if parts else None]
+        row[geom_col] = [geom_out]
         for c in sum_cols:
             row[c] = [pdf[c].sum()]
         return pd.DataFrame(row)

@@ -4087,6 +4087,67 @@ def supplier_territory_area(spark, sf_dir):
         "s_suppkey", "n_counties", "territory_area")
 
 
+@query("supplier_overlap_union_area", sql="""
+WITH terr AS (
+  SELECT s.s_suppkey, count(*) AS n
+  FROM supplier s
+  JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+  JOIN nation n2 ON n2.n_regionkey = nt.n_regionkey
+  GROUP BY s.s_suppkey
+)
+SELECT s_suppkey,
+  CAST(n AS BIGINT) AS n_counties,
+  CAST(6 * n + 3 AS DOUBLE) AS territory_area
+FROM terr
+""")
+def supplier_overlap_union_area(spark, sf_dir):
+    """Geo3 dissolve over deliberately OVERLAPPING inputs (VERDICT r3
+    next-round #5): county cell i of a supplier's territory is the
+    3x3 square anchored at (2i, 0), so consecutive cells overlap in a
+    1-wide strip — part-concatenation would double-count; the
+    trapezoidal-sweep union (`_poly_union_pieces`) must not. The
+    union of n chained squares is the 3-tall, (2n+1)-wide slab, so
+    the oracle's closed form is area = 6n + 3 exactly (small-integer
+    coordinates keep the shoelace sums exact in doubles). Same plan
+    shape as supplier_territory_area: broadcast dims, one dissolve
+    shuffle, Arrow area pass. Ref: spatial.py:173 dissolve semantics
+    for arbitrary (not just planar-partition) inputs.
+    """
+    from pudl_spark.functions.geo import add_area, dissolve, polygon_wkb
+    from pyspark.sql.functions import pandas_udf
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    terr = (sup.join(F.broadcast(nat),
+                     sup["s_nationkey"] == nat["n_nationkey"])
+            .select("s_suppkey", "n_regionkey")
+            .join(F.broadcast(nat.select(
+                F.col("n_nationkey").alias("county_key"),
+                "n_regionkey")), "n_regionkey"))
+    w = Window.partitionBy("s_suppkey").orderBy("county_key")
+    idx = terr.select(
+        "s_suppkey", (F.row_number().over(w) - 1).alias("i"))
+
+    @pandas_udf("binary")
+    def _cell(i):
+        import pandas as pd
+
+        out = []
+        for k in i:
+            x = 2.0 * float(k)
+            out.append(polygon_wkb(
+                [(x, 0.0), (x + 3.0, 0.0), (x + 3.0, 3.0), (x, 3.0)]))
+        return pd.Series(out)
+
+    cells = idx.select(
+        "s_suppkey", _cell(F.col("i")).alias("geom"),
+        F.lit(1).cast("bigint").alias("n_counties"))
+    territories = dissolve(cells, ["s_suppkey"], "geom",
+                           sum_cols=["n_counties"])
+    return add_area(territories, "geom", "territory_area").select(
+        "s_suppkey", "n_counties", "territory_area")
+
+
 @query("purchase_asof_signup", sql="""
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
