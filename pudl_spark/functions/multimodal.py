@@ -178,14 +178,19 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Decode an image payload to a uint8 pixel array. PNG is decoded
-    for real by the stdlib codec; any other format still needs
-    PIL/libjpeg, which this container lacks."""
+    """Decode an image payload to a uint8 pixel array. PNG and
+    baseline JPEG are decoded for real by the self-contained stdlib+
+    numpy codecs; other formats (progressive JPEG, video frames)
+    still raise — honest gating."""
     if content[:8] == _PNG_MAGIC:
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from pudl_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "only PNG decoding is self-contained; JPEG and other codecs "
-        "require PIL/libjpeg, not installed here.")
+        "only PNG and baseline JPEG decoding are self-contained; "
+        "other codecs require external libraries not installed here.")
 
 
 def _fake_features(content: bytes, dim: int = 8) -> list[float]:

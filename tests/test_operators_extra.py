@@ -249,13 +249,19 @@ class TestPngCodec:
             expect = arr if arr.ndim == 3 else arr[:, :, None]
             assert np.array_equal(out, expect), shape
 
-    def test_decode_rejects_non_png(self):
+    def test_decode_rejects_garbage(self):
+        import struct as _struct
+
         import pytest
 
         from pudl_spark.functions.multimodal import decode_image
 
+        # JPEG magic now routes to the real decoder, which rejects the
+        # malformed stream; unknown magic stays honestly gated
+        with pytest.raises((ValueError, _struct.error, EOFError)):
+            decode_image(b"\xff\xd8\xff\xe0 not a jpeg")
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0 not a png")
+            decode_image(b"GIF89a not supported here")
 
     def test_png_pixel_stats_exact_sums(self, spark):
         import numpy as np
