@@ -264,20 +264,89 @@ def _magnitude(v: int) -> tuple[int, int]:
 # ------------------------------------------------------------- encoder
 
 
-def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def _pad_edge(p: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Pad a plane to (ph, pw) by edge replication."""
+    h, w = p.shape
+    pp = np.empty((ph, pw))
+    pp[:h, :w] = p
+    if ph > h:
+        pp[h:, :w] = p[h - 1:h, :]
+    if pw > w:
+        pp[:, w:] = pp[:, w - 1:w]
+    return pp
+
+
+def _downsample(p: np.ndarray, sh: int, sv: int) -> np.ndarray:
+    """Chroma downsample by sh x sv box averaging (edge-replicated to
+    a multiple first, so partial boxes average real samples)."""
+    h, w = p.shape
+    ph = -(-h // sv) * sv
+    pw = -(-w // sh) * sh
+    pp = _pad_edge(p, ph, pw)
+    ds = pp.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+    return np.clip(np.round(ds), 0, 255)
+
+
+def _encode_block(bw: "_BitWriter", block: np.ndarray, quant: np.ndarray,
+                  dc_tab: dict, ac_tab: dict, prev_dc: int) -> int:
+    """FDCT + quantize + entropy-code one 8x8 block; returns new DC."""
+    coef = np.round(_fdct(block - 128.0) / quant.reshape(8, 8)
+                    ).astype(np.int64)
+    seq = coef.reshape(64)[ZIGZAG]
+    diff = int(seq[0]) - prev_dc
+    tt, code = _magnitude(diff)
+    hc, hl = dc_tab[tt]
+    bw.write(hc, hl)
+    bw.write(code, tt)
+    run = 0
+    last = 63
+    while last > 0 and seq[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(seq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            hc, hl = ac_tab[0xF0]                         # ZRL
+            bw.write(hc, hl)
+            run -= 16
+        tt, code = _magnitude(v)
+        hc, hl = ac_tab[(run << 4) | tt]
+        bw.write(hc, hl)
+        bw.write(code, tt)
+        run = 0
+    if last < 63:
+        hc, hl = ac_tab[0x00]                             # EOB
+        bw.write(hc, hl)
+    return int(seq[0])
+
+
+def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None,
+                subsampling: tuple[int, int] = (1, 1),
+                restart_interval: int = 0) -> bytes:
     """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as a baseline
-    JFIF JPEG, 4:4:4 (no subsampling). ``quant`` is a length-64
-    natural-order table applied to every component; the default
-    all-ones table makes constant 8x8 blocks round-trip exactly."""
+    JFIF JPEG. ``subsampling`` is the luma sampling factor (sh, sv):
+    (1, 1) = 4:4:4, (2, 1) = 4:2:2, (2, 2) = 4:2:0 — chroma is box-
+    averaged down by the same factors (ignored for grayscale).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, DC predictors reset) every N MCUs. ``quant`` is a
+    length-64 natural-order table applied to every component; the
+    default all-ones table makes constant 8x8 blocks round-trip
+    exactly."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if quant is None:
         quant = np.ones(64, dtype=np.int32)
     quant = np.asarray(quant, dtype=np.int32).reshape(64)
+    sh, sv = (1, 1) if gray else subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
 
     if gray:
         planes = [arr.astype(np.float64)]
+        factors = [(1, 1)]
     else:
         r = arr[:, :, 0].astype(np.float64)
         g = arr[:, :, 1].astype(np.float64)
@@ -285,7 +354,12 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        y, cb, cr = (np.clip(np.round(p), 0, 255) for p in (y, cb, cr))
+        if (sh, sv) != (1, 1):
+            cb = _downsample(cb, sh, sv)
+            cr = _downsample(cr, sh, sv)
+        planes = [y, cb, cr]
+        factors = [(sh, sv), (1, 1), (1, 1)]
 
     out = bytearray()
     out += b"\xff\xd8"                                    # SOI
@@ -295,7 +369,8 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])                      # 1x1, qtable 0
+        fh, fv = factors[cid - 1]
+        sof += bytes([cid, (fh << 4) | fv, 0])            # qtable 0
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + sof
 
     def _dht(tclass: int, tid: int, bits: list[int], vals: list[int]):
@@ -307,6 +382,8 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     if not gray:
         out += _dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     sos = bytes([ncomp])
     for cid in range(1, ncomp + 1):
@@ -320,51 +397,36 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     ac_enc = [_build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
               _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
 
+    # MCU grid: hmax*8 x vmax*8 pixels per MCU; each plane is padded
+    # (edge replicate) to its own block multiple of the grid.
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    padded = [_pad_edge(p, mcuy * 8 * fv, mcux * 8 * fh)
+              for p, (fh, fv) in zip(planes, factors)]
+
     bw = _BitWriter()
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    padded = []
-    for p in planes:
-        pp = np.empty((bh * 8, bw_ * 8))
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1:h, :]                        # edge replicate
-        pp[:, w:] = pp[:, w - 1:w]
-        padded.append(pp)
     prev_dc = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, p in enumerate(padded):
+    mcu_count = 0
+    rst_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count                and mcu_count % restart_interval == 0:
+                # Byte-align, emit RSTn (cycling D0..D7), reset DC.
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst_count % 8)])
+                rst_count += 1
+                prev_dc = [0] * len(planes)
+            for ci, (p, (fh, fv)) in enumerate(zip(padded, factors)):
                 t = 0 if ci == 0 else 1
-                block = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-                coef = np.round(_fdct(block) / quant.reshape(8, 8)
-                                ).astype(np.int64)
-                seq = coef.reshape(64)[ZIGZAG]
-                diff = int(seq[0]) - prev_dc[ci]
-                prev_dc[ci] = int(seq[0])
-                tt, code = _magnitude(diff)
-                hc, hl = dc_enc[t][tt]
-                bw.write(hc, hl)
-                bw.write(code, tt)
-                run = 0
-                last = 63
-                while last > 0 and seq[last] == 0:
-                    last -= 1
-                for k in range(1, last + 1):
-                    v = int(seq[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        hc, hl = ac_enc[t][0xF0]          # ZRL
-                        bw.write(hc, hl)
-                        run -= 16
-                    tt, code = _magnitude(v)
-                    hc, hl = ac_enc[t][(run << 4) | tt]
-                    bw.write(hc, hl)
-                    bw.write(code, tt)
-                    run = 0
-                if last < 63:
-                    hc, hl = ac_enc[t][0x00]              # EOB
-                    bw.write(hc, hl)
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        block = p[y0:y0 + 8, x0:x0 + 8]
+                        prev_dc[ci] = _encode_block(
+                            bw, block, quant, dc_enc[t], ac_enc[t],
+                            prev_dc[ci])
+            mcu_count += 1
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"                                    # EOI
@@ -394,6 +456,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # T.81 B.1.1.2: a marker may be preceded by any number of
+        # 0xFF fill bytes — skip them before reading the marker id,
+        # else the id reads as 0xFF and a bogus segment length is
+        # unpacked from entropy-ish bytes.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -4,14 +4,14 @@ Media are opaque ``binary`` columns with a typed metadata struct.
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas``.
 
-PNG decoding is REAL and self-contained: a pure stdlib+numpy codec
+Decoding is REAL and self-contained: a pure stdlib+numpy PNG codec
 (zlib inflate, chunk parse, all five scanline filters including Paeth)
-lives in :func:`decode_png` / :func:`encode_png`, so
-``media_png_features`` computes features from actual pixels. Other
-codecs (JPEG/audio/video) still raise a clearly-marked
-NotImplementedError — their libraries are not in this container — and
-``_fake_features`` remains as the deterministic stand-in for those
-paths only.
+lives in :func:`decode_png` / :func:`encode_png`, and a baseline JPEG
+codec lives in :mod:`pudl_spark.functions.jpeg`; ``decode_image``
+dispatches on magic bytes, and every feature kernel below computes
+from actual decoded pixels. Codecs outside those two (progressive
+JPEG, video) raise a clearly-marked NotImplementedError — their
+libraries are not in this container.
 """
 
 from __future__ import annotations
@@ -38,8 +38,10 @@ MEDIA_SCHEMA = T.StructType([
 
 IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
-    T.StructField("n_bytes", T.LongType(), True),
-    T.StructField("byte_entropy", T.DoubleType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_px", T.LongType(), True),
+    T.StructField("pixel_entropy", T.DoubleType(), True),
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
 ])
 
@@ -193,38 +195,42 @@ def decode_image(content: bytes) -> np.ndarray:
         "other codecs require external libraries not installed here.")
 
 
-def _fake_features(content: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a decoded-image feature vector:
-    per-stride byte sums. Replaces the codec call, keeps the batch
-    shape and schema of the real pipeline. Accumulation is exact
-    integer math with a single final division, so the value is
-    reproducible bit-for-bit by any engine (no FP summation-order
-    dependence) — the SQL oracle mirrors it.
+def _pixel_features(px: np.ndarray, dim: int = 8
+                    ) -> tuple[int, int, int, float, list[float]]:
+    """Deterministic features from a DECODED pixel array: dimensions,
+    Shannon entropy of the flattened sample histogram, and a dim-wide
+    vector of modular-position sample sums. All accumulation is exact
+    integer math (or a value-ordered float fold for the entropy), so
+    the value is reproducible bit-for-bit by any engine — the SQL
+    oracle mirrors it from the closed-form pixel formula.
     """
-    if content is None or len(content) == 0:
-        return [0.0] * dim
-    acc = [0] * dim
-    for i, byte in enumerate(content):
-        acc[i % dim] += byte
-    n = max(1, len(content) // dim)
-    return [round(a / 255.0 / n, 6) for a in acc]
-
-
-def _entropy(content: bytes) -> float:
     import math
 
-    if not content:
-        return 0.0
-    counts: dict[int, int] = {}
-    for byte in content:
-        counts[byte] = counts.get(byte, 0) + 1
-    n = len(content)
-    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+    h, w = px.shape[:2]
+    flat = px.reshape(-1).astype(np.int64)
+    n = int(flat.size)
+    # dim-bucket sums: pad to a multiple of dim, fold rows of dim.
+    padded = np.zeros(((n + dim - 1) // dim) * dim, dtype=np.int64)
+    padded[:n] = flat
+    acc = padded.reshape(-1, dim).sum(axis=0)
+    m = max(1, n // dim)
+    feature = [round(int(a) / 255.0 / m, 6) for a in acc]
+    # entropy: np.unique returns values ascending, so the float fold
+    # order is value-sorted — the oracle's ORDER BY matches exactly.
+    _vals, counts = np.unique(flat, return_counts=True)
+    ent = 0.0
+    for c in counts:
+        p = int(c) / n
+        ent += -(p * math.log2(p))
+    return w, h, n, ent, feature
 
 
 def extract_image_features(media: DataFrame,
                            batch_size_hint: int = 1024) -> DataFrame:
-    """Arrow-batched feature extraction over a binary media column.
+    """Arrow-batched feature extraction over a binary media column —
+    the decode is REAL (:func:`decode_image` dispatches to the PNG or
+    baseline-JPEG codec on magic bytes); features come from decoded
+    pixels, not payload bytes.
 
     At scale: binary payloads dominate partition size, so repartition
     by bytes not rows before heavy decode (maxPartitionBytes governs the
@@ -233,14 +239,14 @@ def extract_image_features(media: DataFrame,
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = pd.DataFrame({
-                "media_id": pdf["media_id"],
-                "n_bytes": pdf["content"].map(
-                    lambda b: 0 if b is None else len(b)),
-                "byte_entropy": pdf["content"].map(_entropy),
-                "feature": pdf["content"].map(_fake_features),
-            })
-            yield out
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, n, ent, feat = _pixel_features(
+                    decode_image(bytes(content)))
+                rows.append((int(mid), w, h, n, ent, feat))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_px", "pixel_entropy",
+                "feature"])
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=IMAGE_FEATURES_SCHEMA)
@@ -278,6 +284,39 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "content").mapInPandas(
         batches, schema=PNG_FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("px_sum", T.LongType(), True),
+    T.StructField("px_min", T.IntegerType(), True),
+    T.StructField("px_max", T.IntegerType(), True),
+])
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Format-agnostic pixel stats over a binary image column:
+    dimensions plus exact flattened-sample sum/min/max (integer math —
+    engine-portable). The decode goes through :func:`decode_image`, so
+    this exercises the magic-byte dispatch (PNG vs baseline JPEG)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = decode_image(bytes(content))
+                h, w = px.shape[:2]
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append((int(mid), w, h, int(flat.sum()),
+                             int(flat.min()), int(flat.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "px_sum", "px_min",
+                "px_max"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=IMAGE_STATS_SCHEMA)
 
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
