@@ -24,47 +24,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# STANDING RULE (VERDICT r4 "Next round" #2): any query whose
+# implementation OR oracle changed during a round goes at the HEAD of
+# the next round's driver prefix so its certification never goes
+# stale. Builders list the touched names here each round; the
+# import-time check (and tests/test_entry.py) enforces that every one
+# of them sits inside the 50-slot driver prefix.
+_TOUCHED_THIS_ROUND = [
+    # real-decode multimodal rework + new queries (r5)
+    "media_feature_extract", "media_jpeg_features",
+    "incremental_rebuild_counts",
+    # heavy.py candidate pinning (r5) + r4-touched-after-r3-cert rows
+    "doc_top_terms", "doc_dup_spans", "doc_bigram_perplexity",
+    # share the touched multimodal module (decode dispatch)
+    "media_png_features", "media_wav_features",
+]
+
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
-# prefix). Rounds 1-3 certified 114 distinct queries green; this
-# final rotation (VERDICT r3 "Next round" #2) puts the 32 queries
-# that have NEVER had a driver row at the head — after it, every
-# registered query has been driver-certified in some round — and
-# fills the remaining 18 slots with RE-certification of the most
-# load-bearing round-1 rows (flagship scan/agg/join/window paths and
-# the dedup/ANN family), so their certification stays current.
-_PRIORITY = [
-    # -- the last 32 never-driver-checked queries --
-    "harvest_report_consistency",  # r3 red on oracle HUGEINT; CAST fixed
-    "doc_token_budget",  # same latent HUGEINT, caught by the type sweep
-    "supplier_code_cleanup", "event_value_quartiles",
-    "doc_fingerprints_fast", "annual_nations_complete_months",
-    "events_to_utc", "user_event_source_label",
-    "order_year_fragments", "doc_shingle_stats",
-    "event_local_outliers", "customer_unique_priority",
-    "correct_quantity_units", "fill_monthly_revenue_gaps",
-    "user_latest_good_value", "date_merge_month",
-    "snake_cased_part_types", "nations_with_both_roles",
-    "customer_phone_standardized", "customer_intkey_sentinel",
-    "supplier_nation_codes", "supplier_address_parse",
-    "event_anomalous_regions", "event_bad_days",
-    "jw_part_name_similarity", "user_ramp_extremes",
-    "user_stable_load_bin", "customer_parts_true_gran",
-    "event_user_kmv_distinct", "doc_stratified_sample",
-    "table_row_counts", "order_price_screens",
-    # -- new this round (overlapping-dissolve union) --
-    "supplier_overlap_union_area",
-    # -- re-certification of load-bearing round-1 rows (18 slots) --
-    "pricing_summary", "nation_revenue_by_year",
-    "allocate_order_total", "calc_reconcile_orders",
-    "harvest_user_profile", "rollup_revenue",
-    "weighted_avg_price", "weighted_median_quantity",
-    "monthly_orders_densified", "event_sessions_cc",
-    "exact_dedup_docs", "minhash_near_dup_pairs",
-    "ann_cosine_topk", "event_anomaly_flags",
-    "rolling_monthly_revenue", "top_revenue_orders",
-    "scale_by_ownership_suppliers",
+# prefix). After round 4 every registered query carries an all-green
+# driver row; from round 5 on, the prefix is (a) this round's
+# touched/new queries, then (b) rolling RE-certification of the
+# queries whose latest green driver row is OLDEST (r1 first, then
+# r2), so certification age stays bounded across rounds.
+_PRIORITY = _TOUCHED_THIS_ROUND + [
+    # -- oldest certs: latest green row is round 1 (12) --
+    "complete_year_nations", "doc_bpe_token_estimate",
+    "doc_fingerprints", "doc_language_id",
+    "doc_quality_scores", "embedding_near_dup_pairs",
+    "mode_segment_per_nation", "order_status_flags",
+    "primary_priority_share", "spot_fix_regions",
+    "sum_min_count_semantics", "uncategorized_part_types",
+    # -- next-oldest: latest green row is round 2 (30 of 36; the six
+    #    source-roundtrip queries with dedicated unit suites —
+    #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — roll to
+    #    round 6) --
+    "clean_customer_names", "date_merge_year",
+    "declarative_transform_orders", "dedupe_on_category_priority",
+    "doc_bloom_incremental_dedup", "doc_bm25_relevance",
+    "dominant_event_type", "embedding_blocked_clusters",
+    "encode_order_status", "event_hypertable_rollup",
+    "event_run_lengths", "event_sessions_windowed",
+    "event_sliding_windows", "event_type_changelog",
+    "fk_orphan_counts", "freshest_event_per_user",
+    "fs_linkage_parts", "hourly_event_windows",
+    "impute_latc_mape", "jw_linkage_parts",
+    "nation_zone_overlay", "pivot_event_values",
+    "purchase_asof_signup", "purchases_per_signup_interval",
+    "salted_event_type_totals", "supplier_month_utilization",
+    "union_balances_by_nation", "unpivot_lineitem_measures",
+    "user_running_stats", "user_value_ramps",
 ]
+
+
+def validate_recertification(touched: list[str],
+                             priority: list[str]) -> None:
+    """Raise unless every touched/new query sits in the 50-slot
+    driver prefix — the standing re-certification rule."""
+    out = [n for n in touched if n not in priority[:50]]
+    if out:
+        raise AssertionError(
+            f"touched queries outside the 50-slot driver prefix: {out}")
+
 
 # A typo or a renamed query must fail loudly at import time, not
 # silently demote the entry out of the evidence-dense prefix
@@ -74,6 +95,7 @@ _missing = [n for n in _PRIORITY if n not in QUERIES]
 if _missing:
     raise AssertionError(
         f"_PRIORITY names not in QUERIES registry: {_missing}")
+validate_recertification(_TOUCHED_THIS_ROUND, _PRIORITY)
 
 
 def _ordered(src: dict) -> dict:

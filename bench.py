@@ -140,10 +140,16 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
+        # Convergence rule (VERDICT r4 #3): keep re-running while the
+        # runs still disagree by >25% (GC / noisy-neighbor outlier) OR
+        # the LAST run is still the minimum (the C2-JIT curve is still
+        # descending — BENCH_r04's ann_cosine_topk stopped at 1.69 s
+        # on a curve whose isolated floor was 0.68 s). Cap raised
+        # 4 -> 6 so a slow-JITting query can reach steady state.
         runs = [_timed(), _timed()]
-        while len(runs) < 4 and (
+        while len(runs) < 6 and (
                 max(runs) > 1.25 * min(runs)
-                or runs[-1] < 0.9 * min(runs[:-1])):
+                or runs[-1] < min(runs[:-1])):
             runs.append(_timed())
         times[name] = round(min(runs), 4)
 
@@ -178,9 +184,19 @@ def main() -> None:
                 if fn is None or name not in times:
                     continue
                 spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, ss.SCALED).write.format("noop")                     .mode("overwrite").save()
-                sec = round(time.perf_counter() - t0, 4)
+
+                # min-of-2 (VERDICT r4 #3): single-shot sf1 timings
+                # after a 10x data rebuild in the same JVM produced
+                # uninterpretable 3-5x "regressions" (cold codegen for
+                # the new plan shapes + GC of the rebuild garbage); a
+                # second run separates the plan's cost from the noise.
+                def _timed_sf1() -> float:
+                    t0 = time.perf_counter()
+                    fn(spark, ss.SCALED).write.format("noop") \
+                        .mode("overwrite").save()
+                    return time.perf_counter() - t0
+
+                sec = round(min(_timed_sf1(), _timed_sf1()), 4)
                 sf1[name] = {"sec": sec,
                              "ratio_vs_base": round(sec / times[name], 2)}
             shutil.rmtree(ss.SCALED, ignore_errors=True)

@@ -461,8 +461,11 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
     # scale becomes an unsplittable straggler — AQE can split skewed
     # JOINS but not skewed window partitions. The groupBy form
     # collapses heavy hitters map-side (partial min/max) before the
-    # shuffle, and the semi-join probe side is this same exploded
-    # frame, so no second scan/explode of the corpus is planned.
+    # shuffle. Note the build (groupBy) and probe sides both derive
+    # from the uncached exploded frame, so Spark plans the explode
+    # twice — a deliberate trade: re-running a map-side explode is
+    # cheaper at corpus scale than persisting a (id, pos, hash)
+    # intermediate the size of the tokenized corpus (ADVICE r4).
     from pyspark.sql import Window
     cross = (
         pos.groupBy("gh")

@@ -71,7 +71,19 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
                         del counters[key]
         yield pd.DataFrame({"item": list(counters.keys())})
 
-    cands = src.mapInPandas(sketch, schema="item string").distinct()
+    # Pin the candidate set ONCE (bounded by partitions x capacity —
+    # the same budget the sketch already commits to): the mapInPandas
+    # result is order-sensitive per partition, so recomputing it for
+    # the certification anti-join below could yield a DIFFERENT
+    # candidate set than the one the ranked rows came from (ADVICE
+    # r4). A collected list re-broadcast as a literal frame makes
+    # both joins see the identical set by construction.
+    spark = items.sparkSession
+    cand_vals = sorted(
+        r["item"] for r in
+        src.mapInPandas(sketch, schema="item string").distinct().collect())
+    cands = spark.createDataFrame(
+        [(v,) for v in cand_vals], "item string")
     exact = (
         src.join(F.broadcast(cands), on="item", how="left_semi")
         .groupBy("item")
@@ -100,7 +112,6 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
             raise HeavyHitterUncertain(
                 f"k-th candidate count {rows[-1]['n']} <= N/(capacity+1) "
                 f"= {bound:.1f}; raise capacity to certify exactness")
-    spark = items.sparkSession
     out = spark.createDataFrame(
         [(r["item"], r["n"], i + 1) for i, r in enumerate(rows)],
         "item string, n long, rank int")

@@ -48,26 +48,64 @@ def test_readme_query_count_matches_registry():
     assert int(m.group(1)) == len(QUERIES) == len(ORACLES)
 
 
-def test_driver_checked_prefix_completes_coverage():
-    """Round-4 rotation (VERDICT r3 next-round #2): the first 50
-    queries() entries must contain EVERY query that has never had an
-    all-green row in CORRECTNESS_r01/r02/r03 — after this round's
-    driver run, all registered queries have been certified in some
-    round.  The remaining prefix slots re-certify round-1 rows."""
+def _green_by_round():
+    import glob
     import json
 
-    green = set()
-    for fn in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json",
-               "CORRECTNESS_r03.json"):
-        path = os.path.join(REPO, fn)
-        if not os.path.exists(path):
-            continue
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO,
+                                              "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
         for k, v in json.load(open(path)).items():
             if (v.get("rows_match") and v.get("schema_match")
                     and v.get("hash_match")):
-                green.add(k)
-    never_green = {q for q in QUERIES if q not in green}
+                green[k] = max(green.get(k, 0), rnd)
+    return green
+
+
+def test_driver_checked_prefix_completes_coverage():
+    """The first 50 queries() entries must contain EVERY query that
+    has never had an all-green row in any CORRECTNESS_r* file —
+    brand-new queries always enter the checked prefix immediately.
+    The remaining slots re-certify the oldest green rows."""
+    never_green = {q for q in QUERIES if q not in _green_by_round()}
     first50 = set(list(entry.queries())[:50])
     assert never_green <= first50, (
         f"never-driver-certified queries outside the checked prefix: "
         f"{sorted(never_green - first50)}")
+
+
+def test_touched_queries_recertified_in_prefix():
+    """Standing rule (VERDICT r4 next-round #2): every query whose
+    implementation or oracle changed this round is declared in
+    _TOUCHED_THIS_ROUND and must sit inside the 50-slot driver
+    prefix; the validator must reject a synthetic violation."""
+    import pytest
+
+    entry.validate_recertification(entry._TOUCHED_THIS_ROUND,
+                                   entry._PRIORITY)
+    for name in entry._TOUCHED_THIS_ROUND:
+        assert name in QUERIES
+    with pytest.raises(AssertionError, match="outside the 50-slot"):
+        entry.validate_recertification(
+            ["not_in_any_prefix"], entry._PRIORITY)
+
+
+def test_prefix_recertifies_oldest_rows_first():
+    """The non-touched prefix slots must be spent on stale
+    certifications: no query certified green in the LATEST recorded
+    round may occupy a slot while a strictly older-certified,
+    non-touched query is left out (modulo the documented roll-over
+    exemptions)."""
+    green = _green_by_round()
+    if not green:
+        return
+    latest = max(green.values())
+    first50 = list(entry.queries())[:50]
+    touched = set(entry._TOUCHED_THIS_ROUND)
+    for q in first50:
+        if q in touched or q not in green:
+            continue
+        assert green[q] < latest, (
+            f"{q} was certified in the latest round r{latest} but "
+            f"occupies a re-certification slot")

@@ -142,3 +142,82 @@ def test_compact_parquet_repeated_runs_lose_nothing(spark, tmp_path):
     assert r1 >= 1 and r2 >= 1
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
     assert got == sorted(rows)
+
+
+def test_compact_parquet_splits_oversized_group(spark, tmp_path):
+    """VERDICT r4 #7: a group whose total size exceeds 2x target must
+    not serialize through one task/file — the rewrite splits it into
+    ~ceil(size/target) output files, and no rows are lost."""
+    import glob
+    import os
+    import shutil
+
+    from pudl_spark.operators.layout import compact_parquet
+
+    d = str(tmp_path / "tbl3")
+    os.makedirs(d)
+    rows = [(i, "y" * 200) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for i in range(8):
+        part = df.filter((F.col("k") % 8) == i).coalesce(1)
+        tmp = d + f"/__w{i}"
+        part.write.parquet(tmp)
+        src = glob.glob(tmp + "/part-*.parquet")[0]
+        os.rename(src, os.path.join(d, f"chunk-{i}.parquet"))
+        shutil.rmtree(tmp)
+    sizes = [os.path.getsize(p) for p in glob.glob(d + "/*.parquet")]
+    total = sum(sizes)
+    # target small enough that the 8 files form one oversized group
+    # when packed by an external plan; force it by calling with a
+    # target between max(single) and total/2
+    target = max(sizes) + 1
+    rewritten = compact_parquet(spark, d, target_bytes=target)
+    out_files = glob.glob(d + "/compacted-*.parquet")
+    if total > 2 * target and rewritten:
+        # at least one group was split into multiple outputs OR the
+        # planner kept groups under target (either way: no output
+        # file should be grossly over 2x target)
+        assert all(os.path.getsize(p) <= 2.5 * target for p in out_files)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
+    assert got == sorted(rows)
+
+
+def test_compact_parquet_oversized_group_direct(spark, tmp_path):
+    """Drive the split path directly: bypass the planner's cap by
+    setting target below the per-file size so every pair exceeds 2x
+    target... instead call the internal rewrite logic via a plan the
+    FFD would never emit — simulated by shrinking target AFTER files
+    exist and checking multiple compacted outputs appear for one
+    group."""
+    import glob
+    import os
+    import shutil
+
+    from pudl_spark.operators import layout
+
+    d = str(tmp_path / "tbl4")
+    os.makedirs(d)
+    rows = [(i, "z" * 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    for i in range(6):
+        part = df.filter((F.col("k") % 6) == i).coalesce(1)
+        tmp = d + f"/__w{i}"
+        part.write.parquet(tmp)
+        src = glob.glob(tmp + "/part-*.parquet")[0]
+        os.rename(src, os.path.join(d, f"chunk-{i}.parquet"))
+        shutil.rmtree(tmp)
+    files = sorted(glob.glob(d + "/*.parquet"))
+    total = sum(os.path.getsize(p) for p in files)
+    target = total // 4          # group total = 4x target -> split
+    # monkeypatch the planner to emit ONE oversized group
+    orig = layout.plan_compaction
+    try:
+        layout.plan_compaction = lambda fs, tb: [list(files)]
+        rewritten = layout.compact_parquet(spark, d, target_bytes=target)
+    finally:
+        layout.plan_compaction = orig
+    assert rewritten == 1
+    outs = glob.glob(d + "/compacted-*.parquet")
+    assert len(outs) >= 2, "oversized group must split into >1 file"
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
+    assert got == sorted(rows)
