@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _TOUCHED_THIS_ROUND = [
     # real-decode multimodal rework + new queries (r5)
     "media_feature_extract", "media_jpeg_features",
-    "incremental_rebuild_counts",
+    "media_thumbnail_stats", "incremental_rebuild_counts",
     # heavy.py candidate pinning (r5) + r4-touched-after-r3-cert rows
     "doc_top_terms", "doc_dup_spans", "doc_bigram_perplexity",
     # share the touched multimodal module (decode dispatch)
@@ -57,8 +57,8 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "sum_min_count_semantics", "uncategorized_part_types",
     # -- next-oldest: latest green row is round 2 (30 of 36; the six
     #    source-roundtrip queries with dedicated unit suites —
-    #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — roll to
-    #    round 6) --
+    #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
+    #    user_running_stats roll to round 6) --
     "clean_customer_names", "date_merge_year",
     "declarative_transform_orders", "dedupe_on_category_priority",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
@@ -73,7 +73,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "purchase_asof_signup", "purchases_per_signup_interval",
     "salted_event_type_totals", "supplier_month_utilization",
     "union_balances_by_nation", "unpivot_lineitem_measures",
-    "user_running_stats", "user_value_ramps",
+    "user_value_ramps",
 ]
 
 

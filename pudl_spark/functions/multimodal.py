@@ -319,6 +319,68 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         batches, schema=IMAGE_STATS_SCHEMA)
 
 
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with exact integer index math:
+    src_y = floor(y * h / out_h), src_x = floor(x * w / out_w) — the
+    same closed form a SQL oracle can replicate, so resized-pixel
+    features stay engine-portable."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[ys][:, xs]
+
+
+def resize_box(px: np.ndarray, factor: int) -> np.ndarray:
+    """Exact box-average downscale by an integer factor (dims must be
+    multiples): each output sample is the floor-divided mean of a
+    factor x factor block — integer arithmetic end to end."""
+    h, w = px.shape[:2]
+    if h % factor or w % factor:
+        raise ValueError("resize_box requires dims divisible by factor")
+    a = px.astype(np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    ch = a.shape[2]
+    blocks = a.reshape(h // factor, factor, w // factor, factor, ch)
+    out = blocks.sum(axis=(1, 3)) // (factor * factor)
+    out = out.astype(np.uint8)
+    return out[:, :, 0] if px.ndim == 2 else out
+
+
+THUMB_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("thumb_w", T.IntegerType(), True),
+    T.StructField("thumb_h", T.IntegerType(), True),
+    T.StructField("px_sum", T.LongType(), True),
+    T.StructField("px_min", T.IntegerType(), True),
+    T.StructField("px_max", T.IntegerType(), True),
+])
+
+
+def thumbnail_stats(media: DataFrame, out_h: int = 8,
+                    out_w: int = 8) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> exact integer stats, the
+    resize leg of the multimodal pipeline (decode / feature-extract /
+    resize / frame-sample). Arrow-batched map-only island like every
+    media kernel."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = resize_nearest(decode_image(bytes(content)),
+                                    out_h, out_w)
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append((int(mid), out_w, out_h, int(flat.sum()),
+                             int(flat.min()), int(flat.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "thumb_w", "thumb_h", "px_sum", "px_min",
+                "px_max"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=THUMB_STATS_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp.
 

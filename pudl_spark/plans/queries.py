@@ -5731,6 +5731,70 @@ def media_jpeg_features(spark, sf_dir):
     return image_pixel_stats(media)
 
 
+@query("media_thumbnail_stats", sql="""
+WITH ids AS (
+  SELECT CAST(p_partkey AS BIGINT) AS media_id FROM part
+), dims AS (
+  SELECT media_id, 8 + media_id % 9 AS w, 8 + media_id % 11 AS h
+  FROM ids
+), t1 AS (
+  SELECT media_id, w, h, unnest(range(0, 8)) AS ty FROM dims
+), t2 AS (
+  SELECT media_id, w, h, ty, unnest(range(0, 8)) AS tx FROM t1
+), t3 AS (
+  SELECT media_id, w, h, ty, tx, unnest(range(0, 3)) AS c FROM t2
+), src AS (
+  SELECT media_id,
+    (media_id * 3 + ((tx * w) // 8) * 5 + ((ty * h) // 8) * 7
+     + c * 11) % 256 AS v
+  FROM t3
+)
+SELECT media_id, CAST(8 AS INT) AS thumb_w, CAST(8 AS INT) AS thumb_h,
+  CAST(SUM(v) AS BIGINT) AS px_sum,
+  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM src GROUP BY media_id
+""")
+def media_thumbnail_stats(spark, sf_dir):
+    """The RESIZE leg of the multimodal pipeline (decode ->
+    nearest-neighbor thumbnail -> exact integer stats), completing
+    the decode / feature-extract / resize / frame-sample family.
+    Pixel arrays from a closed-form formula are encoded to real PNGs,
+    decoded back by the stdlib codec, resized to 8x8 with exact
+    integer index math (src = floor(t * dim / 8)), and reduced to
+    integer sums. The oracle evaluates the formula AT the resized
+    sample positions — an off-by-one in the index mapping (the
+    classic resize bug) hash-mismatches immediately.
+
+    media_id keys off part; (w, h) = (8 + id%9, 8 + id%11),
+    px(y, x, c) = (id*3 + x*5 + y*7 + c*11) % 256.
+
+    Scale shape: encode/decode/resize are one Arrow-batched map-only
+    island; the only shuffle is the driver's final collect.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pudl_spark.functions.multimodal import encode_png, thumbnail_stats
+
+    ids = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("media_id"))
+
+    @pandas_udf("binary")
+    def _mk_png(mid):
+        out = []
+        for i in mid:
+            i = int(i)
+            w, h = 8 + i % 9, 8 + i % 11
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            px = ((i * 3 + x * 5 + y * 7 + c * 11) % 256).astype(np.uint8)
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    media = ids.withColumn("content", _mk_png(F.col("media_id")))
+    return thumbnail_stats(media, out_h=8, out_w=8)
+
+
 @query("doc_dup_spans", sql=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents

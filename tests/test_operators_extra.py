@@ -328,3 +328,41 @@ class TestPngCodec:
         assert (rows[1].px_min, rows[1].px_max) == (10, 200)
         assert (rows[2].width, rows[2].height) == (3, 3)
         assert rows[2].px_sum == sum(range(27))
+
+    def test_resize_kernels(self, spark):
+        import numpy as np
+
+        from pudl_spark.functions.multimodal import (
+            encode_png, resize_box, resize_nearest, thumbnail_stats)
+
+        # nearest: exact integer index mapping
+        px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        got = resize_nearest(px, 3, 4)
+        ys = (np.arange(3) * 6) // 3
+        xs = (np.arange(4) * 8) // 4
+        assert np.array_equal(got, px[ys][:, xs])
+        # upscale replicates
+        up = resize_nearest(px, 12, 8)
+        assert up.shape == (12, 8)
+        assert np.array_equal(up[::2], px[(np.arange(12)[::2] * 6) // 12])
+        # box average: exact floor-divided means
+        a = np.array([[0, 2], [4, 6]], dtype=np.uint8)
+        assert resize_box(a, 2)[0, 0] == 3
+        rgb = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        small = resize_box(rgb, 2)
+        assert small.shape == (2, 2, 3)
+        assert int(small[0, 0, 0]) == int(rgb[:2, :2, 0].sum()) // 4
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            resize_box(np.zeros((3, 4), dtype=np.uint8), 2)
+        # end-to-end thumbnail stats over a decoded PNG
+        img = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+        df = spark.createDataFrame(
+            [(5, bytearray(encode_png(img)))],
+            "media_id long, content binary")
+        row = thumbnail_stats(df, out_h=4, out_w=4).collect()[0]
+        ys = (np.arange(4) * 8) // 4
+        xs = (np.arange(4) * 8) // 4
+        expect = img[ys][:, xs].astype(np.int64)
+        assert row.px_sum == int(expect.sum())
+        assert (row.thumb_w, row.thumb_h) == (4, 4)
