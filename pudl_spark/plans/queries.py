@@ -2562,10 +2562,11 @@ def media_feature_extract(spark, sf_dir):
 
     # Distribute the Python islands: the id table reads as ONE parquet
     # partition at small SF, which would serialize every encode+decode
-    # on a single core (and at 100 TB, media payload sizes are skewed
-    # anyway). An id-only round-robin repartition costs an 8-byte-row
-    # shuffle and spreads the heavy kernels across the cluster.
-    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    # on a single core. spread_small_input spreads the 8-byte id rows
+    # across cores — and no-ops at real scale where files split
+    # naturally (see SCALE.md small-file caveat).
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_blob(F.col("media_id")))
     feats = extract_image_features(media)
     return feats.select(
@@ -5665,9 +5666,11 @@ def media_png_features(spark, sf_dir):
             out.append(encode_png(px))
         return pd.Series(out)
 
-    # id-only repartition: spread the encode/decode islands across
-    # cores (the tiny id scan is otherwise a single partition).
-    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    # id-only spread: distribute the encode/decode islands across
+    # cores (the tiny id scan is otherwise a single partition;
+    # no-op at real scale).
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_png(F.col("media_id")))
     return png_pixel_stats(media)
 
@@ -5736,9 +5739,11 @@ def media_jpeg_features(spark, sf_dir):
                 np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)))
         return pd.Series(out)
 
-    # id-only repartition: spread the encode/decode islands across
-    # cores (the tiny id scan is otherwise a single partition).
-    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    # id-only spread: distribute the encode/decode islands across
+    # cores (the tiny id scan is otherwise a single partition;
+    # no-op at real scale).
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_jpeg(F.col("media_id")))
     return image_pixel_stats(media)
 
@@ -5803,9 +5808,11 @@ def media_thumbnail_stats(spark, sf_dir):
             out.append(encode_png(px))
         return pd.Series(out)
 
-    # id-only repartition: spread the encode/decode islands across
-    # cores (the tiny id scan is otherwise a single partition).
-    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    # id-only spread: distribute the encode/decode islands across
+    # cores (the tiny id scan is otherwise a single partition;
+    # no-op at real scale).
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_png(F.col("media_id")))
     return thumbnail_stats(media, out_h=8, out_w=8)
 
@@ -6287,9 +6294,11 @@ def media_wav_features(spark, sf_dir):
                                   rate=8000 + 100 * (m % 4)))
         return pd.Series(out)
 
-    # id-only repartition: spread the encode/decode islands across
-    # cores (the tiny id scan is otherwise a single partition).
-    ids = ids.repartition(spark.sparkContext.defaultParallelism)
+    # id-only spread: distribute the encode/decode islands across
+    # cores (the tiny id scan is otherwise a single partition;
+    # no-op at real scale).
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_wav(F.col("media_id")))
     return wav_sample_stats(media)
 
