@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "event_sessions_cc",
     "event_sessions_windowed",
     "media_feature_extract",
+    "media_jpeg_features",
+    "media_thumbnail_stats",
     "jw_linkage_parts",
     "doc_curation_decisions",
     "doc_decontaminate",

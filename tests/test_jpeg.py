@@ -188,3 +188,41 @@ def test_zigzag_is_an_involution_layout():
     back = np.empty(64, dtype=int)
     back[ZIGZAG] = zz
     assert np.array_equal(back, nat)
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    bh=st.integers(min_value=1, max_value=4),
+    bw=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interval=st.sampled_from([0, 1, 2, 5]),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_constant_blocks_exact_any_shape(bh, bw, seed, interval):
+    """Randomized form of the oracle property: block-constant gray
+    images round-trip pixel-exactly at q=1 for any block grid, with
+    or without restart intervals."""
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(bh, bw), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    data = encode_jpeg(img, restart_interval=interval)
+    assert np.array_equal(decode_jpeg(data), img)
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_property_arbitrary_gray_q1_within_one(seed):
+    """q=1 quantization loses at most the FDCT rounding: any gray
+    image decodes within +/-1 of the original everywhere."""
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 25))
+    w = int(rng.integers(1, 25))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (h, w)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
