@@ -180,10 +180,10 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Decode an image payload to a uint8 pixel array. PNG and
-    baseline JPEG are decoded for real by the self-contained stdlib+
-    numpy codecs; other formats (progressive JPEG, video frames)
-    still raise — honest gating."""
+    """Decode an image payload to a uint8 pixel array. PNG and JPEG
+    (baseline sequential AND progressive) are decoded for real by the
+    self-contained stdlib+numpy codecs; other formats (video frames,
+    GIF, ...) still raise — honest gating."""
     if content[:8] == _PNG_MAGIC:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
@@ -191,8 +191,8 @@ def decode_image(content: bytes) -> np.ndarray:
 
         return decode_jpeg(content)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decoding are self-contained; "
-        "other codecs require external libraries not installed here.")
+        "only PNG and JPEG decoding are self-contained; other codecs "
+        "require external libraries not installed here.")
 
 
 def _pixel_features(px: np.ndarray, dim: int = 8

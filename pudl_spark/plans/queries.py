@@ -5721,7 +5721,8 @@ def media_jpeg_features(spark, sf_dir):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    from pudl_spark.functions.jpeg import encode_jpeg
+    from pudl_spark.functions.jpeg import (encode_jpeg,
+                                           encode_jpeg_progressive)
     from pudl_spark.functions.multimodal import image_pixel_stats
 
     ids = _t(spark, sf_dir, "supplier").select(
@@ -5735,8 +5736,15 @@ def media_jpeg_features(spark, sf_dir):
             wb, hb = 2 + i % 4, 2 + i % 3
             v = ((i * 13 + np.arange(wb)[None, :] * 29
                   + np.arange(hb)[:, None] * 41) % 256).astype(np.uint8)
-            out.append(encode_jpeg(
-                np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)))
+            px = np.repeat(np.repeat(v, 8, axis=0), 8, axis=1)
+            # every third image is PROGRESSIVE (SOF2): the scan-script
+            # encoder carries the identical quantized coefficients, so
+            # the oracle is unchanged while the driver row certifies
+            # the progressive decode paths (spectral bands, successive
+            # approximation, EOB runs) alongside the baseline ones.
+            enc = (encode_jpeg_progressive if i % 3 == 0
+                   else encode_jpeg)
+            out.append(enc(px))
         return pd.Series(out)
 
     # id-only spread: distribute the encode/decode islands across

@@ -50,11 +50,14 @@ def test_std_quant_lossy_but_sane():
     assert float(np.abs(out.astype(int) - smooth.astype(int)).mean()) < 16
 
 
-def test_rejects_progressive_and_non_jpeg():
+def test_rejects_lossless_and_non_jpeg():
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2                       # masquerade as SOF2
+    data[i + 1] = 0xC3                       # masquerade as SOF3 lossless
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC9                       # arithmetic coding
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
@@ -226,3 +229,153 @@ def test_property_arbitrary_gray_q1_within_one(seed):
     out = decode_jpeg(encode_jpeg(img))
     assert out.shape == (h, w)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+# ------------------------------------------------------------ progressive
+
+from pudl_spark.functions.jpeg import (  # noqa: E402
+    FLAT_AC_VALS, encode_jpeg_progressive)
+
+
+def test_progressive_default_script_matches_sequential_gray():
+    """The default scan script (spectral bands + successive
+    approximation, every band ending at Al=0) carries exactly the
+    sequential coefficients, so the decode must be pixel-identical to
+    the sequential pipeline — any slip in DC/AC first/refine decode
+    or EOB-run bookkeeping diverges."""
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img)),
+                          decode_jpeg(encode_jpeg(img)))
+
+
+def test_progressive_matches_sequential_color_and_420():
+    rng = np.random.default_rng(43)
+    cimg = rng.integers(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(cimg)),
+                          decode_jpeg(encode_jpeg(cimg)))
+    tiles = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    mimg = np.repeat(np.repeat(tiles, 16, axis=0), 16, axis=1)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(mimg, subsampling=(2, 2))),
+        decode_jpeg(encode_jpeg(mimg, subsampling=(2, 2))))
+
+
+def test_progressive_no_sa_script_and_restarts():
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    seq = decode_jpeg(encode_jpeg(img))
+    scans = [{"c": [0], "ss": 0, "se": 0, "ah": 0, "al": 0},
+             {"c": [0], "ss": 1, "se": 63, "ah": 0, "al": 0}]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, scans=scans)), seq)
+    for interval in (1, 4):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(
+                img, restart_interval=interval)), seq), interval
+
+
+def test_progressive_quantized_eob_runs():
+    """Std quant table on smooth/sparse content produces long EOB
+    runs and refinement correction bits across blocks — the
+    bookkeeping-heavy paths."""
+    smooth = ((np.arange(48)[:, None] * 3
+               + np.arange(56)[None, :] * 5) % 256).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(smooth, quant=STD_QUANT_LUMA)),
+        decode_jpeg(encode_jpeg(smooth, quant=STD_QUANT_LUMA)))
+    sparse = np.full((40, 40), 128, dtype=np.uint8)
+    sparse[5, 7] = 200
+    sparse[30, 22] = 10
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(sparse, quant=STD_QUANT_LUMA)),
+        decode_jpeg(encode_jpeg(sparse, quant=STD_QUANT_LUMA)))
+
+
+def test_progressive_handbuilt_stream_decodes_exact_coefficients():
+    """Decoder-only anchor (independent of encode_jpeg_progressive):
+    a minimal SOF2 stream built BY HAND with the flat tables — whose
+    canonical codes are predictable (DC symbol t -> code t in 4 bits;
+    AC symbol at index j of FLAT_AC_VALS -> code j in 9 bits) — must
+    reconstruct hand-chosen coefficients exactly. Breaks any
+    encoder/decoder co-bug symmetry in the progressive paths."""
+    import struct as _s
+
+    from pudl_spark.functions.jpeg import (
+        FLAT_AC_BITS, FLAT_DC_BITS, FLAT_DC_VALS, ZIGZAG, _idct)
+
+    class BW:
+        def __init__(self):
+            self.out, self.acc, self.n = bytearray(), 0, 0
+
+        def put(self, v, ln):
+            self.acc = (self.acc << ln) | (v & ((1 << ln) - 1))
+            self.n += ln
+            while self.n >= 8:
+                b = (self.acc >> (self.n - 8)) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0)
+                self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+        def done(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+            return bytes(self.out)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xc2" + _s.pack(">H", 11) \
+        + _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+
+    def dht(tclass, tid, bits, vals):
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + _s.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, FLAT_DC_BITS, FLAT_DC_VALS)
+    out += dht(1, 0, FLAT_AC_BITS, FLAT_AC_VALS)
+
+    # scan 1: DC, Al=0 -> dc=10: category 4 (code '0100'), bits 1010
+    # SOS body: ns=1, (cid=1, td<<4|ta=0), Ss=0, Se=0, Ah<<4|Al=0
+    out += b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0, 0, 0, 0])
+    bw = BW()
+    bw.put(4, 4)
+    bw.put(10, 4)
+    out += bw.done()
+
+    # scan 2: AC band 1..63, Al=0 -> seq[1]=5, seq[4]=-3, rest 0
+    out += b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0, 1, 63, 0])
+    bw = BW()
+    bw.put(FLAT_AC_VALS.index(0x03), 9)      # run 0, size 3
+    bw.put(5, 3)                             # value 5
+    bw.put(FLAT_AC_VALS.index(0x22), 9)      # run 2, size 2
+    bw.put(0, 2)                             # value -3 (code 00)
+    bw.put(FLAT_AC_VALS.index(0x00), 9)      # EOB
+    out += bw.done()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    seq = np.zeros(64)
+    seq[0], seq[1], seq[4] = 10, 5, -3
+    coef = np.zeros(64)
+    coef[ZIGZAG] = seq                       # q=1 dequant
+    expect = np.clip(np.round(_idct(coef.reshape(8, 8)) + 128.0),
+                     0, 255).astype(np.uint8)
+    assert np.array_equal(got, expect)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    use_quant=st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_property_progressive_equals_sequential(seed, use_quant):
+    rng = np.random.default_rng(seed)
+    h = int(rng.integers(1, 30))
+    w = int(rng.integers(1, 30))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    q = STD_QUANT_LUMA if use_quant else None
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(img, quant=q)),
+        decode_jpeg(encode_jpeg(img, quant=q)))
