@@ -495,14 +495,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.frombuffer(body, dtype=np.uint8,
-                                    count=64, offset=off + 1)
+                if pq:                                     # 16-bit table
+                    tbl = np.frombuffer(body, dtype=">u2",
+                                        count=64, offset=off + 1)
+                    off += 129
+                else:
+                    tbl = np.frombuffer(body, dtype=np.uint8,
+                                        count=64, offset=off + 1)
+                    off += 65
                 nat = np.empty(64, dtype=np.int32)
                 nat[ZIGZAG] = tbl
                 quant[tq] = nat
-                off += 65
         elif marker == 0xC4:                               # DHT
             off = 0
             while off < len(body):

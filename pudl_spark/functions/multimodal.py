@@ -64,41 +64,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
-    RGBA) to a uint8 array of shape (height, width, channels) using
-    only the stdlib: chunk walk, zlib inflate, and the five scanline
-    filters (None/Sub/Up/Average/Paeth) from the PNG spec (RFC 2083).
-    """
-    if data[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG stream")
-    off = 8
-    width = height = None
-    color_type = bit_depth = None
-    idat = bytearray()
-    while off < len(data):
-        (length,) = struct.unpack(">I", data[off:off + 4])
-        ctype = data[off + 4:off + 8]
-        body = data[off + 8:off + 8 + length]
-        off += 12 + length                      # skip CRC
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, ilace =                 struct.unpack(">IIBBBBB", body)
-            if bit_depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
-            if ilace:
-                raise NotImplementedError("interlaced PNG not supported")
-            if color_type not in _PNG_CHANNELS:
-                raise NotImplementedError(
-                    f"PNG color type {color_type} not supported")
-        elif ctype == b"IDAT":
-            idat.extend(body)
-        elif ctype == b"IEND":
-            break
-    raw = zlib.decompress(bytes(idat))
-    ch = _PNG_CHANNELS[color_type]
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
+                  ch: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of `height` scanlines of `width`
+    pixels from the inflated stream starting at `pos`; returns the
+    (height, width*ch) uint8 array and the next stream position.
+    Implements the five PNG filters (None/Sub/Up/Average/Paeth,
+    RFC 2083)."""
     stride = width * ch
     out = np.zeros((height, stride), dtype=np.uint8)
-    pos = 0
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(height):
         ftype = raw[pos]
@@ -127,7 +106,58 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(height, width, ch)
+    return out, pos
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit PNG (gray / gray+alpha / RGB / RGBA,
+    non-interlaced OR Adam7 interlaced) to a uint8 array of shape
+    (height, width, channels) using only the stdlib: chunk walk, zlib
+    inflate, the five scanline filters (None/Sub/Up/Average/Paeth)
+    from the PNG spec (RFC 2083), and the Adam7 seven-pass scatter.
+    """
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG stream")
+    off = 8
+    width = height = None
+    color_type = bit_depth = ilace = None
+    idat = bytearray()
+    while off < len(data):
+        (length,) = struct.unpack(">I", data[off:off + 4])
+        ctype = data[off + 4:off + 8]
+        body = data[off + 8:off + 8 + length]
+        off += 12 + length                      # skip CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, ilace = \
+                struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8:
+                raise NotImplementedError("only 8-bit PNG supported")
+            if ilace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {ilace}")
+            if color_type not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG color type {color_type} not supported")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    if not ilace:
+        out, _ = _png_unfilter(raw, 0, width, height, ch)
+        return out.reshape(height, width, ch)
+    # Adam7: each pass is an independently-filtered sub-image,
+    # scattered back on the pass grid; empty passes carry no bytes.
+    full = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (width - x0 + dx - 1) // dx
+        hp = (height - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue
+        sub, pos = _png_unfilter(raw, pos, wp, hp, ch)
+        full[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+    return full
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -135,20 +165,12 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Encode a uint8 array (h, w) or (h, w, {1,2,3,4}) as a valid
-    non-interlaced 8-bit PNG. Scanline y uses filter type ``y % 5`` —
-    deliberately cycling through ALL five filters so a round-trip
-    through :func:`decode_png` exercises every unfilter path.
-    """
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    h, w, ch = arr.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    arr = arr.astype(np.int32)
-    stride = w * ch
-    flat = arr.reshape(h, stride)
+def _png_filter_pass(flat: np.ndarray, ch: int) -> bytearray:
+    """Filter one (sub-)image (rows of samples) with filter type
+    ``y % 5`` — deliberately cycling through ALL five filters so a
+    round-trip through :func:`decode_png` exercises every unfilter
+    path."""
+    h, stride = flat.shape
     lines = bytearray()
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -174,6 +196,31 @@ def encode_png(arr: np.ndarray) -> bytes:
         lines.append(ftype)
         lines.extend(filt.astype(np.uint8).tobytes())
         prior = raw
+    return lines
+
+
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode a uint8 array (h, w) or (h, w, {1,2,3,4}) as a valid
+    8-bit PNG — sequential or Adam7 interlaced. Scanlines cycle
+    through all five filter types (see :func:`_png_filter_pass`).
+    """
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
+    arr = arr.astype(np.int32)
+    if not interlace:
+        lines = _png_filter_pass(arr.reshape(h, w * ch), ch)
+    else:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            hp, wp = sub.shape[:2]
+            if hp <= 0 or wp <= 0:
+                continue
+            lines += _png_filter_pass(sub.reshape(hp, wp * ch), ch)
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
             + _png_chunk(b"IEND", b""))

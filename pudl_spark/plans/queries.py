@@ -2550,7 +2550,10 @@ def media_feature_extract(spark, sf_dir):
                 y, x, c = np.ogrid[0:h, 0:w, 0:3]
                 px = ((i * 7 + x * 3 + y * 11 + c * 5) % 256
                       ).astype(np.uint8)
-                out.append(encode_png(px))
+                # every other PNG is Adam7 INTERLACED — identical
+                # pixels, so the oracle is unchanged while the driver
+                # row certifies the seven-pass de-interlace too
+                out.append(encode_png(px, interlace=(i % 4 == 0)))
             else:
                 wb, hb = 1 + i % 3, 1 + i % 2
                 v = ((i * 13 + np.arange(wb)[None, :] * 29
@@ -5663,7 +5666,8 @@ def media_png_features(spark, sf_dir):
             w, h = 8 + i % 5, 8 + i % 7
             y, x, c = np.ogrid[0:h, 0:w, 0:3]
             px = ((i * 7 + x * 3 + y * 11 + c * 5) % 256).astype(np.uint8)
-            out.append(encode_png(px))
+            # alternate Adam7 interlacing (same pixels, same oracle)
+            out.append(encode_png(px, interlace=(i % 2 == 0)))
         return pd.Series(out)
 
     # id-only spread: distribute the encode/decode islands across

@@ -379,3 +379,22 @@ def test_property_progressive_equals_sequential(seed, use_quant):
     assert np.array_equal(
         decode_jpeg(encode_jpeg_progressive(img, quant=q)),
         decode_jpeg(encode_jpeg(img, quant=q)))
+
+
+def test_16bit_quant_table_segment():
+    """DQT with Pq=1 (16-bit entries): rewrite the encoder's 8-bit
+    table segment into the 16-bit form — same values — and assert an
+    identical decode."""
+    import struct as _s
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    raw = encode_jpeg(img)
+    base = decode_jpeg(raw)
+    i = raw.index(b"\xff\xdb")
+    (seglen,) = _s.unpack(">H", raw[i + 2:i + 4])
+    vals = raw[i + 5:i + 5 + 64]
+    wide = b"\xff\xdb" + _s.pack(">H", 3 + 128) + bytes([0x10]) \
+        + b"".join(_s.pack(">H", v) for v in vals)
+    patched = raw[:i] + wide + raw[i + 2 + seglen:]
+    assert np.array_equal(decode_jpeg(patched), base)

@@ -366,3 +366,27 @@ class TestPngCodec:
         expect = img[ys][:, xs].astype(np.int64)
         assert row.px_sum == int(expect.sum())
         assert (row.thumb_w, row.thumb_h) == (4, 4)
+
+    def test_adam7_interlaced_roundtrip(self, spark):
+        """Adam7 decode: interlaced encodes of every shape/channel
+        combination (including sub-8px images with empty passes) must
+        decode identically to the sequential decode."""
+        import numpy as np
+
+        from pudl_spark.functions.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(61)
+        for shape in [(8, 8), (11, 7, 3), (5, 13, 4), (9, 3, 2),
+                      (1, 1, 3), (6, 1, 1), (16, 16, 3), (3, 9),
+                      (2, 2), (33, 17, 3)]:
+            arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            expect = arr if arr.ndim == 3 else arr[:, :, None]
+            data = encode_png(arr, interlace=True)
+            # IHDR interlace byte really set
+            assert data[8 + 8 + 12] == 1
+            assert np.array_equal(decode_png(data), expect), shape
+        # decode_image dispatch handles interlaced payloads too
+        from pudl_spark.functions.multimodal import decode_image
+
+        arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(arr, True)), arr)
