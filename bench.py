@@ -142,6 +142,13 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
+        # One UNTIMED warmup execution first: each query compiles its
+        # own whole-stage-codegen classes and the C2 JIT needs a full
+        # execution to profile them — the first timed run otherwise
+        # reads 1.5-4x the steady state and the min-of-N loop burns
+        # its rerun budget chasing the descent (minhash_near_dup_pairs
+        # cold-to-warm: 8.9 -> 2.9 -> 2.6 -> 2.1 -> 1.9 s).
+        _timed()
         # Convergence rule (VERDICT r4 #3): keep re-running while the
         # runs still disagree by >25% (GC / noisy-neighbor outlier) OR
         # the LAST run is still the minimum (the C2-JIT curve is still

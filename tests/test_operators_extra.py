@@ -390,3 +390,21 @@ class TestPngCodec:
 
         arr = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
         assert np.array_equal(decode_image(encode_png(arr, True)), arr)
+
+    def test_media_island_plan_shape(self, spark):
+        """Scale-shape pin: a media feature query plans as map-only
+        Python islands with AT MOST the one id-spread Exchange — no
+        join/agg shuffle touches binary payloads."""
+        import numpy as np
+
+        from pudl_spark.functions.multimodal import (
+            encode_png, image_pixel_stats)
+
+        rows = [(i, bytearray(encode_png(
+            np.full((8, 8), i % 256, dtype=np.uint8))))
+            for i in range(4)]
+        df = spark.createDataFrame(rows, "media_id long, content binary")
+        plan = image_pixel_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert "MapInPandas" in plan

@@ -117,12 +117,14 @@ def test_bloom_dedup_joins_stay_hash_or_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_png_features_map_only_no_exchange(spark):
-    """media_png_features is encode->decode->sum map-only: zero
-    Exchanges anywhere in the plan, and the nation scan prunes to the
-    single key column."""
+def test_png_features_map_only_one_spread_exchange(spark):
+    """media_png_features is encode->decode->sum map-only except for
+    the single id-spread Exchange (spread_small_input — distributes
+    the Python islands when the tiny id scan arrives as one
+    partition; a no-op at real scale). Nothing else shuffles, and the
+    nation scan prunes to the single key column."""
     plan = _plan(spark, "media_png_features")
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= 1, plan
     assert "MapInPandas" in plan
     assert "struct<n_nationkey" in plan
 
