@@ -11,8 +11,8 @@ tests/test_streaming.py).
 """
 
 from pudl_spark.streaming.pipeline import (
-    read_events_stream, sessionize_stream, user_running_stats_stream,
-    windowed_event_counts,
+    interval_join_stream, read_events_stream, sessionize_stream,
+    user_running_stats_stream, windowed_event_counts,
 )
 from pudl_spark.streaming.stateful import running_user_totals
 
@@ -20,6 +20,7 @@ __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "sessionize_stream",
+    "interval_join_stream",
     "running_user_totals",
     "user_running_stats_stream",
 ]

@@ -105,6 +105,46 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     return spark.table(query_name)
 
 
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key: str = "user_id",
+                         left_ts: str = "l_ts", right_ts: str = "r_ts",
+                         max_span: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream event-time INTERVAL join: each right-side row
+    matches left-side rows with the same key whose timestamp is in
+    [right_ts - max_span, right_ts] — the streaming twin of the batch
+    point-in-interval join (J10 family).
+
+    Both inputs carry watermarks and the join condition bounds the
+    two event times against each other, which is exactly what
+    Structured Streaming needs to EVICT join state: a buffered left
+    row can be dropped once the right watermark passes
+    left_ts + max_span (and vice versa), so state is
+    O(rate x (watermark + span)) — stream-length-independent, the
+    property a 100 TB/day ingest requires. On batch inputs the same
+    condition plans as a regular range join; the batch-parity test
+    pins the equivalence.
+
+    Column names must be pre-disambiguated by the caller (e.g.
+    ``.select(F.col("ts").alias("l_ts"), ...)``) — self-joins of one
+    source otherwise collide.
+    """
+    lsrc, rsrc = left, right
+    if left.isStreaming:
+        lsrc = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        rsrc = right.withWatermark(right_ts, watermark)
+    lkey = f"l_{key}" if f"l_{key}" in left.columns else key
+    rkey = f"r_{key}" if f"r_{key}" in right.columns else key
+    cond = (
+        (lsrc[lkey] == rsrc[rkey])
+        & (lsrc[left_ts] <= rsrc[right_ts])
+        & (lsrc[left_ts] >= rsrc[right_ts]
+           - F.expr(f"INTERVAL {max_span}"))
+    )
+    return lsrc.join(rsrc, cond, "inner")
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None,
                  watermark_col: str = "ts",
                  watermark: str = "2 hours") -> DataFrame:

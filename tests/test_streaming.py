@@ -276,3 +276,45 @@ def test_upsert_sink_equal_version_ties_deterministic(spark,
                         for r in spark.read.parquet(snap).collect()})
     assert results[0] == results[1] == results[2]
     assert len(results[0]) == 1
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir):
+    """Stream-stream event-time interval join (the remaining
+    Structured Streaming join shape): signups joined to purchases
+    within a bounded span, run as TWO file streams, must equal the
+    batch join of the same frames. The test watermark is generous so
+    no state is evicted on the finite input — eviction is a liveness
+    property, equality is the correctness one."""
+    from pyspark.sql import functions as F
+
+    from pudl_spark.streaming.pipeline import interval_join_stream
+
+    def sides(df):
+        left = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"))
+        right = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"))
+        return left, right
+
+    batch = spark.read.parquet(events_dir)
+    bl, br = sides(batch)
+    expect = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in interval_join_stream(
+            bl, br, max_span="1 hour", watermark="30 days").collect())
+    assert expect, "fixture must produce at least one join match"
+
+    sl, _ = sides(read_events_stream(spark, events_dir,
+                                     max_files_per_trigger=2))
+    _, sr = sides(read_events_stream(spark, events_dir,
+                                     max_files_per_trigger=2))
+    joined = interval_join_stream(sl, sr, max_span="1 hour",
+                                  watermark="30 days")
+    got_df = run_stream_to_memory(joined, "ivjoin", spark,
+                                  output_mode="append")
+    got = sorted((r.l_event_id, r.r_event_id) for r in got_df.collect())
+    assert got == expect
