@@ -5,13 +5,15 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas functions over ``mapInPandas``.
 
 Decoding is REAL and self-contained: a pure stdlib+numpy PNG codec
-(zlib inflate, chunk parse, all five scanline filters including Paeth)
-lives in :func:`decode_png` / :func:`encode_png`, and a baseline JPEG
-codec lives in :mod:`pudl_spark.functions.jpeg`; ``decode_image``
-dispatches on magic bytes, and every feature kernel below computes
-from actual decoded pixels. Codecs outside those two (progressive
-JPEG, video) raise a clearly-marked NotImplementedError — their
-libraries are not in this container.
+(zlib inflate, chunk parse, all five scanline filters including
+Paeth, Adam7 interlacing, palette + tRNS, 8- and 16-bit depths)
+lives in :func:`decode_png` / :func:`encode_png`, and a JPEG codec
+(baseline sequential AND progressive SOF2) lives in
+:mod:`pudl_spark.functions.jpeg`; ``decode_image`` dispatches on
+magic bytes, and every feature kernel below computes from actual
+decoded pixels. Codecs outside those two (video, GIF) raise a
+clearly-marked NotImplementedError — their libraries are not in this
+container.
 """
 
 from __future__ import annotations
@@ -69,14 +71,14 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
-                  ch: int) -> tuple[np.ndarray, int]:
-    """Unfilter one (sub-)image of `height` scanlines of `width`
-    pixels from the inflated stream starting at `pos`; returns the
-    (height, width*ch) uint8 array and the next stream position.
-    Implements the five PNG filters (None/Sub/Up/Average/Paeth,
-    RFC 2083)."""
-    stride = width * ch
+def _png_unfilter(raw: bytes, pos: int, stride: int, height: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image of `height` scanlines of `stride`
+    BYTES from the inflated stream starting at `pos`; returns the
+    (height, stride) uint8 array and the next stream position.
+    `bpp` is the filter left-offset in bytes (channels x bytes per
+    sample — PNG filters always operate on bytes, RFC 2083).
+    Implements the five filters (None/Sub/Up/Average/Paeth)."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(height):
@@ -92,9 +94,9 @@ def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
         elif ftype in (1, 3, 4):
             recon = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
-                left = recon[i - ch] if i >= ch else 0
+                left = recon[i - bpp] if i >= bpp else 0
                 up = prior[i]
-                ul = prior[i - ch] if i >= ch else 0
+                ul = prior[i - bpp] if i >= bpp else 0
                 if ftype == 1:
                     pred = left
                 elif ftype == 3:
@@ -110,11 +112,13 @@ def _png_unfilter(raw: bytes, pos: int, width: int, height: int,
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG (gray / gray+alpha / RGB / RGBA,
-    non-interlaced OR Adam7 interlaced) to a uint8 array of shape
-    (height, width, channels) using only the stdlib: chunk walk, zlib
-    inflate, the five scanline filters (None/Sub/Up/Average/Paeth)
-    from the PNG spec (RFC 2083), and the Adam7 seven-pass scatter.
+    """Decode a PNG (gray / gray+alpha / RGB / RGBA / palette,
+    8- or 16-bit depth, non-interlaced OR Adam7 interlaced) using
+    only the stdlib: chunk walk, zlib inflate, the five byte-level
+    scanline filters (None/Sub/Up/Average/Paeth) from the PNG spec
+    (RFC 2083), PLTE (+ optional tRNS -> RGBA) lookup, and the Adam7
+    seven-pass scatter. Returns uint8 (h, w, ch) — or uint16 for
+    16-bit files.
     """
     if data[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG stream")
@@ -122,6 +126,8 @@ def decode_png(data: bytes) -> np.ndarray:
     width = height = None
     color_type = bit_depth = ilace = None
     idat = bytearray()
+    plte = None
+    trns = None
     while off < len(data):
         (length,) = struct.unpack(">I", data[off:off + 4])
         ctype = data[off + 4:off + 8]
@@ -130,34 +136,58 @@ def decode_png(data: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, ilace = \
                 struct.unpack(">IIBBBBB", body)
-            if bit_depth != 8:
-                raise NotImplementedError("only 8-bit PNG supported")
+            if bit_depth not in (8, 16):
+                raise NotImplementedError(
+                    f"PNG bit depth {bit_depth} not supported")
+            if color_type == 3 and bit_depth != 8:
+                raise NotImplementedError("palette PNG must be 8-bit")
             if ilace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {ilace}")
-            if color_type not in _PNG_CHANNELS:
+            if color_type not in _PNG_CHANNELS and color_type != 3:
                 raise NotImplementedError(
                     f"PNG color type {color_type} not supported")
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
     raw = zlib.decompress(bytes(idat))
-    ch = _PNG_CHANNELS[color_type]
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    bps = bit_depth // 8                        # bytes per sample
+    bpp = ch * bps
     if not ilace:
-        out, _ = _png_unfilter(raw, 0, width, height, ch)
-        return out.reshape(height, width, ch)
-    # Adam7: each pass is an independently-filtered sub-image,
-    # scattered back on the pass grid; empty passes carry no bytes.
-    full = np.zeros((height, width, ch), dtype=np.uint8)
-    pos = 0
-    for x0, y0, dx, dy in _ADAM7:
-        wp = (width - x0 + dx - 1) // dx
-        hp = (height - y0 + dy - 1) // dy
-        if wp <= 0 or hp <= 0:
-            continue
-        sub, pos = _png_unfilter(raw, pos, wp, hp, ch)
-        full[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
-    return full
+        out, _ = _png_unfilter(raw, 0, width * bpp, height, bpp)
+        full = out.reshape(height, width * bpp)
+    else:
+        # Adam7: each pass is an independently-filtered sub-image,
+        # scattered back on the pass grid; empty passes carry no bytes
+        full = np.zeros((height, width * bpp), dtype=np.uint8)
+        fview = full.reshape(height, width, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            sub, pos = _png_unfilter(raw, pos, wp * bpp, hp, bpp)
+            fview[y0::dy, x0::dx] = sub.reshape(hp, wp, bpp)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = full.reshape(height, width)
+        rgb = plte[idx]                         # (h, w, 3)
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[:len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if bit_depth == 16:
+        u16 = full.reshape(height, width, ch, 2).astype(np.uint16)
+        return (u16[..., 0] << 8) | u16[..., 1]  # big-endian samples
+    return full.reshape(height, width, ch)
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -165,21 +195,22 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
 
 
-def _png_filter_pass(flat: np.ndarray, ch: int) -> bytearray:
-    """Filter one (sub-)image (rows of samples) with filter type
+def _png_filter_pass(flat: np.ndarray, bpp: int) -> bytearray:
+    """Filter one (sub-)image (rows of BYTES) with filter type
     ``y % 5`` — deliberately cycling through ALL five filters so a
     round-trip through :func:`decode_png` exercises every unfilter
-    path."""
+    path. ``bpp`` is the byte-level left offset (channels x bytes
+    per sample)."""
     h, stride = flat.shape
     lines = bytearray()
     prior = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         raw = flat[y]
         ftype = y % 5
-        left = np.concatenate([np.zeros(ch, dtype=np.int32),
-                               raw[:-ch]]) if stride > ch else             np.zeros(stride, dtype=np.int32)
-        ul = np.concatenate([np.zeros(ch, dtype=np.int32),
-                             prior[:-ch]]) if stride > ch else             np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                               raw[:-bpp]]) if stride > bpp else             np.zeros(stride, dtype=np.int32)
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                             prior[:-bpp]]) if stride > bpp else             np.zeros(stride, dtype=np.int32)
         if ftype == 0:
             filt = raw
         elif ftype == 1:
@@ -200,19 +231,29 @@ def _png_filter_pass(flat: np.ndarray, ch: int) -> bytearray:
 
 
 def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
-    """Encode a uint8 array (h, w) or (h, w, {1,2,3,4}) as a valid
-    8-bit PNG — sequential or Adam7 interlaced. Scanlines cycle
-    through all five filter types (see :func:`_png_filter_pass`).
+    """Encode a (h, w) or (h, w, {1,2,3,4}) array as a valid PNG —
+    8-bit from uint8 input, 16-bit (big-endian samples) from uint16
+    input; sequential or Adam7 interlaced. Scanlines cycle through
+    all five filter types (see :func:`_png_filter_pass`).
     """
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
+    depth = 16 if arr.dtype == np.uint16 else 8
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
                        1 if interlace else 0)
-    arr = arr.astype(np.int32)
+    if depth == 16:
+        # big-endian sample bytes: (h, w, ch, 2) -> byte rows
+        a16 = arr.astype(np.uint16)
+        byts = np.stack([(a16 >> 8) & 0xFF, a16 & 0xFF], axis=-1)
+        arr = byts.astype(np.int32).reshape(h, w, ch * 2)
+        bpp = ch * 2
+    else:
+        arr = arr.astype(np.int32)
+        bpp = ch
     if not interlace:
-        lines = _png_filter_pass(arr.reshape(h, w * ch), ch)
+        lines = _png_filter_pass(arr.reshape(h, w * bpp), bpp)
     else:
         lines = bytearray()
         for x0, y0, dx, dy in _ADAM7:
@@ -220,7 +261,7 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
             hp, wp = sub.shape[:2]
             if hp <= 0 or wp <= 0:
                 continue
-            lines += _png_filter_pass(sub.reshape(hp, wp * ch), ch)
+            lines += _png_filter_pass(sub.reshape(hp, wp * bpp), bpp)
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
             + _png_chunk(b"IEND", b""))

@@ -408,3 +408,46 @@ class TestPngCodec:
             .executedPlan().toString()
         assert plan.count("Exchange") == 0, plan
         assert "MapInPandas" in plan
+
+    def test_16bit_png_roundtrip(self, spark):
+        import numpy as np
+
+        from pudl_spark.functions.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(67)
+        for shape in [(6, 9), (4, 5, 3), (7, 3, 4), (2, 2, 2), (1, 1)]:
+            arr = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+            expect = arr if arr.ndim == 3 else arr[:, :, None]
+            for il in (False, True):
+                got = decode_png(encode_png(arr, interlace=il))
+                assert got.dtype == np.uint16
+                assert np.array_equal(got, expect), (shape, il)
+
+    def test_palette_png_with_and_without_trns(self, spark):
+        """Color type 3 (PLTE lookup) built by hand; tRNS upgrades to
+        RGBA with 255 for unlisted entries (PNG spec 11.3.2)."""
+        import struct as _s
+        import zlib as _z
+
+        import numpy as np
+
+        from pudl_spark.functions.multimodal import (
+            _PNG_MAGIC, _png_chunk, decode_png)
+
+        plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                         [10, 20, 30], [200, 200, 200]], dtype=np.uint8)
+        idx = np.array([[0, 1, 2], [3, 4, 0], [1, 1, 2], [4, 0, 3]],
+                       dtype=np.uint8)
+        h, w = idx.shape
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        base = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"PLTE", plte.tobytes()))
+        tail = (_png_chunk(b"IDAT", _z.compress(raw))
+                + _png_chunk(b"IEND", b""))
+        assert np.array_equal(decode_png(base + tail), plte[idx])
+        data = base + _png_chunk(b"tRNS", bytes([255, 128, 0])) + tail
+        alpha = np.array([255, 128, 0, 255, 255], dtype=np.uint8)
+        expect = np.concatenate([plte[idx], alpha[idx][:, :, None]],
+                                axis=2)
+        assert np.array_equal(decode_png(data), expect)
