@@ -500,20 +500,40 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
 
 # ------------------------------------------------------------- WAV audio
 
-def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """Minimal RIFF/WAVE writer: 16-bit PCM mono, stdlib struct only."""
-    pcm = np.asarray(samples, dtype="<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+def encode_wav(samples: np.ndarray, rate: int = 8000,
+               bits: int = 16) -> bytes:
+    """Minimal RIFF/WAVE writer, stdlib struct only: 16-bit PCM
+    (signed little-endian) or 8-bit PCM (unsigned, per the WAV
+    convention). Mono from a 1-D array, stereo from (n, 2) —
+    interleaved frames."""
+    arr = np.asarray(samples)
+    channels = 1 if arr.ndim == 1 else int(arr.shape[1])
+    if channels not in (1, 2):
+        raise ValueError("mono or stereo only")
+    if bits == 16:
+        pcm = arr.astype("<i2").reshape(-1).tobytes()
+    elif bits == 8:
+        pcm = arr.astype(np.uint8).reshape(-1).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    if len(pcm) & 1:
+        body += b"\x00"                        # RIFF word alignment
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Minimal RIFF/WAVE reader: walks the chunk list (tolerating
-    LIST/INFO and other extras), supports 16-bit PCM mono. Returns
-    (samples int16 array, sample_rate). Raises NotImplementedError
-    for other encodings — honest gating, same policy as decode_image.
+    LIST/INFO and other extras), supports 8-bit (unsigned) and
+    16-bit (signed) PCM, mono or stereo. Returns (samples, rate):
+    int16 values scaled to the 16-bit range for 8-bit input
+    ((x - 128) << 8, the standard widening), 1-D for mono, (n, 2)
+    for stereo. Raises NotImplementedError for other encodings
+    (float/ADPCM/etc.) — honest gating, same policy as decode_image.
     """
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE stream")
@@ -527,11 +547,18 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt_code, channels, rate = struct.unpack("<HHI", body[:8])
             (bits,) = struct.unpack("<H", body[14:16])
         elif ctype == b"data":
-            if fmt_code != 1 or bits != 16 or channels != 1:
+            if fmt_code != 1 or bits not in (8, 16) \
+                    or channels not in (1, 2):
                 raise NotImplementedError(
-                    f"only 16-bit PCM mono supported "
+                    f"only 8/16-bit PCM mono/stereo supported "
                     f"(fmt={fmt_code}, bits={bits}, ch={channels})")
-            samples = np.frombuffer(body, dtype="<i2")
+            if bits == 16:
+                samples = np.frombuffer(body, dtype="<i2")
+            else:
+                samples = ((np.frombuffer(body, dtype=np.uint8)
+                            .astype(np.int16) - 128) << 8)
+            if channels == 2:
+                samples = samples.reshape(-1, 2)
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if samples is None or rate is None:
         raise NotImplementedError("no PCM data chunk found")
@@ -559,6 +586,7 @@ def wav_sample_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 s, rate = decode_wav(bytes(content))
+                s = s.reshape(-1)              # stereo frames flatten
                 a = np.abs(s.astype(np.int64))
                 rows.append((int(mid), int(rate), len(s),
                              int(s.astype(np.int64).sum()),

@@ -60,3 +60,43 @@ def test_wav_sample_stats_spark(spark):
         assert got[mid]["sum_abs"] == int(np.abs(s).sum())
         assert got[mid]["peak"] == int(np.abs(s).max())
         assert got[mid]["sample_rate"] == 16000
+
+
+def test_stereo_and_8bit_roundtrip():
+    import numpy as np
+
+    from pudl_spark.functions.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(71)
+    # stereo 16-bit: (n, 2) interleaved frames round-trip exactly
+    st = rng.integers(-32768, 32768, size=(37, 2)).astype(np.int16)
+    got, rate = decode_wav(encode_wav(st, rate=16000))
+    assert rate == 16000 and got.shape == (37, 2)
+    assert np.array_equal(got, st)
+    # 8-bit unsigned mono: widened to int16 by (x-128)<<8
+    u8 = rng.integers(0, 256, size=41).astype(np.uint8)
+    got8, _ = decode_wav(encode_wav(u8, bits=8))
+    assert got8.dtype == np.int16
+    assert np.array_equal(got8, (u8.astype(np.int16) - 128) << 8)
+    # odd-length 8-bit data chunk gets a RIFF pad byte, still decodes
+    assert len(encode_wav(u8, bits=8)) % 2 == 0
+    # 8-bit stereo
+    u8s = rng.integers(0, 256, size=(23, 2)).astype(np.uint8)
+    gots, _ = decode_wav(encode_wav(u8s, bits=8))
+    assert gots.shape == (23, 2)
+    assert np.array_equal(gots, (u8s.astype(np.int16) - 128) << 8)
+
+
+def test_float_wav_still_gated():
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from pudl_spark.functions.multimodal import decode_wav, encode_wav
+
+    raw = bytearray(encode_wav(np.zeros(4, dtype=np.int16)))
+    i = bytes(raw).find(b"fmt ")
+    raw[i + 8:i + 10] = _s.pack("<H", 3)       # IEEE float fmt code
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(raw))
