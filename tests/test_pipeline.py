@@ -141,3 +141,60 @@ def test_incremental_inputs_signature_invalidates(spark, tmp_path):
     sig["v"] = "s2"  # external data changed
     build().materialize(spark, store, incremental=True)
     assert calls == ["src", "src"]
+
+
+def test_parallel_materialization_runs_independent_assets_together(
+        spark, tmp_path):
+    """max_workers>1: the two middle diamond assets must be IN FLIGHT
+    at the same time — each waits on a shared barrier the other must
+    reach, which deadlocks (times out) under serial execution."""
+    import threading
+
+    from pudl_spark.plans.pipeline import AssetGraph
+
+    barrier = threading.Barrier(2, timeout=30)
+    g = AssetGraph()
+
+    @g.add("src")
+    def src(sp, inputs):
+        return sp.range(10).withColumnRenamed("id", "k")
+
+    @g.add("mid_a", deps=("src",))
+    def mid_a(sp, inputs):
+        barrier.wait()
+        return inputs["src"].withColumn("side", F.lit("a"))
+
+    @g.add("mid_b", deps=("src",))
+    def mid_b(sp, inputs):
+        barrier.wait()
+        return inputs["src"].withColumn("side", F.lit("b"))
+
+    @g.add("out", deps=("mid_a", "mid_b"))
+    def out(sp, inputs):
+        return inputs["mid_a"].unionByName(inputs["mid_b"])
+
+    store = str(tmp_path / "par")
+    paths = g.materialize(spark, store, max_workers=2)
+    got = spark.read.parquet(paths["out"])
+    assert got.count() == 20
+    assert sorted(r["side"] for r in got.select("side")
+                  .distinct().collect()) == ["a", "b"]
+
+
+def test_parallel_materialization_propagates_failures(spark, tmp_path):
+    import pytest
+
+    from pudl_spark.plans.pipeline import AssetGraph
+
+    g = AssetGraph()
+
+    @g.add("ok")
+    def ok(sp, inputs):
+        return sp.range(3)
+
+    @g.add("boom")
+    def boom(sp, inputs):
+        raise RuntimeError("asset exploded")
+
+    with pytest.raises(RuntimeError, match="asset exploded"):
+        g.materialize(spark, str(tmp_path / "fail"), max_workers=2)
