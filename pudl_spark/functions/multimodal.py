@@ -268,19 +268,23 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Decode an image payload to a uint8 pixel array. PNG and JPEG
-    (baseline sequential AND progressive) are decoded for real by the
-    self-contained stdlib+numpy codecs; other formats (video frames,
-    GIF, ...) still raise — honest gating."""
+    """Decode an image payload to a uint8 pixel array. PNG, JPEG
+    (baseline sequential AND progressive) and GIF are decoded for
+    real by the self-contained stdlib+numpy codecs; other formats
+    (video frames, WebP, ...) still raise — honest gating."""
     if content[:8] == _PNG_MAGIC:
         return decode_png(content)
     if content[:2] == b"\xff\xd8":
         from pudl_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        from pudl_spark.functions.gif import decode_gif
+
+        return decode_gif(content)
     raise NotImplementedError(
-        "only PNG and JPEG decoding are self-contained; other codecs "
-        "require external libraries not installed here.")
+        "only PNG, JPEG and GIF decoding are self-contained; other "
+        "codecs require external libraries not installed here.")
 
 
 def _pixel_features(px: np.ndarray, dim: int = 8

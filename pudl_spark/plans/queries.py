@@ -5760,6 +5760,84 @@ def media_jpeg_features(spark, sf_dir):
     return image_pixel_stats(media)
 
 
+@query("media_gif_features", sql="""
+WITH ids AS (
+  SELECT CAST(c_custkey AS BIGINT) AS media_id FROM customer
+), dims AS (
+  SELECT media_id, 8 + media_id % 6 AS w, 8 + media_id % 5 AS h,
+    5 + media_id % 4 AS nc
+  FROM ids
+), g1 AS (
+  SELECT media_id, w, h, nc, unnest(range(0, h)) AS y FROM dims
+), g2 AS (
+  SELECT media_id, w, h, nc, y, unnest(range(0, w)) AS x FROM g1
+), px AS (
+  SELECT media_id, w, h,
+    (media_id + x * 3 + y * 7) % nc AS j
+  FROM g2
+), rgb AS (
+  SELECT media_id, w, h,
+    (j * 37 + 11) % 256 AS r, (j * 53 + 7) % 256 AS g,
+    (j * 71 + 3) % 256 AS b
+  FROM px
+)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+  CAST(MIN(LEAST(r, g, b)) AS INT) AS px_min,
+  CAST(MAX(GREATEST(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY media_id, w, h
+""")
+def media_gif_features(spark, sf_dir):
+    """Multimodal with a REAL GIF decode: palette-indexed pixel
+    arrays generated from a closed-form formula, LZW-compressed into
+    actual GIF89a bytes by `encode_gif` (a true dictionary
+    compressor — table growth, width increments, KwKwK), alternately
+    interlaced, then decoded back through `decode_image` (magic-byte
+    dispatch -> `decode_gif`) and reduced to exact integer pixel
+    stats over the palette-resolved RGB. The oracle computes the
+    same stats straight from the index + palette formulas — a
+    decoder that mis-steps one LZW code or de-interlaces one row
+    wrong hash-mismatches.
+
+    media_id keys off customer; (w, h) = (8 + id%6, 8 + id%5),
+    n_colors = 5 + id%4, idx(y, x) = (id + x*3 + y*7) % n_colors,
+    palette[j] = ((j*37+11)%256, (j*53+7)%256, (j*71+3)%256);
+    even ids interlace.
+
+    Scale shape: encode and decode are Arrow-batched map-only
+    islands after the id spread; binary payloads never join or
+    aggregate.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pudl_spark.functions.gif import encode_gif
+    from pudl_spark.functions.multimodal import image_pixel_stats
+
+    ids = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("media_id"))
+
+    @pandas_udf("binary")
+    def _mk_gif(mid):
+        out = []
+        for i in mid:
+            i = int(i)
+            w, h, nc = 8 + i % 6, 8 + i % 5, 5 + i % 4
+            y, x = np.ogrid[0:h, 0:w]
+            idx = ((i + x * 3 + y * 7) % nc).astype(np.uint8)
+            j = np.arange(nc)
+            pal = np.stack([(j * 37 + 11) % 256, (j * 53 + 7) % 256,
+                            (j * 71 + 3) % 256], axis=1).astype(np.uint8)
+            out.append(encode_gif(idx, pal, interlace=(i % 2 == 0)))
+        return pd.Series(out)
+
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
+    media = ids.withColumn("content", _mk_gif(F.col("media_id")))
+    return image_pixel_stats(media)
+
+
 @query("media_thumbnail_stats", sql="""
 WITH ids AS (
   SELECT CAST(p_partkey AS BIGINT) AS media_id FROM part
