@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "event_sessions_windowed",
     "media_feature_extract",
     "media_jpeg_features",
+    "media_gif_features",
     "media_thumbnail_stats",
     "jw_linkage_parts",
     "doc_curation_decisions",
