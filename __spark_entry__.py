@@ -34,7 +34,7 @@ _TOUCHED_THIS_ROUND = [
     # real-decode multimodal rework + new queries (r5)
     "media_feature_extract", "media_jpeg_features",
     "media_thumbnail_stats", "media_gif_features",
-    "incremental_rebuild_counts",
+    "media_video_frames", "incremental_rebuild_counts",
     # heavy.py candidate pinning (r5) + r4-touched-after-r3-cert rows
     "doc_top_terms", "doc_dup_spans", "doc_bigram_perplexity",
     # share the touched multimodal module (decode dispatch)
@@ -59,10 +59,11 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     # -- next-oldest: latest green row is round 2 (30 of 36; the six
     #    source-roundtrip queries with dedicated unit suites —
     #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
-    #    user_running_stats and date_merge_year (its month twin was
-    #    r4-certified) roll to round 6) --
+    #    user_running_stats, date_merge_year (its month twin was
+    #    r4-certified) and dedupe_on_category_priority roll to
+    #    round 6) --
     "clean_customer_names",
-    "declarative_transform_orders", "dedupe_on_category_priority",
+    "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
     "dominant_event_type", "embedding_blocked_clusters",
     "encode_order_status", "event_hypertable_rollup",

@@ -156,10 +156,11 @@ def lzw_decompress(data: bytes, min_code: int, n_expected: int
 # --------------------------------------------------------------- decode
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """Decode the first frame of a GIF87a/89a stream to uint8
-    (h, w, 3), or (h, w, 4) when the frame declares a transparent
-    index."""
+def _iter_gif_frames(data: bytes):
+    """Walk a GIF stream yielding one dict per image descriptor:
+    {idx (fh, fw) uint8, left, top, ct, transparent, disposal,
+    screen (w, h, bg, gct)} — shared machinery for the single-frame
+    and animation decoders."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -170,7 +171,10 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data, dtype=np.uint8, count=3 * n,
                             offset=pos).reshape(n, 3)
         pos += 3 * n
+    screen = {"w": w, "h": h, "bg": bg, "gct": gct}
     transparent = None
+    disposal = 0
+    yielded = False
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -182,8 +186,8 @@ def decode_gif(data: bytes) -> np.ndarray:
             if label == 0xF9:                  # graphic control
                 size = data[pos]
                 flags = data[pos + 1]
-                if flags & 0x01:
-                    transparent = data[pos + 4]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[pos + 4] if flags & 0x01 else None
                 pos += 1 + size
             # skip remaining sub-blocks (and all other extensions)
             while data[pos] != 0:
@@ -223,39 +227,80 @@ def decode_gif(data: bytes) -> np.ndarray:
                     seq[y] = i
                     i += 1
             frame = frame[seq]
-        # composite onto the logical screen (first frame: background)
-        canvas = np.full((h, w), bg, dtype=np.uint8)
-        canvas[top:top + fh, left:left + fw] = frame
-        rgb = ct[np.minimum(canvas, len(ct) - 1)]
-        if transparent is None:
-            return rgb
-        alpha = np.where(canvas == transparent, 0, 255).astype(np.uint8)
-        return np.concatenate([rgb, alpha[:, :, None]], axis=2)
-    raise ValueError("no image descriptor in GIF stream")
+        yield {"idx": frame, "left": left, "top": top, "ct": ct,
+               "transparent": transparent, "disposal": disposal,
+               "screen": screen}
+        transparent = None
+        disposal = 0
+        yielded = True
+    if not yielded:
+        raise ValueError("no image descriptor in GIF stream")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF87a/89a stream to uint8
+    (h, w, 3), or (h, w, 4) when the frame declares a transparent
+    index."""
+    fr = next(iter(_iter_gif_frames(data)))
+    scr = fr["screen"]
+    h, w, bg = scr["h"], scr["w"], scr["bg"]
+    ct = fr["ct"]
+    canvas = np.full((h, w), bg, dtype=np.uint8)
+    fh, fw = fr["idx"].shape
+    canvas[fr["top"]:fr["top"] + fh, fr["left"]:fr["left"] + fw] = \
+        fr["idx"]
+    rgb = ct[np.minimum(canvas, len(ct) - 1)]
+    if fr["transparent"] is None:
+        return rgb
+    alpha = np.where(canvas == fr["transparent"], 0, 255
+                     ).astype(np.uint8)
+    return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+
+
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of an (animated) GIF to a list of
+    composited uint8 (h, w, 3) canvas snapshots, honoring the GIF89a
+    animation model: transparent pixels leave the previous canvas
+    visible; disposal method 2 restores the frame's rectangle to the
+    background color before the next frame, method 3 restores the
+    previous canvas, 0/1 leave the frame in place. This is the REAL
+    video-frame path of the multimodal pipeline — an animated GIF is
+    the one motion format a stdlib-only container can decode."""
+    frames: list[np.ndarray] = []
+    canvas = None
+    for fr in _iter_gif_frames(data):
+        scr = fr["screen"]
+        if canvas is None:
+            canvas = np.full((scr["h"], scr["w"]), scr["bg"],
+                             dtype=np.uint8)
+        before = canvas.copy()
+        fh, fw = fr["idx"].shape
+        region = canvas[fr["top"]:fr["top"] + fh,
+                        fr["left"]:fr["left"] + fw]
+        if fr["transparent"] is None:
+            region[:] = fr["idx"]
+        else:
+            keep = fr["idx"] == fr["transparent"]
+            region[:] = np.where(keep, region, fr["idx"])
+        ct = fr["ct"]
+        frames.append(ct[np.minimum(canvas, len(ct) - 1)])
+        if fr["disposal"] == 2:
+            canvas[fr["top"]:fr["top"] + fh,
+                   fr["left"]:fr["left"] + fw] = scr["bg"]
+        elif fr["disposal"] == 3:
+            canvas = before
+    return frames
 
 
 # --------------------------------------------------------------- encode
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray,
-               transparent: int | None = None,
-               interlace: bool = False) -> bytes:
-    """Encode a (h, w) uint8 index array + (n, 3) palette as a
-    single-frame GIF89a. ``transparent`` adds a graphic-control
-    extension; ``interlace`` writes the four-pass row order."""
-    idx = np.asarray(indices, dtype=np.uint8)
-    pal = np.asarray(palette, dtype=np.uint8)
+def _frame_block(idx: np.ndarray, bits: int, interlace: bool,
+                 left: int = 0, top: int = 0) -> bytes:
+    """One image-descriptor + LZW data block."""
     h, w = idx.shape
-    bits = max(1, int(len(pal) - 1).bit_length())
-    n_slots = 1 << bits
-    full = np.zeros((n_slots, 3), dtype=np.uint8)
-    full[:len(pal)] = pal
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
-    out += full.tobytes()
-    if transparent is not None:
-        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+    out = bytearray()
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h,
                                  0x40 if interlace else 0)
     if interlace:
         order = [y for start, step in _INTERLACE_PASSES
@@ -269,5 +314,60 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
     for i in range(0, len(lzw), 255):
         chunk = lzw[i:i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+    return bytes(out)
+
+
+def _gif_header(w: int, h: int, palette: np.ndarray) -> tuple[bytes, int]:
+    pal = np.asarray(palette, dtype=np.uint8)
+    bits = max(1, int(len(pal) - 1).bit_length())
+    full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    full[:len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += full.tobytes()
+    return bytes(out), bits
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               transparent: int | None = None,
+               interlace: bool = False) -> bytes:
+    """Encode a (h, w) uint8 index array + (n, 3) palette as a
+    single-frame GIF89a. ``transparent`` adds a graphic-control
+    extension; ``interlace`` writes the four-pass row order."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    out, bits = _gif_header(w, h, palette)
+    out = bytearray(out)
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += _frame_block(idx, bits, interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(frames: list[np.ndarray], palette: np.ndarray,
+                         transparent: int | None = None,
+                         disposal: int = 0,
+                         delay_cs: int = 10) -> bytes:
+    """Encode a list of (h, w) index arrays as an ANIMATED GIF89a:
+    one graphic-control extension (disposal method, delay, optional
+    transparency) + image descriptor per frame, shared global color
+    table. The real video container of the multimodal pipeline."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    out, bits = _gif_header(w, h, palette)
+    out = bytearray(out)
+    flags = (disposal & 0x07) << 2
+    tr = 0
+    if transparent is not None:
+        flags |= 0x01
+        tr = transparent
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share the screen size")
+        out += bytes([0x21, 0xF9, 4, flags]) \
+            + struct.pack("<H", delay_cs) + bytes([tr, 0])
+        out += _frame_block(f, bits, False)
+    out += b"\x3b"
     return bytes(out)

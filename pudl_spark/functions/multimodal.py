@@ -473,13 +473,58 @@ def thumbnail_stats(media: DataFrame, out_h: int = 8,
         batches, schema=THUMB_STATS_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_no", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("px_sum", T.LongType(), True),
+    T.StructField("px_min", T.IntegerType(), True),
+    T.StructField("px_max", T.IntegerType(), True),
+])
+
+
+def extract_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction over a motion-format binary column:
+    animated GIFs decode frame-by-frame (compositing, transparency,
+    disposal — `functions/gif.py::decode_gif_frames`), every
+    ``every_n``-th composited frame reduces to exact integer pixel
+    stats. One output row per sampled frame — the frame-sample leg of
+    the multimodal pipeline, no longer a stub (formats beyond GIF
+    still need external libraries and stay gated in decode_image).
+
+    Arrow-batched mapInPandas island; at scale the per-row output
+    amplification (n_frames / every_n) is what the planner must know
+    — downstream aggregations see the exploded cardinality.
+    """
+    from pudl_spark.functions.gif import decode_gif_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames = decode_gif_frames(bytes(content))
+                for k in range(0, len(frames), every_n):
+                    flat = frames[k].reshape(-1).astype(np.int64)
+                    h, w = frames[k].shape[:2]
+                    rows.append((int(mid), k, w, h, int(flat.sum()),
+                                 int(flat.min()), int(flat.max())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_no", "width", "height", "px_sum",
+                "px_min", "px_max"])
+
+    return media.select("media_id", "content").mapInPandas(
+        batches, schema=VIDEO_FRAME_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp.
 
-    The frame *extraction* is stubbed (no ffmpeg); the row expansion —
-    the part that matters for partitioning math — is a real
-    explode(sequence(...)) sized by duration metadata, so planners see
-    true output cardinality.
+    This is the metadata-driven row EXPANSION (explode by duration) —
+    planners see true output cardinality without touching payload
+    bytes; the real per-frame decode lives in
+    :func:`extract_video_frames` (animated GIF). Opaque codecs that
+    would need ffmpeg keep NULL frame bytes here.
     """
     n = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return (

@@ -5838,6 +5838,91 @@ def media_gif_features(spark, sf_dir):
     return image_pixel_stats(media)
 
 
+@query("media_video_frames", sql="""
+WITH ids AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS media_id FROM nation
+), meta AS (
+  SELECT media_id, 3 + media_id % 3 AS nf,
+    8 + media_id % 5 AS w, 8 + media_id % 4 AS h,
+    5 + media_id % 3 AS nc
+  FROM ids
+), fr AS (
+  SELECT media_id, nf, w, h, nc, unnest(range(0, nf)) AS k FROM meta
+), sampled AS (
+  SELECT * FROM fr WHERE k % 2 = 0
+), v1 AS (
+  SELECT media_id, w, h, nc, k, unnest(range(0, h)) AS y FROM sampled
+), v2 AS (
+  SELECT media_id, w, h, nc, k, y, unnest(range(0, w)) AS x FROM v1
+), px AS (
+  SELECT media_id, w, h, k,
+    (media_id + k * 5 + x * 3 + y * 7) % nc AS j
+  FROM v2
+), rgb AS (
+  SELECT media_id, w, h, k,
+    (j * 37 + 11) % 256 AS r, (j * 53 + 7) % 256 AS g,
+    (j * 71 + 3) % 256 AS b
+  FROM px
+)
+SELECT media_id, CAST(k AS INT) AS frame_no,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+  CAST(MIN(LEAST(r, g, b)) AS INT) AS px_min,
+  CAST(MAX(GREATEST(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY media_id, k, w, h
+""")
+def media_video_frames(spark, sf_dir):
+    """REAL video-frame sampling (the frame-sample leg, no longer a
+    stub): each id becomes an ANIMATED GIF whose per-frame pixel
+    indices follow a closed-form formula, encoded by
+    `encode_gif_animation` (one GCE + LZW image block per frame),
+    decoded back frame-by-frame through `decode_gif_frames`
+    (compositing model), sampled every 2nd frame, and reduced to
+    exact integer pixel stats per sampled frame. The oracle evaluates
+    the formulas at the sampled frame indices — a decoder that drops
+    a frame, mis-composites, or mis-numbers the samples
+    hash-mismatches.
+
+    media_id keys off nation; n_frames = 3 + id%3, (w, h) =
+    (8 + id%5, 8 + id%4), n_colors = 5 + id%3, frame k pixel
+    idx(y, x) = (id + k*5 + x*3 + y*7) % n_colors, palette as in
+    media_gif_features.
+
+    Scale shape: decode islands after the id spread; the row
+    amplification (frames per video) happens INSIDE the island with
+    planner-visible output schema — no shuffle touches payloads.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pudl_spark.functions.gif import encode_gif_animation
+    from pudl_spark.functions.multimodal import extract_video_frames
+
+    ids = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("media_id"))
+
+    @pandas_udf("binary")
+    def _mk_anim(mid):
+        out = []
+        for i in mid:
+            i = int(i)
+            nf, w, h, nc = 3 + i % 3, 8 + i % 5, 8 + i % 4, 5 + i % 3
+            y, x = np.ogrid[0:h, 0:w]
+            frames = [((i + k * 5 + x * 3 + y * 7) % nc
+                       ).astype(np.uint8) for k in range(nf)]
+            j = np.arange(nc)
+            pal = np.stack([(j * 37 + 11) % 256, (j * 53 + 7) % 256,
+                            (j * 71 + 3) % 256], axis=1).astype(np.uint8)
+            out.append(encode_gif_animation(frames, pal))
+        return pd.Series(out)
+
+    from pudl_spark.catalog import spread_small_input
+    ids = spread_small_input(ids, "media_id")
+    media = ids.withColumn("content", _mk_anim(F.col("media_id")))
+    return extract_video_frames(media, every_n=2)
+
+
 @query("media_thumbnail_stats", sql="""
 WITH ids AS (
   SELECT CAST(p_partkey AS BIGINT) AS media_id FROM part

@@ -81,3 +81,55 @@ def test_property_gif_roundtrip(seed, il):
     idx = rng.integers(0, nc, size=(h, w)).astype(np.uint8)
     assert np.array_equal(
         decode_gif(encode_gif(idx, pal, interlace=il)), pal[idx])
+
+
+def test_animated_gif_frames_and_compositing():
+    from pudl_spark.functions.gif import (
+        decode_gif_frames, encode_gif_animation)
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 8, size=(10, 12)).astype(np.uint8)
+              for _ in range(4)]
+    got = decode_gif_frames(encode_gif_animation(frames, pal))
+    assert len(got) == 4
+    assert all(np.array_equal(g, pal[f]) for g, f in zip(got, frames))
+    # transparency: transparent pixels show the PREVIOUS frame
+    f0 = np.zeros((6, 6), dtype=np.uint8)
+    f1 = np.full((6, 6), 7, dtype=np.uint8)
+    f1[2:4, 2:4] = 3
+    g = decode_gif_frames(encode_gif_animation([f0, f1], pal,
+                                               transparent=3))
+    assert np.array_equal(g[1], pal[np.where(f1 == 3, f0, f1)])
+    # disposal 2: canvas restored to background between frames
+    f2 = np.full((6, 6), 5, dtype=np.uint8)
+    g = decode_gif_frames(encode_gif_animation([f1, f2], pal,
+                                               transparent=3,
+                                               disposal=2))
+    assert np.array_equal(
+        g[0], pal[np.where(f1 == 3, np.zeros_like(f1), f1)])
+    assert np.array_equal(g[1], pal[f2])
+    # single-frame decode = first animation frame
+    assert np.array_equal(
+        decode_gif_frames(encode_gif(frames[0], pal))[0],
+        pal[frames[0]])
+
+
+def test_extract_video_frames_kernel(spark):
+    import numpy as np
+
+    from pudl_spark.functions.gif import encode_gif_animation
+    from pudl_spark.functions.multimodal import extract_video_frames
+
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30]], dtype=np.uint8)
+    frames = [np.full((4, 4), k % 3, dtype=np.uint8) for k in range(5)]
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_gif_animation(frames, pal)))],
+        "media_id long, content binary")
+    rows = sorted(extract_video_frames(df, every_n=2).collect(),
+                  key=lambda r: r.frame_no)
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    for r in rows:
+        v = pal[r.frame_no % 3]                # constant frame color
+        assert r.px_sum == int(v.astype(int).sum()) * 16
+        assert (r.width, r.height) == (4, 4)
