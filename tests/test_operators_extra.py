@@ -256,12 +256,14 @@ class TestPngCodec:
 
         from pudl_spark.functions.multimodal import decode_image
 
-        # JPEG magic now routes to the real decoder, which rejects the
-        # malformed stream; unknown magic stays honestly gated
+        # JPEG/GIF magic routes to the real decoders, which reject
+        # the malformed streams; unknown magic stays honestly gated
         with pytest.raises((ValueError, _struct.error, EOFError)):
             decode_image(b"\xff\xd8\xff\xe0 not a jpeg")
+        with pytest.raises((ValueError, _struct.error, EOFError)):
+            decode_image(b"GIF89a but then garbage \xff\xff")
         with pytest.raises(NotImplementedError):
-            decode_image(b"GIF89a not supported here")
+            decode_image(b"RIFF....WEBPVP8 not supported here")
 
     def test_png_pixel_stats_exact_sums(self, spark):
         import numpy as np
