@@ -35,6 +35,7 @@ _TOUCHED_THIS_ROUND = [
     "media_feature_extract", "media_jpeg_features",
     "media_thumbnail_stats", "media_gif_features",
     "media_video_frames", "incremental_rebuild_counts",
+    "bpe_merges_docs",
     # heavy.py candidate pinning (r5) + r4-touched-after-r3-cert rows
     "doc_top_terms", "doc_dup_spans", "doc_bigram_perplexity",
     # share the touched multimodal module (decode dispatch)
@@ -60,12 +61,12 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    source-roundtrip queries with dedicated unit suites —
     #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
     #    user_running_stats, date_merge_year (its month twin was
-    #    r4-certified) and dedupe_on_category_priority roll to
-    #    round 6) --
+    #    r4-certified), dedupe_on_category_priority and
+    #    dominant_event_type roll to round 6) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
-    "dominant_event_type", "embedding_blocked_clusters",
+    "embedding_blocked_clusters",
     "encode_order_status", "event_hypertable_rollup",
     "event_run_lengths", "event_sessions_windowed",
     "event_sliding_windows", "event_type_changelog",

@@ -38,6 +38,11 @@ from pudl_spark.operators.aggregate import weighted_average_expr
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Queries registered WITHOUT a SQL oracle — genuinely iterative
+# algorithms no closed-form SQL can replicate (the driver contract
+# records a weaker rows-only check for these; tests pin them against
+# first-principles reference implementations instead).
+ROWS_ONLY: set[str] = set()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,6 +64,8 @@ def query(name: str, sql: str | None = None):
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
+        else:
+            ROWS_ONLY.add(name)
         return fn
     return deco
 
@@ -5836,6 +5843,30 @@ def media_gif_features(spark, sf_dir):
     ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_gif(F.col("media_id")))
     return image_pixel_stats(media)
+
+
+@query("bpe_merges_docs")
+def bpe_merges_docs(spark, sf_dir):
+    """Distributed BPE tokenizer training over the documents corpus
+    (Sennrich et al. 2016): ONE corpus scan builds the vocabulary
+    frequency frame, then 25 merge iterations each run a pair
+    explode + weighted groupBy + 1-row argmax on that small frame —
+    never re-reading the corpus. Deterministic (count-desc,
+    lexicographic tie-break), so the merge table is a pure function
+    of the corpus; `tests/test_bpe.py` pins it against a
+    first-principles pure-Python reference. Registered WITHOUT a SQL
+    oracle — an iterative argmax recursion has no closed form; the
+    driver records the rows-only check the contract defines for
+    iterative algorithms.
+
+    Scale shape: corpus text collapses to (word, n) before any
+    iteration; per-merge cost is vocabulary-sized, and the final
+    `apply_bpe` tokenization is a map-only broadcast kernel.
+    """
+    from pudl_spark.functions.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(d, "text", num_merges=25)
 
 
 @query("media_video_frames", sql="""

@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
-from pudl_spark.plans.queries import ORACLES, QUERIES
+from pudl_spark.plans.queries import ORACLES, QUERIES, ROWS_ONLY
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -31,13 +31,20 @@ def test_priority_has_no_duplicates():
 
 
 def test_queries_and_oracles_in_lockstep():
-    assert set(QUERIES) == set(ORACLES)
+    """Every query has a SQL oracle EXCEPT the explicitly-registered
+    rows-only iterative algorithms (driver contract: those get a
+    weaker rows-only check; tests pin them against first-principles
+    references instead)."""
+    assert set(ORACLES) == set(QUERIES) - ROWS_ONLY
+    assert ROWS_ONLY <= set(QUERIES)
+    # rows-only stays the rare exception, never the norm
+    assert len(ROWS_ONLY) <= 3, sorted(ROWS_ONLY)
 
 
 def test_ordered_covers_everything():
     q = entry.queries()
     o = entry.oracle_sql()
-    assert list(q) == list(o)
+    assert list(o) == [n for n in q if n in ORACLES]
     assert set(q) == set(QUERIES)
 
 
@@ -45,7 +52,7 @@ def test_readme_query_count_matches_registry():
     text = open(os.path.join(REPO, "README.md")).read()
     m = re.search(r"(\d+) registered queries", text)
     assert m, "README.md no longer states the registered-query count"
-    assert int(m.group(1)) == len(QUERIES) == len(ORACLES)
+    assert int(m.group(1)) == len(QUERIES) == len(ORACLES) + len(ROWS_ONLY)
 
 
 def _green_by_round():
