@@ -57,7 +57,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "mode_segment_per_nation", "order_status_flags",
     "primary_priority_share", "spot_fix_regions",
     "sum_min_count_semantics", "uncategorized_part_types",
-    # -- next-oldest: latest green row is round 2 (30 of 36; the six
+    # -- next-oldest: latest green row is round 2 (26 of 36; the six
     #    source-roundtrip queries with dedicated unit suites —
     #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
     #    user_running_stats, date_merge_year (its month twin was
