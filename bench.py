@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "doc_chunk_windows",
     "doc_top_terms",
     "corpus_snapshot_diff",
+    "doc_shard_manifest",
+    "embedding_semantic_dedup",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

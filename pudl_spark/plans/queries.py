@@ -7068,3 +7068,184 @@ def signup_conversion_funnel(spark, sf_dir):
              F.round(F.count("__c").cast("double")
                      / F.count(F.lit(1)), 6).alias("conversion_rate"))
     )
+
+
+# =====================================================================
+# Round 5 additions: ORC sink, deterministic shard manifest, SemDeDup
+# =====================================================================
+
+
+@query("orc_sink_roundtrip", sql="""
+SELECT l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+    AS sum_price,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_returnflag = 'A'
+GROUP BY l_linestatus
+""")
+def orc_sink_roundtrip(spark, sf_dir):
+    """S10-family sink on Spark's second native columnar format
+    (interop surface for ORC-standardized warehouses), proven through
+    its own read path exactly like parquet_sink_roundtrip: lineitem
+    lands hive-partitioned by returnflag and clustered by shipdate,
+    then the aggregation reads ONLY the l_returnflag=A directory.
+    ORC's stripe-level min/max indexes play the role of parquet
+    row-group stats, so the same sort-before-write clustering buys
+    the same skipping at 100 TB; partition pruning and predicate
+    pushdown ride the identical DataSource V2 path.
+    """
+    import tempfile
+
+    from pudl_spark.sources.files import write_orc_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_extendedprice", "l_shipdate")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "lineitem_orc")
+        write_orc_table(li, p, partition_cols=["l_returnflag"],
+                        sort_cols=["l_shipdate"])
+        back = spark.read.orc(p).filter(F.col("l_returnflag") == "A")
+        out = back.groupBy("l_linestatus").agg(
+            F.sum(_dec("l_extendedprice")).cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
+
+
+@query("doc_shard_manifest", sql="""
+WITH h AS (
+  SELECT doc_id, n_chars,
+    md5(CAST(doc_id AS VARCHAR) || ':42') AS hkey
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, hkey,
+    CAST(((strpos('0123456789abcdef', substr(hkey, 7, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(hkey, 8, 1)) - 1)) % 64
+         AS BIGINT) AS shard_id
+  FROM h
+)
+SELECT doc_id, shard_id,
+  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY hkey, doc_id)
+       AS BIGINT) AS seq_in_shard,
+  CAST(sum(n_chars) OVER (PARTITION BY shard_id ORDER BY hkey, doc_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars_in_shard
+FROM s
+""")
+def doc_shard_manifest(spark, sf_dir):
+    """Training-shard manifest: the deterministic global shuffle +
+    shard assignment every pretraining run needs (WebDataset-style
+    shards with resumable offsets). shard_id = md5(doc_id||seed)
+    first-8-hex-chars mod 64 — a MAP-ONLY expression, no shuffle, and
+    uniform by construction, so shards stay balanced at any corpus
+    size with zero skew handling. Within-shard training order is the
+    md5 key itself (engine-independent string ordering — unlike
+    rand(), identical across runs/machines/engines), realized as one
+    window per shard: 64 balanced partitions, each independent, so
+    the only shuffle is the 64-way repartition the window needs.
+    cum_chars_in_shard is the running token-budget offset used to
+    resume mid-shard. The oracle replays shard_id arithmetically
+    ((hex7*16 + hex8) % 64 == full-prefix % 64, since 16^2 is a
+    multiple of 64).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    d = docs.select(
+        "doc_id", "n_chars", h.alias("hkey"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64)
+        .alias("shard_id"))
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return d.select(
+        "doc_id", "shard_id",
+        F.row_number().over(w).cast("bigint").alias("seq_in_shard"),
+        F.sum("n_chars").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint").alias("cum_chars_in_shard"))
+
+
+_SEMDEDUP_COS = """
+    list_sum(list_transform(range(1, 65),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+@query("embedding_semantic_dedup", sql=f"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM embeddings WHERE vec_id % 97 = 1
+), scored AS (
+  SELECT e.vec_id, e.embedding, s.seed_id,
+    {_SEMDEDUP_COS.format(a='e.embedding', b='s.seed_vec')} AS score
+  FROM embeddings e CROSS JOIN seeds s
+), assigned AS (
+  SELECT vec_id, embedding, seed_id AS cluster_seed
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, seed_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), dup AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON b.cluster_seed = a.cluster_seed AND b.vec_id < a.vec_id
+  WHERE {_SEMDEDUP_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+)
+SELECT a.vec_id, a.cluster_seed, dup.vec_id IS NULL AS is_kept
+FROM assigned a LEFT JOIN dup ON dup.vec_id = a.vec_id
+""")
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup = cluster the embedding space coarsely, then pairwise-check
+    ONLY within clusters — the cluster is the blocking unit that
+    turns O(n^2) cosine dedup into k independent O((n/k)^2) blocks.
+    Deterministic variant: cluster seeds are a fixed arithmetic
+    subset of the corpus (vec_id % 97 == 1, so k grows with n and
+    per-cluster work stays bounded); assignment is argmax cosine to a
+    BROADCAST seed table (map-side, no shuffle); the drop rule keeps
+    the lowest vec_id of any within-cluster pair with cos >= 0.4.
+    At 100 TB: scoring is one broadcast-join scan, the argmax is a
+    map-side-combinable max_by groupBy, and the pair check shuffles
+    on cluster_seed — uniform by construction because seeds are an
+    unbiased corpus sample. Embeddings here are unit-norm, but the
+    expression keeps explicit norms so the query is correct for any
+    input. Both engines fold the dot product left-to-right over the
+    same 64 elements, so scores are bit-identical and the argmax /
+    threshold compares agree exactly.
+    """
+    from pudl_spark.functions.similarity import cosine_similarity_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"))
+    scored = emb.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        cosine_similarity_expr(F.col("embedding"), F.col("seed_vec"))
+        .alias("score"))
+    # max_by over (score, -seed_id): partial-aggregates map-side, so
+    # the shuffle carries one row per vector, not one per (vec, seed).
+    best = scored.groupBy("vec_id").agg(
+        F.max_by("seed_id", F.struct(F.col("score"),
+                                     (-F.col("seed_id")).alias("ns")))
+        .alias("cluster_seed"))
+    assigned = emb.join(best, "vec_id")
+    other = assigned.select(
+        F.col("cluster_seed").alias("b_cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"))
+    dup = (assigned.join(
+        other,
+        (F.col("cluster_seed") == F.col("b_cluster"))
+        & (F.col("b_id") < F.col("vec_id"))
+        & (cosine_similarity_expr(F.col("embedding"), F.col("b_emb"))
+           >= 0.4))
+        .select("vec_id").distinct().withColumn("__dup", F.lit(1)))
+    return (assigned.join(dup, "vec_id", "left")
+            .select("vec_id", "cluster_seed",
+                    F.col("__dup").isNull().alias("is_kept")))

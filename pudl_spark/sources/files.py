@@ -88,6 +88,31 @@ def write_parquet_table(df: DataFrame, path: str,
     writer.parquet(path)
 
 
+def write_orc_table(df: DataFrame, path: str,
+                    partition_cols: list[str] | None = None,
+                    sort_cols: list[str] | None = None,
+                    compression: str = "zstd",
+                    mode: str = "overwrite") -> None:
+    """ORC sink — same layout contract as ``write_parquet_table``
+    (hive partitioning + pre-write clustering), on Spark's second
+    native columnar format. ORC carries built-in min/max/bloom row
+    indexes, so the sort_cols clustering buys stripe skipping the
+    same way parquet gets row-group skipping; partition pruning and
+    predicate pushdown go through the same DataSource V2 path.
+    Interop surface for warehouses (Hive/Trino) that standardize on
+    ORC instead of parquet.
+    """
+    out = df
+    if sort_cols:
+        if partition_cols:
+            out = out.repartition(*partition_cols)
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
 def write_bucketed_table(df: DataFrame, table_name: str,
                          bucket_cols: list[str], num_buckets: int,
                          sort_cols: list[str] | None = None,

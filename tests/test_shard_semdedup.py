@@ -1,0 +1,78 @@
+"""Round-5 additions: deterministic training-shard manifest and
+SemDeDup semantic dedup — structural properties the oracle-parity
+sweep can't see (balance, determinism, keep-rule semantics)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pudl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shard_manifest_balanced_and_deterministic(spark):
+    out = QUERIES["doc_shard_manifest"](spark, SF).cache()
+    rows = out.collect()
+    n = len(rows)
+    assert n > 0
+    # md5 assignment is uniform: no shard holds more than ~4x the
+    # mean even at this tiny sf (binomial tail bound, not a tuning).
+    per = {}
+    for r in rows:
+        per[r["shard_id"]] = per.get(r["shard_id"], 0) + 1
+    assert max(per.values()) <= max(8, math.ceil(4 * n / 64))
+    assert 0 <= min(per) and max(per) <= 63
+    # seq_in_shard is dense 1..k per shard and cum offsets increase.
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard_id"], r["seq_in_shard"])):
+        k = by_shard.setdefault(r["shard_id"], [0, 0])
+        assert r["seq_in_shard"] == k[0] + 1
+        assert r["cum_chars_in_shard"] > k[1]
+        k[0], k[1] = r["seq_in_shard"], r["cum_chars_in_shard"]
+    # Deterministic across executions: identical manifest both runs.
+    again = {(r["doc_id"], r["shard_id"], r["seq_in_shard"])
+             for r in QUERIES["doc_shard_manifest"](spark, SF).collect()}
+    assert again == {(r["doc_id"], r["shard_id"], r["seq_in_shard"])
+                     for r in rows}
+    out.unpersist()
+
+
+def test_semantic_dedup_keep_rule(spark):
+    out = QUERIES["embedding_semantic_dedup"](spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    # Every cluster's lowest vec_id is always kept (nothing below it
+    # to collide with), and every vector appears exactly once.
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    lowest = {}
+    for r in rows:
+        c = r["cluster_seed"]
+        if c not in lowest or r["vec_id"] < lowest[c]["vec_id"]:
+            lowest[c] = r
+    assert all(r["is_kept"] for r in lowest.values())
+
+
+def test_semantic_dedup_drops_exact_duplicate_vectors(spark):
+    # Inject an exact duplicate pair: the higher id must be dropped,
+    # the lower kept — the SemDeDup keep-lowest rule on cos == 1.
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = (emb.filter(F.col("vec_id") == 3)
+           .select((F.col("vec_id") + 1_000_000).alias("vec_id"),
+                   "embedding", "label"))
+    import os
+    import tempfile
+
+    from pudl_spark.plans.queries import QUERIES as Q
+    with tempfile.TemporaryDirectory() as td:
+        emb.unionByName(dup).write.parquet(os.path.join(td, "embeddings.parquet"))
+        for t in ["documents"]:
+            spark.read.parquet(f"{SF}/{t}.parquet").write.parquet(
+                os.path.join(td, f"{t}.parquet"))
+        got = {r["vec_id"]: r for r in
+               Q["embedding_semantic_dedup"](spark, td).collect()}
+    assert got[1_000_003]["is_kept"] is False
+    assert got[1_000_003]["cluster_seed"] == got[3]["cluster_seed"]

@@ -209,3 +209,27 @@ def test_read_parquet_table_handles_spark_int96_timestamps(spark, tmp_path):
     assert dict(df.dtypes)["ts"] == "timestamp"
     row = df.collect()[0]
     assert row["ts"] == dt.datetime(2024, 5, 1, 12, 30, 15)
+
+
+def test_write_orc_partitioned_pruned(spark, tmp_path):
+    from pudl_spark.sources.files import write_orc_table
+
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "id long, part int, val double")
+    dest = str(tmp_path / "out_orc")
+    write_orc_table(df, dest, partition_cols=["part"], sort_cols=["id"])
+    dirs = {d for d in os.listdir(dest) if d.startswith("part=")}
+    assert dirs == {"part=0", "part=1", "part=2"}
+    back = spark.read.orc(dest)
+    assert back.count() == 30
+    filtered = back.filter(F.col("part") == 1)
+    assert filtered.count() == 10
+    # The partition filter must resolve at planning time (directory
+    # pruning), exactly like the parquet path.
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan
+    # Predicate pushdown on a data column reaches the ORC scan.
+    pushed = back.filter(F.col("id") > 20)
+    pplan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in pplan and "id" in pplan
