@@ -195,6 +195,12 @@ def main() -> None:
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue
+                # Same hygiene as the headline loop: the sf1 set is
+                # exactly the localCheckpoint-heavy queries (CC,
+                # dedup clusters), and dead checkpoint blocks from
+                # the previous query inflate the next one's shuffle
+                # spill — the r5 6.5 s vs 13.7 s bimodal CC readings.
+                gc.collect()
                 spark.catalog.clearCache()
 
                 # min-of-2 (VERDICT r4 #3): single-shot sf1 timings
@@ -208,7 +214,13 @@ def main() -> None:
                         .mode("overwrite").save()
                     return time.perf_counter() - t0
 
-                sec = round(min(_timed_sf1(), _timed_sf1()), 4)
+                runs1 = [_timed_sf1(), _timed_sf1()]
+                # One extra run if the curve is still descending
+                # (same C2-JIT rule as the headline loop, capped at 3
+                # to bound the sf1 section's wall cost).
+                if runs1[-1] < min(runs1[:-1]):
+                    runs1.append(_timed_sf1())
+                sec = round(min(runs1), 4)
                 sf1[name] = {"sec": sec,
                              "ratio_vs_base": round(sec / times[name], 2)}
             shutil.rmtree(ss.SCALED, ignore_errors=True)

@@ -76,3 +76,22 @@ def test_semantic_dedup_drops_exact_duplicate_vectors(spark):
                Q["embedding_semantic_dedup"](spark, td).collect()}
     assert got[1_000_003]["is_kept"] is False
     assert got[1_000_003]["cluster_seed"] == got[3]["cluster_seed"]
+
+
+def test_shard_manifest_single_exchange_plan(spark):
+    # shard_id must be map-only: the ONLY Exchange in the plan is the
+    # 64-way hash repartition the per-shard window needs.
+    df = QUERIES["doc_shard_manifest"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_semantic_dedup_broadcasts_seeds(spark):
+    # Seed scoring must be a broadcast product (seeds << corpus) and
+    # the pair check an equi-join keyed on cluster_seed — never an
+    # unkeyed corpus x corpus product.
+    df = QUERIES["embedding_semantic_dedup"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("CartesianProduct") == 0
