@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "corpus_snapshot_diff",
     "doc_shard_manifest",
     "embedding_semantic_dedup",
+    "part_copurchase_triangles",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

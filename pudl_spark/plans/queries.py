@@ -7260,3 +7260,56 @@ def embedding_semantic_dedup(spark, sf_dir):
     return (assigned.join(dup, "vec_id", "left")
             .select("vec_id", "cluster_seed",
                     F.col("__dup").isNull().alias("is_kept")))
+
+
+@query("part_copurchase_triangles", sql="""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), und AS (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+), deg AS (
+  SELECT u AS node, count(*) AS degree FROM und GROUP BY u
+), tri AS (
+  SELECT n.u AS node, count(*) AS n_tri
+  FROM und n JOIN und m ON m.u = n.u AND n.v < m.v
+  JOIN e ON e.u = n.v AND e.v = m.v
+  GROUP BY n.u
+)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+  round(CASE WHEN d.degree >= 2
+        THEN 2.0 * coalesce(t.n_tri, 0)
+             / (d.degree * (d.degree - 1))
+        ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+""")
+def part_copurchase_triangles(spark, sf_dir):
+    """Graph-family extension: per-node triangle counts + local
+    clustering coefficient on the part co-purchase graph (parts are
+    adjacent when some order contains both). Triangle counting is THE
+    canonical skew-sensitive graph kernel; the implementation is
+    degree-oriented wedge closing (operators/graph.py::triangle_stats
+    — Schank-Wagner orientation caps wedge work at O(E^1.5) total and
+    kills the power-law hot key the naive neighbor-pair join puts on
+    one reducer). Edge construction is a per-order self-join, bounded
+    by order size, never all-pairs. The oracle counts the same
+    triangles from raw (unoriented) wedges — tractable at oracle SF,
+    quadratic-in-degree at scale, which is exactly the difference
+    the orientation exists to remove.
+    """
+    from pudl_spark.operators.graph import triangle_stats
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    b = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p2"))
+    edges = (li.join(b, (F.col("l_orderkey") == F.col("o"))
+                     & (F.col("l_partkey") < F.col("p2")))
+             .select(F.col("l_partkey").alias("src"),
+                     F.col("p2").alias("dst"))
+             .distinct())
+    return triangle_stats(edges)
