@@ -1,0 +1,127 @@
+"""Property-based differential fuzzing: hypothesis composes random
+filter/group/aggregate plans over the orders table and the SAME query
+runs on Spark (DataFrame API) and DuckDB (generated SQL); results must
+match exactly. This closes the gap the hand-written oracle suite can't:
+it explores the combinatorial space of predicate/grouping/agg
+interactions instead of one fixed plan per operator.
+
+Determinism by construction: every aggregate is exact in any execution
+order (count, min/max, integral sums), so the comparison is exact
+equality — the same discipline as plans/queries.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+# (name, spark_col_factory, sql_expr) — all exact-compare safe.
+FILTERS = [
+    ("status_O", lambda: F.col("o_orderstatus") == "O",
+     "o_orderstatus = 'O'"),
+    ("status_ne_F", lambda: F.col("o_orderstatus") != "F",
+     "o_orderstatus <> 'F'"),
+    ("price_lt", lambda: F.col("o_totalprice") < 150000.0,
+     "o_totalprice < 150000.0"),
+    ("price_ge", lambda: F.col("o_totalprice") >= 60000.0,
+     "o_totalprice >= 60000.0"),
+    ("prio_urgent", lambda: F.col("o_orderpriority") == "1-URGENT",
+     "o_orderpriority = '1-URGENT'"),
+    ("cust_mod", lambda: F.col("o_custkey") % 7 == 3,
+     "o_custkey % 7 = 3"),
+    ("year_1995", lambda: F.year("o_orderdate") == 1995,
+     "year(o_orderdate) = 1995"),
+    ("prio_like", lambda: F.col("o_orderpriority").like("%E%"),
+     "o_orderpriority LIKE '%E%'"),
+]
+
+GROUPS = [
+    ("o_orderstatus",
+     lambda: F.col("o_orderstatus").alias("o_orderstatus"),
+     "o_orderstatus"),
+    ("o_orderpriority",
+     lambda: F.col("o_orderpriority").alias("o_orderpriority"),
+     "o_orderpriority"),
+    ("o_year",
+     lambda: F.year("o_orderdate").cast("bigint").alias("o_year"),
+     "CAST(year(o_orderdate) AS BIGINT) AS o_year"),
+]
+
+AGGS = [
+    ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"),
+     "count(*) AS n_rows"),
+    ("min_price", lambda: F.min("o_totalprice").alias("min_price"),
+     "min(o_totalprice) AS min_price"),
+    ("max_price", lambda: F.max("o_totalprice").alias("max_price"),
+     "max(o_totalprice) AS max_price"),
+    ("sum_cust", lambda: F.sum("o_custkey").cast("bigint")
+     .alias("sum_cust"), "CAST(sum(o_custkey) AS BIGINT) AS sum_cust"),
+    ("n_prios", lambda: F.countDistinct("o_orderpriority")
+     .cast("bigint").alias("n_prios"),
+     "CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios"),
+    ("min_date", lambda: F.min("o_orderdate").alias("min_date"),
+     "min(o_orderdate) AS min_date"),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF}/orders.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda x: str(x) if x is not None and not (
+                    isinstance(x, float) and math.isnan(x)) else None)
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          na_position="last").reset_index(drop=True)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    f_idx=st.lists(st.integers(0, len(FILTERS) - 1), unique=True,
+                   max_size=3),
+    g_idx=st.lists(st.integers(0, len(GROUPS) - 1), unique=True,
+                   min_size=1, max_size=2),
+    a_idx=st.lists(st.integers(0, len(AGGS) - 1), unique=True,
+                   min_size=1, max_size=4),
+)
+def test_random_plans_match_duckdb(spark, duck, f_idx, g_idx, a_idx):
+    from pudl_spark.catalog import read_parquet_table
+
+    df = read_parquet_table(spark, f"{SF}/orders.parquet")
+    for i in f_idx:
+        df = df.filter(FILTERS[i][1]())
+    gcols = [GROUPS[i][1]() for i in g_idx]
+    aggs = [AGGS[i][1]() for i in a_idx]
+    got = _canon(df.groupBy(*gcols).agg(*aggs).toPandas())
+
+    where = " AND ".join(FILTERS[i][2] for i in f_idx) or "TRUE"
+    gsel = ", ".join(GROUPS[i][2] for i in g_idx)
+    gkey = ", ".join(GROUPS[i][0] for i in g_idx)
+    asel = ", ".join(AGGS[i][2] for i in a_idx)
+    sql = (f"SELECT {gsel}, {asel} FROM orders "
+           f"WHERE {where} GROUP BY {gkey}")
+    want = _canon(duck.execute(sql).df())
+
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
