@@ -7313,3 +7313,45 @@ def part_copurchase_triangles(spark, sf_dir):
                      F.col("p2").alias("dst"))
              .distinct())
     return triangle_stats(edges)
+
+
+@query("jsonl_sink_roundtrip", sql="""
+SELECT o_orderpriority,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+    AS sum_price,
+  COUNT(*) AS n_rows
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""")
+def jsonl_sink_roundtrip(spark, sf_dir):
+    """S-family text sink: orders lands as gzip NDJSON partitioned by
+    order status, then the aggregation reads ONLY the
+    o_orderstatus=O directory under a DECLARED schema (text formats
+    have no stats — partition pruning is the one pruning axis, which
+    this query exercises; schema declaration avoids the inference
+    pass AND keeps types identical to the parquet original so the
+    oracle matches bit-for-bit). Timestamps round-trip through JSON
+    as ISO strings; the declared schema restores TimestampType.
+    """
+    import tempfile
+
+    from pudl_spark.sources.files import read_jsonl, write_jsonl_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "orders_jsonl")
+        write_jsonl_table(o, p, partition_cols=["o_orderstatus"])
+        back = read_jsonl(
+            spark, p,
+            "o_orderkey long, o_orderpriority string, "
+            "o_totalprice double").where(
+            F.col("o_orderstatus") == "O")
+        out = back.groupBy("o_orderpriority").agg(
+            F.sum(_dec("o_totalprice")).cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

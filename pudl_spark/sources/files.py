@@ -113,6 +113,35 @@ def write_orc_table(df: DataFrame, path: str,
     writer.orc(path)
 
 
+def write_jsonl_table(df: DataFrame, path: str,
+                      partition_cols: list[str] | None = None,
+                      compression: str = "gzip",
+                      mode: str = "overwrite") -> None:
+    """JSON-lines sink (hive-partitionable, gzip by default) — the
+    interchange format for downstream NDJSON consumers (data-loader
+    pipelines, streaming ingestion replays). Text formats carry no
+    statistics, so unlike parquet/ORC there is no row-group skipping:
+    partition_cols is the ONLY pruning axis, which is why the sink
+    insists the caller picks them deliberately rather than defaulting.
+    """
+    out = df.repartition(*partition_cols) if partition_cols else df
+    writer = out.write.mode(mode).option("compression", compression)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: str | None = None) -> DataFrame:
+    """Read a JSON-lines directory with a DECLARED schema (same rule
+    as read_csv: never infer — inference costs a full extra pass and
+    drifts types across partitions)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_bucketed_table(df: DataFrame, table_name: str,
                          bucket_cols: list[str], num_buckets: int,
                          sort_cols: list[str] | None = None,

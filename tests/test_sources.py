@@ -233,3 +233,24 @@ def test_write_orc_partitioned_pruned(spark, tmp_path):
     pushed = back.filter(F.col("id") > 20)
     pplan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in pplan and "id" in pplan
+
+
+def test_write_jsonl_partitioned_roundtrip(spark, tmp_path):
+    from pudl_spark.sources.files import read_jsonl, write_jsonl_table
+
+    df = spark.createDataFrame(
+        [(i, "AB"[i % 2], float(i)) for i in range(20)],
+        "id long, part string, val double")
+    dest = str(tmp_path / "out_jsonl")
+    write_jsonl_table(df, dest, partition_cols=["part"])
+    dirs = {d for d in os.listdir(dest) if d.startswith("part=")}
+    assert dirs == {"part=A", "part=B"}
+    back = read_jsonl(spark, dest, "id long, val double")
+    assert back.count() == 20
+    filtered = back.filter(F.col("part") == "B")
+    assert filtered.count() == 10
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part" in plan
+    # Declared schema restores exact types (no inference drift).
+    assert dict(back.dtypes)["id"] == "bigint"
+    assert dict(back.dtypes)["val"] == "double"
