@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "doc_shard_manifest",
     "embedding_semantic_dedup",
     "part_copurchase_triangles",
+    "market_share_by_year",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

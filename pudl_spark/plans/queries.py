@@ -7355,3 +7355,86 @@ def jsonl_sink_roundtrip(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query("market_share_by_year", sql="""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(l.l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+      AS volume,
+    sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                 THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END)
+        AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+  COUNT(*) AS n_lines
+FROM vol GROUP BY o_year
+""")
+def market_share_by_year(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: a 7-relation join tree
+    (fact lineitem against orders + 5 dimensions) — the optimizer-
+    breadth query. Everything is expressed declaratively and left to
+    Catalyst: the date filter pushes into the orders scan, the
+    region/part predicates prune their dimensions BEFORE the join,
+    nation/region are pinned broadcast (always tiny), and the
+    mid-size dimensions (customer/part/supplier — large at 100 TB)
+    are left to Catalyst/AQE's size-based broadcast decision rather
+    than hinted, so the plan stays honest when they outgrow the
+    threshold. The fact-fact lineitem-orders join is the one real
+    shuffle. Decimal-routed volume keeps the share ratio
+    bit-identical.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (li
+           .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+           .join(c, F.col("c_custkey") == F.col("o_custkey"))
+           .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+           .join(F.broadcast(r), F.col("r_regionkey") == F.col("cn_region"))
+           .join(p, F.col("p_partkey") == F.col("l_partkey"))
+           .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+           .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+           .select(
+               F.year("o_orderdate").cast("bigint").alias("o_year"),
+               (_dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(3,2)")))
+               .alias("volume"),
+               "supp_nation"))
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                         F.col("volume"))
+                  .otherwise(F.lit(0).cast("decimal(12,2)")))
+            .cast("double")
+            / F.sum("volume").cast("double"), 6).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"))
