@@ -7438,3 +7438,36 @@ def market_share_by_year(spark, sf_dir):
             .cast("double")
             / F.sum("volume").cast("double"), 6).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_lines"))
+
+
+@query("orders_above_customer_avg", sql="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM orders o2
+         WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""")
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-scalar-subquery surface: orders strictly above
+    their customer's average order value, written AS correlated
+    subqueries (the form analysts actually type) and left to
+    Catalyst's decorrelation — the executed plan contains ZERO
+    per-row subquery nodes, just two aggregate joins
+    (tests/test_subquery_decorrelation.py pins this). The average
+    compare is expressed multiplicatively (price * count > sum) so
+    every operand stays exact DECIMAL — no division, no float drift,
+    identical row sets on both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_corr_sq")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_corr_sq o
+        WHERE CAST(o_totalprice AS DECIMAL(12,2))
+              * (SELECT COUNT(*) FROM orders_corr_sq o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                 FROM orders_corr_sq o2
+                 WHERE o2.o_custkey = o.o_custkey)
+    """)
