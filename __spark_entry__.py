@@ -44,7 +44,7 @@ _TOUCHED_THIS_ROUND = [
     "orc_sink_roundtrip", "doc_shard_manifest",
     "embedding_semantic_dedup", "part_copurchase_triangles",
     "jsonl_sink_roundtrip", "market_share_by_year",
-    "orders_above_customer_avg",
+    "orders_above_customer_avg", "order_counts_cube",
 ]
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
@@ -67,12 +67,12 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
     #    user_running_stats, date_merge_year (its month twin was
     #    r4-certified), dedupe_on_category_priority,
-    #    dominant_event_type, and — displaced by the seven new r5
+    #    dominant_event_type, and — displaced by the eight new r5
     #    queries — supplier_month_utilization, union_balances_by_nation,
     #    unpivot_lineitem_measures, user_value_ramps,
-    #    salted_event_type_totals, purchases_per_signup_interval and
-    #    purchase_asof_signup (already r4-certified) roll to
-    #    round 6) --
+    #    salted_event_type_totals, purchases_per_signup_interval,
+    #    purchase_asof_signup (already r4-certified) and
+    #    pivot_event_values roll to round 6) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
@@ -83,7 +83,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "fk_orphan_counts", "freshest_event_per_user",
     "fs_linkage_parts", "hourly_event_windows",
     "impute_latc_mape", "jw_linkage_parts",
-    "nation_zone_overlay", "pivot_event_values",
+    "nation_zone_overlay",
 ]
 
 

@@ -7471,3 +7471,31 @@ def orders_above_customer_avg(spark, sf_dir):
                  FROM orders_corr_sq o2
                  WHERE o2.o_custkey = o.o_custkey)
     """)
+
+
+@query("order_counts_cube", sql="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def order_counts_cube(spark, sf_dir):
+    """CUBE grouping surface (completes the grouping-sets family next
+    to rollup_revenue's ROLLUP): all four aggregation granularities of
+    (status, priority) in ONE pass — Spark expands the cube into
+    grouping sets executed as a single Expand + partial-aggregated
+    shuffle, not four scans. GROUPING() flags disambiguate real NULLs
+    from subtotal rows, cast BIGINT on both engines.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("bigint")
+                 .alias("g_status"),
+                 F.grouping("o_orderpriority").cast("bigint")
+                 .alias("g_prio"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price")))
