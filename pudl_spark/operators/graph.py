@@ -136,26 +136,31 @@ def triangle_stats(edges: DataFrame, src: str = "src",
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    # canon feeds und twice and und feeds deg + the orientation join:
-    # without pinning, the upstream edge construction (often a fact-
-    # table self-join) replays up to 4x. Same pattern as the CC
-    # operator's adjacency pin above.
+    # canon feeds the degree aggregation, the orientation join and
+    # the final output: without pinning, the upstream edge
+    # construction (often a fact-table self-join) replays per
+    # consumer. Same pattern as the CC operator's adjacency pin above.
     canon = canon.localCheckpoint(eager=True)
-    und = canon.union(canon.select(F.col("v").alias("u"),
-                                   F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("degree"))
-    # Orient each edge from the endpoint that is smaller under
-    # (degree, id) ordering — the classic total order that bounds
-    # out-degree by O(sqrt(E)).
-    dd = und.join(deg.withColumnRenamed("node", "u")
-                  .withColumnRenamed("degree", "du"), "u") \
-            .join(deg.select(F.col("node").alias("v"),
-                             F.col("degree").alias("dv")), "v")
-    oriented = dd.filter(
-        (F.col("du") < F.col("dv"))
-        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ).select("u", "v")
+    # Degrees straight off the canonical (halved) edge list — each
+    # edge contributes once per endpoint; the doubled frame the naive
+    # form builds first is never needed.
+    deg = (canon.select(F.col("u").alias("node"))
+           .union(canon.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    # Orient each CANONICAL edge from the endpoint that is smaller
+    # under (degree, id) ordering — the classic total order that
+    # bounds out-degree at O(sqrt(E)). One pass over E edges (not
+    # 2E), flipping the pair when the higher-degree end came first.
+    dd = canon.join(deg.withColumnRenamed("node", "u")
+                    .withColumnRenamed("degree", "du"), "u") \
+              .join(deg.select(F.col("node").alias("v"),
+                               F.col("degree").alias("dv")), "v")
+    keep = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = dd.select(
+        F.when(keep, F.col("u")).otherwise(F.col("v")).alias("ou"),
+        F.when(keep, F.col("v")).otherwise(F.col("u")).alias("ov")
+    ).select(F.col("ou").alias("u"), F.col("ov").alias("v"))
     # Compact-forward closing (Latapy 2008): instead of materializing
     # every wedge (x -> y, x -> z) and shuffling that O(sum dout^2)
     # frame to a closure join, build each node's out-neighbor ARRAY
