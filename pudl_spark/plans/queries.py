@@ -7499,3 +7499,45 @@ def order_counts_cube(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_orders"),
                  F.sum(_dec("o_totalprice")).cast("double")
                  .alias("sum_price")))
+
+
+@query("event_value_histogram", sql="""
+WITH b AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  least(CAST(floor((e.value - b.mn)
+        / (CASE WHEN b.mx > b.mn THEN (b.mx - b.mn) / 10 ELSE 1.0 END))
+        AS BIGINT), 9) AS bucket,
+  COUNT(*) AS n_events,
+  round(min(e.value), 6) AS lo,
+  round(max(e.value), 6) AS hi
+FROM events e JOIN b ON b.event_type = e.event_type
+GROUP BY e.event_type, bucket
+""")
+def event_value_histogram(spark, sf_dir):
+    """Exact equi-width histogram per event type (profiling family,
+    next to orders_profile's single-scan summary): ten buckets over
+    each type's [min, max], max pinned into the top bucket via
+    least(.., 9). Two passes — a per-type extrema aggregation
+    broadcast back onto the scan, then one bucket-keyed count — the
+    standard distributed histogram shape (never a sort, never a
+    collect). Bucket arithmetic mirrors the oracle expression shape
+    exactly, so floor() lands identically on both engines.
+    """
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy(F.col("event_type").alias("bt")).agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    w = (F.when(F.col("mx") > F.col("mn"),
+                (F.col("mx") - F.col("mn")) / 10)
+         .otherwise(F.lit(1.0)))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("mn")) / w).cast("bigint"),
+        F.lit(9).cast("bigint"))
+    return (e.join(F.broadcast(b), F.col("bt") == F.col("event_type"))
+            .select("event_type", bucket.alias("bucket"), "value")
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.min("value"), 6).alias("lo"),
+                 F.round(F.max("value"), 6).alias("hi")))
