@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "embedding_semantic_dedup",
     "part_copurchase_triangles",
     "market_share_by_year",
+    "media_avi_frames",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

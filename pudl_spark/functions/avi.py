@@ -1,0 +1,121 @@
+"""Minimal MJPEG-in-AVI codec — stdlib struct + the repo's own JPEG
+codec; no external libraries.
+
+AVI is the RIFF container (same chunk grammar as the WAV reader in
+multimodal.py): 'RIFF'+'AVI ' wrapping a 'hdrl' header list (avih
+main header + one 'strl' stream list with strh/strf), a 'movi' list
+holding one '00dc' compressed-video chunk per frame, and an optional
+'idx1' index. Motion-JPEG stores each frame as an ordinary baseline
+JFIF stream, so decode is: walk RIFF → find movi → decode_jpeg per
+chunk. Layout follows the public Microsoft AVI RIFF specification
+(the OpenDML/AVI 1.0 grammar); no reference-repo counterpart exists
+(PUDL has no media path) — this extends the multimodal family's
+frame-sample leg to a second real container.
+
+Like the PNG/JPEG/GIF/WAV codecs, honest gates: non-MJPG streams and
+malformed containers raise instead of faking output.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from pudl_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+
+def _chunk(ckid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""  # RIFF word alignment
+    return ckid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quant: np.ndarray | None = None) -> bytes:
+    """Encode frames (each uint8 (h, w) grayscale or (h, w, 3) RGB,
+    all the same shape) as a Motion-JPEG AVI. Each frame becomes one
+    '00dc' chunk holding a baseline JFIF stream from ``encode_jpeg``
+    (default all-ones quant table, so block-constant frames
+    round-trip pixel-exactly). An idx1 keyframe index is emitted —
+    every MJPEG frame is independently decodable.
+    """
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: no frames")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("encode_avi_mjpeg: frames must share a shape")
+    jpegs = [encode_jpeg(f, quant=quant) for f in frames]
+
+    usec = 1_000_000 // max(fps, 1)
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<10I", usec, max_bytes * max(fps, 1), 0, 0x10,  # HASINDEX
+        len(frames), 0, 1, max_bytes, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0,
+                                            1, max(fps, 1), 0,
+                                            len(frames), max_bytes,
+                                            0, 0)
+            + struct.pack("<4h", 0, 0, w, h))
+    bits = 8 if frames[0].ndim == 2 else 24
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, bits, b"MJPG",
+                       w * h * (bits // 8), 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+
+    movi_payload = b"".join(_chunk(b"00dc", j) for j in jpegs)
+    movi = _list(b"movi", movi_payload)
+
+    # idx1 offsets are relative to the start of the movi list's
+    # payload data ('movi' fourcc counts as offset base 4).
+    idx_entries, off = [], 4
+    for j in jpegs:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10,
+                                       off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(data: bytes) -> list[np.ndarray]:
+    """Decode a Motion-JPEG AVI to its frame arrays: walk the RIFF
+    chunk list (word-aligned, tolerant of unknown chunks), verify the
+    stream header declares MJPG, and decode every '..dc'/'..db' movi
+    chunk through the baseline/progressive JPEG decoder. Raises
+    NotImplementedError for non-MJPG compression — an honest gate,
+    not a fake decode.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI stream")
+    frames: list[np.ndarray] = []
+    compression_seen: bytes | None = None
+
+    def walk(buf: bytes) -> None:
+        nonlocal compression_seen
+        pos = 0
+        while pos + 8 <= len(buf):
+            ckid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            payload = buf[pos + 8:pos + 8 + size]
+            if ckid == b"LIST":
+                walk(payload[4:])  # skip the list-type fourcc
+            elif ckid == b"strf" and len(payload) >= 20:
+                compression_seen = payload[16:20]
+                if compression_seen not in (b"MJPG", b"mjpg"):
+                    raise NotImplementedError(
+                        f"AVI compression {compression_seen!r} "
+                        "unsupported (MJPG only)")
+            elif ckid[2:4] in (b"dc", b"db") and size:
+                frames.append(decode_jpeg(payload))
+            pos += 8 + size + (size & 1)  # word alignment
+
+    walk(data[12:12 + struct.unpack("<I", data[4:8])[0] - 4])
+    if compression_seen is None:
+        raise NotImplementedError("AVI stream header missing strf")
+    return frames

@@ -496,14 +496,24 @@ def extract_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     Arrow-batched mapInPandas island; at scale the per-row output
     amplification (n_frames / every_n) is what the planner must know
     — downstream aggregations see the exploded cardinality.
+
+    Magic-byte dispatch like decode_image: GIF87a/89a animations and
+    RIFF/AVI Motion-JPEG both decode for real; other motion formats
+    stay honestly gated.
     """
+    from pudl_spark.functions.avi import decode_avi_frames
     from pudl_spark.functions.gif import decode_gif_frames
+
+    def _frames(content: bytes) -> list:
+        if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+            return decode_avi_frames(content)
+        return decode_gif_frames(content)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                frames = decode_gif_frames(bytes(content))
+                frames = _frames(bytes(content))
                 for k in range(0, len(frames), every_n):
                     flat = frames[k].reshape(-1).astype(np.int64)
                     h, w = frames[k].shape[:2]

@@ -7541,3 +7541,81 @@ def event_value_histogram(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.min("value"), 6).alias("lo"),
                  F.round(F.max("value"), 6).alias("hi")))
+
+
+@query("media_avi_frames", sql="""
+WITH ids AS (
+  SELECT CAST(c_custkey AS BIGINT) AS media_id FROM customer
+), meta AS (
+  SELECT media_id, 2 + media_id % 3 AS nf,
+    2 + media_id % 3 AS wb, 2 + media_id % 2 AS hb
+  FROM ids
+), fr AS (
+  SELECT media_id, nf, wb, hb, unnest(range(0, nf)) AS k FROM meta
+), sampled AS (
+  SELECT * FROM fr WHERE k % 2 = 0
+), b1 AS (
+  SELECT media_id, wb, hb, k, unnest(range(0, hb)) AS by FROM sampled
+), b2 AS (
+  SELECT media_id, wb, hb, k, by, unnest(range(0, wb)) AS bx FROM b1
+), vals AS (
+  SELECT media_id, wb, hb, k,
+    (media_id * 17 + k * 23 + bx * 29 + by * 41) % 256 AS v
+  FROM b2
+)
+SELECT media_id, CAST(k AS INT) AS frame_no,
+  CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+  CAST(SUM(64 * v) AS BIGINT) AS px_sum,
+  CAST(MIN(v) AS INT) AS px_min, CAST(MAX(v) AS INT) AS px_max
+FROM vals GROUP BY media_id, k, wb, hb
+""")
+def media_avi_frames(spark, sf_dir):
+    """Video-frame sampling from a SECOND real container: each id
+    becomes a Motion-JPEG AVI (RIFF hdrl/movi/idx1 grammar,
+    `functions/avi.py`) whose grayscale frames are block-constant
+    arrays from a closed-form formula — the all-ones-quant JPEG path
+    round-trips them pixel-exactly — then `extract_video_frames`
+    dispatches on the RIFF/AVI magic, decodes every '00dc' chunk
+    through the baseline JPEG decoder, samples every 2nd frame, and
+    reduces exact integer pixel stats. The oracle evaluates the block
+    formula at the sampled frame indices: a container-walk bug, a
+    dropped frame or one mis-decoded Huffman symbol hash-mismatches.
+
+    media_id keys off customer; n_frames = 2 + id%3, blocks (wb, hb)
+    = (2 + id%3, 2 + id%2), frame k block value (by, bx) =
+    (id*17 + k*23 + bx*29 + by*41) % 256.
+
+    Scale shape: same as the GIF frame query — id-only spread, then
+    encode and decode as Arrow-batched map-only islands; payload
+    bytes never shuffle.
+    """
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from pudl_spark.catalog import spread_small_input
+    from pudl_spark.functions.avi import encode_avi_mjpeg
+    from pudl_spark.functions.multimodal import extract_video_frames
+
+    ids = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("media_id"))
+
+    @pandas_udf("binary")
+    def _mk_avi(mid):
+        out = []
+        for i in mid:
+            i = int(i)
+            nf, wb, hb = 2 + i % 3, 2 + i % 3, 2 + i % 2
+            frames = []
+            for k in range(nf):
+                v = ((i * 17 + k * 23
+                      + np.arange(wb)[None, :] * 29
+                      + np.arange(hb)[:, None] * 41) % 256
+                     ).astype(np.uint8)
+                frames.append(np.repeat(np.repeat(v, 8, 0), 8, 1))
+            out.append(encode_avi_mjpeg(frames))
+        return pd.Series(out)
+
+    ids = spread_small_input(ids, "media_id")
+    media = ids.withColumn("content", _mk_avi(F.col("media_id")))
+    return extract_video_frames(media, every_n=2)

@@ -1,0 +1,96 @@
+"""MJPEG-in-AVI codec: exact grayscale round-trips, RIFF grammar
+details (word alignment, idx1, strf gate), and the video-frame
+extraction dispatch."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from pudl_spark.functions.avi import decode_avi_frames, encode_avi_mjpeg
+
+
+def _block_frames(seed: int, nf: int = 3, wb: int = 3, hb: int = 2):
+    out = []
+    for k in range(nf):
+        v = ((seed * 17 + k * 23 + np.arange(wb)[None, :] * 29
+              + np.arange(hb)[:, None] * 41) % 256).astype(np.uint8)
+        out.append(np.repeat(np.repeat(v, 8, 0), 8, 1))
+    return out
+
+
+def test_grayscale_block_frames_roundtrip_exact():
+    frames = _block_frames(7)
+    back = decode_avi_frames(encode_avi_mjpeg(frames))
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+
+def test_rgb_roundtrip_close_not_exact():
+    # Color goes through YCbCr with integer rounding: near-lossless
+    # at the all-ones quant table, never bit-exact — document it.
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
+    frames = [np.repeat(np.repeat(v, 8, 0), 8, 1)] * 2
+    back = decode_avi_frames(encode_avi_mjpeg(frames))
+    for a, b in zip(frames, back):
+        assert b.shape == a.shape
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 3
+
+
+def test_container_grammar():
+    frames = _block_frames(3, nf=2)
+    data = encode_avi_mjpeg(frames, fps=25)
+    assert data[:4] == b"RIFF" and data[8:12] == b"AVI "
+    # declared RIFF size covers the whole file
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8
+    assert b"idx1" in data and b"movi" in data and b"MJPG" in data
+    # avih frame count
+    i = data.find(b"avih")
+    total_frames = struct.unpack("<I", data[i + 8 + 16:i + 8 + 20])[0]
+    assert total_frames == 2
+
+
+def test_word_alignment_odd_jpeg_sizes():
+    # Force odd-length JPEG payloads by trying several seeds; the
+    # decoder must still walk every chunk.
+    for seed in range(8):
+        frames = _block_frames(seed, nf=3, wb=2 + seed % 3, hb=2)
+        back = decode_avi_frames(encode_avi_mjpeg(frames))
+        assert len(back) == 3
+        for a, b in zip(frames, back):
+            assert np.array_equal(a, b)
+
+
+def test_non_mjpg_compression_gated():
+    frames = _block_frames(1, nf=1)
+    data = bytearray(encode_avi_mjpeg(frames))
+    i = data.find(b"strf")
+    data[i + 8 + 16:i + 8 + 20] = b"XVID"
+    with pytest.raises(NotImplementedError, match="XVID"):
+        decode_avi_frames(bytes(data))
+
+
+def test_not_avi_gated():
+    with pytest.raises(NotImplementedError):
+        decode_avi_frames(b"\x89PNG\r\n\x1a\nnotavi")
+
+
+def test_extract_video_frames_dispatches_avi(spark):
+    from pudl_spark.functions.multimodal import extract_video_frames
+
+    frames = _block_frames(9, nf=4)
+    blob = encode_avi_mjpeg(frames)
+    df = spark.createDataFrame([(9, bytearray(blob))],
+                               "media_id long, content binary")
+    rows = {r["frame_no"]: r for r in
+            extract_video_frames(df, every_n=2).collect()}
+    assert set(rows) == {0, 2}
+    for k, r in rows.items():
+        flat = frames[k].reshape(-1).astype(np.int64)
+        assert (r["px_sum"], r["px_min"], r["px_max"]) == (
+            int(flat.sum()), int(flat.min()), int(flat.max()))
+        assert (r["width"], r["height"]) == (24, 16)
