@@ -7619,3 +7619,35 @@ def media_avi_frames(spark, sf_dir):
     ids = spread_small_input(ids, "media_id")
     media = ids.withColumn("content", _mk_avi(F.col("media_id")))
     return extract_video_frames(media, every_n=2)
+
+
+@query("fixed_width_roundtrip_nation", sql="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def fixed_width_roundtrip_nation(spark, sf_dir):
+    """S-family legacy-feed format: nation rendered as fixed-width
+    text lines (6/20/4-char fields, the mainframe layout), written as
+    plain text, then read back through `read_fixed_width`'s declared
+    colspecs — identity round-trip against the relational oracle.
+    Blank-padding, trimming and ANSI-safe numeric casts are the
+    functionality under test; the reader itself is one codegen
+    substring/cast projection over a splittable text scan.
+    """
+    import tempfile
+
+    from pudl_spark.sources.files import read_fixed_width
+
+    nat = _t(spark, sf_dir, "nation")
+    lines = nat.select(F.format_string(
+        "%-6d%-20s%-4d", F.col("n_nationkey"), F.col("n_name"),
+        F.col("n_regionkey")).alias("value"))
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "nation_fw")
+        lines.write.text(p)
+        back = read_fixed_width(spark, p, [
+            ("n_nationkey", 1, 6, "bigint"),
+            ("n_name", 7, 20, "string"),
+            ("n_regionkey", 27, 4, "int"),
+        ])
+        out = spark.createDataFrame(back.collect(), back.schema)
+    return out

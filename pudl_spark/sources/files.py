@@ -113,6 +113,29 @@ def write_orc_table(df: DataFrame, path: str,
     writer.orc(path)
 
 
+def read_fixed_width(spark: SparkSession, path: str,
+                     colspecs: list[tuple[str, int, int, str]],
+                     ) -> DataFrame:
+    """Fixed-width text reader — the mainframe/legacy-feed format
+    (each column a declared (name, 1-based start, length, type)
+    slice of the line). One spark.read.text scan + per-column
+    substring/trim/cast, all in codegen: map-only, splittable by
+    line, no Python in the loop. Blank slices become NULL before the
+    cast so ANSI mode never throws on empty numerics; types are
+    DECLARED, never inferred — same rule as read_csv/read_jsonl.
+    """
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, length, dtype in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, length))
+        cols.append(
+            F.when(raw == "", None).otherwise(raw)
+            .cast(dtype).alias(name))
+    return lines.select(*cols)
+
+
 def write_jsonl_table(df: DataFrame, path: str,
                       partition_cols: list[str] | None = None,
                       compression: str = "gzip",

@@ -254,3 +254,24 @@ def test_write_jsonl_partitioned_roundtrip(spark, tmp_path):
     # Declared schema restores exact types (no inference drift).
     assert dict(back.dtypes)["id"] == "bigint"
     assert dict(back.dtypes)["val"] == "double"
+
+
+def test_read_fixed_width_declared_types_and_nulls(spark, tmp_path):
+    from pudl_spark.sources.files import read_fixed_width
+
+    p = tmp_path / "fw.txt"
+    p.write_text("1     alpha               10\n"
+                 "2     beta                  \n"   # blank numeric -> NULL
+                 "3           padded name   7 \n")
+    df = read_fixed_width(spark, str(p), [
+        ("id", 1, 6, "bigint"),
+        ("name", 7, 20, "string"),
+        ("val", 27, 4, "int"),
+    ])
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alpha" and rows[1]["val"] == 10
+    assert rows[2]["val"] is None
+    # leading/trailing pad spaces trimmed, inner spaces preserved
+    assert rows[3]["name"] == "padded name"
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string",
+                               "val": "int"}
