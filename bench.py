@@ -194,7 +194,8 @@ def main() -> None:
                          "jw_linkage_parts", "minhash_near_dup_pairs",
                          "event_sessions_cc", "minhash_dedup_clusters",
                          "doc_dup_spans", "doc_bigram_perplexity",
-                         "doc_top_terms"):
+                         "doc_top_terms", "part_copurchase_triangles",
+                         "embedding_semantic_dedup"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue

@@ -74,9 +74,10 @@ AGGS = [
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW orders AS SELECT * FROM "
-        f"read_parquet('{SF}/orders.parquet')")
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')")
     return con
 
 
@@ -123,5 +124,67 @@ def test_random_plans_match_duckdb(spark, duck, f_idx, g_idx, a_idx):
            f"WHERE {where} GROUP BY {gkey}")
     want = _canon(duck.execute(sql).df())
 
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+JOIN_AGGS = [
+    ("n_rows", lambda: F.count(F.lit(1)).alias("n_rows"),
+     "count(*) AS n_rows"),
+    ("sum_cust", lambda: F.sum("o_custkey").cast("bigint")
+     .alias("sum_cust"), "CAST(sum(o_custkey) AS BIGINT) AS sum_cust"),
+    ("max_bal", lambda: F.max("c_acctbal").alias("max_bal"),
+     "max(c_acctbal) AS max_bal"),
+    ("n_cust", lambda: F.countDistinct("o_custkey").cast("bigint")
+     .alias("n_cust"),
+     "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust"),
+]
+
+JOIN_GROUPS = [
+    ("c_mktsegment", "c_mktsegment"),
+    ("o_orderstatus", "o_orderstatus"),
+]
+
+JOIN_TYPES = ["inner", "left"]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    f_idx=st.lists(st.integers(0, len(FILTERS) - 1), unique=True,
+                   max_size=2),
+    g_idx=st.lists(st.integers(0, len(JOIN_GROUPS) - 1), unique=True,
+                   min_size=1, max_size=2),
+    a_idx=st.lists(st.integers(0, len(JOIN_AGGS) - 1), unique=True,
+                   min_size=1, max_size=3),
+    jt=st.integers(0, len(JOIN_TYPES) - 1),
+)
+def test_random_join_plans_match_duckdb(spark, duck, f_idx, g_idx,
+                                        a_idx, jt):
+    """Same differential check over a two-table shape: orders
+    (filtered) joined to customer, grouped and aggregated. LEFT joins
+    exercise null-extension of the customer columns through the
+    grouping keys."""
+    from pudl_spark.catalog import read_parquet_table
+
+    how = JOIN_TYPES[jt]
+    o = read_parquet_table(spark, f"{SF}/orders.parquet")
+    for i in f_idx:
+        o = o.filter(FILTERS[i][1]())
+    c = read_parquet_table(spark, f"{SF}/customer.parquet")
+    j = o.join(c, o.o_custkey == c.c_custkey, how)
+    gcols = [JOIN_GROUPS[i][0] for i in g_idx]
+    aggs = [JOIN_AGGS[i][1]() for i in a_idx]
+    got = _canon(j.groupBy(*gcols).agg(*aggs).toPandas())
+
+    where = " AND ".join(FILTERS[i][2] for i in f_idx) or "TRUE"
+    gsel = ", ".join(JOIN_GROUPS[i][1] for i in g_idx)
+    asel = ", ".join(JOIN_AGGS[i][2] for i in a_idx)
+    sqljoin = "JOIN" if how == "inner" else "LEFT JOIN"
+    sql = (f"SELECT {gsel}, {asel} FROM "
+           f"(SELECT * FROM orders WHERE {where}) o "
+           f"{sqljoin} customer c ON o.o_custkey = c.c_custkey "
+           f"GROUP BY {gsel}")
+    want = _canon(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
