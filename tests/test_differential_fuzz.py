@@ -188,3 +188,63 @@ def test_random_join_plans_match_duckdb(spark, duck, f_idx, g_idx,
     want = _canon(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+WIN_PARTS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+# (name, spark_expr_factory(window), sql_over_suffix) — the order key
+# includes o_orderkey, which is unique, so every ranking function is
+# deterministic; running sums are integral (exact in any engine).
+WIN_FUNCS = [
+    ("rn", lambda w: F.row_number().over(w).cast("bigint").alias("rn"),
+     "CAST(row_number() OVER ({}) AS BIGINT) AS rn"),
+    ("rk", lambda w: F.rank().over(w).cast("bigint").alias("rk"),
+     "CAST(rank() OVER ({}) AS BIGINT) AS rk"),
+    ("run_cust", lambda w: F.sum("o_custkey").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint")
+     .alias("run_cust"),
+     "CAST(sum(o_custkey) OVER ({} ROWS UNBOUNDED PRECEDING) "
+     "AS BIGINT) AS run_cust"),
+    ("lag_cust", lambda w: F.lag("o_custkey", 1).over(w)
+     .alias("lag_cust"),
+     "lag(o_custkey, 1) OVER ({}) AS lag_cust"),
+    ("win3", lambda w: F.sum("o_custkey").over(
+        w.rowsBetween(-2, 0)).cast("bigint").alias("win3"),
+     "CAST(sum(o_custkey) OVER ({} ROWS BETWEEN 2 PRECEDING AND "
+     "CURRENT ROW) AS BIGINT) AS win3"),
+]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    p_idx=st.integers(0, len(WIN_PARTS) - 1),
+    w_idx=st.lists(st.integers(0, len(WIN_FUNCS) - 1), unique=True,
+                   min_size=1, max_size=3),
+    f_idx=st.lists(st.integers(0, len(FILTERS) - 1), unique=True,
+                   max_size=2),
+)
+def test_random_window_plans_match_duckdb(spark, duck, p_idx, w_idx,
+                                          f_idx):
+    from pudl_spark.catalog import read_parquet_table
+    global Window
+    from pyspark.sql import Window
+
+    df = read_parquet_table(spark, f"{SF}/orders.parquet")
+    for i in f_idx:
+        df = df.filter(FILTERS[i][1]())
+    part = WIN_PARTS[p_idx][0]
+    w = Window.partitionBy(part).orderBy("o_orderdate", "o_orderkey")
+    exprs = [WIN_FUNCS[i][1](w) for i in w_idx]
+    got = _canon(df.select(F.col("o_orderkey"), *exprs).toPandas())
+
+    over = (f"PARTITION BY {part} ORDER BY o_orderdate, o_orderkey")
+    wsel = ", ".join(WIN_FUNCS[i][2].format(over) for i in w_idx)
+    where = " AND ".join(FILTERS[i][2] for i in f_idx) or "TRUE"
+    sql = f"SELECT o_orderkey, {wsel} FROM orders WHERE {where}"
+    want = _canon(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
