@@ -46,7 +46,7 @@ _TOUCHED_THIS_ROUND = [
     "jsonl_sink_roundtrip", "market_share_by_year",
     "orders_above_customer_avg", "order_counts_cube",
     "event_value_histogram", "media_avi_frames",
-    "fixed_width_roundtrip_nation",
+    "fixed_width_roundtrip_nation", "parquet_schema_evolution",
 ]
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
@@ -74,8 +74,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    unpivot_lineitem_measures, user_value_ramps,
     #    salted_event_type_totals, purchases_per_signup_interval,
     #    purchase_asof_signup (already r4-certified),
-    #    pivot_event_values, nation_zone_overlay, jw_linkage_parts
-    #    and impute_latc_mape roll to round 6) --
+    #    pivot_event_values, nation_zone_overlay, jw_linkage_parts,
+    #    impute_latc_mape and hourly_event_windows roll to
+    #    round 6) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
@@ -84,7 +85,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "event_run_lengths", "event_sessions_windowed",
     "event_sliding_windows", "event_type_changelog",
     "fk_orphan_counts", "freshest_event_per_user",
-    "fs_linkage_parts", "hourly_event_windows",
+    "fs_linkage_parts",
 ]
 
 

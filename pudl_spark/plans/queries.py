@@ -7651,3 +7651,48 @@ def fixed_width_roundtrip_nation(spark, sf_dir):
         ])
         out = spark.createDataFrame(back.collect(), back.schema)
     return out
+
+
+@query("parquet_schema_evolution", sql="""
+SELECT o_orderstatus,
+  COUNT(*) AS n_rows,
+  CAST(COUNT(CASE WHEN year(o_orderdate) >= 1996
+             THEN o_totalprice END) AS BIGINT) AS n_with_price,
+  CAST(SUM(CASE WHEN year(o_orderdate) >= 1996
+           THEN CAST(o_totalprice AS DECIMAL(12,2))
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_price
+FROM orders GROUP BY o_orderstatus
+""")
+def parquet_schema_evolution(spark, sf_dir):
+    """Schema-evolution read path: the same table written in two
+    schema VERSIONS (v1 lacks the price column — the classic
+    "column added later" feed), read back as one scan with
+    mergeSchema=true so the union schema resolves at the footer
+    level and v1 rows null-extend. The aggregation counts and sums
+    only where the column exists; the oracle reproduces the
+    null-extension with a CASE on the version split predicate.
+    At 100 TB this is the reader feature that makes decade-spanning
+    archives queryable without a rewrite.
+    """
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.year("o_orderdate") < 1996).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate")
+    v2 = o.filter(F.year("o_orderdate") >= 1996).select(
+        "o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "orders_evolved")
+        v1.write.parquet(os.path.join(p, "v=1"))
+        v2.write.parquet(os.path.join(p, "v=2"))
+        back = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(p, "v=1"), os.path.join(p, "v=2"))
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").cast("bigint")
+            .alias("n_with_price"),
+            F.sum(F.coalesce(_dec("o_totalprice"),
+                             F.lit(0).cast("decimal(12,2)")))
+            .cast("double").alias("sum_price"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
