@@ -140,3 +140,36 @@ def spread_small_input(df: DataFrame, key: str) -> DataFrame:
     if df.rdd.getNumPartitions() < parallelism:
         return df.repartition(parallelism, key)
     return df
+
+
+def scan_stats(spark: SparkSession, path: str,
+               cols: list[str]) -> dict:
+    """min/max/count for ``cols`` answered from parquet FOOTER
+    statistics only: with aggregate pushdown on the V2 parquet scan,
+    the executed plan carries PushedAggregation and the job reads
+    row-group metadata, not data pages — at 100 TB, table-level
+    extrema cost one metadata pass instead of a full scan. Confs are
+    scoped and restored (the V1-source list is session-global).
+    """
+    from pyspark.sql import functions as F
+
+    apd = "spark.sql.parquet.aggregatePushdown"
+    v1l = "spark.sql.sources.useV1SourceList"
+    old_apd = spark.conf.get(apd, "false")
+    old_v1 = spark.conf.get(v1l)
+    try:
+        spark.conf.set(apd, "true")
+        spark.conf.set(v1l, "")
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"),
+                     F.max(c).alias(f"max_{c}")]
+        out = df.agg(*aggs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        row = out.collect()[0]
+        return {"pushed": "PushedAggregation" in plan,
+                **row.asDict()}
+    finally:
+        spark.conf.set(apd, old_apd)
+        spark.conf.set(v1l, old_v1)

@@ -148,3 +148,19 @@ def check_foreign_key_df(child: DataFrame, child_cols: list[str],
     return (child.filter(pred)
             .join(F.broadcast(parent_keys), on=child_cols, how="left_anti")
             .select(*child_cols).dropDuplicates())
+
+
+def observed_counts(df: DataFrame, name: str,
+                    exprs: dict[str, F.Column]):
+    """Single-pass ETL counters via DataFrame.observe: attach named
+    aggregate expressions to the frame and read them AFTER an action
+    without a second scan — the production pattern for data-quality
+    tallies (null counts, out-of-range counts) that must not double
+    the job's I/O. Returns (observed_df, observation); call
+    ``observation.get`` once an action has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [c.alias(k) for k, c in exprs.items()]
+    return df.observe(obs, *named), obs

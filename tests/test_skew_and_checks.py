@@ -55,3 +55,44 @@ def test_asset_checks_pass(spark, tmp_path):
 
     paths = g.materialize(spark, str(tmp_path))
     assert spark.read.parquet(paths["good_metrics"]).count() == 1
+
+
+def test_scan_stats_pushes_aggregates_to_parquet_footer(spark):
+    from pudl_spark.catalog import scan_stats
+
+    before = spark.conf.get("spark.sql.parquet.aggregatePushdown",
+                            "false")
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    got = scan_stats(spark, "/root/testdata/sf0.001/lineitem.parquet",
+                     ["l_quantity", "l_orderkey"])
+    assert got["pushed"] is True
+    assert got["min_l_quantity"] == 1.0
+    assert got["max_l_quantity"] == 50.0
+    assert got["n_rows"] > 0
+    # confs restored to whatever the session had
+    assert spark.conf.get(
+        "spark.sql.parquet.aggregatePushdown", "false") == before
+    assert spark.conf.get(
+        "spark.sql.sources.useV1SourceList") == before_v1
+
+
+def test_observed_counts_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.validate import observed_counts
+
+    df = read_parquet_table(
+        spark, "/root/testdata/sf0.001/orders.parquet")
+    watched, obs = observed_counts(df, "order_quality", {
+        "n": F.count(F.lit(1)),
+        "n_null_price": F.sum(
+            F.col("o_totalprice").isNull().cast("long")),
+        "n_big": F.sum((F.col("o_totalprice") > 100000).cast("long")),
+    })
+    out = watched.groupBy("o_orderstatus").count().collect()
+    assert out
+    got = obs.get
+    assert got["n"] == df.count()
+    assert got["n_null_price"] == 0
+    assert 0 < got["n_big"] < got["n"]
