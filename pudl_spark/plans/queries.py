@@ -7696,3 +7696,41 @@ def parquet_schema_evolution(spark, sf_dir):
             .cast("double").alias("sum_price"))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query("file_provenance_counts", sql="""
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+  COUNT(*) AS n_rows,
+  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY bucket
+""")
+def file_provenance_counts(spark, sf_dir):
+    """Row-level file provenance via the `_metadata` hidden column:
+    orders lands hive-partitioned into four bucket directories, and
+    the read-back derives each row's bucket FROM ITS FILE PATH
+    (`_metadata.file_path`) rather than from data — the lineage
+    primitive audits use to attribute rows to their source files at
+    any scale (zero extra I/O: `_metadata` is populated by the
+    reader). The oracle replays the bucket arithmetic relationally;
+    a wrong path-to-row attribution mismatches immediately.
+    """
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "orders_buckets")
+        (o.withColumn("b", F.col("o_orderkey") % 4)
+         .write.partitionBy("b").parquet(p))
+        back = spark.read.parquet(p)
+        out = (back.select(
+            F.regexp_extract(F.col("_metadata.file_path"),
+                             r"b=(\d+)", 1).cast("bigint")
+            .alias("bucket"),
+            "o_orderkey")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("o_orderkey").cast("bigint").alias("min_key"),
+                 F.max("o_orderkey").cast("bigint").alias("max_key")))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out
