@@ -47,7 +47,7 @@ _TOUCHED_THIS_ROUND = [
     "orders_above_customer_avg", "order_counts_cube",
     "event_value_histogram", "media_avi_frames",
     "fixed_width_roundtrip_nation", "parquet_schema_evolution",
-    "file_provenance_counts",
+    "file_provenance_counts", "doc_chunk_spans_udtf",
 ]
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
@@ -76,8 +76,8 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    salted_event_type_totals, purchases_per_signup_interval,
     #    purchase_asof_signup (already r4-certified),
     #    pivot_event_values, nation_zone_overlay, jw_linkage_parts,
-    #    impute_latc_mape, hourly_event_windows and fs_linkage_parts
-    #    roll to round 6) --
+    #    impute_latc_mape, hourly_event_windows, fs_linkage_parts and
+    #    freshest_event_per_user roll to round 6) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
@@ -85,7 +85,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "encode_order_status", "event_hypertable_rollup",
     "event_run_lengths", "event_sessions_windowed",
     "event_sliding_windows", "event_type_changelog",
-    "fk_orphan_counts", "freshest_event_per_user",
+    "fk_orphan_counts",
 ]
 
 

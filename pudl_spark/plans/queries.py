@@ -7734,3 +7734,39 @@ def file_provenance_counts(spark, sf_dir):
                  F.max("o_orderkey").cast("bigint").alias("max_key")))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query("doc_chunk_spans_udtf", sql="""
+SELECT doc_id, CAST(k AS INT) AS chunk_no,
+  CAST(k * 400 AS INT) AS start,
+  CAST(LEAST(500, n_chars - k * 400) AS INT) AS length
+FROM (
+  SELECT doc_id, n_chars,
+    unnest(range(0, CASE WHEN n_chars <= 500 THEN 1
+                    ELSE CAST(ceil((n_chars - 500) / 400.0)
+                         AS BIGINT) + 1 END)) AS k
+  FROM documents WHERE n_chars > 0
+) t
+""")
+def doc_chunk_spans_udtf(spark, sf_dir):
+    """§2.13 UDTF surface: the sliding chunk-span generator as a
+    Python table function invoked through a LATERAL join — the
+    data-dependent-loop escape hatch next to doc_chunk_windows' pure
+    SQL form. The oracle replays the loop as closed-form arithmetic
+    (k-th chunk starts at k*step; chunk count is
+    ceil((n-size)/step)+1), so the Python generator and the
+    relational form are proven equivalent. The UDTF runs row-at-a-
+    time in Python: correct tool ONLY for generator logic built-ins
+    can't express — the docstring in functions/udtf_ops.py says so.
+    """
+    from pudl_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql("""
+        SELECT doc_id, c.chunk_no, c.start, c.length
+        FROM docs_for_udtf,
+             LATERAL chunk_spans(CAST(n_chars AS INT), 500, 100) AS c
+        WHERE n_chars > 0
+    """)
