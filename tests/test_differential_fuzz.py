@@ -248,3 +248,51 @@ def test_random_window_plans_match_duckdb(spark, duck, p_idx, w_idx,
     want = _canon(duck.execute(sql).df())
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+SETOPS = [
+    ("union_all", lambda a, b: a.unionAll(b), "UNION ALL"),
+    ("intersect", lambda a, b: a.intersect(b), "INTERSECT"),
+    ("except_", lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    fa=st.lists(st.integers(0, len(FILTERS) - 1), unique=True,
+                max_size=2),
+    fb=st.lists(st.integers(0, len(FILTERS) - 1), unique=True,
+                max_size=2),
+    op=st.integers(0, len(SETOPS) - 1),
+)
+def test_random_set_ops_match_duckdb(spark, duck, fa, fb, op):
+    """Set-operation semantics (bag for UNION ALL / EXCEPT ALL, set
+    for INTERSECT) over two filtered projections of orders, reduced
+    to an exact group-count so multiplicities are compared too."""
+    from pudl_spark.catalog import read_parquet_table
+
+    base = read_parquet_table(spark, f"{SF}/orders.parquet")
+    proj = ["o_orderstatus", "o_orderpriority"]
+
+    def side(f_idx):
+        d = base
+        for i in f_idx:
+            d = d.filter(FILTERS[i][1]())
+        return d.select(*proj)
+
+    name, fn, sqlop = SETOPS[op]
+    got = _canon(fn(side(fa), side(fb))
+                 .groupBy(*proj)
+                 .agg(F.count(F.lit(1)).alias("n")).toPandas())
+
+    def sql_side(f_idx):
+        where = " AND ".join(FILTERS[i][2] for i in f_idx) or "TRUE"
+        return (f"SELECT {', '.join(proj)} FROM orders WHERE {where}")
+
+    sql = (f"SELECT {', '.join(proj)}, count(*) AS n FROM "
+           f"({sql_side(fa)} {sqlop} {sql_side(fb)}) t "
+           f"GROUP BY {', '.join(proj)}")
+    want = _canon(duck.execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
