@@ -48,6 +48,7 @@ _TOUCHED_THIS_ROUND = [
     "event_value_histogram", "media_avi_frames",
     "fixed_width_roundtrip_nation", "parquet_schema_evolution",
     "file_provenance_counts", "doc_chunk_spans_udtf",
+    "event_type_median_udaf",
 ]
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
@@ -76,8 +77,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    salted_event_type_totals, purchases_per_signup_interval,
     #    purchase_asof_signup (already r4-certified),
     #    pivot_event_values, nation_zone_overlay, jw_linkage_parts,
-    #    impute_latc_mape, hourly_event_windows, fs_linkage_parts and
-    #    freshest_event_per_user roll to round 6) --
+    #    impute_latc_mape, hourly_event_windows, fs_linkage_parts,
+    #    freshest_event_per_user and fk_orphan_counts roll to
+    #    round 6) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
@@ -85,7 +87,6 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "encode_order_status", "event_hypertable_rollup",
     "event_run_lengths", "event_sessions_windowed",
     "event_sliding_windows", "event_type_changelog",
-    "fk_orphan_counts",
 ]
 
 

@@ -7770,3 +7770,41 @@ def doc_chunk_spans_udtf(spark, sf_dir):
              LATERAL chunk_spans(CAST(n_chars AS INT), 500, 100) AS c
         WHERE n_chars > 0
     """)
+
+
+@query("event_type_median_udaf", sql="""
+SELECT event_type, median(value) AS median_value,
+  COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""")
+def event_type_median_udaf(spark, sf_dir):
+    """§2.13 UDAF surface, completing the UDF/UDAF/UDTF trio: a
+    pandas GROUPED_AGG aggregate (Arrow-batched, one Python call per
+    group — NOT per row) computing the exact per-type median. Both
+    engines interpolate even-count medians as (a+b)/2 over doubles,
+    so the values are bit-identical. Grouped-agg UDFs disable
+    partial aggregation (all group rows ship to one task) — correct
+    tool only when the aggregate genuinely needs the whole group,
+    which an exact median does; the mergeable-sketch alternative for
+    quantiles at scale is weighted_quantile/KMV in the A-family.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` stringifies type hints, so signature inference
+    # can't classify the UDF.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(v):
+        return float(v.median())
+
+    # Grouped-agg pandas UDFs can't mix with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT) — the count rides as a
+    # second pandas aggregate.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        _median("value").alias("median_value"),
+        _n("value").alias("n_events"))
