@@ -49,6 +49,8 @@ _TOUCHED_THIS_ROUND = [
     "fixed_width_roundtrip_nation", "parquet_schema_evolution",
     "file_provenance_counts", "doc_chunk_spans_udtf",
     "event_type_median_udaf",
+    # shared-columnar-writer refactor touched the parquet sink too
+    "parquet_sink_roundtrip",
 ]
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
@@ -66,27 +68,30 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "mode_segment_per_nation", "order_status_flags",
     "primary_priority_share", "spot_fix_regions",
     "sum_min_count_semantics", "uncategorized_part_types",
-    # -- next-oldest: latest green row is round 2 (23 of 36; the six
+    # -- next-oldest: latest green row is round 2 (10 of 36; the six
     #    source-roundtrip queries with dedicated unit suites —
     #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
     #    user_running_stats, date_merge_year (its month twin was
     #    r4-certified), dedupe_on_category_priority,
-    #    dominant_event_type, and — displaced by the eight new r5
-    #    queries — supplier_month_utilization, union_balances_by_nation,
+    #    dominant_event_type, and — displaced by this round's
+    #    15 touched/new prefix rows —
+    #    supplier_month_utilization, union_balances_by_nation,
     #    unpivot_lineitem_measures, user_value_ramps,
     #    salted_event_type_totals, purchases_per_signup_interval,
     #    purchase_asof_signup (already r4-certified),
     #    pivot_event_values, nation_zone_overlay, jw_linkage_parts,
     #    impute_latc_mape, hourly_event_windows, fs_linkage_parts,
-    #    freshest_event_per_user and fk_orphan_counts roll to
-    #    round 6) --
+    #    freshest_event_per_user, fk_orphan_counts and
+    #    event_type_changelog roll to round 6; parquet_sink_roundtrip
+    #    moved UP into the touched prefix after the shared-writer
+    #    refactor) --
     "clean_customer_names",
     "declarative_transform_orders",
     "doc_bloom_incremental_dedup", "doc_bm25_relevance",
     "embedding_blocked_clusters",
     "encode_order_status", "event_hypertable_rollup",
     "event_run_lengths", "event_sessions_windowed",
-    "event_sliding_windows", "event_type_changelog",
+    "event_sliding_windows",
 ]
 
 

@@ -86,18 +86,25 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
 def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     """Decode a Motion-JPEG AVI to its frame arrays: walk the RIFF
     chunk list (word-aligned, tolerant of unknown chunks), verify the
-    stream header declares MJPG, and decode every '..dc'/'..db' movi
-    chunk through the baseline/progressive JPEG decoder. Raises
+    video stream's header declares MJPG, and decode stream 0's
+    '00dc'/'00db' movi chunks through the baseline/progressive JPEG
+    decoder (other streams — audio, subtitles — are skipped). Raises
     NotImplementedError for non-MJPG compression — an honest gate,
     not a fake decode.
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF/AVI stream")
     frames: list[np.ndarray] = []
-    compression_seen: bytes | None = None
+    # A spec-valid AVI may carry several streams (video + audio);
+    # strl lists appear in stream order, so the FIRST strf belongs to
+    # stream 0. Gate on that one only — a second stream's strf is a
+    # WAVEFORMATEX whose bytes are not a compression fourcc — and
+    # decode only stream 0's chunks ('00dc'/'00db'), never another
+    # stream's data.
+    video_compression: bytes | None = None
 
     def walk(buf: bytes) -> None:
-        nonlocal compression_seen
+        nonlocal video_compression
         pos = 0
         while pos + 8 <= len(buf):
             ckid = buf[pos:pos + 4]
@@ -105,17 +112,19 @@ def decode_avi_frames(data: bytes) -> list[np.ndarray]:
             payload = buf[pos + 8:pos + 8 + size]
             if ckid == b"LIST":
                 walk(payload[4:])  # skip the list-type fourcc
-            elif ckid == b"strf" and len(payload) >= 20:
-                compression_seen = payload[16:20]
-                if compression_seen not in (b"MJPG", b"mjpg"):
+            elif (ckid == b"strf" and video_compression is None
+                    and len(payload) >= 20):
+                video_compression = payload[16:20]
+                if video_compression not in (b"MJPG", b"mjpg"):
                     raise NotImplementedError(
-                        f"AVI compression {compression_seen!r} "
+                        f"AVI compression {video_compression!r} "
                         "unsupported (MJPG only)")
-            elif ckid[2:4] in (b"dc", b"db") and size:
+            elif (ckid[:2] == b"00"
+                    and ckid[2:4] in (b"dc", b"db") and size):
                 frames.append(decode_jpeg(payload))
             pos += 8 + size + (size & 1)  # word alignment
 
     walk(data[12:12 + struct.unpack("<I", data[4:8])[0] - 4])
-    if compression_seen is None:
+    if video_compression is None:
         raise NotImplementedError("AVI stream header missing strf")
     return frames

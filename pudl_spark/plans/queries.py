@@ -7319,7 +7319,8 @@ def part_copurchase_triangles(spark, sf_dir):
 SELECT o_orderpriority,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
     AS sum_price,
-  COUNT(*) AS n_rows
+  COUNT(*) AS n_rows,
+  MAX(o_orderdate) AS max_date
 FROM orders
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -7340,19 +7341,20 @@ def jsonl_sink_roundtrip(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_orderpriority",
-        "o_totalprice")
+        "o_totalprice", "o_orderdate")
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "orders_jsonl")
         write_jsonl_table(o, p, partition_cols=["o_orderstatus"])
         back = read_jsonl(
             spark, p,
             "o_orderkey long, o_orderpriority string, "
-            "o_totalprice double").where(
+            "o_totalprice double, o_orderdate timestamp").where(
             F.col("o_orderstatus") == "O")
         out = back.groupBy("o_orderpriority").agg(
             F.sum(_dec("o_totalprice")).cast("double")
             .alias("sum_price"),
-            F.count(F.lit(1)).alias("n_rows"))
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("o_orderdate").alias("max_date"))
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -7638,8 +7640,13 @@ def fixed_width_roundtrip_nation(spark, sf_dir):
     from pudl_spark.sources.files import read_fixed_width
 
     nat = _t(spark, sf_dir, "nation")
+    # %-Ns pads but never TRUNCATES: an over-wide field would shift
+    # every later column silently. Clip explicitly to the declared
+    # width so the layout is wrong-proof (fixture names are short;
+    # real-world name fields are not).
     lines = nat.select(F.format_string(
-        "%-6d%-20s%-4d", F.col("n_nationkey"), F.col("n_name"),
+        "%-6d%-20s%-4d", F.col("n_nationkey"),
+        F.substring(F.col("n_name"), 1, 20),
         F.col("n_regionkey")).alias("value"))
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "nation_fw")

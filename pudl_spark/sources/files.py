@@ -60,18 +60,16 @@ def extract_partitions(spark: SparkSession, paths: list[str],
     return union_by_name(dfs)
 
 
-def write_parquet_table(df: DataFrame, path: str,
-                        partition_cols: list[str] | None = None,
-                        sort_cols: list[str] | None = None,
-                        max_records_per_file: int = 1_000_000,
-                        compression: str = "zstd",
-                        mode: str = "overwrite") -> None:
-    """Parquet sink (ref: io_managers.py:379-418): zstd compression,
-    optional hive partitioning, and pre-write clustering by sort_cols
-    for row-group skipping + compression locality (ref: ferc714.py:
-    822-824). At 100 TB the partition column choice IS the read-path
-    partition pruning; sortWithinPartitions keeps min/max statistics
-    tight without a global sort.
+def _write_columnar(df: DataFrame, path: str, fmt: str,
+                    partition_cols: list[str] | None,
+                    sort_cols: list[str] | None,
+                    max_records_per_file: int,
+                    compression: str, mode: str) -> None:
+    """Shared columnar-sink layout contract: optional hive
+    partitioning, pre-write clustering by sort_cols (row-group /
+    stripe statistics stay tight without a global sort), and a
+    max-records-per-file cap so a large partition never lands as one
+    giant file per task.
     """
     out = df
     if sort_cols:
@@ -85,32 +83,43 @@ def write_parquet_table(df: DataFrame, path: str,
               .option("maxRecordsPerFile", max_records_per_file))
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    getattr(writer, fmt)(path)
+
+
+def write_parquet_table(df: DataFrame, path: str,
+                        partition_cols: list[str] | None = None,
+                        sort_cols: list[str] | None = None,
+                        max_records_per_file: int = 1_000_000,
+                        compression: str = "zstd",
+                        mode: str = "overwrite") -> None:
+    """Parquet sink (ref: io_managers.py:379-418): zstd compression,
+    optional hive partitioning, and pre-write clustering by sort_cols
+    for row-group skipping + compression locality (ref: ferc714.py:
+    822-824). At 100 TB the partition column choice IS the read-path
+    partition pruning; sortWithinPartitions keeps min/max statistics
+    tight without a global sort.
+    """
+    _write_columnar(df, path, "parquet", partition_cols, sort_cols,
+                    max_records_per_file, compression, mode)
 
 
 def write_orc_table(df: DataFrame, path: str,
                     partition_cols: list[str] | None = None,
                     sort_cols: list[str] | None = None,
+                    max_records_per_file: int = 1_000_000,
                     compression: str = "zstd",
                     mode: str = "overwrite") -> None:
-    """ORC sink — same layout contract as ``write_parquet_table``
-    (hive partitioning + pre-write clustering), on Spark's second
-    native columnar format. ORC carries built-in min/max/bloom row
-    indexes, so the sort_cols clustering buys stripe skipping the
-    same way parquet gets row-group skipping; partition pruning and
-    predicate pushdown go through the same DataSource V2 path.
-    Interop surface for warehouses (Hive/Trino) that standardize on
-    ORC instead of parquet.
+    """ORC sink — the SAME layout contract as ``write_parquet_table``
+    (one shared ``_write_columnar`` implementation, including the
+    max-records-per-file cap), on Spark's second native columnar
+    format. ORC's built-in min/max/bloom stripe indexes give the
+    sort_cols clustering the role parquet row-group stats play;
+    partition pruning and predicate pushdown ride the identical
+    DataSource V2 path. Interop surface for warehouses (Hive/Trino)
+    standardized on ORC.
     """
-    out = df
-    if sort_cols:
-        if partition_cols:
-            out = out.repartition(*partition_cols)
-        out = out.sortWithinPartitions(*sort_cols)
-    writer = out.write.mode(mode).option("compression", compression)
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.orc(path)
+    _write_columnar(df, path, "orc", partition_cols, sort_cols,
+                    max_records_per_file, compression, mode)
 
 
 def read_fixed_width(spark: SparkSession, path: str,

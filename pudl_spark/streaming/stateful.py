@@ -102,26 +102,35 @@ def _mg_merge(counters: dict, batch: dict, k: int) -> dict:
     return counters
 
 
-def _mg_update(key: Any, pdfs: Iterator[pd.DataFrame],
+def _mg_update_fn(k: int):
+    """Build the stateful update function for a k-counter sketch —
+    applyInPandasWithState passes no extra arguments, so the sketch
+    size must close over the function (a hardcoded module constant
+    here would silently ignore the caller's k)."""
+
+    def update(key: Any, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        items, counts = state.get
-        counters = dict(zip(items, counts))
-    else:
-        counters = {}
-    for pdf in pdfs:
-        vc = pdf["user_id"].value_counts()
-        counters = _mg_merge(counters, vc.to_dict(), MG_K)
-    # Deterministic order: count desc, item asc — state layout and
-    # emitted rows are a pure function of the data seen.
-    ordered = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
-    state.update(([int(i) for i, _ in ordered],
-                  [int(c) for _, c in ordered]))
-    yield pd.DataFrame({
-        "event_type": [key[0]] * len(ordered),
-        "user_id": [i for i, _ in ordered],
-        "est_count": [c for _, c in ordered],
-    })
+        if state.exists:
+            items, counts = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            counters = _mg_merge(counters, vc.to_dict(), k)
+        # Deterministic order: count desc, item asc — state layout
+        # and emitted rows are a pure function of the data seen.
+        ordered = sorted(counters.items(),
+                         key=lambda kv: (-kv[1], kv[0]))
+        state.update(([int(i) for i, _ in ordered],
+                      [int(c) for _, c in ordered]))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(ordered),
+            "user_id": [i for i, _ in ordered],
+            "est_count": [c for _, c in ordered],
+        })
+
+    return update
 
 
 def heavy_hitters_stream(events: DataFrame, k: int = MG_K) -> DataFrame:
@@ -137,7 +146,7 @@ def heavy_hitters_stream(events: DataFrame, k: int = MG_K) -> DataFrame:
         events.select("event_type", "user_id")
         .groupBy("event_type")
         .applyInPandasWithState(
-            _mg_update,
+            _mg_update_fn(k),
             outputStructType=MG_OUTPUT_SCHEMA,
             stateStructType=MG_STATE_SCHEMA,
             outputMode="update",

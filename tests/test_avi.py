@@ -94,3 +94,38 @@ def test_extract_video_frames_dispatches_avi(spark):
         assert (r["px_sum"], r["px_min"], r["px_max"]) == (
             int(flat.sum()), int(flat.min()), int(flat.max()))
         assert (r["width"], r["height"]) == (24, 16)
+
+
+def test_second_stream_ignored():
+    # Splice a fake audio strl (strf = WAVEFORMATEX-ish bytes, NOT a
+    # compression fourcc) after hdrl and an '01wb' audio chunk inside
+    # movi: the decoder must still return only stream 0's frames.
+    from pudl_spark.functions.avi import _chunk, _list
+
+    frames = _block_frames(4, nf=2)
+    data = encode_avi_mjpeg(frames)
+    body = data[12:]  # hdrl + movi + idx1
+
+    audio_strf = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    audio_strl = _list(b"strl",
+                       _chunk(b"strh", b"auds" + b"\x00" * 52)
+                       + _chunk(b"strf", audio_strf))
+    sz = struct.unpack("<I", body[4:8])[0]
+    hdrl_end = 8 + sz + (sz & 1)
+    body = body[:hdrl_end] + audio_strl + body[hdrl_end:]
+
+    # audio data chunk right after the movi list-type fourcc
+    audio_chunk = _chunk(b"01wb", b"\x80" * 32)
+    m = body.find(b"movi")
+    movi_hdr = body.rfind(b"LIST", 0, m)
+    msz = struct.unpack("<I", body[movi_hdr + 4:movi_hdr + 8])[0]
+    body = (body[:movi_hdr + 4]
+            + struct.pack("<I", msz + len(audio_chunk))
+            + body[movi_hdr + 8:m + 4]
+            + audio_chunk + body[m + 4:])
+
+    full = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    back = decode_avi_frames(full)
+    assert len(back) == 2
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)

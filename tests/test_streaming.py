@@ -372,3 +372,22 @@ def test_streaming_heavy_hitters_mg_guarantee(spark, events_dir):
     for (et, u), n in true.items():
         if n > totals[et] / (MG_K + 1):
             assert (et, u) in streamed
+
+
+def test_streaming_heavy_hitters_honors_k(spark, events_dir):
+    """The sketch size parameter must reach the state-update kernel —
+    a larger k keeps strictly more candidates on skewed data."""
+    from pudl_spark.streaming.stateful import heavy_hitters_stream
+
+    def run(k, qname):
+        stream = read_events_stream(spark, events_dir,
+                                    max_files_per_trigger=2)
+        q = (heavy_hitters_stream(stream, k=k)
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {(r["event_type"], r["user_id"])
+                for r in spark.table(qname).collect()}
+
+    small, big = run(2, "mg_k2"), run(64, "mg_k64")
+    assert small < big  # strictly more candidates survive with k=64
