@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "part_copurchase_triangles",
     "market_share_by_year",
     "media_avi_frames",
+    "event_value_histogram",
+    "order_counts_cube",
+    "orders_above_customer_avg",
+    "event_type_median_udaf",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its
