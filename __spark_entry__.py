@@ -31,67 +31,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # real-decode multimodal rework + new queries (r5)
-    "media_feature_extract", "media_jpeg_features",
-    "media_thumbnail_stats", "media_gif_features",
-    "media_video_frames", "incremental_rebuild_counts",
-    "bpe_merges_docs",
-    # heavy.py candidate pinning (r5) + r4-touched-after-r3-cert rows
-    "doc_top_terms", "doc_dup_spans", "doc_bigram_perplexity",
-    # share the touched multimodal module (decode dispatch)
-    "media_png_features", "media_wav_features",
-    # new in r5: ORC/JSONL sinks, shard manifest, SemDeDup, triangles
-    "orc_sink_roundtrip", "doc_shard_manifest",
-    "embedding_semantic_dedup", "part_copurchase_triangles",
-    "jsonl_sink_roundtrip", "market_share_by_year",
-    "orders_above_customer_avg", "order_counts_cube",
-    "event_value_histogram", "media_avi_frames",
-    "fixed_width_roundtrip_nation", "parquet_schema_evolution",
-    "file_provenance_counts", "doc_chunk_spans_udtf",
-    "event_type_median_udaf",
-    # shared-columnar-writer refactor touched the parquet sink too
-    "parquet_sink_roundtrip",
+    # r6: SemDeDup de-quadratified (sqrt-n seeds, VERDICT r5 #3) —
+    # implementation AND oracle changed
+    "embedding_semantic_dedup",
+    # r6: extract_video_frames now skips non-sampled AVI frame
+    # decodes via the chunk index (VERDICT r5 #4); both frame-sample
+    # queries route through the touched function
+    "media_avi_frames", "media_video_frames",
+    # r6: hygiene rewrites (TemporaryDirectory store; temp-view drop)
+    "incremental_rebuild_counts", "orders_above_customer_avg",
 ]
+
+# The prefix ordering below was BUILT against the certification
+# state as of this round's start (CORRECTNESS_r01..r<this>): the
+# ordering tests must evaluate staleness against the same state,
+# because the round's own CORRECTNESS file (generated FROM this very
+# prefix) lands post-commit and flips every re-certified row
+# "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
+# rebuilding the prefix for a new round.
+_BUILT_AGAINST_ROUND = 5
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
 # prefix). After round 4 every registered query carries an all-green
 # driver row; from round 5 on, the prefix is (a) this round's
 # touched/new queries, then (b) rolling RE-certification of the
-# queries whose latest green driver row is OLDEST (r1 first, then
-# r2), so certification age stays bounded across rounds.
+# queries whose latest green driver row is OLDEST, so certification
+# age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- oldest certs: latest green row is round 1 (12) --
-    "complete_year_nations", "doc_bpe_token_estimate",
-    "doc_fingerprints", "doc_language_id",
-    "doc_quality_scores", "embedding_near_dup_pairs",
-    "mode_segment_per_nation", "order_status_flags",
-    "primary_priority_share", "spot_fix_regions",
-    "sum_min_count_semantics", "uncategorized_part_types",
-    # -- next-oldest: latest green row is round 2 (10 of 36; the six
-    #    source-roundtrip queries with dedicated unit suites —
-    #    csv/dbf/sqlite/xbrl/parquet-sink/address-tagger — plus
-    #    user_running_stats, date_merge_year (its month twin was
-    #    r4-certified), dedupe_on_category_priority,
-    #    dominant_event_type, and — displaced by this round's
-    #    15 touched/new prefix rows —
-    #    supplier_month_utilization, union_balances_by_nation,
-    #    unpivot_lineitem_measures, user_value_ramps,
-    #    salted_event_type_totals, purchases_per_signup_interval,
-    #    purchase_asof_signup (already r4-certified),
-    #    pivot_event_values, nation_zone_overlay, jw_linkage_parts,
-    #    impute_latc_mape, hourly_event_windows, fs_linkage_parts,
-    #    freshest_event_per_user, fk_orphan_counts and
-    #    event_type_changelog roll to round 6; parquet_sink_roundtrip
-    #    moved UP into the touched prefix after the shared-writer
-    #    refactor) --
-    "clean_customer_names",
-    "declarative_transform_orders",
-    "doc_bloom_incremental_dedup", "doc_bm25_relevance",
-    "embedding_blocked_clusters",
-    "encode_order_status", "event_hypertable_rollup",
-    "event_run_lengths", "event_sessions_windowed",
-    "event_sliding_windows",
+    # -- ALL 25 queries whose latest green driver row is round 2:
+    #    the 16 displaced from the r5 prefix (VERDICT r5 "Next
+    #    round" #2) plus the 9 that had been deliberately deferred
+    #    behind dedicated unit suites (csv/dbf/sqlite/xbrl source
+    #    roundtrips, the address tagger, user_running_stats,
+    #    date_merge_year, dedupe_on_category_priority,
+    #    dominant_event_type). After round 6 no registered query's
+    #    latest driver row predates round 3. --
+    "supplier_month_utilization", "union_balances_by_nation",
+    "unpivot_lineitem_measures", "user_value_ramps",
+    "salted_event_type_totals", "purchases_per_signup_interval",
+    "purchase_asof_signup", "pivot_event_values",
+    "nation_zone_overlay", "jw_linkage_parts",
+    "impute_latc_mape", "hourly_event_windows",
+    "fs_linkage_parts", "freshest_event_per_user",
+    "fk_orphan_counts", "event_type_changelog",
+    "csv_partition_extract_nation", "dbf_roundtrip_supplier",
+    "sqlite_roundtrip_orders", "xbrl_roundtrip_totals",
+    "parse_address_tagged_suppliers", "user_running_stats",
+    "date_merge_year", "dedupe_on_category_priority",
+    "dominant_event_type",
+    # -- remaining slots: the oldest round-3 certifications
+    #    (alphabetical; 43 r3 rows total — the rest roll to round 7).
+    #    New queries added during the round displace from the END of
+    #    this block; displaced names stay r3-certified and lead the
+    #    r7 re-cert queue. --
+    "ann_ivf_topk", "ann_lsh_bucketed", "corpus_snapshot_diff",
+    "doc_chunk_windows", "doc_curation_decisions",
+    "doc_decontaminate", "doc_gopher_repetition",
+    "doc_leakage_safe_split", "doc_pack_sequences", "doc_pii_scrub",
+    "doc_quality_classifier", "doc_source_mixture", "doc_tfidf_topk",
+    "doc_token_stats", "embedding_quantization",
+    "embedding_random_projection", "event_props_extract",
+    "event_seasonal_decompose", "event_user_pseudonymize",
+    "event_zone_assignment",
 ]
 
 
