@@ -125,8 +125,17 @@ def compact_parquet(spark, directory: str,
         total = sum(sizes.get(p, os.path.getsize(p)) for p in group)
         nparts = (-(-total // target_bytes)
                   if total > 2 * target_bytes else 1)
-        spark.read.parquet(*group).coalesce(int(nparts)) \
-            .write.mode("overwrite").parquet(tmp)
+        # repartition, not coalesce, for the split case (ADVICE r5):
+        # coalesce can only REDUCE partition count, so a group that
+        # scans as fewer input splits than nparts (one highly
+        # compressed file, or maxPartitionBytes > target) would
+        # silently keep the oversized single-task write the guard
+        # exists to prevent. repartition guarantees the fan-out; the
+        # extra shuffle is the cost of the rewrite, not the read path.
+        grouped = spark.read.parquet(*group)
+        grouped = (grouped.repartition(int(nparts)) if nparts > 1
+                   else grouped.coalesce(1))
+        grouped.write.mode("overwrite").parquet(tmp)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
         for j, part in enumerate(parts):
             dest = os.path.join(

@@ -4782,24 +4782,29 @@ def incremental_rebuild_counts(spark, sf_dir):
 
         return g
 
-    store = tempfile.mkdtemp(prefix="pudl_spark_incr_")
-    b1: list = []
-    b2: list = []
-    b3: list = []
-    p1 = make_graph("1", b1).materialize(spark, store, incremental=True)
-    make_graph("2", b2).materialize(spark, store, incremental=True)
-    make_graph("2", b3).materialize(spark, store, incremental=True)
-    expect = (["base_orders", "mid_status", "out_status"],
-              ["mid_status", "out_status"], [])
-    if (b1, b2, b3) != expect:
-        raise AssertionError(
-            f"incremental rebuild cones wrong: {(b1, b2, b3)} != {expect}")
-    out = spark.read.parquet(os.path.join(store, "out_status.parquet"))
-    return out.select(
-        "status", "n", "min_key", "max_key",
-        F.lit(3).cast("int").alias("run1_rebuilt"),
-        F.lit(2).cast("int").alias("run2_rebuilt"),
-        F.lit(0).cast("int").alias("run3_rebuilt"))
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_incr_") as store:
+        b1: list = []
+        b2: list = []
+        b3: list = []
+        make_graph("1", b1).materialize(spark, store, incremental=True)
+        make_graph("2", b2).materialize(spark, store, incremental=True)
+        make_graph("2", b3).materialize(spark, store, incremental=True)
+        expect = (["base_orders", "mid_status", "out_status"],
+                  ["mid_status", "out_status"], [])
+        if (b1, b2, b3) != expect:
+            raise AssertionError(
+                f"incremental rebuild cones wrong: {(b1, b2, b3)} != {expect}")
+        out = spark.read.parquet(os.path.join(store, "out_status.parquet"))
+        out = out.select(
+            "status", "n", "min_key", "max_key",
+            F.lit(3).cast("int").alias("run1_rebuilt"),
+            F.lit(2).cast("int").alias("run2_rebuilt"),
+            F.lit(0).cast("int").alias("run3_rebuilt"))
+        # Materialize before the store vanishes (same pattern as the
+        # sink roundtrips): ONLY valid because the output is a tiny
+        # post-aggregation frame (3 status rows) — never copy this
+        # collect into a query with large output.
+        return spark.createDataFrame(out.collect(), out.schema)
 
 
 @query("table_row_counts", sql="""
@@ -5126,6 +5131,9 @@ def sqlite_roundtrip_orders(spark, sf_dir):
         write_sqlite_table(sub, db, res)
         out = read_sqlite_table(spark, db, res, years=[1995, 1996],
                                 year_col="order_date")
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -5162,6 +5170,9 @@ def parquet_sink_roundtrip(spark, sf_dir):
         out = back.groupBy("l_linestatus").agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"))
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -5202,6 +5213,9 @@ def csv_partition_extract_nation(spark, sf_dir):
         out = extract_partitions(
             spark, paths, fmt="csv",
             schema=res.to_struct_type(), header="true")
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -7111,6 +7125,9 @@ def orc_sink_roundtrip(spark, sf_dir):
             F.sum(_dec("l_extendedprice")).cast("double")
             .alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"))
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -7355,6 +7372,9 @@ def jsonl_sink_roundtrip(spark, sf_dir):
             .alias("sum_price"),
             F.count(F.lit(1)).alias("n_rows"),
             F.max("o_orderdate").alias("max_date"))
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -7459,20 +7479,22 @@ def orders_above_customer_avg(spark, sf_dir):
     (tests/test_subquery_decorrelation.py pins this). The average
     compare is expressed multiplicatively (price * count > sum) so
     every operand stays exact DECIMAL — no division, no float drift,
-    identical row sets on both engines.
+    identical row sets on both engines. The source frame is passed as
+    a SQL template argument ({orders}) rather than a session-global
+    temp view, so the query leaves no mutable catalog state behind
+    and stays idempotent within a shared session (ADVICE r5).
     """
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_corr_sq")
     return spark.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders_corr_sq o
+        FROM {orders} o
         WHERE CAST(o_totalprice AS DECIMAL(12,2))
-              * (SELECT COUNT(*) FROM orders_corr_sq o2
+              * (SELECT COUNT(*) FROM {orders} o2
                  WHERE o2.o_custkey = o.o_custkey)
               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-                 FROM orders_corr_sq o2
+                 FROM {orders} o2
                  WHERE o2.o_custkey = o.o_custkey)
-    """)
+    """, orders=o)
 
 
 @query("order_counts_cube", sql="""
@@ -7701,6 +7723,9 @@ def parquet_schema_evolution(spark, sf_dir):
             F.sum(F.coalesce(_dec("o_totalprice"),
                              F.lit(0).cast("decimal(12,2)")))
             .cast("double").alias("sum_price"))
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 
@@ -7739,6 +7764,9 @@ def file_provenance_counts(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("o_orderkey").cast("bigint").alias("min_key"),
                  F.max("o_orderkey").cast("bigint").alias("max_key")))
+        # Pin before the tempdir vanishes — valid ONLY because the
+        # result is a tiny post-aggregation frame; never copy this
+        # collect into a query with large output.
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
 

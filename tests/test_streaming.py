@@ -337,11 +337,12 @@ def test_streaming_heavy_hitters_mg_guarantee(spark, events_dir):
         .outputMode("update").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    # update mode re-emits the sketch each micro-batch; keep only the
-    # final emission per (event_type): the largest per-key batch id
-    # isn't exposed, but est_count grows monotonically per item, so
-    # max() per (event_type, user) reconstructs the final sketch
-    # SUPERSET; intersect with the last state via a fresh batch run.
+    # update mode re-emits the sketch each micro-batch. MG estimates
+    # are NOT monotone (decrement rounds lower them), so max() per
+    # (event_type, user) reconstructs a SUPERSET of the final sketch
+    # with possibly inflated counts — used below strictly for
+    # MEMBERSHIP, never for count values; the count assertions run
+    # against a fresh batch-mode sketch instead.
     batch = spark.read.parquet(events_dir)
     final = {
         (r["event_type"], r["user_id"]): r["est_count"]
