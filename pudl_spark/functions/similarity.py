@@ -173,6 +173,136 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame,
     )
 
 
+def ivf_partitioned_argmax(vectors: DataFrame, seeds: DataFrame,
+                           nprobe: int = 2,
+                           centroid_factor: float = 2.0,
+                           salt: str = "cent") -> DataFrame:
+    """Scale-safe argmax-cosine assignment of every vector to its
+    nearest seed — the centroid-partitioned IVF shape (VERDICT r5
+    next-round #3), replacing the broadcast-every-seed scoring whose
+    cost is O(n*k) with a corpus-proportional broadcast.
+
+    Two deterministic levels, no training step:
+
+    1. A hash-sampled ~``centroid_factor``*sqrt(k) subset of the
+       seeds become CENTROIDS (md5-threshold rule, so the choice is
+       data-independent and engine-reproducible). Only this
+       O(sqrt(k)) table is ever broadcast — bounded even when the
+       seed count grows with the corpus.
+    2. Seeds are partitioned into cells by nearest centroid; each
+       vector scores the broadcast centroid array MAP-SIDE (a
+       higher-order transform over one array column — no join
+       fan-out, no window shuffle), probes its ``nprobe`` nearest
+       cells, and argmaxes over just those cells' seeds via a plain
+       equi-join ON THE CELL ID — a shuffle-partitioned hash join,
+       never a corpus-sized broadcast.
+
+    Work: O(n*sqrt(k)) centroid scoring + O(n * nprobe * k/c)
+    candidate scoring with c ~ sqrt(k) cells — ~O(n*sqrt(k)) total
+    vs O(n*k) for flat scoring, with an O(sqrt(k)) broadcast. Like
+    any nprobe-bounded IVF the result is approximate: a vector whose
+    true nearest seed lives outside its probed cells gets its best
+    in-probe seed instead (recall tunes via nprobe/centroid_factor).
+    Identical vectors probe identical cells, so exact duplicates
+    always land in the same cluster. Hot cells (real embedding
+    spaces cluster) are AQE skew-join territory; the cell id is also
+    the natural bucket key for a persisted store.
+
+    Inputs: vectors (vec_id, embedding, nrm), seeds (seed_id,
+    seed_vec, seed_nrm) with nrm = l2_norm_expr precomputed (one
+    materialization per row, not per pair). Returns (vec_id,
+    cluster_seed). Vectors whose probed cells hold no seed (possible
+    only when a centroid's own cell is emptied by an identical-twin
+    tie) drop out — callers needing totality should left-join back.
+    """
+    k = seeds.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    h2 = F.conv(F.substring(
+        F.md5(F.concat(F.col("seed_id").cast("string"),
+                       F.lit(":" + salt))), 1, 6), 16, 10).cast("double")
+    # P(centroid) = centroid_factor / sqrt(k): h2 is uniform on
+    # [0, 2^24), and every operation (divide, sqrt, multiply) is an
+    # exactly-rounded IEEE op, so the rule replays bit-identically
+    # in any engine.
+    cents = (seeds.crossJoin(F.broadcast(k))
+             .filter(h2 * F.sqrt(F.col("__k"))
+                     < F.lit(16777216.0 * centroid_factor))
+             .select(F.col("seed_id").alias("cent_id"),
+                     F.col("seed_vec").alias("cent_vec"),
+                     F.col("seed_nrm").alias("cent_nrm")))
+    cents_arr = cents.agg(F.collect_list(
+        F.struct("cent_id", "cent_vec", "cent_nrm")).alias("__cents"))
+
+    def _probes(vec, nrm, n):
+        """Array of the n (1 or 2) nearest centroid ids. ONE fold
+        over the scored centroid array keeps (best, second-best), so
+        the dot products are evaluated exactly once per row — an
+        array_max-of-filter composition would re-evaluate the
+        scoring transform per element, O(c^2) dot products. Ties
+        break to the SMALLER centroid id via the negated-id field
+        (lexicographic (score, -id) compare — the same rule the SQL
+        row_number replay uses)."""
+        if n not in (1, 2):
+            raise ValueError("nprobe must be 1 or 2")
+        scores = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                (dot_expr(vec, c["cent_vec"])
+                 / (nrm * c["cent_nrm"])).alias("s"),
+                (-c["cent_id"]).alias("nid")))
+        zero = F.struct(
+            F.lit(None).cast("double").alias("s1"),
+            F.lit(None).cast("long").alias("n1"),
+            F.lit(None).cast("double").alias("s2"),
+            F.lit(None).cast("long").alias("n2"))
+
+        def merge(acc, x):
+            # TRUE OR NULL = TRUE, so the isNull disjunct admits the
+            # first element although the comparisons yield NULL
+            beats1 = (acc["s1"].isNull() | (x["s"] > acc["s1"])
+                      | ((x["s"] == acc["s1"]) & (x["nid"] > acc["n1"])))
+            beats2 = (acc["s2"].isNull() | (x["s"] > acc["s2"])
+                      | ((x["s"] == acc["s2"]) & (x["nid"] > acc["n2"])))
+            return (
+                F.when(beats1, F.struct(
+                    x["s"].alias("s1"), x["nid"].alias("n1"),
+                    acc["s1"].alias("s2"), acc["n1"].alias("n2")))
+                .when(beats2, F.struct(
+                    acc["s1"].alias("s1"), acc["n1"].alias("n1"),
+                    x["s"].alias("s2"), x["nid"].alias("n2")))
+                .otherwise(acc))
+
+        return F.aggregate(scores, zero, merge)
+
+    # The fold lands in its OWN projection (withColumn, then a
+    # separate select that reads __top twice): CollapseProject
+    # declines to inline a non-cheap alias with multiple uses, so
+    # the scoring transform runs exactly once per row.
+    seed_cell = (seeds.crossJoin(F.broadcast(cents_arr))
+                 .withColumn("__top", _probes(F.col("seed_vec"),
+                                              F.col("seed_nrm"), 1))
+                 .select("seed_id", "seed_vec", "seed_nrm",
+                         (-F.col("__top")["n1"]).alias("__cell")))
+    cells = ([-F.col("__top")["n1"]] if nprobe == 1
+             else [-F.col("__top")["n1"], -F.col("__top")["n2"]])
+    probed = (vectors.crossJoin(F.broadcast(cents_arr))
+              .withColumn("__top", _probes(F.col("embedding"),
+                                           F.col("nrm"), nprobe))
+              .select("vec_id", "embedding", "nrm",
+                      F.explode(F.array(*cells)).alias("__cell"))
+              .filter(F.col("__cell").isNotNull()))
+    cand = probed.join(seed_cell, "__cell").select(
+        "vec_id",
+        "seed_id",
+        (dot_expr(F.col("embedding"), F.col("seed_vec"))
+         / (F.col("nrm") * F.col("seed_nrm"))).alias("score"))
+    # max_by partial-aggregates map-side: the shuffle carries one row
+    # per vector, not one per (vector, candidate seed).
+    return cand.groupBy("vec_id").agg(
+        F.max_by("seed_id", F.struct(F.col("score"),
+                                     (-F.col("seed_id")).alias("ns")))
+        .alias("cluster_seed"))
+
+
 def embedding_quantize_stats(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """Per-vector int8 (0..255) affine quantization with a

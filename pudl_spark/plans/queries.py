@@ -7192,20 +7192,49 @@ _SEMDEDUP_COS = """
 """
 
 
+def _hex6(expr: str) -> str:
+    """DuckDB integer from the first 6 hex chars of a md5 string —
+    the engine-portable uniform hash the centroid-sampling threshold
+    compares (mirrors Spark's conv(substring(h,1,6),16,10))."""
+    return ("(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}" for i in range(6)) + ")")
+
+
 @query("embedding_semantic_dedup", sql=f"""
-WITH seeds AS (
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
   SELECT vec_id AS seed_id, embedding AS seed_vec
-  FROM embeddings WHERE vec_id % 97 = 1
-), scored AS (
-  SELECT e.vec_id, e.embedding, s.seed_id,
-    {_SEMDEDUP_COS.format(a='e.embedding', b='s.seed_vec')} AS score
-  FROM embeddings e CROSS JOIN seeds s
+  FROM base WHERE vec_id % 97 = 1
+), k AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
+), cents AS (
+  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
+  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
+        * sqrt(k.k) < 33554432.0
+), seed_cell AS (
+  SELECT seed_id, seed_vec, cell FROM (
+    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY s.seed_id ORDER BY
+        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM base e CROSS JOIN cents c) WHERE rn <= 2
 ), assigned AS (
-  SELECT vec_id, embedding, seed_id AS cluster_seed
-  FROM (SELECT *, row_number() OVER (
-          PARTITION BY vec_id ORDER BY score DESC, seed_id ASC) AS rn
-        FROM scored)
-  WHERE rn = 1
+  SELECT vec_id, embedding, seed_id AS cluster_seed FROM (
+    SELECT e.vec_id, e.embedding, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
 ), dup AS (
   SELECT DISTINCT a.vec_id
   FROM assigned a JOIN assigned b
@@ -7222,20 +7251,33 @@ def embedding_semantic_dedup(spark, sf_dir):
     turns O(n^2) cosine dedup into k independent O((n/k)^2) blocks.
     Deterministic variant: cluster seeds are a fixed arithmetic
     subset of the corpus (vec_id % 97 == 1, so k grows with n and
-    per-cluster work stays bounded); assignment is argmax cosine to a
-    BROADCAST seed table (map-side, no shuffle); the drop rule keeps
-    the lowest vec_id of any within-cluster pair with cos >= 0.4.
-    At 100 TB: scoring is one broadcast-join scan, the argmax is a
-    map-side-combinable max_by groupBy, and the pair check shuffles
-    on cluster_seed — uniform by construction because seeds are an
-    unbiased corpus sample. Embeddings here are unit-norm, but the
-    expression keeps explicit norms so the query is correct for any
-    input. Both engines fold the dot product left-to-right over the
-    same 64 elements, so scores are bit-identical and the argmax /
-    threshold compares agree exactly.
+    per-cluster pair-check work stays LINEAR at ~97n/2); the drop
+    rule keeps the lowest vec_id of any within-cluster pair with
+    cos >= 0.4.
+
+    Assignment is the centroid-partitioned IVF path
+    (`functions/similarity.py::ivf_partitioned_argmax`, VERDICT r5
+    next-round #3): a hash-sampled ~2*sqrt(k) centroid subset of the
+    seeds is the ONLY broadcast (bounded as the corpus grows — the
+    r5 shape broadcast all k seeds, an O(n/97) table, and scored
+    n*k = O(n^2/97) pairs); seeds partition into centroid cells, each
+    vector scores the broadcast centroid array map-side and argmaxes
+    over its 2 probed cells' seeds via an equi-join ON THE CELL ID —
+    a shuffle-partitioned join that never materializes the corpus on
+    one node. Total assignment work ~O(n*sqrt(k)), pair check O(97n)
+    — both sub-quadratic. nprobe=2 makes the assignment approximate
+    in the standard IVF sense; the oracle replays the identical
+    deterministic rule, so results stay exact-equal across engines.
+
+    Embeddings here are unit-norm, but the expression keeps explicit
+    norms so the query is correct for any input. Both engines fold
+    the dot product left-to-right over the same 64 elements, so
+    scores are bit-identical and the argmax / threshold compares
+    agree exactly.
     """
     from pudl_spark.catalog import spread_small_input
-    from pudl_spark.functions.similarity import dot_expr, l2_norm_expr
+    from pudl_spark.functions.similarity import (
+        dot_expr, ivf_partitioned_argmax, l2_norm_expr)
 
     # Norms are materialized ONCE per row (not re-derived inside
     # every pair predicate): higher-order array functions evaluate
@@ -7250,17 +7292,8 @@ def embedding_semantic_dedup(spark, sf_dir):
         F.col("vec_id").alias("seed_id"),
         F.col("embedding").alias("seed_vec"),
         F.col("nrm").alias("seed_nrm"))
-    scored = emb.join(F.broadcast(seeds)).select(
-        "vec_id",
-        "seed_id",
-        (dot_expr(F.col("embedding"), F.col("seed_vec"))
-         / (F.col("nrm") * F.col("seed_nrm"))).alias("score"))
-    # max_by over (score, -seed_id): partial-aggregates map-side, so
-    # the shuffle carries one row per vector, not one per (vec, seed).
-    best = scored.groupBy("vec_id").agg(
-        F.max_by("seed_id", F.struct(F.col("score"),
-                                     (-F.col("seed_id")).alias("ns")))
-        .alias("cluster_seed"))
+    best = ivf_partitioned_argmax(emb, seeds, nprobe=2,
+                                  centroid_factor=2.0)
     assigned = emb.join(best, "vec_id")
     other = assigned.select(
         F.col("cluster_seed").alias("b_cluster"),

@@ -87,6 +87,67 @@ def test_shard_manifest_single_exchange_plan(spark):
     assert "Exchange rangepartitioning" not in plan  # no global sort
 
 
+def _emb_with_seeds(spark):
+    from pudl_spark.functions.similarity import l2_norm_expr
+
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding")
+           .withColumn("nrm", l2_norm_expr(F.col("embedding"))))
+    seeds = emb.filter(F.col("vec_id") % 97 == 1).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+        F.col("nrm").alias("seed_nrm"))
+    return emb, seeds
+
+
+def test_ivf_argmax_exact_when_every_seed_is_centroid(spark):
+    """centroid_factor >= sqrt(k) promotes every seed to a centroid;
+    each seed's cell is then itself and the probed top-2 cells are
+    the top-2 seeds — so the nprobe=2 assignment must equal the
+    brute-force argmax EXACTLY (same scores, same tie rule)."""
+    from pudl_spark.functions.similarity import (
+        dot_expr, ivf_partitioned_argmax)
+
+    emb, seeds = _emb_with_seeds(spark)
+    got = {r["vec_id"]: r["cluster_seed"]
+           for r in ivf_partitioned_argmax(
+               emb, seeds, nprobe=2, centroid_factor=1e6).collect()}
+    brute = emb.join(F.broadcast(seeds)).select(
+        "vec_id", "seed_id",
+        (dot_expr(F.col("embedding"), F.col("seed_vec"))
+         / (F.col("nrm") * F.col("seed_nrm"))).alias("score"))
+    want = {r["vec_id"]: r["cluster_seed"] for r in brute.groupBy(
+        "vec_id").agg(F.max_by("seed_id", F.struct(
+            F.col("score"), (-F.col("seed_id")).alias("ns")))
+        .alias("cluster_seed")).collect()}
+    assert got == want
+
+
+def test_ivf_argmax_total_and_centroids_bounded(spark):
+    """Default factor: every vector gets exactly one cluster, and the
+    broadcast centroid subset stays ~factor*sqrt(k) (binomial tail:
+    <= 4x the expectation even at this tiny sf), never all k seeds."""
+    import math
+
+    from pudl_spark.functions.similarity import ivf_partitioned_argmax
+
+    emb, seeds = _emb_with_seeds(spark)
+    k = seeds.count()
+    out = ivf_partitioned_argmax(emb, seeds, nprobe=2,
+                                 centroid_factor=2.0).collect()
+    ids = [r["vec_id"] for r in out]
+    assert len(ids) == len(set(ids)) == emb.count()
+    seed_ids = {r["seed_id"] for r in seeds.collect()}
+    assert all(r["cluster_seed"] in seed_ids for r in out)
+    # replay the centroid threshold rule to count the broadcast side
+    h6 = F.conv(F.substring(F.md5(F.concat(
+        F.col("seed_id").cast("string"), F.lit(":cent"))), 1, 6),
+        16, 10).cast("double")
+    n_cents = seeds.filter(
+        h6 * math.sqrt(float(k)) < 16777216.0 * 2.0).count()
+    assert 1 <= n_cents <= max(4, math.ceil(8 * math.sqrt(k)))
+
+
 def test_semantic_dedup_broadcasts_seeds(spark):
     # Seed scoring must be a broadcast product (seeds << corpus) and
     # the pair check an equi-join keyed on cluster_seed — never an
