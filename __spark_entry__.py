@@ -31,15 +31,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r6: SemDeDup de-quadratified (sqrt-n seeds, VERDICT r5 #3) —
-    # implementation AND oracle changed
-    "embedding_semantic_dedup",
-    # r6: extract_video_frames now skips non-sampled AVI frame
-    # decodes via the chunk index (VERDICT r5 #4); both frame-sample
-    # queries route through the touched function
+    # r7: extract_video_frames/decode_avi_frames now REALLY skip
+    # non-sampled AVI frame decodes via the chunk walk (VERDICT r6
+    # #1 — the r6 ledger claimed this early and the round never got
+    # back to it; landed this round with decode-count + corrupt-
+    # frame pins in tests/test_avi.py)
     "media_avi_frames", "media_video_frames",
-    # r6: hygiene rewrites (TemporaryDirectory store; temp-view drop)
-    "incremental_rebuild_counts", "orders_above_customer_avg",
+    # r7: SemDeDup made TOTAL (ADVICE r6): unassigned vectors now
+    # left-join back with NULL cluster / is_kept=true — impl AND
+    # oracle changed
+    "embedding_semantic_dedup",
+    # r7: NEW queries — footer-stats pushdown + observe counters
+    # driver-certified (VERDICT r5 #6 / r6 next-round #5)
+    "scan_stats_orders", "orders_observed_counts",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -49,7 +53,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 5
+_BUILT_AGAINST_ROUND = 6
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -59,41 +63,38 @@ _BUILT_AGAINST_ROUND = 5
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- ALL 25 queries whose latest green driver row is round 2:
-    #    the 16 displaced from the r5 prefix (VERDICT r5 "Next
-    #    round" #2) plus the 9 that had been deliberately deferred
-    #    behind dedicated unit suites (csv/dbf/sqlite/xbrl source
-    #    roundtrips, the address tagger, user_running_stats,
-    #    date_merge_year, dedupe_on_category_priority,
-    #    dominant_event_type). After round 6 no registered query's
-    #    latest driver row predates round 3. --
-    "supplier_month_utilization", "union_balances_by_nation",
-    "unpivot_lineitem_measures", "user_value_ramps",
-    "salted_event_type_totals", "purchases_per_signup_interval",
-    "purchase_asof_signup", "pivot_event_values",
-    "nation_zone_overlay", "jw_linkage_parts",
-    "impute_latc_mape", "hourly_event_windows",
-    "fs_linkage_parts", "freshest_event_per_user",
-    "fk_orphan_counts", "event_type_changelog",
-    "csv_partition_extract_nation", "dbf_roundtrip_supplier",
-    "sqlite_roundtrip_orders", "xbrl_roundtrip_totals",
-    "parse_address_tagged_suppliers", "user_running_stats",
-    "date_merge_year", "dedupe_on_category_priority",
-    "dominant_event_type",
-    # -- remaining slots: the oldest round-3 certifications
-    #    (alphabetical; 43 r3 rows total — the rest roll to round 7).
-    #    New queries added during the round displace from the END of
-    #    this block; displaced names stay r3-certified and lead the
-    #    r7 re-cert queue. --
-    "ann_ivf_topk", "ann_lsh_bucketed", "corpus_snapshot_diff",
-    "doc_chunk_windows", "doc_curation_decisions",
-    "doc_decontaminate", "doc_gopher_repetition",
-    "doc_leakage_safe_split", "doc_pack_sequences", "doc_pii_scrub",
-    "doc_quality_classifier", "doc_source_mixture", "doc_tfidf_topk",
-    "doc_token_stats", "embedding_quantization",
-    "embedding_random_projection", "event_props_extract",
-    "event_seasonal_decompose", "event_user_pseudonymize",
-    "event_zone_assignment",
+    # -- ALL 23 queries whose latest green driver row is round 3:
+    #    the alphabetical r3 tail rolled from the r6 prefix
+    #    (VERDICT r6 "Next round" #2). After round 7 no registered
+    #    query's latest driver row predates round 4. --
+    "excel_roundtrip_nation", "fs_linkage_trained",
+    "hourly_wide_melt_roundtrip", "imputation_mape_score",
+    "impute_event_values", "impute_latc_tubal_mape",
+    "lineitem_multiheader_stack", "lineitem_zorder_stats",
+    "linkage_best_match", "minhash_dedup_clusters",
+    "nation_holed_zone_overlay", "nation_multipart_explode",
+    "ngram_jaccard_dup_pairs", "orders_profile",
+    "part_name_levenshtein_pairs", "pipeline_nation_summary",
+    "region_revenue_allocation", "signup_conversion_funnel",
+    "simhash_near_dup_pairs", "sql_interface_nation_revenue",
+    "supplier_close_balances", "supplier_customer_pagerank",
+    "supplier_territory_area",
+    # -- remaining slots: the oldest round-4 certifications
+    #    (alphabetical; 50 r4 rows total — the remaining 28 roll to
+    #    round 8). New queries added during the round displace from
+    #    the END of this block; displaced names stay r4-certified
+    #    and lead the r8 re-cert queue. --
+    "allocate_order_total", "ann_cosine_topk",
+    "annual_nations_complete_months", "calc_reconcile_orders",
+    "correct_quantity_units", "customer_intkey_sentinel",
+    "customer_parts_true_gran", "customer_phone_standardized",
+    "customer_unique_priority", "date_merge_month",
+    "doc_fingerprints_fast", "doc_shingle_stats",
+    "doc_stratified_sample", "doc_token_budget",
+    "event_anomalous_regions", "event_anomaly_flags",
+    "event_bad_days", "event_local_outliers",
+    "event_sessions_cc", "event_user_kmv_distinct",
+    "event_value_quartiles", "events_to_utc",
 ]
 
 

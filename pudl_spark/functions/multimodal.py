@@ -499,24 +499,35 @@ def extract_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
 
     Magic-byte dispatch like decode_image: GIF87a/89a animations and
     RIFF/AVI Motion-JPEG both decode for real; other motion formats
-    stay honestly gated.
+    stay honestly gated. For AVI the sampling happens INSIDE the
+    container walk — non-sampled frames' JPEG payloads are stepped
+    over, never decoded — so ``every_n=k`` cuts decode CPU by ~k×;
+    GIF frames composite, so all decode and the sample slices after.
     """
     from pudl_spark.functions.avi import decode_avi_frames
     from pudl_spark.functions.gif import decode_gif_frames
 
     def _frames(content: bytes) -> list:
+        """(frame_no, array) pairs for the SAMPLED frames only.
+
+        AVI: the chunk walk skips non-sampled '00dc' payloads so only
+        1/every_n of the JPEG decode CPU is spent (VERDICT r5 #4).
+        GIF: frames composite onto the previous canvas, so every
+        frame must decode regardless of sampling — slice afterwards.
+        """
         if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
-            return decode_avi_frames(content)
-        return decode_gif_frames(content)
+            return [(i * every_n, f) for i, f in
+                    enumerate(decode_avi_frames(content, every_n))]
+        frames = decode_gif_frames(content)
+        return [(k, frames[k]) for k in range(0, len(frames), every_n)]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                frames = _frames(bytes(content))
-                for k in range(0, len(frames), every_n):
-                    flat = frames[k].reshape(-1).astype(np.int64)
-                    h, w = frames[k].shape[:2]
+                for k, frame in _frames(bytes(content)):
+                    flat = frame.reshape(-1).astype(np.int64)
+                    h, w = frame.shape[:2]
                     rows.append((int(mid), k, w, h, int(flat.sum()),
                                  int(flat.min()), int(flat.max())))
             yield pd.DataFrame(rows, columns=[

@@ -90,12 +90,22 @@ def plan_compaction(files: list[tuple[str, int]],
 
 
 def compact_parquet(spark, directory: str,
-                    target_bytes: int = 128 * 1024 * 1024) -> int:
+                    target_bytes: int = 128 * 1024 * 1024,
+                    cluster_by: list[str] | None = None) -> int:
     """Execute a compaction plan over a local parquet directory:
     every multi-file group is read and rewritten as one file, the
     originals removed. Returns the number of groups rewritten. (On a
     real cluster the same plan drives a table-format rewrite commit;
     here the publish step is a file swap.)
+
+    ``cluster_by``: columns whose row clustering the rewrite must
+    preserve (e.g. the ``__z``-ordered sort keys a `zorder_layout`
+    directory was written with). When given, oversized-group splits
+    use ``repartitionByRange(...).sortWithinPartitions(...)`` so
+    min/max footer pruning survives the rewrite; WITHOUT it the
+    split path uses plain ``repartition``, which round-robins rows
+    and DESTROYS any pre-existing within-file ordering (ADVICE r6)
+    — pass the key when compacting sorted/z-ordered data.
     """
     import glob
     import os
@@ -133,8 +143,21 @@ def compact_parquet(spark, directory: str,
         # exists to prevent. repartition guarantees the fan-out; the
         # extra shuffle is the cost of the rewrite, not the read path.
         grouped = spark.read.parquet(*group)
-        grouped = (grouped.repartition(int(nparts)) if nparts > 1
-                   else grouped.coalesce(1))
+        if nparts > 1 and cluster_by:
+            # Range-partition on the cluster key so each output file
+            # covers a disjoint key range and stays sorted within —
+            # the split rewrite keeps the min/max pruning the input
+            # layout paid for (ADVICE r6).
+            grouped = (grouped
+                       .repartitionByRange(int(nparts), *cluster_by)
+                       .sortWithinPartitions(*cluster_by))
+        elif nparts > 1:
+            grouped = grouped.repartition(int(nparts))
+        elif cluster_by:
+            grouped = grouped.coalesce(1).sortWithinPartitions(
+                *cluster_by)
+        else:
+            grouped = grouped.coalesce(1)
         grouped.write.mode("overwrite").parquet(tmp)
         parts = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
         for j, part in enumerate(parts):

@@ -7241,8 +7241,9 @@ WITH base AS (
     ON b.cluster_seed = a.cluster_seed AND b.vec_id < a.vec_id
   WHERE {_SEMDEDUP_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
 )
-SELECT a.vec_id, a.cluster_seed, dup.vec_id IS NULL AS is_kept
-FROM assigned a LEFT JOIN dup ON dup.vec_id = a.vec_id
+SELECT e.vec_id, a.cluster_seed, dup.vec_id IS NULL AS is_kept
+FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+LEFT JOIN dup ON dup.vec_id = e.vec_id
 """)
 def embedding_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -7294,7 +7295,14 @@ def embedding_semantic_dedup(spark, sf_dir):
         F.col("nrm").alias("seed_nrm"))
     best = ivf_partitioned_argmax(emb, seeds, nprobe=2,
                                   centroid_factor=2.0)
-    assigned = emb.join(best, "vec_id")
+    # LEFT join back to the corpus (ADVICE r6): a vector whose two
+    # probed cells hold no seeds gets NO assignment row, and an inner
+    # join would silently drop it from the dedup output — neither
+    # kept nor dropped. Dedup must be TOTAL: unassigned vectors keep
+    # a NULL cluster_seed and default to is_kept=true (they were
+    # never pair-checked, so nothing justified dropping them); the
+    # null cluster never matches the self-join condition below.
+    assigned = emb.join(best, "vec_id", "left")
     other = assigned.select(
         F.col("cluster_seed").alias("b_cluster"),
         F.col("vec_id").alias("b_id"),
@@ -7876,3 +7884,84 @@ def event_type_median_udaf(spark, sf_dir):
     return e.groupBy("event_type").agg(
         _median("value").alias("median_value"),
         _n("value").alias("n_events"))
+
+
+# =====================================================================
+# Metadata-plane queries: footer-stats scan + observe counters
+# (VERDICT r5 #6 / r6 next-round #5 — driver-certify the two
+# plan-pinned surfaces so they carry oracle rows, not just unit pins)
+# =====================================================================
+
+
+@query("scan_stats_orders", sql="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  min(o_totalprice) AS min_o_totalprice,
+  max(o_totalprice) AS max_o_totalprice,
+  CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
+  CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey
+FROM orders
+""")
+def scan_stats_orders(spark, sf_dir):
+    """Footer-statistics table extrema (`catalog.py::scan_stats`):
+    min/max/count answered from parquet ROW-GROUP METADATA via V2
+    aggregate pushdown — at 100 TB a metadata pass, not a scan. The
+    oracle recomputes the same extrema from a full DuckDB scan, so
+    the driver certifies that footer statistics agree with the data
+    they index. The query RAISES if the plan lost PushedAggregation
+    — the pushdown property is part of the certified contract, not
+    just a unit-test pin (tests/test_skew_and_checks.py).
+    """
+    from pudl_spark.catalog import scan_stats
+
+    got = scan_stats(spark, os.path.join(sf_dir, "orders.parquet"),
+                     ["o_totalprice", "o_orderkey"])
+    if not got.pop("pushed"):
+        raise AssertionError(
+            "scan_stats plan lost parquet aggregate pushdown")
+    return spark.createDataFrame(
+        [(int(got["n_rows"]), float(got["min_o_totalprice"]),
+          float(got["max_o_totalprice"]), int(got["min_o_orderkey"]),
+          int(got["max_o_orderkey"]))],
+        "n_rows long, min_o_totalprice double, "
+        "max_o_totalprice double, min_o_orderkey long, "
+        "max_o_orderkey long")
+
+
+@query("orders_observed_counts", sql="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_null_price,
+  CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_big,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_finished
+FROM orders
+""")
+def orders_observed_counts(spark, sf_dir):
+    """Single-pass data-quality counters
+    (`validate.py::observed_counts`): DataFrame.observe attaches
+    named aggregates to the frame and yields them as a side-channel
+    of ONE action — the production ETL pattern for null/out-of-range
+    tallies that must not double the job's I/O. The action here is a
+    noop-sink write (full scan, nothing persisted); the observed
+    values then materialize as a 1-row frame the oracle recomputes
+    with plain SQL aggregates — certifying the observe channel
+    end-to-end, not just that it runs.
+    """
+    from pudl_spark.validate import observed_counts
+
+    df = _t(spark, sf_dir, "orders")
+    watched, obs = observed_counts(df, "orders_quality", {
+        "n_rows": F.count(F.lit(1)),
+        "n_null_price": F.sum(
+            F.col("o_totalprice").isNull().cast("long")),
+        "n_big": F.sum((F.col("o_totalprice") > 100000).cast("long")),
+        "n_finished": F.sum(
+            (F.col("o_orderstatus") == "F").cast("long")),
+    })
+    watched.write.format("noop").mode("overwrite").save()
+    g = obs.get
+    return spark.createDataFrame(
+        [(int(g["n_rows"]), int(g["n_null_price"]), int(g["n_big"]),
+          int(g["n_finished"]))],
+        "n_rows long, n_null_price long, n_big long, n_finished long")

@@ -129,3 +129,48 @@ def test_second_stream_ignored():
     assert len(back) == 2
     for a, b in zip(frames, back):
         assert np.array_equal(a, b)
+
+
+def test_frame_skip_never_decodes_unsampled_chunks():
+    """VERDICT r5 #4 / r6 #1: with every_n=k, non-sampled '00dc'
+    payloads must never reach the JPEG decoder. Corrupt the odd
+    frames' payloads in-place — every_n=2 still decodes (and returns
+    exactly the even frames), while a full decode raises on the
+    garbage."""
+    frames = _block_frames(11, nf=5)
+    data = bytearray(encode_avi_mjpeg(frames))
+    movi, idx1 = data.find(b"movi"), data.find(b"idx1")
+    # chunk offsets of the five '00dc' movi chunks, in stream order
+    offs, p = [], movi
+    while True:
+        p = data.find(b"00dc", p + 1, idx1)
+        if p < 0:
+            break
+        offs.append(p)
+    assert len(offs) == 5
+    for k in (1, 3):  # non-sampled under every_n=2
+        size = struct.unpack("<I", bytes(data[offs[k] + 4:
+                                             offs[k] + 8]))[0]
+        data[offs[k] + 8:offs[k] + 8 + size] = b"\x00" * size
+    back = decode_avi_frames(bytes(data), every_n=2)
+    assert len(back) == 3
+    for i, b in enumerate(back):
+        assert np.array_equal(frames[2 * i], b)
+    with pytest.raises(Exception):
+        decode_avi_frames(bytes(data))  # full decode hits the garbage
+
+
+def test_frame_skip_decode_count(monkeypatch):
+    """Belt-and-braces: count actual decode_jpeg invocations."""
+    import pudl_spark.functions.avi as avi_mod
+
+    frames = _block_frames(2, nf=7)
+    blob = encode_avi_mjpeg(frames)
+    calls = []
+    real = avi_mod.decode_jpeg
+    monkeypatch.setattr(avi_mod, "decode_jpeg",
+                        lambda p: (calls.append(1), real(p))[1])
+    back = decode_avi_frames(blob, every_n=3)
+    assert len(calls) == 3  # frames 0, 3, 6 only
+    for i, b in enumerate(back):
+        assert np.array_equal(frames[3 * i], b)

@@ -76,11 +76,14 @@ def _green_by_round(max_round: int | None = None):
         for k, v in json.load(open(path)).items():
             # Rows-only queries (no SQL oracle by documented
             # contract) can never be hash-green; a recorded row with
-            # a non-null row count IS their strongest driver check.
+            # a non-null row count IS their strongest driver check —
+            # but only when the run recorded no REAL error alongside
+            # it ('no_oracle' is the expected marker, ADVICE r6).
             ok = (v.get("rows_match") and v.get("schema_match")
                   and v.get("hash_match")) or (
                       k in ROWS_ONLY
-                      and v.get("spark_rows") is not None)
+                      and v.get("spark_rows") is not None
+                      and v.get("err") in (None, "no_oracle"))
             if ok:
                 green[k] = max(green.get(k, 0), rnd)
     return green

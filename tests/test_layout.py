@@ -221,3 +221,56 @@ def test_compact_parquet_oversized_group_direct(spark, tmp_path):
     assert len(outs) >= 2, "oversized group must split into >1 file"
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
     assert got == sorted(rows)
+
+
+def test_compact_parquet_split_preserves_clustering(spark, tmp_path):
+    """ADVICE r6: a split rewrite of SORTED data must keep min/max
+    pruning usable — with cluster_by, output files cover disjoint
+    key ranges and rows stay sorted within each file (plain
+    repartition would round-robin and destroy both)."""
+    import glob
+    import os
+    import shutil
+
+    from pudl_spark.operators import layout
+
+    d = str(tmp_path / "tbl5")
+    os.makedirs(d)
+    rows = [(i, "z" * 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    # six key-ranged, internally sorted input files (a zorder-style
+    # layout on k)
+    for i in range(6):
+        part = (df.filter((F.col("k") >= i * 500)
+                          & (F.col("k") < (i + 1) * 500))
+                .sort("k").coalesce(1))
+        tmp = d + f"/__w{i}"
+        part.write.parquet(tmp)
+        src = glob.glob(tmp + "/part-*.parquet")[0]
+        os.rename(src, os.path.join(d, f"chunk-{i}.parquet"))
+        shutil.rmtree(tmp)
+    files = sorted(glob.glob(d + "/*.parquet"))
+    total = sum(os.path.getsize(p) for p in files)
+    target = total // 4          # group total = 4x target -> split
+    orig = layout.plan_compaction
+    try:
+        layout.plan_compaction = lambda fs, tb: [list(files)]
+        rewritten = layout.compact_parquet(
+            spark, d, target_bytes=target, cluster_by=["k"])
+    finally:
+        layout.plan_compaction = orig
+    assert rewritten == 1
+    outs = sorted(glob.glob(d + "/compacted-*.parquet"))
+    assert len(outs) >= 2, "oversized group must split into >1 file"
+    ranges = []
+    for p in outs:
+        ks = [r["k"] for r in spark.read.parquet(p).collect()]
+        if not ks:
+            continue
+        assert ks == sorted(ks), "rows not sorted within output file"
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, "output file key ranges overlap"
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(d).collect())
+    assert got == sorted(rows)
