@@ -194,12 +194,22 @@ def main() -> None:
             ss = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(ss)
             ss.build_scaled(spark, 10, base=SF_DIR)
+            # media_avi_frames joined the set in r7 (VERDICT r5 #5):
+            # the Python-island family was the suite's only unmeasured
+            # scaling axis, and its failure mode (a missing
+            # repartition serializing the corpus through one Arrow
+            # worker — the r5 13.2 s incident) only shows at 10x.
+            # Unlike the shuffle-bound entries, it is COMPUTE-bound
+            # (codec CPU inside the island), so its honest 10x-data
+            # ratio is near the multiplier, not the fixed-cost-hiding
+            # 2-5x of the others — see SCALE.md.
             for name in ("nation_revenue_by_year", "calc_reconcile_orders",
                          "jw_linkage_parts", "minhash_near_dup_pairs",
                          "event_sessions_cc", "minhash_dedup_clusters",
                          "doc_dup_spans", "doc_bigram_perplexity",
                          "doc_top_terms", "part_copurchase_triangles",
-                         "embedding_semantic_dedup"):
+                         "embedding_semantic_dedup",
+                         "media_avi_frames"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue

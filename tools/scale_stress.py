@@ -32,10 +32,17 @@ SHIFTS = {
     "events": [("event_id", 10**9), ("user_id", 10**7)],
     "documents": [("doc_id", 10**7)],
     "embeddings": [("vec_id", 10**7)],
+    # customer scales too (r7): the media frame-sample bench keys its
+    # video corpus off c_custkey, and an unscaled customer made the
+    # sf1 media entry measure nothing. Copy 0 keeps the original
+    # custkeys, so orders->customer referential joins still resolve;
+    # shifted copies are unmatched dim rows (15k -> 150k, still
+    # broadcastable) and change no aggregate.
+    "customer": [("c_custkey", 10**9)],
     "orders": [("o_orderkey", 10**9)],
     "lineitem": [("l_orderkey", 10**9)],
 }
-COPY_AS_IS = ("region", "nation", "customer", "supplier", "part")
+COPY_AS_IS = ("region", "nation", "supplier", "part")
 
 DEFAULT_QUERIES = [
     "pricing_summary",          # scan+agg
