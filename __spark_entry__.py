@@ -44,6 +44,10 @@ _TOUCHED_THIS_ROUND = [
     # r7: NEW queries — footer-stats pushdown + observe counters
     # driver-certified (VERDICT r5 #6 / r6 next-round #5)
     "scan_stats_orders", "orders_observed_counts",
+    # r7: NEW query — IVF-cell-blocked clustering (VERDICT r6
+    # next-round #8): ivf_partitioned_argmax becomes the shared
+    # assignment primitive for the whole embedding family
+    "embedding_ivf_clusters",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -80,10 +84,11 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 28 roll to
-    #    round 8). New queries added during the round displace from
-    #    the END of this block; displaced names stay r4-certified
-    #    and lead the r8 re-cert queue. --
+    #    (alphabetical; 50 r4 rows total — the remaining 29 roll to
+    #    round 8, `events_to_utc` displaced by the late-round
+    #    embedding_ivf_clusters addition). New queries added during
+    #    the round displace from the END of this block; displaced
+    #    names stay r4-certified and lead the r8 re-cert queue. --
     "allocate_order_total", "ann_cosine_topk",
     "annual_nations_complete_months", "calc_reconcile_orders",
     "correct_quantity_units", "customer_intkey_sentinel",
@@ -94,7 +99,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "event_anomalous_regions", "event_anomaly_flags",
     "event_bad_days", "event_local_outliers",
     "event_sessions_cc", "event_user_kmv_distinct",
-    "event_value_quartiles", "events_to_utc",
+    "event_value_quartiles",
 ]
 
 

@@ -301,3 +301,57 @@ def cluster_embeddings_blocked(df: DataFrame, id_col: str = "vec_id",
         return _cluster_block(pdf, threshold)
 
     return blocked.groupBy("block").applyInPandas(kernel, CLUSTER_SCHEMA)
+
+
+def cluster_embeddings_ivf(df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.4,
+                           seed_modulus: int = 97,
+                           nprobe: int = 2,
+                           centroid_factor: float = 2.0) -> DataFrame:
+    """G3 clustering with IVF-cell blocking: the same blocked
+    single-linkage kernel as :func:`cluster_embeddings_blocked`, but
+    the block is the vector's nearest-seed CELL from
+    ``ivf_partitioned_argmax`` (VERDICT r6 next-round #8) — the one
+    assignment primitive now shared by SemDeDup, ANN, and clustering.
+
+    Versus hyperplane-LSH blocking: LSH blocks are data-independent
+    bit signatures (2^n_planes fixed blocks — fine until the corpus
+    concentrates in a few orthants); IVF cells FOLLOW the data (seeds
+    are a corpus sample, so block count grows with n and block sizes
+    stay ~modulus-bounded), at the price of the centroid-stage
+    fixed cost. Same scale shape either way: blocking bounds the
+    O(n_block^2) kernel, one shuffle to co-locate blocks, Arrow
+    island per block.
+
+    Totality: a vector whose probed cells hold no seed gets NO cell
+    — it becomes a SINGLETON cluster (block NULL, cluster_id = own
+    vec_id) rather than silently dropping (ADVICE r6 on the dedup
+    twin). Returns (vec_id, block, cluster_id), cluster_id = min
+    member id within the block.
+    """
+    from pudl_spark.functions.similarity import (
+        ivf_partitioned_argmax, l2_norm_expr)
+
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("embedding"))
+    emb = base.withColumn("nrm", l2_norm_expr(F.col("embedding")))
+    seeds = emb.filter(F.col("vec_id") % seed_modulus == 1).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+        F.col("nrm").alias("seed_nrm"))
+    best = ivf_partitioned_argmax(emb, seeds, nprobe=nprobe,
+                                  centroid_factor=centroid_factor)
+    assigned = base.join(best, "vec_id", "left")
+    blocked = assigned.filter(F.col("cluster_seed").isNotNull()).select(
+        "vec_id", "embedding", F.col("cluster_seed").alias("block"))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _cluster_block(pdf, threshold)
+
+    clustered = blocked.groupBy("block").applyInPandas(
+        kernel, CLUSTER_SCHEMA)
+    singles = assigned.filter(F.col("cluster_seed").isNull()).select(
+        "vec_id", F.lit(None).cast("long").alias("block"),
+        F.col("vec_id").alias("cluster_id"))
+    return clustered.unionByName(singles)
