@@ -245,14 +245,26 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             sf1 = {"error": str(e)[:200]}
 
-    print(json.dumps({
+    # Key ORDER matters downstream: the round driver archives only the
+    # last 2000 chars of this line (BENCH_r06.json carries a
+    # mid-stream "tail" and parsed=null because the line outgrew the
+    # window around 60 queries). Leading with "queries" pushes the
+    # headline metric/value and the sf1 growth ratios to the END of
+    # the line, where the tail window keeps them parse-recoverable;
+    # the full artifact is also written to BENCH_LATEST_FULL.json
+    # (repo root, committed per round) so nothing is lost either way.
+    out = {
+        "queries": times,
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
         "sf": sf,
         "sf1": sf1,
-    }))
+    }
+    print(json.dumps(out))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LATEST_FULL.json"), "w") as f:
+        json.dump(out, f, indent=1)
     spark.stop()
 
 
