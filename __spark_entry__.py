@@ -48,6 +48,10 @@ _TOUCHED_THIS_ROUND = [
     # next-round #8): ivf_partitioned_argmax becomes the shared
     # assignment primitive for the whole embedding family
     "embedding_ivf_clusters",
+    # r7: NEW query — persisted cell-bucketed IVF store with
+    # Exchange-free cell-keyed reads (the layout the argmax
+    # docstring promised)
+    "ivf_store_cell_stats",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -84,9 +88,10 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 29 roll to
-    #    round 8, `events_to_utc` displaced by the late-round
-    #    embedding_ivf_clusters addition). New queries added during
+    #    (alphabetical; 50 r4 rows total — the remaining 30 roll to
+    #    round 8: `events_to_utc` and `event_value_quartiles`
+    #    displaced by the late-round embedding_ivf_clusters +
+    #    ivf_store_cell_stats additions). New queries added during
     #    the round displace from the END of this block; displaced
     #    names stay r4-certified and lead the r8 re-cert queue. --
     "allocate_order_total", "ann_cosine_topk",
@@ -99,7 +104,6 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "event_anomalous_regions", "event_anomaly_flags",
     "event_bad_days", "event_local_outliers",
     "event_sessions_cc", "event_user_kmv_distinct",
-    "event_value_quartiles",
 ]
 
 

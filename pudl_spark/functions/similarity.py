@@ -338,3 +338,44 @@ def embedding_quantize_stats(df: DataFrame, id_col: str = "vec_id",
         F.array_max(qv).cast("bigint").alias("q_max"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
+                    num_buckets: int = 8, seed_modulus: int = 97,
+                    nprobe: int = 2,
+                    centroid_factor: float = 2.0) -> None:
+    """Persist an embedding corpus as a CELL-BUCKETED IVF store —
+    the layout `ivf_partitioned_argmax`'s docstring promises ("the
+    cell id is also the natural bucket key for a persisted store").
+
+    Rows are (cell, vec_id, embedding, nrm) with cell = the vector's
+    nearest-seed id (seeds sampled at vec_id % seed_modulus, so cell
+    granularity follows the corpus), written via
+    `write_bucketed_table` bucketed AND sorted by cell. Every
+    downstream cell-keyed operation — SemDeDup's within-cell pair
+    check, cluster-wise stats, cell-local re-ranking after a probe —
+    then plans with NO Exchange on the store side: the one shuffle
+    the IVF assignment needs is paid once at build time and amortized
+    over every read (`tests/test_ivf_store.py` pins the
+    Exchange-free self-join plan). Unassigned vectors (probed cells
+    hold no seed) are stored under cell = -vec_id - 1: negative ids
+    never collide with seed ids, each such vector sits alone in its
+    cell, and the store stays TOTAL (ADVICE r6 rule).
+    """
+    base = emb.select("vec_id", "embedding").withColumn(
+        "nrm", l2_norm_expr(F.col("embedding")))
+    seeds = base.filter(F.col("vec_id") % seed_modulus == 1).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+        F.col("nrm").alias("seed_nrm"))
+    best = ivf_partitioned_argmax(base, seeds, nprobe=nprobe,
+                                  centroid_factor=centroid_factor)
+    rows = (base.join(best, "vec_id", "left")
+            .select(F.coalesce(F.col("cluster_seed"),
+                               -F.col("vec_id") - 1).alias("cell"),
+                    "vec_id", "embedding", "nrm"))
+    from pudl_spark.sources.files import write_bucketed_table
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    write_bucketed_table(rows, table_name, ["cell"], num_buckets,
+                         sort_cols=["cell", "vec_id"], path=path)

@@ -8042,3 +8042,104 @@ def embedding_ivf_clusters(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return cluster_embeddings_ivf(e, threshold=0.4)
+
+
+@query("ivf_store_cell_stats", sql=f"""
+WITH RECURSIVE base AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM base WHERE vec_id % 97 = 1
+), k AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
+), cents AS (
+  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
+  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
+        * sqrt(k.k) < 33554432.0
+), seed_cell AS (
+  SELECT seed_id, seed_vec, cell FROM (
+    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY s.seed_id ORDER BY
+        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM base e CROSS JOIN cents c) WHERE rn <= 2
+), assigned AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT e.vec_id, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
+), cells AS (
+  SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
+    e.vec_id, e.embedding
+  FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+), pairs AS (
+  SELECT a.cell, count(*) AS n
+  FROM cells a JOIN cells b
+    ON b.cell = a.cell AND b.vec_id < a.vec_id
+  WHERE {_SEMDEDUP_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+  GROUP BY a.cell
+)
+SELECT c.cell, CAST(count(*) AS BIGINT) AS n_members,
+  CAST(COALESCE(MAX(p.n), 0) AS BIGINT) AS n_close_pairs
+FROM cells c LEFT JOIN pairs p ON p.cell = c.cell
+GROUP BY c.cell
+""")
+def ivf_store_cell_stats(spark, sf_dir):
+    """Persisted cell-bucketed IVF store + an Exchange-free read
+    path: `build_ivf_store` pays the IVF assignment shuffle ONCE at
+    build time (cell = nearest-seed id via `ivf_partitioned_argmax`,
+    bucketed+sorted by cell; unassigned vectors under -vec_id-1 so
+    the store stays total), then the within-cell pair check — the
+    SemDeDup-style workload a real corpus runs repeatedly — and the
+    per-cell membership count both read the bucketed layout with NO
+    Exchange on the store side (plan pinned in
+    tests/test_ivf_store.py). At 100 TB this is the difference
+    between shuffling the corpus per analysis pass and shuffling it
+    once per ingest. Output is one bounded row per cell:
+    (cell, n_members, n_close_pairs at cos >= 0.4).
+    """
+    import tempfile
+
+    from pudl_spark.functions.similarity import build_ivf_store, dot_expr
+
+    e = _t(spark, sf_dir, "embeddings")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfstore_") as td:
+        build_ivf_store(spark, e, "ann_ivf_store",
+                        os.path.join(td, "store"))
+        try:
+            s = spark.table("ann_ivf_store")
+            b = s.select("cell", F.col("vec_id").alias("b_id"),
+                         F.col("embedding").alias("b_emb"),
+                         F.col("nrm").alias("b_nrm"))
+            pairs = (s.join(b, "cell")
+                     .filter((F.col("b_id") < F.col("vec_id"))
+                             & (dot_expr(F.col("embedding"),
+                                         F.col("b_emb"))
+                                / (F.col("nrm") * F.col("b_nrm"))
+                                >= 0.4))
+                     .groupBy("cell")
+                     .agg(F.count(F.lit(1)).cast("bigint")
+                          .alias("n_close_pairs")))
+            members = s.groupBy("cell").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            out = (members.join(pairs, "cell", "left")
+                   .select("cell", "n_members",
+                           F.coalesce(F.col("n_close_pairs"),
+                                      F.lit(0).cast("bigint"))
+                           .alias("n_close_pairs")))
+            # Materialize before the store vanishes (sink-roundtrip
+            # pattern): ONLY valid because the output is one row per
+            # cell (~corpus/97) — bounded, post-aggregation.
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ann_ivf_store")

@@ -177,7 +177,8 @@ def read_jsonl(spark: SparkSession, path: str,
 def write_bucketed_table(df: DataFrame, table_name: str,
                          bucket_cols: list[str], num_buckets: int,
                          sort_cols: list[str] | None = None,
-                         mode: str = "overwrite") -> None:
+                         mode: str = "overwrite",
+                         path: str | None = None) -> None:
     """Bucketed managed table — the shuffle-free-join layout.
 
     At 100 TB the dominant cost of fact-to-fact joins (orders x
@@ -187,8 +188,15 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     sides. The one-time write cost amortizes over every downstream
     join and aggregation on the same key (SURVEY §4 output-clustering
     row; tests/test_bucketed.py proves the Exchange disappears).
+
+    ``path`` makes it an EXTERNAL bucketed table at that location
+    (catalog entry + caller-owned files — the self-cleaning-store
+    discipline for query-scoped stores) instead of a managed table
+    under the warehouse dir.
     """
     writer = df.write.mode(mode).format("parquet") \
         .bucketBy(num_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)

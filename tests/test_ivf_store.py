@@ -1,0 +1,56 @@
+"""Round-7: cell-bucketed IVF store — the persisted layout that makes
+every cell-keyed pass Exchange-free (the promise in
+`ivf_partitioned_argmax`'s docstring). Pins the plan property the
+oracle sweep can't see."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.similarity import build_ivf_store
+from pudl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_store_total_and_exchange_free(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, emb, "t_ivf_store",
+                        os.path.join(td, "store"))
+        try:
+            s = spark.table("t_ivf_store")
+            # TOTAL: every vector stored once; unassigned rows (if
+            # any) sit in negative singleton cells.
+            assert s.count() == emb.count()
+            neg = s.filter(F.col("cell") < 0)
+            for r in neg.collect():
+                assert r["cell"] == -r["vec_id"] - 1
+            # Store-side reads plan with NO Exchange once broadcast
+            # is off: the self-join on the bucket column and the
+            # per-cell aggregation both reuse the bucketing.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            b = s.select("cell", F.col("vec_id").alias("b_id"))
+            join_plan = (s.join(b, "cell")._jdf.queryExecution()
+                         .executedPlan().toString())
+            assert "Exchange" not in join_plan, join_plan
+            agg_plan = (s.groupBy("cell").count()._jdf.queryExecution()
+                        .executedPlan().toString())
+            assert "Exchange" not in agg_plan, agg_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_store")
+
+
+def test_ivf_store_query_self_cleans(spark):
+    out = QUERIES["ivf_store_cell_stats"](spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    # members sum to the corpus; the catalog keeps no residue.
+    emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in rows) == emb_n
+    assert not any(t.name == "ann_ivf_store"
+                   for t in spark.catalog.listTables())
