@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "declarative_transform_orders",
     "event_sliding_windows",
     "embedding_quantization",
+    "embedding_ivf_clusters",
     "doc_dup_spans",
     "minhash_dedup_clusters",
     "doc_quality_classifier",
