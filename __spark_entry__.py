@@ -52,6 +52,10 @@ _TOUCHED_THIS_ROUND = [
     # Exchange-free cell-keyed reads (the layout the argmax
     # docstring promised)
     "ivf_store_cell_stats",
+    # r7: NEW queries — histogram-guided exact quantiles (no total
+    # sort) and exact per-stratum bottom-k hash sampling (prefilter
+    # + exactness guard; functions/sampling.py)
+    "lineitem_exact_quantiles", "doc_bottomk_sample",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -88,12 +92,14 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 30 roll to
-    #    round 8: `events_to_utc` and `event_value_quartiles`
-    #    displaced by the late-round embedding_ivf_clusters +
-    #    ivf_store_cell_stats additions). New queries added during
-    #    the round displace from the END of this block; displaced
-    #    names stay r4-certified and lead the r8 re-cert queue. --
+    #    (alphabetical; 50 r4 rows total — the remaining 32 roll to
+    #    round 8: `events_to_utc`/`event_value_quartiles` displaced
+    #    by embedding_ivf_clusters + ivf_store_cell_stats, then
+    #    `event_sessions_cc`/`event_user_kmv_distinct` by
+    #    lineitem_exact_quantiles + doc_bottomk_sample). New queries
+    #    added during the round displace from the END of this block;
+    #    displaced names stay r4-certified and lead the r8 re-cert
+    #    queue. --
     "allocate_order_total", "ann_cosine_topk",
     "annual_nations_complete_months", "calc_reconcile_orders",
     "correct_quantity_units", "customer_intkey_sentinel",
@@ -103,7 +109,6 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "doc_stratified_sample", "doc_token_budget",
     "event_anomalous_regions", "event_anomaly_flags",
     "event_bad_days", "event_local_outliers",
-    "event_sessions_cc", "event_user_kmv_distinct",
 ]
 
 

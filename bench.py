@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "event_sliding_windows",
     "embedding_quantization",
     "embedding_ivf_clusters",
+    "lineitem_exact_quantiles",
     "doc_dup_spans",
     "minhash_dedup_clusters",
     "doc_quality_classifier",

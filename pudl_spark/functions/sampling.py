@@ -1,0 +1,86 @@
+"""Deterministic distributed sampling.
+
+``bottomk_sample`` is the engine-portable equivalent of per-stratum
+reservoir sampling (ref: the reference samples strata for validation
+spot-checks, src/pudl/validate/quality.py — here made deterministic):
+the k rows with the smallest ``md5(id || salt)`` per stratum form an
+exact uniform without-replacement k-sample, stable across runs,
+machines and engines (no rand()/TABLESAMPLE), mergeable across
+partitions (the bottom-k of a union is the bottom-k of per-part
+bottom-ks — the same property KMV sketches use).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_HEX6_MAX = 16 ** 6
+
+
+def _hash_key(id_col: str, salt: str) -> F.Column:
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+
+
+def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
+                   k: int = 10, salt: str = ":smp",
+                   safety: float = 8.0,
+                   rank_col: str = "smp_rank") -> DataFrame:
+    """Exact bottom-k-by-hash sample per stratum, with a threshold
+    prefilter so the window sort never sees the full data.
+
+    A naive ``row_number() OVER (PARTITION BY stratum ORDER BY
+    hash)`` shuffles EVERY row to rank k of them — at 100 TB that is
+    a corpus-wide exchange for a k-row answer. Because the hash is
+    uniform, the k-th smallest key per stratum concentrates near
+    ``k/n`` of the key space, so:
+
+      1. per-stratum counts (map-side partial agg; bounded collect —
+         one row per stratum);
+      2. keep only rows whose 6-hex-digit key prefix falls below
+         ``safety * k / n`` of the prefix space (map-side codegen
+         predicate — survivors are ~``safety * k`` rows per stratum);
+      3. GUARD: recount survivors; any stratum with fewer than
+         min(k, n) survivors is re-included unfiltered. The guard
+         makes the result EXACT regardless of hash luck: if a true
+         bottom-k row were cut, all survivors would rank strictly
+         below it, so the stratum would still hold >= k survivors —
+         a shortfall is therefore the only way correctness could be
+         at risk, and it triggers the fallback;
+      4. rank the surviving sliver by (full-md5, id) and keep rn<=k.
+
+    Only ~``safety*k`` rows per stratum ever shuffle. Ordering by the
+    full 128-bit digest with an id tie-break makes the sample
+    deterministic even under prefix collisions.
+    """
+    key = _hash_key(id_col, salt)
+    hex6 = F.conv(F.substring(key, 1, 6), 16, 10).cast("long")
+    counts = df.groupBy(*by).count().collect()
+    spark = df.sparkSession
+    thr_rows = []
+    for r in counts:
+        n = r["count"]
+        thr = (_HEX6_MAX if n <= safety * k
+               else math.ceil(_HEX6_MAX * safety * k / n))
+        thr_rows.append(tuple(r[c] for c in by) + (thr,))
+    thr_df = spark.createDataFrame(
+        thr_rows, df.select(*by).schema.add("__thr", "long"))
+    pre = (df.join(F.broadcast(thr_df), on=by)
+           .filter(hex6 < F.col("__thr")).drop("__thr"))
+    need = {tuple(r[c] for c in by): min(k, r["count"]) for r in counts}
+    got = {tuple(r[c] for c in by): r["count"]
+           for r in pre.groupBy(*by).count().collect()}
+    short = [s for s, m in need.items() if got.get(s, 0) < m]
+    if short:
+        # Exactness fallback: re-admit the shortfall strata in full.
+        short_df = spark.createDataFrame(
+            [s for s in short], df.select(*by).schema)
+        pre = pre.unionByName(
+            df.join(F.broadcast(short_df), on=by, how="left_semi")
+            .join(F.broadcast(thr_df), on=by)
+            .filter(hex6 >= F.col("__thr")).drop("__thr"))
+    w = Window.partitionBy(*by).orderBy(key.asc(), F.col(id_col).asc())
+    return (pre.withColumn(rank_col,
+                           F.row_number().over(w).cast("bigint"))
+            .filter(F.col(rank_col) <= k))

@@ -239,3 +239,85 @@ def weighted_quantile(df: DataFrame, data_col: str, weight_col: str,
     if by:
         return picked.groupBy(*by).agg(F.min("__val").alias(out_col))
     return picked.agg(F.min("__val").alias(out_col))
+
+
+def exact_quantiles(df: DataFrame, data_col: str,
+                    quantiles: list[float],
+                    num_buckets: int = 256) -> DataFrame:
+    """EXACT order-statistic quantiles without a total sort — the
+    at-scale alternative to ``ORDER BY`` + rank for percentile
+    validation screens (ref: src/pudl/validate/quality.py:67 uses
+    quantiles as data-quality bounds; this computes the same numbers
+    exactly where approxQuantile's error bound is unacceptable).
+
+    The k-th smallest value (k = max(1, ceil(q*n))) is found in three
+    bounded passes instead of sorting n rows:
+
+      1. min/max/count + an equi-width histogram (``num_buckets``
+         partial-agg counters; the collect is <= num_buckets rows) —
+         locates the bucket holding each target rank;
+      2. an exact ``count(v < lo)`` per candidate window (map-side
+         partial agg, single 1-row collect) — float drift in the
+         histogram's bucket classification cannot shift ranks because
+         the offset is recomputed with the SAME ``<`` the selection
+         uses. Windows are widened one bucket on each side, so
+         boundary-ulp misclassification is absorbed;
+      3. a rank-select over ONLY the candidate slices (~3n/num_buckets
+         rows): a broadcast range-join against the tiny spec frame,
+         then row_number per quantile.
+
+    At 100 TB pass 3's value-range predicate prunes parquet row groups
+    via min/max stats — the sort touches a 1/num_buckets slice, not
+    the corpus. All collects are bounded (1 + num_buckets + 1 rows).
+    Output: (quantile DOUBLE, qrank BIGINT, value DOUBLE), one row per
+    requested quantile.
+    """
+    import math
+
+    spark = df.sparkSession
+    schema = "quantile double, qrank bigint, value double"
+    base = (df.select(F.col(data_col).cast("double").alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+    st = base.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
+                  F.count("__v").alias("n")).collect()[0]
+    n, vmin, vmax = st["n"], st["lo"], st["hi"]
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    ks = [max(1, math.ceil(float(q) * n)) for q in quantiles]
+    if vmin == vmax:
+        return spark.createDataFrame(
+            [(float(q), k, float(vmin)) for q, k in zip(quantiles, ks)],
+            schema)
+    width = (vmax - vmin) / num_buckets
+    bucket = F.least(F.lit(num_buckets - 1),
+                     F.floor((F.col("__v") - F.lit(vmin)) / F.lit(width)))
+    hist = {r["b"]: r["count"]
+            for r in base.groupBy(bucket.alias("b")).count().collect()}
+    cum, c = [], 0
+    for b in range(num_buckets):
+        c += hist.get(b, 0)
+        cum.append(c)
+    # First bucket whose cumulative count reaches k, then widen the
+    # value window one bucket on each side (see drift note above).
+    spec = []
+    for q, k in zip(quantiles, ks):
+        b = next(i for i, cv in enumerate(cum) if cv >= k)
+        lo = vmin + (b - 1) * width if b >= 1 else None
+        hi = vmin + (b + 2) * width if b + 2 <= num_buckets - 1 else None
+        spec.append([float(q), k, lo, hi])
+    below = base.agg(*[
+        (F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0))
+         if lo is not None else F.lit(0)).alias(f"c{i}")
+        for i, (_, _, lo, _) in enumerate(spec)]).collect()[0]
+    spec_df = spark.createDataFrame(
+        [(q, k, lo, hi, k - int(below[f"c{i}"]))
+         for i, (q, k, lo, hi) in enumerate(spec)],
+        "quantile double, qrank long, lo double, hi double, off long")
+    cond = ((F.col("lo").isNull() | (F.col("__v") >= F.col("lo")))
+            & (F.col("hi").isNull() | (F.col("__v") < F.col("hi"))))
+    sel = base.join(F.broadcast(spec_df), on=cond)
+    w = Window.partitionBy("quantile").orderBy("__v")
+    return (sel.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == F.col("off"))
+            .select("quantile", F.col("qrank").cast("bigint").alias("qrank"),
+                    F.col("__v").alias("value")))

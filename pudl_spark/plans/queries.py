@@ -8143,3 +8143,62 @@ def ivf_store_cell_stats(spark, sf_dir):
             return spark.createDataFrame(out.collect(), out.schema)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_store")
+
+
+@query("lineitem_exact_quantiles", sql="""
+WITH ranked AS (
+  SELECT l_extendedprice AS value,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q)
+SELECT CAST(q AS DOUBLE) AS quantile, rn AS qrank, value
+FROM qs JOIN ranked
+  ON rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT))
+""")
+def lineitem_exact_quantiles(spark, sf_dir):
+    """EXACT p50/p90/p99 of l_extendedprice via histogram-guided
+    rank-select (operators.aggregate.exact_quantiles) — W11's exact
+    sibling (ref: src/pudl/validate/quality.py:67 quantile bounds).
+    The oracle is the definitional full sort; the Spark plan never
+    total-sorts: an equi-width histogram locates each rank's bucket,
+    an exact count-below fixes the in-slice offset (immune to float
+    bucket-classification drift), and only the ~3/256 candidate value
+    slice is rank-selected — at 100 TB the slice predicate prunes
+    parquet row groups by min/max stats while the oracle's sort would
+    shuffle the corpus. Ties are rank-stable: the value at a global
+    rank is unique even when row order among equal values is not.
+    """
+    from pudl_spark.operators.aggregate import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+@query("doc_bottomk_sample", sql="""
+SELECT lang, doc_id, smp_rank FROM (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':smp'), doc_id)
+    AS smp_rank
+  FROM documents) t
+WHERE smp_rank <= 10
+""")
+def doc_bottomk_sample(spark, sf_dir):
+    """Training-data pipeline: exact fixed-k-per-stratum uniform
+    sample (the distributed reservoir-sampling equivalent) — 10 docs
+    per language by smallest md5(doc_id || ':smp'), deterministic
+    across engines/runs. The oracle is the definitional full
+    partition-sort; the Spark plan shuffles only ~safety*k rows per
+    stratum: a per-stratum hash-prefix threshold prefilters map-side
+    (with an exactness guard that re-admits any stratum whose
+    survivor count falls short), then the window ranks the sliver
+    (functions/sampling.py:bottomk_sample). Complements
+    doc_stratified_sample (rate-based Bernoulli) with the fixed-k
+    shape eval-set construction needs.
+    """
+    from pudl_spark.functions.sampling import bottomk_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (bottomk_sample(docs, ["lang"], "doc_id", k=10)
+            .select("lang", "doc_id", "smp_rank"))

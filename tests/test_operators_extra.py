@@ -453,3 +453,102 @@ class TestPngCodec:
         expect = np.concatenate([plte[idx], alpha[idx][:, :, None]],
                                 axis=2)
         assert np.array_equal(decode_png(data), expect)
+
+
+class TestExactQuantiles:
+    """exact_quantiles: histogram-guided rank-select must equal the
+    definitional sorted order statistic on every path (normal, ties,
+    constant column, tiny n, empty)."""
+
+    @staticmethod
+    def _brute(vals, qs):
+        import math
+        s = sorted(vals)
+        return {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+
+    def test_matches_brute_force(self, spark):
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [((i * 2654435761 + 7) % 100003) / 97.0 for i in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        qs = [0.01, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = {r["quantile"]: r["value"]
+               for r in exact_quantiles(df, "x", qs, num_buckets=16).collect()}
+        assert got == self._brute(vals, qs)
+
+    def test_heavy_ties(self, spark):
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [float(i % 3) for i in range(999)] + [42.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {r["quantile"]: r["value"]
+               for r in exact_quantiles(df, "x", [0.5, 1.0],
+                                        num_buckets=8).collect()}
+        assert got == self._brute(vals, [0.5, 1.0])
+
+    def test_constant_and_tiny(self, spark):
+        from pudl_spark.operators.aggregate import exact_quantiles
+        const = spark.createDataFrame([(7.0,)] * 5, "x double")
+        rows = exact_quantiles(const, "x", [0.5, 0.99]).collect()
+        assert [(r["quantile"], r["value"]) for r in rows] == [
+            (0.5, 7.0), (0.99, 7.0)]
+        one = spark.createDataFrame([(3.5,)], "x double")
+        assert exact_quantiles(one, "x", [0.5]).collect()[0]["value"] == 3.5
+
+    def test_empty_and_nulls(self, spark):
+        from pudl_spark.operators.aggregate import exact_quantiles
+        empty = spark.createDataFrame([], "x double")
+        assert exact_quantiles(empty, "x", [0.5]).count() == 0
+        withnull = spark.createDataFrame(
+            [(None,), (1.0,), (2.0,), (None,), (3.0,)], "x double")
+        got = exact_quantiles(withnull, "x", [0.5]).collect()[0]
+        assert got["value"] == 2.0 and got["qrank"] == 2
+
+
+class TestBottomkSample:
+    """bottomk_sample: prefilter + guard must reproduce the exact
+    definitional bottom-k-by-md5 per stratum on every path."""
+
+    @staticmethod
+    def _brute(rows, k):
+        import hashlib
+        out = {}
+        for lang, i in rows:
+            key = hashlib.md5(f"{i}:smp".encode()).hexdigest()
+            out.setdefault(lang, []).append((key, i))
+        return {
+            (lang, i): rn + 1
+            for lang, keyed in out.items()
+            for rn, (_, i) in enumerate(sorted(keyed)[:k])}
+
+    def _rows(self):
+        return [("en" if i % 3 else "zh", i) for i in range(400)]
+
+    def test_matches_brute_force(self, spark):
+        from pudl_spark.functions.sampling import bottomk_sample
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        got = {(r["lang"], r["doc_id"]): r["smp_rank"]
+               for r in bottomk_sample(df, ["lang"], "doc_id",
+                                       k=7).collect()}
+        assert got == self._brute(rows, 7)
+
+    def test_shortfall_guard_path(self, spark):
+        from pudl_spark.functions.sampling import bottomk_sample
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        # safety so small the prefilter keeps ~nothing: the guard
+        # must re-admit both strata and still produce the exact set.
+        got = {(r["lang"], r["doc_id"]): r["smp_rank"]
+               for r in bottomk_sample(df, ["lang"], "doc_id", k=7,
+                                       safety=1e-9).collect()}
+        assert got == self._brute(rows, 7)
+
+    def test_stratum_smaller_than_k(self, spark):
+        from pudl_spark.functions.sampling import bottomk_sample
+        rows = [("en", i) for i in range(50)] + [("fr", 1000), ("fr", 1001)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        got = bottomk_sample(df, ["lang"], "doc_id", k=5).collect()
+        by_lang = {}
+        for r in got:
+            by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+        assert len(by_lang["en"]) == 5 and sorted(by_lang["fr"]) == [
+            1000, 1001]
