@@ -56,6 +56,13 @@ _TOUCHED_THIS_ROUND = [
     # sort) and exact per-stratum bottom-k hash sampling (prefilter
     # + exactness guard; functions/sampling.py)
     "lineitem_exact_quantiles", "doc_bottomk_sample",
+    # r7: NEW query — persisted incremental LSH near-dup index
+    # (build_lsh_store/lsh_store_probe); the shared oph_banded/
+    # shingle_hash_sets/verified_jaccard_pairs extraction also
+    # touches the one-shot miner's callers, re-certified here
+    # (minhash_dedup_clusters already sits in the r3 block below)
+    "doc_lsh_store_increment", "minhash_near_dup_pairs",
+    "doc_leakage_safe_split",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -92,11 +99,13 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 32 roll to
+    #    (alphabetical; 50 r4 rows total — the remaining 35 roll to
     #    round 8: `events_to_utc`/`event_value_quartiles` displaced
     #    by embedding_ivf_clusters + ivf_store_cell_stats, then
     #    `event_sessions_cc`/`event_user_kmv_distinct` by
-    #    lineitem_exact_quantiles + doc_bottomk_sample). New queries
+    #    lineitem_exact_quantiles + doc_bottomk_sample, then
+    #    `event_anomaly_flags`/`event_bad_days`/
+    #    `event_local_outliers` by the LSH-store block). New queries
     #    added during the round displace from the END of this block;
     #    displaced names stay r4-certified and lead the r8 re-cert
     #    queue. --
@@ -107,8 +116,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "customer_unique_priority", "date_merge_month",
     "doc_fingerprints_fast", "doc_shingle_stats",
     "doc_stratified_sample", "doc_token_budget",
-    "event_anomalous_regions", "event_anomaly_flags",
-    "event_bad_days", "event_local_outliers",
+    "event_anomalous_regions",
 ]
 
 

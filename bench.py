@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "embedding_ivf_clusters",
     "lineitem_exact_quantiles",
     "doc_dup_spans",
+    "doc_lsh_store_increment",
     "minhash_dedup_clusters",
     "doc_quality_classifier",
     "doc_tfidf_topk",

@@ -15,8 +15,10 @@ from pudl_spark.functions.text import (
 from pudl_spark.functions.dedup import (
     exact_duplicates, exact_dedup, minhash_signature, minhash_candidate_pairs,
     minhash_dedup, simhash_expr, simhash_near_duplicates,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs, oph_banded, shingle_hash_sets,
+    verified_jaccard_pairs, build_lsh_store, lsh_store_probe,
 )
+from pudl_spark.functions.sampling import bottomk_sample
 from pudl_spark.functions.similarity import (
     cosine_similarity_expr, dot_expr, l2_norm_expr, brute_force_topk,
     lsh_bucket_topk,

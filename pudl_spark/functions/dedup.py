@@ -7,6 +7,8 @@ the band-bucket groupBys and the candidate-pair join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pudl_spark.functions.text import char_ngrams, word_shingles
@@ -93,17 +95,13 @@ def minhash_signature(col: Column | str, num_hashes: int = 64,
     )
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                            num_hashes: int = 64, bands: int = 16,
-                            shingle_k: int = 3,
-                            jaccard_threshold: float = 0.7) -> DataFrame:
-    """MinHash + LSH banding near-dup pairs.
-
-    shingle -> minhash (map-side) -> split signature into ``bands``
-    bands -> explode -> bucket-join on (band_idx, band_hash) -> verify
-    true Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)
-    with id_a < id_b. The verify join re-reads only candidate rows'
-    shingles; candidates ~ O(true dups), not O(n^2).
+def oph_banded(df: DataFrame, id_col: str, text_col: str,
+               num_hashes: int = 64, bands: int = 16,
+               shingle_k: int = 3) -> DataFrame:
+    """LSH band keys ``(id, band, bucket)`` from OPH minhash
+    signatures — the shared blocking primitive for the one-shot pair
+    miner (`minhash_candidate_pairs`) and the persisted incremental
+    index (`build_lsh_store` / `lsh_store_probe`).
     """
     rows_per_band = num_hashes // bands
     df = _spread(df, id_col)
@@ -164,8 +162,9 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
             f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
         step, r = step * 2, r + 1
     # Lazy localCheckpoint, not persist(): same effect (the signature
-    # table materializes once at first action and the bands path plus
-    # both verify-join sides read the stored blocks), but the blocks
+    # table materializes once at first action, so the banded frame's
+    # self-join in the pair miner reads stored blocks twice instead
+    # of recomputing the signatures per side), but the blocks
     # are owned by the RDD, so the ContextCleaner reclaims them when
     # the returned frame is garbage-collected. persist() registers
     # with the cache manager and leaks until an explicit unpersist,
@@ -184,9 +183,71 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     # Bands shuffle WITHOUT the verify sets (ids + two longs only —
     # the explode multiplies rows by `bands`, so payload width matters
     # 16x); sets re-join below for the candidate pairs only.
-    banded = sig_agg.select(
+    return sig_agg.select(
         "id", F.explode(band_arr).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
+
+
+def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
+                      shingle_k: int = 3) -> DataFrame:
+    """``(id, __set)`` distinct shingle-hash arrays — the verify-side
+    payload. MAP-SIDE array algebra on the base table (no shuffle, no
+    object-hash aggregate): distinct shingle xxhash64s — set jaccard
+    over 64-bit hashes equals string-set jaccard modulo collisions,
+    and longs are ~5x slimmer than shingle strings. Only candidate
+    ids' sets ever shuffle, via the verify joins.
+    """
+    df = _spread(df, id_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), k=shingle_k),
+                        lambda s: F.xxhash64(s))).alias("__set"))
+
+
+def verified_jaccard_pairs(cand: DataFrame, sets_a: DataFrame,
+                           sets_b: DataFrame, a_col: str = "id_a",
+                           b_col: str = "id_b",
+                           jaccard_threshold: float = 0.7) -> DataFrame:
+    """Exact-Jaccard verify join: candidate pairs pick up their two
+    shingle-hash sets and keep only pairs at/above the threshold —
+    precision is exact no matter how loose the blocking was.
+    """
+    pairs = (
+        cand
+        .join(sets_a.select(F.col("id").alias(a_col),
+                            F.col("__set").alias("sh_a")), a_col)
+        .join(sets_b.select(F.col("id").alias(b_col),
+                            F.col("__set").alias("sh_b")), b_col)
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(a_col, b_col, "jaccard")
+    )
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 64, bands: int = 16,
+                            shingle_k: int = 3,
+                            jaccard_threshold: float = 0.7) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    shingle -> minhash (map-side) -> split signature into ``bands``
+    bands -> explode -> bucket-join on (band_idx, band_hash) -> verify
+    true Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)
+    with id_a < id_b. The verify join re-reads only candidate rows'
+    shingles; candidates ~ O(true dups), not O(n^2).
+    """
+    # Bands shuffle WITHOUT the verify sets (ids + two longs only —
+    # the explode multiplies rows by `bands`, so payload width matters
+    # 16x); sets re-join for the candidate pairs only.
+    banded = oph_banded(df, id_col, text_col, num_hashes, bands,
+                        shingle_k)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -196,32 +257,9 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify sets are MAP-SIDE array algebra on the base table (no
-    # shuffle, no object-hash aggregate): distinct shingle xxhash64s —
-    # set jaccard over 64-bit hashes equals string-set jaccard modulo
-    # collisions, and longs are ~5x slimmer than shingle strings. Only
-    # candidate ids' sets ever shuffle, via the two joins below.
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), k=shingle_k),
-                        lambda s: F.xxhash64(s))).alias("__set"))
-    pairs = (
-        cand
-        .join(sets.select(F.col("id").alias("id_a"),
-                          F.col("__set").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("__set").alias("sh_b")), "id_b")
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
-        pairs.withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union).otherwise(0.0))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b",
+                                  jaccard_threshold)
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
@@ -235,6 +273,69 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     pairs = minhash_candidate_pairs(df, id_col, text_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
+                    table_prefix: str, path: str,
+                    num_hashes: int = 64, bands: int = 16,
+                    shingle_k: int = 3, num_buckets: int = 8) -> None:
+    """Persist a corpus as an INCREMENTAL near-dup index: two
+    bucketed tables, ``{prefix}_bands`` (band keys, bucketed+sorted
+    by the LSH join key) and ``{prefix}_sets`` (shingle-hash sets,
+    bucketed by id for the verify join).
+
+    The point at 100 TB: a growing corpus re-mines near-dups every
+    ingest batch, and the expensive parts — shingling, OPH signature
+    aggregation, the band shuffle — are all corpus-side. Paying them
+    ONCE at index build and probing with only the new batch turns
+    per-batch cost from O(corpus) to O(batch): `lsh_store_probe`
+    plans the bucket join and the verify join with NO Exchange on
+    the store side (the same bucketed-layout contract as
+    `similarity.build_ivf_store`).
+    """
+    from pudl_spark.sources.files import write_bucketed_table
+
+    for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed_table(
+        oph_banded(df, id_col, text_col, num_hashes, bands, shingle_k),
+        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
+        sort_cols=["band", "bucket", "id"],
+        path=os.path.join(path, "bands"))
+    write_bucketed_table(
+        shingle_hash_sets(df, id_col, text_col, shingle_k),
+        f"{table_prefix}_sets", ["id"], num_buckets,
+        sort_cols=["id"], path=os.path.join(path, "sets"))
+
+
+def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
+                    id_col: str, text_col: str,
+                    num_hashes: int = 64, bands: int = 16,
+                    shingle_k: int = 3,
+                    jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus:
+    signature only the batch, bucket-join against ``{prefix}_bands``,
+    exact-verify against ``{prefix}_sets``. Returns
+    (new_id, corpus_id, jaccard). The signature/banding parameters
+    must match the ones the store was built with.
+    """
+    store_bands = spark.table(f"{table_prefix}_bands")
+    store_sets = spark.table(f"{table_prefix}_sets")
+    nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
+                    shingle_k)
+    cand = (
+        nb.alias("a").join(
+            store_bands.alias("b"),
+            on=[F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket")])
+        .select(F.col("a.id").alias("new_id"),
+                F.col("b.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    new_sets = shingle_hash_sets(new_docs, id_col, text_col, shingle_k)
+    return verified_jaccard_pairs(cand, new_sets, store_sets,
+                                  "new_id", "corpus_id",
+                                  jaccard_threshold)
 
 
 # -------------------------------------------------------------- simhash

@@ -1,0 +1,92 @@
+"""Round-7: persisted LSH near-dup index — incremental probe must
+equal the one-shot pair miner restricted to cross-split pairs, and
+the store side of the bucket join must plan without an Exchange."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import (
+    build_lsh_store, lsh_store_probe, minhash_candidate_pairs,
+)
+from pudl_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from pudl_spark.catalog import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/documents.parquet")
+
+
+def test_probe_equals_one_shot_miner_cross_pairs(spark):
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    # Reference: mine ALL pairs at once, keep only cross-split ones
+    # (either orientation — the miner canonicalizes id_a < id_b).
+    allp = minhash_candidate_pairs(d, "doc_id", "text",
+                                   jaccard_threshold=0.5).collect()
+    want = set()
+    for r in allp:
+        na, nb = r["id_a"] % 7 == 0, r["id_b"] % 7 == 0
+        if na and not nb:
+            want.add((r["id_a"], r["id_b"], r["jaccard"]))
+        elif nb and not na:
+            want.add((r["id_b"], r["id_a"], r["jaccard"]))
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_lsh",
+                        os.path.join(td, "store"))
+        try:
+            got = {(r["new_id"], r["corpus_id"], r["jaccard"])
+                   for r in lsh_store_probe(
+                       spark, "t_lsh", batch, "doc_id", "text",
+                       jaccard_threshold=0.5).collect()}
+        finally:
+            for t in ("t_lsh_bands", "t_lsh_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert got == want
+
+
+def test_store_side_exchange_free(spark):
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d, "doc_id", "text", "t_lsh2",
+                        os.path.join(td, "store"))
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            bands = spark.table("t_lsh2_bands")
+            sets = spark.table("t_lsh2_sets")
+            # A store-vs-store band join and an id-keyed sets
+            # aggregation both reuse the bucketing: the only
+            # Exchanges allowed in the plan are on the probe side,
+            # and here both sides ARE the store, so none at all.
+            b2 = bands.select(F.col("band").alias("band"),
+                              F.col("bucket").alias("bucket"),
+                              F.col("id").alias("id2"))
+            join_plan = (bands.join(b2, ["band", "bucket"])
+                         ._jdf.queryExecution().executedPlan()
+                         .toString())
+            assert "Exchange" not in join_plan, join_plan
+            agg_plan = (sets.groupBy("id").count()
+                        ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange" not in agg_plan, agg_plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            for t in ("t_lsh2_bands", "t_lsh2_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_increment_query_self_cleans(spark):
+    out = QUERIES["doc_lsh_store_increment"](spark, SF)
+    rows = out.collect()
+    # Every pair is cross-split and above threshold.
+    for r in rows:
+        assert r["new_id"] % 7 == 0 and r["corpus_id"] % 7 != 0
+        assert r["jaccard"] >= 0.5
+    assert not any(t.name in ("lsh_docs_bands", "lsh_docs_sets")
+                   for t in spark.catalog.listTables())
