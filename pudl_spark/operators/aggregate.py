@@ -313,9 +313,20 @@ def exact_quantiles(df: DataFrame, data_col: str,
         [(q, k, lo, hi, k - int(below[f"c{i}"]))
          for i, (q, k, lo, hi) in enumerate(spec)],
         "quantile double, qrank long, lo double, hi double, off long")
+    # LITERAL union-of-windows prefilter before the spec join: the
+    # join condition below can never reach the scan (its bounds are
+    # join-side columns), but this OR-of-ranges is plain literals —
+    # it pushes into the parquet reader and prunes row groups by
+    # min/max stats, so pass 3 reads the candidate slices only.
+    keep = F.lit(False)
+    for _, _, lo, hi in spec:
+        w = F.lit(True) if lo is None else (F.col("__v") >= F.lit(lo))
+        if hi is not None:
+            w = w & (F.col("__v") < F.lit(hi))
+        keep = keep | w
     cond = ((F.col("lo").isNull() | (F.col("__v") >= F.col("lo")))
             & (F.col("hi").isNull() | (F.col("__v") < F.col("hi"))))
-    sel = base.join(F.broadcast(spec_df), on=cond)
+    sel = base.filter(keep).join(F.broadcast(spec_df), on=cond)
     w = Window.partitionBy("quantile").orderBy("__v")
     return (sel.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == F.col("off"))
