@@ -63,6 +63,12 @@ _TOUCHED_THIS_ROUND = [
     # (minhash_dedup_clusters already sits in the r3 block below)
     "doc_lsh_store_increment", "minhash_near_dup_pairs",
     "doc_leakage_safe_split",
+    # r7: NEW query — ANN top-k served from the persisted IVF store
+    # (ivf_store_topk; the centroid machinery it shares with
+    # ivf_partitioned_argmax was extracted to centroid_array/
+    # _topn_centroid_fold — the three argmax-backed queries above
+    # are already in this touched list)
+    "ann_ivf_store_probe",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -99,13 +105,14 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 35 roll to
+    #    (alphabetical; 50 r4 rows total — the remaining 36 roll to
     #    round 8: `events_to_utc`/`event_value_quartiles` displaced
     #    by embedding_ivf_clusters + ivf_store_cell_stats, then
     #    `event_sessions_cc`/`event_user_kmv_distinct` by
     #    lineitem_exact_quantiles + doc_bottomk_sample, then
     #    `event_anomaly_flags`/`event_bad_days`/
-    #    `event_local_outliers` by the LSH-store block). New queries
+    #    `event_local_outliers` by the LSH-store block, then
+    #    `event_anomalous_regions` by ann_ivf_store_probe). New queries
     #    added during the round displace from the END of this block;
     #    displaced names stay r4-certified and lead the r8 re-cert
     #    queue. --
@@ -116,7 +123,6 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "customer_unique_priority", "date_merge_month",
     "doc_fingerprints_fast", "doc_shingle_stats",
     "doc_stratified_sample", "doc_token_budget",
-    "event_anomalous_regions",
 ]
 
 

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "event_sliding_windows",
     "embedding_quantization",
     "embedding_ivf_clusters",
+    "ann_ivf_store_probe",
     "lineitem_exact_quantiles",
     "doc_dup_spans",
     "doc_lsh_store_increment",

@@ -215,64 +215,8 @@ def ivf_partitioned_argmax(vectors: DataFrame, seeds: DataFrame,
     only when a centroid's own cell is emptied by an identical-twin
     tie) drop out — callers needing totality should left-join back.
     """
-    k = seeds.agg(F.count(F.lit(1)).cast("double").alias("__k"))
-    h2 = F.conv(F.substring(
-        F.md5(F.concat(F.col("seed_id").cast("string"),
-                       F.lit(":" + salt))), 1, 6), 16, 10).cast("double")
-    # P(centroid) = centroid_factor / sqrt(k): h2 is uniform on
-    # [0, 2^24), and every operation (divide, sqrt, multiply) is an
-    # exactly-rounded IEEE op, so the rule replays bit-identically
-    # in any engine.
-    cents = (seeds.crossJoin(F.broadcast(k))
-             .filter(h2 * F.sqrt(F.col("__k"))
-                     < F.lit(16777216.0 * centroid_factor))
-             .select(F.col("seed_id").alias("cent_id"),
-                     F.col("seed_vec").alias("cent_vec"),
-                     F.col("seed_nrm").alias("cent_nrm")))
-    cents_arr = cents.agg(F.collect_list(
-        F.struct("cent_id", "cent_vec", "cent_nrm")).alias("__cents"))
-
-    def _probes(vec, nrm, n):
-        """Array of the n (1 or 2) nearest centroid ids. ONE fold
-        over the scored centroid array keeps (best, second-best), so
-        the dot products are evaluated exactly once per row — an
-        array_max-of-filter composition would re-evaluate the
-        scoring transform per element, O(c^2) dot products. Ties
-        break to the SMALLER centroid id via the negated-id field
-        (lexicographic (score, -id) compare — the same rule the SQL
-        row_number replay uses)."""
-        if n not in (1, 2):
-            raise ValueError("nprobe must be 1 or 2")
-        scores = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                (dot_expr(vec, c["cent_vec"])
-                 / (nrm * c["cent_nrm"])).alias("s"),
-                (-c["cent_id"]).alias("nid")))
-        zero = F.struct(
-            F.lit(None).cast("double").alias("s1"),
-            F.lit(None).cast("long").alias("n1"),
-            F.lit(None).cast("double").alias("s2"),
-            F.lit(None).cast("long").alias("n2"))
-
-        def merge(acc, x):
-            # TRUE OR NULL = TRUE, so the isNull disjunct admits the
-            # first element although the comparisons yield NULL
-            beats1 = (acc["s1"].isNull() | (x["s"] > acc["s1"])
-                      | ((x["s"] == acc["s1"]) & (x["nid"] > acc["n1"])))
-            beats2 = (acc["s2"].isNull() | (x["s"] > acc["s2"])
-                      | ((x["s"] == acc["s2"]) & (x["nid"] > acc["n2"])))
-            return (
-                F.when(beats1, F.struct(
-                    x["s"].alias("s1"), x["nid"].alias("n1"),
-                    acc["s1"].alias("s2"), acc["n1"].alias("n2")))
-                .when(beats2, F.struct(
-                    acc["s1"].alias("s1"), acc["n1"].alias("n1"),
-                    x["s"].alias("s2"), x["nid"].alias("n2")))
-                .otherwise(acc))
-
-        return F.aggregate(scores, zero, merge)
-
+    cents_arr = centroid_array(seeds, centroid_factor, salt)
+    _probes = _topn_centroid_fold  # nearest-centroid scoring fold
     # The fold lands in its OWN projection (withColumn, then a
     # separate select that reads __top twice): CollapseProject
     # declines to inline a non-cheap alias with multiple uses, so
@@ -301,6 +245,140 @@ def ivf_partitioned_argmax(vectors: DataFrame, seeds: DataFrame,
         F.max_by("seed_id", F.struct(F.col("score"),
                                      (-F.col("seed_id")).alias("ns")))
         .alias("cluster_seed"))
+
+
+def centroid_array(seeds: DataFrame, centroid_factor: float = 2.0,
+                   salt: str = "cent") -> DataFrame:
+    """The O(sqrt(k)) broadcastable centroid table as a 1-row array
+    frame — the deterministic md5-threshold subset
+    `ivf_partitioned_argmax` documents, shared by the assignment
+    path and the store probe (`ivf_store_topk`)."""
+    k = seeds.agg(F.count(F.lit(1)).cast("double").alias("__k"))
+    h2 = F.conv(F.substring(
+        F.md5(F.concat(F.col("seed_id").cast("string"),
+                       F.lit(":" + salt))), 1, 6), 16, 10).cast("double")
+    # P(centroid) = centroid_factor / sqrt(k): h2 is uniform on
+    # [0, 2^24), and every operation (divide, sqrt, multiply) is an
+    # exactly-rounded IEEE op, so the rule replays bit-identically
+    # in any engine.
+    cents = (seeds.crossJoin(F.broadcast(k))
+             .filter(h2 * F.sqrt(F.col("__k"))
+                     < F.lit(16777216.0 * centroid_factor))
+             .select(F.col("seed_id").alias("cent_id"),
+                     F.col("seed_vec").alias("cent_vec"),
+                     F.col("seed_nrm").alias("cent_nrm")))
+    return cents.agg(F.collect_list(
+        F.struct("cent_id", "cent_vec", "cent_nrm")).alias("__cents"))
+
+
+def _topn_centroid_fold(vec, nrm, n):
+    """Array of the n (1 or 2) nearest centroid ids. ONE fold
+    over the scored centroid array keeps (best, second-best), so
+    the dot products are evaluated exactly once per row — an
+    array_max-of-filter composition would re-evaluate the
+    scoring transform per element, O(c^2) dot products. Ties
+    break to the SMALLER centroid id via the negated-id field
+    (lexicographic (score, -id) compare — the same rule the SQL
+    row_number replay uses)."""
+    if n not in (1, 2):
+        raise ValueError("nprobe must be 1 or 2")
+    scores = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (dot_expr(vec, c["cent_vec"])
+             / (nrm * c["cent_nrm"])).alias("s"),
+            (-c["cent_id"]).alias("nid")))
+    zero = F.struct(
+        F.lit(None).cast("double").alias("s1"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("double").alias("s2"),
+        F.lit(None).cast("long").alias("n2"))
+
+    def merge(acc, x):
+        # TRUE OR NULL = TRUE, so the isNull disjunct admits the
+        # first element although the comparisons yield NULL
+        beats1 = (acc["s1"].isNull() | (x["s"] > acc["s1"])
+                  | ((x["s"] == acc["s1"]) & (x["nid"] > acc["n1"])))
+        beats2 = (acc["s2"].isNull() | (x["s"] > acc["s2"])
+                  | ((x["s"] == acc["s2"]) & (x["nid"] > acc["n2"])))
+        return (
+            F.when(beats1, F.struct(
+                x["s"].alias("s1"), x["nid"].alias("n1"),
+                acc["s1"].alias("s2"), acc["n1"].alias("n2")))
+            .when(beats2, F.struct(
+                acc["s1"].alias("s1"), acc["n1"].alias("n1"),
+                x["s"].alias("s2"), x["nid"].alias("n2")))
+            .otherwise(acc))
+
+    return F.aggregate(scores, zero, merge)
+
+
+def ivf_store_topk(spark, table_name: str, queries: DataFrame,
+                   k: int = 10, seed_probe: int = 3, nprobe: int = 2,
+                   seed_modulus: int = 97, centroid_factor: float = 2.0,
+                   query_id_col: str = "query_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k served FROM the persisted cell-bucketed IVF store —
+    the production read path `build_ivf_store` exists for.
+
+    Per query: score the O(sqrt(k)) broadcast centroid array
+    map-side, probe the ``nprobe`` nearest centroid cells, rank the
+    seeds inside them and keep ``seed_probe`` — those seed ids ARE
+    the store's cell keys, so the candidate fetch is an equi-join
+    against the bucketed store column: the store side plans as a
+    pruned scan with no Exchange (the probe side is tiny and
+    broadcasts). Only ~seed_probe cells' members (~seed_probe *
+    corpus/k rows) are ever scored per query; at 100 TB nothing
+    corpus-sized moves.
+
+    Returns (query_id, neighbor_id, score, rank) with rank <= k.
+    Approximate like any IVF probe: neighbors outside the probed
+    cells are missed; recall tunes via nprobe/seed_probe. All
+    scoring/tie rules mirror the build path, so the result replays
+    exactly in the SQL oracle.
+    """
+    s = spark.table(table_name)
+    seeds = (s.filter(F.col("vec_id") % seed_modulus == 1)
+             .select(F.col("vec_id").alias("seed_id"),
+                     F.col("embedding").alias("seed_vec"),
+                     F.col("nrm").alias("seed_nrm")))
+    cents_arr = centroid_array(seeds, centroid_factor)
+    seed_cell = (seeds.crossJoin(F.broadcast(cents_arr))
+                 .withColumn("__top",
+                             _topn_centroid_fold(F.col("seed_vec"),
+                                                 F.col("seed_nrm"), 1))
+                 .select("seed_id", "seed_vec", "seed_nrm",
+                         (-F.col("__top")["n1"]).alias("__ccell")))
+    q = (queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qvec"))
+         .withColumn("__qnrm", l2_norm_expr(F.col("__qvec"))))
+    cellcols = ([-F.col("__top")["n1"]] if nprobe == 1
+                else [-F.col("__top")["n1"], -F.col("__top")["n2"]])
+    qprobe = (q.crossJoin(F.broadcast(cents_arr))
+              .withColumn("__top",
+                          _topn_centroid_fold(F.col("__qvec"),
+                                              F.col("__qnrm"), nprobe))
+              .select("query_id", "__qvec", "__qnrm",
+                      F.explode(F.array(*cellcols)).alias("__ccell"))
+              .filter(F.col("__ccell").isNotNull()))
+    scored_seeds = qprobe.join(seed_cell, "__ccell").select(
+        "query_id", "__qvec", "__qnrm", "seed_id",
+        (dot_expr(F.col("__qvec"), F.col("seed_vec"))
+         / (F.col("__qnrm") * F.col("seed_nrm"))).alias("sscore"))
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("sscore").desc(), F.col("seed_id").asc())
+    qseeds = (scored_seeds.withColumn("__r", F.row_number().over(ws))
+              .filter(F.col("__r") <= seed_probe)
+              .select("query_id", "__qvec", "__qnrm",
+                      F.col("seed_id").alias("cell")))
+    cand = qseeds.join(s, "cell").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        (dot_expr(F.col("__qvec"), F.col("embedding"))
+         / (F.col("__qnrm") * F.col("nrm"))).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 def embedding_quantize_stats(df: DataFrame, id_col: str = "vec_id",

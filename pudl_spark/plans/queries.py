@@ -8258,3 +8258,110 @@ def doc_lsh_store_increment(spark, sf_dir):
         finally:
             for t in ("lsh_docs_bands", "lsh_docs_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query("ann_ivf_store_probe", sql=f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM base WHERE vec_id % 97 = 1
+), k AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
+), cents AS (
+  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
+  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
+        * sqrt(k.k) < 33554432.0
+), seed_cell AS (
+  SELECT seed_id, seed_vec, cell FROM (
+    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY s.seed_id ORDER BY
+        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM base e CROSS JOIN cents c) WHERE rn <= 2
+), assigned AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT e.vec_id, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
+), cells AS (
+  SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
+    e.vec_id, e.embedding
+  FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 5
+), qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {_SEMDEDUP_COS.format(a='q.qv', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2
+), qseeds AS (
+  SELECT query_id, seed_id FROM (
+    SELECT q.query_id, sc.seed_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {_SEMDEDUP_COS.format(a='q.qv', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM q JOIN qprobe p ON p.query_id = q.query_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn <= 3
+), cand AS (
+  SELECT q.query_id, cl.vec_id AS neighbor_id,
+    {_SEMDEDUP_COS.format(a='q.qv', b='cl.embedding')} AS score
+  FROM q JOIN qseeds s2 ON s2.query_id = q.query_id
+  JOIN cells cl ON cl.cell = s2.seed_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+  round(score, 6) AS score
+FROM (
+  SELECT query_id, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM cand) WHERE rank <= 10
+""")
+def ann_ivf_store_probe(spark, sf_dir):
+    """ANN top-10 served from the PERSISTED cell-bucketed IVF store
+    (`similarity.ivf_store_topk`) — the read path that completes the
+    build_ivf_store story: per query only the broadcast O(sqrt(k))
+    centroid array is scored map-side, seed_probe=3 seed cells are
+    selected, and the candidate fetch is an equi-join on the store's
+    bucket column (no store-side Exchange, ~3 cells of members
+    scored per query). Unlike `ann_ivf_topk` (nprobe=nlist exact
+    configuration), this certifies the APPROXIMATE probe path
+    end-to-end: the oracle replays the deterministic two-level
+    assignment and the probe's exact scoring/tie rules in SQL.
+    """
+    import tempfile
+
+    from pudl_spark.functions.similarity import (
+        build_ivf_store, ivf_store_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfq_") as td:
+        build_ivf_store(spark, e, "ann_ivf_probe_store",
+                        os.path.join(td, "store"))
+        try:
+            out = ivf_store_topk(spark, "ann_ivf_probe_store",
+                                 queries_df, k=10, seed_probe=3)
+            out = out.select("query_id", "neighbor_id",
+                             F.col("rank").cast("int").alias("rank"),
+                             F.round(F.col("score"), 6).alias("score"))
+            # Materialize before the store vanishes: bounded — at
+            # most n_queries * k rows.
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store")

@@ -54,3 +54,43 @@ def test_ivf_store_query_self_cleans(spark):
     assert sum(r["n_members"] for r in rows) == emb_n
     assert not any(t.name == "ann_ivf_store"
                    for t in spark.catalog.listTables())
+
+
+def test_ivf_store_topk_probe(spark):
+    from pudl_spark.functions.similarity import (
+        brute_force_topk, ivf_store_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, emb, "t_ivf_probe",
+                        os.path.join(td, "store"))
+        try:
+            got = ivf_store_topk(spark, "t_ivf_probe", queries,
+                                 k=10, seed_probe=3).collect()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ivf_probe")
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid, rows in by_q.items():
+        # The query vector is a member of its own assigned cell and
+        # that cell is always probed -> self is the rank-1 hit.
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == qid and top["rank"] == 1
+        assert abs(top["score"] - 1.0) < 1e-9
+        got_ids = {r["neighbor_id"] for r in rows}
+        hits += len(got_ids & exact_by_q[qid])
+        total += len(exact_by_q[qid])
+    assert len(by_q) == 8
+    # Deterministic corpus + deterministic probe: recall@10 is a
+    # fixed number; require a loose floor so the probe is meaningful
+    # (brute force would be 1.0, random ~0).
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
