@@ -69,6 +69,9 @@ _TOUCHED_THIS_ROUND = [
     # _topn_centroid_fold — the three argmax-backed queries above
     # are already in this touched list)
     "ann_ivf_store_probe",
+    # r7: NEW query — TPC-H Q21-shaped EXISTS/NOT-EXISTS pair
+    # rewritten as one grouped pass (plan pinned)
+    "suppliers_kept_waiting",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -105,14 +108,15 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_close_balances", "supplier_customer_pagerank",
     "supplier_territory_area",
     # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 36 roll to
+    #    (alphabetical; 50 r4 rows total — the remaining 37 roll to
     #    round 8: `events_to_utc`/`event_value_quartiles` displaced
     #    by embedding_ivf_clusters + ivf_store_cell_stats, then
     #    `event_sessions_cc`/`event_user_kmv_distinct` by
     #    lineitem_exact_quantiles + doc_bottomk_sample, then
     #    `event_anomaly_flags`/`event_bad_days`/
     #    `event_local_outliers` by the LSH-store block, then
-    #    `event_anomalous_regions` by ann_ivf_store_probe). New queries
+    #    `event_anomalous_regions`/`doc_token_budget` by
+    #    ann_ivf_store_probe + suppliers_kept_waiting). New queries
     #    added during the round displace from the END of this block;
     #    displaced names stay r4-certified and lead the r8 re-cert
     #    queue. --
@@ -122,7 +126,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "customer_parts_true_gran", "customer_phone_standardized",
     "customer_unique_priority", "date_merge_month",
     "doc_fingerprints_fast", "doc_shingle_stats",
-    "doc_stratified_sample", "doc_token_budget",
+    "doc_stratified_sample",
 ]
 
 

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "embedding_semantic_dedup",
     "part_copurchase_triangles",
     "market_share_by_year",
+    "suppliers_kept_waiting",
     "media_avi_frames",
     "event_value_histogram",
     "order_counts_cube",

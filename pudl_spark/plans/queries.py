@@ -8365,3 +8365,73 @@ def ann_ivf_store_probe(spark, sf_dir):
             return spark.createDataFrame(out.collect(), out.schema)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store")
+
+
+@query("suppliers_kept_waiting", sql="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate
+                        + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""")
+def suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting: late = shipped >60 days after order date, finished
+    orders, sole late supplier in an order with >= 2 suppliers).
+    The oracle is the definitional correlated EXISTS / NOT EXISTS
+    pair; the Spark plan rewrites both existence joins into ONE
+    grouped pass — at 100 TB the textbook form scans the fact table
+    three times and shuffles it twice more for the semi/anti joins,
+    while this plan joins lineitem to orders once (the only
+    fact-fact shuffle), aggregates per (order, supplier), and
+    derives both existence predicates from windows over the SAME
+    orderkey partitioning (n_suppliers >= 2 == EXISTS other
+    supplier; n_late_suppliers == 1 == NOT EXISTS other late one).
+    In the at-scale SMJ regime Catalyst reuses the join's orderkey
+    hash partitioning for the group-by AND both windows (the
+    partitioning-subset rule), so beyond the join's own two shuffles
+    only the tiny final per-supplier aggregate exchanges — pinned in
+    tests/test_subquery_decorrelation.py. (At toy scale AQE
+    broadcasts orders instead; the lineitem side then pays the
+    aggregation shuffle it would otherwise inherit from the join —
+    either regime moves each fact row at most twice.)
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    s = _t(spark, sf_dir, "supplier")
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, li["l_orderkey"] == o["o_orderkey"])
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    per = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (per
+               .withColumn("n_supp", F.count(F.lit(1)).over(w))
+               .withColumn("n_late_supp",
+                           F.sum(F.when(F.col("n_late") > 0, 1)
+                                 .otherwise(0)).over(w)))
+    waits = flagged.filter((F.col("n_supp") >= 2)
+                           & (F.col("n_late") > 0)
+                           & (F.col("n_late_supp") == 1))
+    return (waits.join(F.broadcast(s),
+                       waits["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.sum("n_late").cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(10))
