@@ -214,7 +214,12 @@ def main() -> None:
                          "doc_dup_spans", "doc_bigram_perplexity",
                          "doc_top_terms", "part_copurchase_triangles",
                          "embedding_semantic_dedup",
-                         "media_avi_frames"):
+                         "media_avi_frames",
+                         # r7: the incremental LSH index — its sf1
+                         # ratio certifies that build+probe stays
+                         # linear-ish in the corpus (the build IS
+                         # O(corpus); the probe is O(batch)).
+                         "doc_lsh_store_increment"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue
