@@ -243,34 +243,44 @@ def weighted_quantile(df: DataFrame, data_col: str, weight_col: str,
 
 def exact_quantiles(df: DataFrame, data_col: str,
                     quantiles: list[float],
-                    num_buckets: int = 256) -> DataFrame:
+                    num_buckets: int = 256,
+                    max_slice_rows: int = 100_000) -> DataFrame:
     """EXACT order-statistic quantiles without a total sort — the
     at-scale alternative to ``ORDER BY`` + rank for percentile
     validation screens (ref: src/pudl/validate/quality.py:67 uses
     quantiles as data-quality bounds; this computes the same numbers
     exactly where approxQuantile's error bound is unacceptable).
 
-    The k-th smallest value (k = max(1, ceil(q*n))) is found in three
-    bounded passes instead of sorting n rows:
+    The k-th smallest value (k = max(1, ceil(q*n))) is found by
+    ITERATIVE histogram narrowing, then a rank-select over a bounded
+    slice — never a corpus sort:
 
-      1. min/max/count + an equi-width histogram (``num_buckets``
-         partial-agg counters; the collect is <= num_buckets rows) —
-         locates the bucket holding each target rank;
-      2. an exact ``count(v < lo)`` per candidate window (map-side
-         partial agg, single 1-row collect) — float drift in the
-         histogram's bucket classification cannot shift ranks because
-         the offset is recomputed with the SAME ``<`` the selection
-         uses. Windows are widened one bucket on each side, so
-         boundary-ulp misclassification is absorbed;
-      3. a rank-select over ONLY the candidate slices (~3n/num_buckets
-         rows): a broadcast range-join against the tiny spec frame,
-         then row_number per quantile.
+      * each round, one scan histograms every still-too-wide
+        quantile's current value window into ``num_buckets``
+        equi-width buckets (all quantiles batched into a single
+        exploded aggregation; rounds after the first carry the
+        narrowed windows as LITERAL range predicates, so they read a
+        pruned slice, not the corpus) and shrinks the window to the
+        rank's bucket widened by one bucket each side — float drift
+        in bucket classification is sub-ulp WITHIN a round, so the
+        widened window always retains the k-th element;
+      * the in-window rank stays exact across rounds because each
+        new lower bound's global ``count(v < lo)`` is recounted
+        map-side with the same ``<`` the final selection uses (one
+        cheap batched agg per round; classification drift never
+        accumulates);
+      * narrowing stops once every window is estimated under
+        ``max_slice_rows`` (or stalls on heavy ties / 8 rounds) —
+        log_B(n / max_slice_rows) rounds, e.g. 3 for 10^12 rows;
+      * the final rank-select windows only bounded slices: the
+        row_number per quantile lands one <= max_slice_rows-ish
+        partition per quantile, and the slices' literal range
+        predicates push into the parquet reader (row-group min/max
+        pruning).
 
-    At 100 TB pass 3's value-range predicate prunes parquet row groups
-    via min/max stats — the sort touches a 1/num_buckets slice, not
-    the corpus. All collects are bounded (1 + num_buckets + 1 rows).
-    Output: (quantile DOUBLE, qrank BIGINT, value DOUBLE), one row per
-    requested quantile.
+    All collects are bounded (1 + rounds * (num_buckets + 1) rows).
+    Output: (quantile DOUBLE, qrank BIGINT, value DOUBLE), one row
+    per requested quantile.
     """
     import math
 
@@ -288,42 +298,98 @@ def exact_quantiles(df: DataFrame, data_col: str,
         return spark.createDataFrame(
             [(float(q), k, float(vmin)) for q, k in zip(quantiles, ks)],
             schema)
-    width = (vmax - vmin) / num_buckets
-    bucket = F.least(F.lit(num_buckets - 1),
-                     F.floor((F.col("__v") - F.lit(vmin)) / F.lit(width)))
-    hist = {r["b"]: r["count"]
-            for r in base.groupBy(bucket.alias("b")).count().collect()}
-    cum, c = [], 0
-    for b in range(num_buckets):
-        c += hist.get(b, 0)
-        cum.append(c)
-    # First bucket whose cumulative count reaches k, then widen the
-    # value window one bucket on each side (see drift note above).
-    spec = []
-    for q, k in zip(quantiles, ks):
-        b = next(i for i, cv in enumerate(cum) if cv >= k)
-        lo = vmin + (b - 1) * width if b >= 1 else None
-        hi = vmin + (b + 2) * width if b + 2 <= num_buckets - 1 else None
-        spec.append([float(q), k, lo, hi])
-    below = base.agg(*[
-        (F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0))
-         if lo is not None else F.lit(0)).alias(f"c{i}")
-        for i, (_, _, lo, _) in enumerate(spec)]).collect()[0]
+
+    def window_pred(lo, hi):
+        p = F.lit(True) if lo is None else (F.col("__v") >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col("__v") < F.lit(hi))
+        return p
+
+    # Per-quantile state: value window [lo, hi) guaranteed to hold
+    # the k-th element, EXACT global count below lo, and a row
+    # estimate used only for loop control.
+    state = [{"lo": None, "hi": None, "below": 0, "est": n}
+             for _ in quantiles]
+    for _ in range(8):
+        active = [i for i, s in enumerate(state)
+                  if s["est"] > max_slice_rows]
+        if not active:
+            break
+        entries, bounds = [], {}
+        for i in active:
+            s = state[i]
+            wlo = vmin if s["lo"] is None else s["lo"]
+            whi = vmax if s["hi"] is None else s["hi"]
+            width = (whi - wlo) / num_buckets
+            if width <= 0:  # heavy ties — cannot narrow further
+                s["est"] = 0
+                continue
+            bounds[i] = (wlo, width)
+            bucket = F.least(F.lit(num_buckets - 1),
+                             F.floor((F.col("__v") - F.lit(wlo))
+                                     / F.lit(width)))
+            entries.append(F.struct(
+                F.lit(i).alias("q"),
+                F.when(window_pred(s["lo"], s["hi"]), bucket)
+                .alias("b")))
+        if not entries:
+            break
+        pre = F.lit(False)
+        for i in bounds:
+            pre = pre | window_pred(state[i]["lo"], state[i]["hi"])
+        hist_rows = (base.filter(pre)
+                     .select(F.explode(F.array(*entries)).alias("e"))
+                     .filter(F.col("e.b").isNotNull())
+                     .groupBy(F.col("e.q").alias("q"),
+                              F.col("e.b").alias("b"))
+                     .count().collect())
+        hist = {}
+        for r in hist_rows:
+            hist.setdefault(r["q"], {})[r["b"]] = r["count"]
+        new_lo = {}
+        for i in bounds:
+            s = state[i]
+            wlo, width = bounds[i]
+            h = hist.get(i, {})
+            k_rel = ks[i] - s["below"]
+            cum, b = 0, num_buckets - 1
+            for j in range(num_buckets):
+                cum += h.get(j, 0)
+                if cum >= k_rel:
+                    b = j
+                    break
+            lo_c = wlo + (b - 1) * width if b >= 1 else s["lo"]
+            hi_c = (wlo + (b + 2) * width
+                    if b + 2 <= num_buckets - 1 else s["hi"])
+            if (lo_c, hi_c) == (s["lo"], s["hi"]):
+                s["est"] = 0  # stalled (ties concentrated) — stop
+                continue
+            s["lo"], s["hi"] = lo_c, hi_c
+            s["est"] = sum(h.get(j, 0)
+                           for j in range(max(0, b - 1),
+                                          min(num_buckets, b + 2)))
+            if lo_c is not None:
+                new_lo[i] = lo_c
+        if new_lo:
+            row = base.agg(*[
+                F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0))
+                .alias(f"c{i}") for i, lo in new_lo.items()]).collect()[0]
+            for i in new_lo:
+                state[i]["below"] = int(row[f"c{i}"])
+
+    spec = [(float(q), k, s["lo"], s["hi"], k - s["below"])
+            for q, k, s in zip(quantiles, ks, state)]
     spec_df = spark.createDataFrame(
-        [(q, k, lo, hi, k - int(below[f"c{i}"]))
-         for i, (q, k, lo, hi) in enumerate(spec)],
+        spec,
         "quantile double, qrank long, lo double, hi double, off long")
     # LITERAL union-of-windows prefilter before the spec join: the
     # join condition below can never reach the scan (its bounds are
     # join-side columns), but this OR-of-ranges is plain literals —
     # it pushes into the parquet reader and prunes row groups by
-    # min/max stats, so pass 3 reads the candidate slices only.
+    # min/max stats, so the selection reads the final slices only.
     keep = F.lit(False)
-    for _, _, lo, hi in spec:
-        w = F.lit(True) if lo is None else (F.col("__v") >= F.lit(lo))
-        if hi is not None:
-            w = w & (F.col("__v") < F.lit(hi))
-        keep = keep | w
+    for _, _, lo, hi, _ in spec:
+        keep = keep | window_pred(lo, hi)
     cond = ((F.col("lo").isNull() | (F.col("__v") >= F.col("lo")))
             & (F.col("hi").isNull() | (F.col("__v") < F.col("hi"))))
     sel = base.filter(keep).join(F.broadcast(spec_df), on=cond)

@@ -8157,22 +8157,26 @@ FROM qs JOIN ranked
   ON rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n) AS BIGINT))
 """)
 def lineitem_exact_quantiles(spark, sf_dir):
-    """EXACT p50/p90/p99 of l_extendedprice via histogram-guided
-    rank-select (operators.aggregate.exact_quantiles) — W11's exact
-    sibling (ref: src/pudl/validate/quality.py:67 quantile bounds).
-    The oracle is the definitional full sort; the Spark plan never
-    total-sorts: an equi-width histogram locates each rank's bucket,
-    an exact count-below fixes the in-slice offset (immune to float
-    bucket-classification drift), and only the ~3/256 candidate value
-    slice is rank-selected — at 100 TB the slice predicate prunes
-    parquet row groups by min/max stats while the oracle's sort would
-    shuffle the corpus. Ties are rank-stable: the value at a global
-    rank is unique even when row order among equal values is not.
+    """EXACT p50/p90/p99 of l_extendedprice via iterative
+    histogram narrowing + bounded rank-select
+    (operators.aggregate.exact_quantiles) — W11's exact sibling
+    (ref: src/pudl/validate/quality.py:67 quantile bounds). The
+    oracle is the definitional full sort; the Spark plan never
+    total-sorts: each round one (progressively range-pruned) scan
+    shrinks every rank's value window ~256x, an exact count-below
+    keeps the in-window rank drift-free, and only the final bounded
+    slices are rank-selected — so the per-quantile row_number
+    partition is capped by max_slice_rows instead of n/256, and the
+    slice predicates prune parquet row groups by min/max stats. Ties
+    are rank-stable: the value at a global rank is unique even when
+    row order among equal values is not. max_slice_rows is set low
+    enough that the narrowing loop executes at driver scale too.
     """
     from pudl_spark.operators.aggregate import exact_quantiles
 
     li = _t(spark, sf_dir, "lineitem")
-    return exact_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99])
+    return exact_quantiles(li, "l_extendedprice", [0.5, 0.9, 0.99],
+                           max_slice_rows=5_000)
 
 
 @query("doc_bottomk_sample", sql="""

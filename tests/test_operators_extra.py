@@ -552,3 +552,33 @@ class TestBottomkSample:
             by_lang.setdefault(r["lang"], []).append(r["doc_id"])
         assert len(by_lang["en"]) == 5 and sorted(by_lang["fr"]) == [
             1000, 1001]
+
+
+class TestExactQuantilesNarrowing:
+    """Iterative-narrowing paths of exact_quantiles."""
+
+    _brute = staticmethod(TestExactQuantiles._brute)
+
+    def test_iterative_narrowing_rounds(self, spark):
+        # Force several narrowing rounds: tiny buckets + tiny slice
+        # cap; must still equal the definitional order statistic.
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [((i * 48271 + 11) % 65537) / 3.0 for i in range(20000)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        qs = [0.001, 0.5, 0.999]
+        got = {r["quantile"]: r["value"]
+               for r in exact_quantiles(df, "x", qs, num_buckets=4,
+                                        max_slice_rows=64).collect()}
+        assert got == self._brute(vals, qs)
+
+    def test_narrowing_stalls_on_heavy_ties(self, spark):
+        # One value holds 99% of rows: the window stops shrinking; the
+        # stall guard must fall through to a correct rank-select.
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [5.0] * 9900 + [float(i) for i in range(100)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {r["quantile"]: r["value"]
+               for r in exact_quantiles(df, "x", [0.5, 0.99],
+                                        num_buckets=4,
+                                        max_slice_rows=10).collect()}
+        assert got == self._brute(vals, [0.5, 0.99])
