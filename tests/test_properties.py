@@ -195,3 +195,30 @@ def test_bloom_dedup_exact_for_any_strings(spark, members, probes):
         corpus, batch, "doc_id", "text", num_bits=1 << 10, k=3).collect()}
     member_set = set(members)
     assert got == {1000 + i: t in member_set for i, t in enumerate(probes)}
+
+
+@SLOW
+@given(vals=st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=1, max_size=200),
+       qs=st.lists(st.floats(min_value=0.001, max_value=1.0,
+                             allow_nan=False),
+                   min_size=1, max_size=3, unique=True),
+       nb=st.sampled_from([2, 4, 16]),
+       cap=st.sampled_from([1, 8, 10**6]))
+def test_exact_quantiles_is_the_order_statistic(spark, vals, qs, nb, cap):
+    """For ANY values/quantiles/bucket-count/slice-cap, the result is
+    exactly the k = max(1, ceil(q*n))-th smallest value — the
+    narrowing loop, stall guard and rank offsets must never drift."""
+    from pudl_spark.operators.aggregate import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r["quantile"]: (r["qrank"], r["value"])
+           for r in exact_quantiles(df, "x", qs, num_buckets=nb,
+                                    max_slice_rows=cap).collect()}
+    s = sorted(vals)
+    want = {}
+    for q in qs:
+        k = max(1, math.ceil(float(q) * len(s)))
+        want[float(q)] = (k, s[k - 1])
+    assert got == want
