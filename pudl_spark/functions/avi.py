@@ -101,7 +101,11 @@ def decode_avi_frames(data: bytes,
     payloads without ever touching the JPEG decoder: sparse sampling
     costs 1/every_n of the decode CPU, not all of it (VERDICT r5 #4 /
     r6 #1). Returned frames are the sampled ones in order; the i-th
-    entry is source frame ``i * every_n``.
+    entry is source frame ``i * every_n``. Zero-size video chunks
+    (the spec's dropped-frame placeholder) occupy a frame slot and a
+    sampled one decodes as the newest preceding non-empty chunk —
+    except a leading dropped frame with no prior content, which is
+    skipped (and only then does the i*every_n mapping shift).
     """
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise NotImplementedError("not a RIFF/AVI stream")
@@ -116,9 +120,10 @@ def decode_avi_frames(data: bytes,
     # stream's data.
     video_compression: bytes | None = None
     frame_index = 0  # position of the next video chunk in stream order
+    last_payload: bytes | None = None  # newest non-empty video chunk
 
     def walk(buf: bytes) -> None:
-        nonlocal video_compression, frame_index
+        nonlocal video_compression, frame_index, last_payload
         pos = 0
         while pos + 8 <= len(buf):
             ckid = buf[pos:pos + 4]
@@ -133,10 +138,22 @@ def decode_avi_frames(data: bytes,
                     raise NotImplementedError(
                         f"AVI compression {video_compression!r} "
                         "unsupported (MJPG only)")
-            elif (ckid[:2] == b"00"
-                    and ckid[2:4] in (b"dc", b"db") and size):
+            elif ckid[:2] == b"00" and ckid[2:4] in (b"dc", b"db"):
+                # Zero-size 00dc chunks are the standard AVI
+                # dropped-frame placeholder: they occupy a frame slot
+                # (idx1 records them), so they MUST advance the frame
+                # counter or every later frame's reported position —
+                # and the every_n sampling grid — shifts by one. A
+                # SAMPLED dropped slot decodes the newest preceding
+                # non-empty chunk (MJPG "frame unchanged" semantics);
+                # tracking that payload costs no extra decodes, so
+                # the skip guarantee stands.
                 if frame_index % every_n == 0:
-                    frames.append(decode_jpeg(payload))
+                    src = payload if size else last_payload
+                    if src is not None:
+                        frames.append(decode_jpeg(src))
+                if size:
+                    last_payload = payload
                 frame_index += 1
             pos += 8 + size + (size & 1)  # word alignment
 

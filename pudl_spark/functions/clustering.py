@@ -331,15 +331,12 @@ def cluster_embeddings_ivf(df: DataFrame, id_col: str = "vec_id",
     member id within the block.
     """
     from pudl_spark.functions.similarity import (
-        ivf_partitioned_argmax, l2_norm_expr)
+        ivf_partitioned_argmax, l2_norm_expr, sample_seeds)
 
     base = df.select(F.col(id_col).alias("vec_id"),
                      F.col(vec_col).alias("embedding"))
     emb = base.withColumn("nrm", l2_norm_expr(F.col("embedding")))
-    seeds = emb.filter(F.col("vec_id") % seed_modulus == 1).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("seed_vec"),
-        F.col("nrm").alias("seed_nrm"))
+    seeds = sample_seeds(emb, seed_modulus)
     best = ivf_partitioned_argmax(emb, seeds, nprobe=nprobe,
                                   centroid_factor=centroid_factor)
     assigned = base.join(best, "vec_id", "left")

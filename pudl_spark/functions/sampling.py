@@ -64,10 +64,25 @@ def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
         thr = (_HEX6_MAX if n <= safety * k
                else math.ceil(_HEX6_MAX * safety * k / n))
         thr_rows.append(tuple(r[c] for c in by) + (thr,))
+    # NULL is a legal stratum value (the definitional window groups
+    # NULLs together), so every stratum join below must be
+    # null-safe: a plain equi-join would silently drop NULL-keyed
+    # rows from both the prefilter and the shortfall re-admission.
     thr_df = spark.createDataFrame(
-        thr_rows, df.select(*by).schema.add("__thr", "long"))
-    pre = (df.join(F.broadcast(thr_df), on=by)
-           .filter(hex6 < F.col("__thr")).drop("__thr"))
+        thr_rows,
+        df.select(*by).schema.add("__thr", "long")).select(
+            *[F.col(c).alias(f"__t_{c}") for c in by], "__thr")
+
+    def stratum_cond(right):
+        c = F.lit(True)
+        for col in by:
+            c = c & F.col(col).eqNullSafe(right(col))
+        return c
+
+    pre = (df.join(F.broadcast(thr_df),
+                   on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+           .filter(hex6 < F.col("__thr"))
+           .drop("__thr", *[f"__t_{c}" for c in by]))
     need = {tuple(r[c] for c in by): min(k, r["count"]) for r in counts}
     got = {tuple(r[c] for c in by): r["count"]
            for r in pre.groupBy(*by).count().collect()}
@@ -75,11 +90,16 @@ def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
     if short:
         # Exactness fallback: re-admit the shortfall strata in full.
         short_df = spark.createDataFrame(
-            [s for s in short], df.select(*by).schema)
-        pre = pre.unionByName(
-            df.join(F.broadcast(short_df), on=by, how="left_semi")
-            .join(F.broadcast(thr_df), on=by)
-            .filter(hex6 >= F.col("__thr")).drop("__thr"))
+            [s for s in short], df.select(*by).schema).select(
+                *[F.col(c).alias(f"__s_{c}") for c in by])
+        readmit = (df.join(F.broadcast(short_df),
+                           on=stratum_cond(lambda c: F.col(f"__s_{c}")),
+                           how="left_semi")
+                   .join(F.broadcast(thr_df),
+                         on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+                   .filter(hex6 >= F.col("__thr"))
+                   .drop("__thr", *[f"__t_{c}" for c in by]))
+        pre = pre.unionByName(readmit)
     w = Window.partitionBy(*by).orderBy(key.asc(), F.col(id_col).asc())
     return (pre.withColumn(rank_col,
                            F.row_number().over(w).cast("bigint"))

@@ -173,6 +173,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame,
     )
 
 
+def sample_seeds(emb, seed_modulus: int = 97) -> DataFrame:
+    """The deterministic seed subset (vec_id % modulus == 1) in the
+    (seed_id, seed_vec, seed_nrm) shape `ivf_partitioned_argmax`
+    expects — ONE definition shared by the assignment, store build,
+    store probe, clustering and query layers, which must agree
+    bit-for-bit. Input must carry (vec_id, embedding, nrm)."""
+    return emb.filter(F.col("vec_id") % seed_modulus == 1).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("seed_vec"),
+        F.col("nrm").alias("seed_nrm"))
+
+
 def ivf_partitioned_argmax(vectors: DataFrame, seeds: DataFrame,
                            nprobe: int = 2,
                            centroid_factor: float = 2.0,
@@ -338,10 +350,7 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
     exactly in the SQL oracle.
     """
     s = spark.table(table_name)
-    seeds = (s.filter(F.col("vec_id") % seed_modulus == 1)
-             .select(F.col("vec_id").alias("seed_id"),
-                     F.col("embedding").alias("seed_vec"),
-                     F.col("nrm").alias("seed_nrm")))
+    seeds = sample_seeds(s, seed_modulus)
     cents_arr = centroid_array(seeds, centroid_factor)
     seed_cell = (seeds.crossJoin(F.broadcast(cents_arr))
                  .withColumn("__top",
@@ -442,10 +451,7 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
     """
     base = emb.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm_expr(F.col("embedding")))
-    seeds = base.filter(F.col("vec_id") % seed_modulus == 1).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("seed_vec"),
-        F.col("nrm").alias("seed_nrm"))
+    seeds = sample_seeds(base, seed_modulus)
     best = ivf_partitioned_argmax(base, seeds, nprobe=nprobe,
                                   centroid_factor=centroid_factor)
     rows = (base.join(best, "vec_id", "left")

@@ -280,12 +280,18 @@ def exact_quantiles(df: DataFrame, data_col: str,
 
     All collects are bounded (1 + rounds * (num_buckets + 1) rows).
     Output: (quantile DOUBLE, qrank BIGINT, value DOUBLE), one row
-    per requested quantile.
+    per DISTINCT requested quantile (duplicates collapse — the final
+    selection partitions by the quantile value).
     """
     import math
 
     spark = df.sparkSession
     schema = "quantile double, qrank bigint, value double"
+    seen: list[float] = []
+    for q in quantiles:
+        if float(q) not in seen:
+            seen.append(float(q))
+    quantiles = seen
     base = (df.select(F.col(data_col).cast("double").alias("__v"))
             .filter(F.col("__v").isNotNull()))
     st = base.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"),
@@ -346,7 +352,7 @@ def exact_quantiles(df: DataFrame, data_col: str,
         hist = {}
         for r in hist_rows:
             hist.setdefault(r["q"], {})[r["b"]] = r["count"]
-        new_lo = {}
+        cand = {}
         for i in bounds:
             s = state[i]
             wlo, width = bounds[i]
@@ -361,21 +367,47 @@ def exact_quantiles(df: DataFrame, data_col: str,
             lo_c = wlo + (b - 1) * width if b >= 1 else s["lo"]
             hi_c = (wlo + (b + 2) * width
                     if b + 2 <= num_buckets - 1 else s["hi"])
-            if (lo_c, hi_c) == (s["lo"], s["hi"]):
-                s["est"] = 0  # stalled (ties concentrated) — stop
+            eff_lo = vmin if lo_c is None else lo_c
+            # Stalled (ties concentrated) or float-degenerate (at
+            # sub-ulp widths near large magnitudes lo/hi round onto
+            # each other) — keep the last VALID window and stop
+            # narrowing this quantile.
+            if (lo_c, hi_c) == (s["lo"], s["hi"]) or (
+                    hi_c is not None and hi_c <= eff_lo):
+                s["est"] = 0
                 continue
-            s["lo"], s["hi"] = lo_c, hi_c
-            s["est"] = sum(h.get(j, 0)
-                           for j in range(max(0, b - 1),
-                                          min(num_buckets, b + 2)))
-            if lo_c is not None:
-                new_lo[i] = lo_c
-        if new_lo:
-            row = base.agg(*[
-                F.sum(F.when(F.col("__v") < F.lit(lo), 1).otherwise(0))
-                .alias(f"c{i}") for i, lo in new_lo.items()]).collect()[0]
-            for i in new_lo:
-                state[i]["below"] = int(row[f"c{i}"])
+            cand[i] = {"lo": lo_c, "hi": hi_c,
+                       "est": sum(h.get(j, 0)
+                                  for j in range(max(0, b - 1),
+                                                 min(num_buckets, b + 2)))}
+        if cand:
+            # VERIFY every candidate window with exact counts before
+            # trusting it: the k-th element lies inside iff
+            # count(v < lo) <= k-1 and count(v < hi) >= k. Bucket-edge
+            # float rounding can violate either at ulp-scale widths; a
+            # violated window is discarded and the previous (valid,
+            # just wider) window stands — so correctness never rests
+            # on the drift argument, only on these recounts.
+            aggs = []
+            for i, c in cand.items():
+                if c["lo"] is not None:
+                    aggs.append(
+                        F.sum(F.when(F.col("__v") < F.lit(c["lo"]), 1)
+                              .otherwise(0)).alias(f"lo{i}"))
+                if c["hi"] is not None:
+                    aggs.append(
+                        F.sum(F.when(F.col("__v") < F.lit(c["hi"]), 1)
+                              .otherwise(0)).alias(f"hi{i}"))
+            row = base.agg(*aggs).collect()[0]
+            for i, c in cand.items():
+                s = state[i]
+                below_c = int(row[f"lo{i}"]) if c["lo"] is not None else 0
+                cnt_hi = int(row[f"hi{i}"]) if c["hi"] is not None else n
+                if below_c > ks[i] - 1 or cnt_hi < ks[i]:
+                    s["est"] = 0
+                    continue
+                s["lo"], s["hi"], s["below"], s["est"] = (
+                    c["lo"], c["hi"], below_c, c["est"])
 
     spec = [(float(q), k, s["lo"], s["hi"], k - s["below"])
             for q, k, s in zip(quantiles, ks, state)]

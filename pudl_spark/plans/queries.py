@@ -7201,8 +7201,11 @@ def _hex6(expr: str) -> str:
         f" * {16 ** (5 - i)}" for i in range(6)) + ")")
 
 
-@query("embedding_semantic_dedup", sql=f"""
-WITH base AS (
+# The deterministic two-level IVF assignment, as DuckDB CTEs — ONE
+# definition shared by every oracle that replays `ivf_partitioned_
+# argmax` (seeds -> md5-threshold centroids -> seed cells -> 2-cell
+# probes). A tie-break or threshold change edits exactly one place.
+_IVF_PROBE_CTES = f"""base AS (
   SELECT vec_id, embedding FROM embeddings
 ), seeds AS (
   SELECT vec_id AS seed_id, embedding AS seed_vec
@@ -7227,7 +7230,11 @@ WITH base AS (
         {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
         c.cent_id ASC) AS rn
     FROM base e CROSS JOIN cents c) WHERE rn <= 2
-), assigned AS (
+)"""
+
+
+@query("embedding_semantic_dedup", sql=f"""
+WITH {_IVF_PROBE_CTES}, assigned AS (
   SELECT vec_id, embedding, seed_id AS cluster_seed FROM (
     SELECT e.vec_id, e.embedding, sc.seed_id,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -7289,10 +7296,9 @@ def embedding_semantic_dedup(spark, sf_dir):
     emb = spread_small_input(
         _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         "vec_id").withColumn("nrm", l2_norm_expr(F.col("embedding")))
-    seeds = emb.filter(F.col("vec_id") % 97 == 1).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("embedding").alias("seed_vec"),
-        F.col("nrm").alias("seed_nrm"))
+    from pudl_spark.functions.similarity import sample_seeds
+
+    seeds = sample_seeds(emb, 97)
     best = ivf_partitioned_argmax(emb, seeds, nprobe=2,
                                   centroid_factor=2.0)
     # LEFT join back to the corpus (ADVICE r6): a vector whose two
@@ -7968,32 +7974,7 @@ def orders_observed_counts(spark, sf_dir):
 
 
 @query("embedding_ivf_clusters", sql=f"""
-WITH RECURSIVE base AS (
-  SELECT vec_id, embedding FROM embeddings
-), seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_vec
-  FROM base WHERE vec_id % 97 = 1
-), k AS (
-  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
-), cents AS (
-  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
-  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
-        * sqrt(k.k) < 33554432.0
-), seed_cell AS (
-  SELECT seed_id, seed_vec, cell FROM (
-    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY s.seed_id ORDER BY
-        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
-), probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM base e CROSS JOIN cents c) WHERE rn <= 2
-), assigned AS (
+WITH RECURSIVE {_IVF_PROBE_CTES}, assigned AS (
   SELECT vec_id, embedding, seed_id AS block FROM (
     SELECT e.vec_id, e.embedding, sc.seed_id,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -8045,32 +8026,7 @@ def embedding_ivf_clusters(spark, sf_dir):
 
 
 @query("ivf_store_cell_stats", sql=f"""
-WITH RECURSIVE base AS (
-  SELECT vec_id, embedding FROM embeddings
-), seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_vec
-  FROM base WHERE vec_id % 97 = 1
-), k AS (
-  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
-), cents AS (
-  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
-  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
-        * sqrt(k.k) < 33554432.0
-), seed_cell AS (
-  SELECT seed_id, seed_vec, cell FROM (
-    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY s.seed_id ORDER BY
-        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
-), probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM base e CROSS JOIN cents c) WHERE rn <= 2
-), assigned AS (
+WITH RECURSIVE {_IVF_PROBE_CTES}, assigned AS (
   SELECT vec_id, seed_id FROM (
     SELECT e.vec_id, sc.seed_id,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -8265,32 +8221,7 @@ def doc_lsh_store_increment(spark, sf_dir):
 
 
 @query("ann_ivf_store_probe", sql=f"""
-WITH base AS (
-  SELECT vec_id, embedding FROM embeddings
-), seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_vec
-  FROM base WHERE vec_id % 97 = 1
-), k AS (
-  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
-), cents AS (
-  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
-  WHERE {_hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")}
-        * sqrt(k.k) < 33554432.0
-), seed_cell AS (
-  SELECT seed_id, seed_vec, cell FROM (
-    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY s.seed_id ORDER BY
-        {_SEMDEDUP_COS.format(a='s.seed_vec', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
-), probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM base e CROSS JOIN cents c) WHERE rn <= 2
-), assigned AS (
+WITH {_IVF_PROBE_CTES}, assigned AS (
   SELECT vec_id, seed_id FROM (
     SELECT e.vec_id, sc.seed_id,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY

@@ -174,3 +174,55 @@ def test_frame_skip_decode_count(monkeypatch):
     assert len(calls) == 3  # frames 0, 3, 6 only
     for i, b in enumerate(back):
         assert np.array_equal(frames[3 * i], b)
+
+
+def _insert_dropped_frame(data: bytes, after_chunk: int) -> bytes:
+    """Splice a zero-size '00dc' chunk (the spec's dropped-frame
+    placeholder) after the ``after_chunk``-th video chunk, fixing the
+    RIFF and movi LIST sizes."""
+    buf = bytearray(data)
+    movi = buf.find(b"movi")
+    idx1 = buf.find(b"idx1")
+    offs, p = [], movi
+    while True:
+        p = buf.find(b"00dc", p + 1, idx1)
+        if p < 0:
+            break
+        offs.append(p)
+    off = offs[after_chunk]
+    size = struct.unpack("<I", bytes(buf[off + 4:off + 8]))[0]
+    ins = off + 8 + size + (size & 1)
+    buf[ins:ins] = b"00dc" + struct.pack("<I", 0)
+    riff = struct.unpack("<I", bytes(buf[4:8]))[0]
+    buf[4:8] = struct.pack("<I", riff + 8)
+    lh = movi - 8
+    assert bytes(buf[lh:lh + 4]) == b"LIST"
+    lsz = struct.unpack("<I", bytes(buf[lh + 4:lh + 8]))[0]
+    buf[lh + 4:lh + 8] = struct.pack("<I", lsz + 8)
+    return bytes(buf)
+
+
+def test_dropped_frame_advances_sampling_grid():
+    """A zero-size '00dc' chunk occupies a frame slot: the every_n
+    grid must count it, or every later sampled position shifts."""
+    frames = _block_frames(13, nf=4)
+    data = _insert_dropped_frame(encode_avi_mjpeg(frames), 0)
+    # stream slots: [f0, drop, f1, f2, f3]; every_n=2 -> slots 0,2,4
+    back = decode_avi_frames(data, every_n=2)
+    assert len(back) == 3
+    for got, want in zip(back, [frames[0], frames[1], frames[3]]):
+        assert np.array_equal(got, want)
+    # Full decode: the dropped slot repeats the previous frame.
+    full = decode_avi_frames(data)
+    assert len(full) == 5
+    assert np.array_equal(full[1], frames[0])
+
+
+def test_dropped_frame_on_sampled_slot_repeats_previous():
+    frames = _block_frames(14, nf=4)
+    data = _insert_dropped_frame(encode_avi_mjpeg(frames), 1)
+    # stream slots: [f0, f1, drop, f2, f3]; every_n=2 -> slots 0,2,4
+    back = decode_avi_frames(data, every_n=2)
+    assert len(back) == 3
+    for got, want in zip(back, [frames[0], frames[1], frames[3]]):
+        assert np.array_equal(got, want)

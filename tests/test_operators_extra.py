@@ -542,6 +542,19 @@ class TestBottomkSample:
                                        safety=1e-9).collect()}
         assert got == self._brute(rows, 7)
 
+    def test_null_stratum_is_sampled(self, spark):
+        # NULL is a legal stratum (the definitional window groups
+        # NULLs): null-hostile equi-joins would silently return zero
+        # rows for it on both the prefilter and the guard path.
+        from pudl_spark.functions.sampling import bottomk_sample
+        rows = [("en" if i % 2 else None, i) for i in range(200)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        for safety in (8.0, 1e-9):  # normal and guard-fallback paths
+            got = {(r["lang"], r["doc_id"]): r["smp_rank"]
+                   for r in bottomk_sample(df, ["lang"], "doc_id",
+                                           k=6, safety=safety).collect()}
+            assert got == self._brute(rows, 6)
+
     def test_stratum_smaller_than_k(self, spark):
         from pudl_spark.functions.sampling import bottomk_sample
         rows = [("en", i) for i in range(50)] + [("fr", 1000), ("fr", 1001)]
@@ -582,3 +595,27 @@ class TestExactQuantilesNarrowing:
                                         num_buckets=4,
                                         max_slice_rows=10).collect()}
         assert got == self._brute(vals, [0.5, 0.99])
+
+
+    def test_large_magnitude_ties_degenerate_window(self, spark):
+        # Ties at a magnitude where the narrowing width falls below
+        # one ulp: bucket edges round onto each other and the
+        # candidate window would be empty — the degenerate guard +
+        # per-round exact-count verification must keep the previous
+        # valid window instead of silently dropping the quantile.
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [1.7e12] * 300 + [1.7e12 + 1.0, 1.7e12 + 2.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {r["quantile"]: r["value"]
+               for r in exact_quantiles(df, "x", [0.5, 0.999],
+                                        num_buckets=256,
+                                        max_slice_rows=50).collect()}
+        assert got == self._brute(vals, [0.5, 0.999])
+
+    def test_duplicate_quantiles_collapse(self, spark):
+        from pudl_spark.operators.aggregate import exact_quantiles
+        vals = [float(i) for i in range(100)]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        rows = exact_quantiles(df, "x", [0.5, 0.5, 0.9]).collect()
+        got = {r["quantile"]: r["value"] for r in rows}
+        assert len(rows) == 2 and got == self._brute(vals, [0.5, 0.9])

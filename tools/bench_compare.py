@@ -99,6 +99,8 @@ def main() -> None:
 
     flagged = []
     for n in common:
+        if n not in ratios:  # old reading was 0.0 (truncated tail)
+            continue
         adj = ratios[n] / drift
         if adj >= args.flag or adj <= 1.0 / args.flag:
             flagged.append((adj, n))
