@@ -8099,6 +8099,7 @@ def ivf_store_cell_stats(spark, sf_dir):
             return spark.createDataFrame(out.collect(), out.schema)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_store")
+            spark.sql("DROP TABLE IF EXISTS ann_ivf_store_seeds")
 
 
 @query("lineitem_exact_quantiles", sql="""
@@ -8272,8 +8273,13 @@ def ann_ivf_store_probe(spark, sf_dir):
     centroid array is scored map-side, seed_probe=3 seed cells are
     selected, and the candidate fetch is an equi-join on the store's
     bucket column (no store-side Exchange, ~3 cells of members
-    scored per query). Unlike `ann_ivf_topk` (nprobe=nlist exact
-    configuration), this certifies the APPROXIMATE probe path
+    scored per query). Seeds and their cells come from the
+    ``{table}_seeds`` sidecar persisted at build time, and the
+    probed cell ids push into the store scan as an In() filter
+    (VERDICT r7 #1) — the probe never rescans the corpus-sized
+    store's vec rows outside the probed cells (plan pinned in
+    tests/test_ivf_store.py). Unlike `ann_ivf_topk` (nprobe=nlist
+    exact configuration), this certifies the APPROXIMATE probe path
     end-to-end: the oracle replays the deterministic two-level
     assignment and the probe's exact scoring/tie rules in SQL.
     """
@@ -8300,6 +8306,7 @@ def ann_ivf_store_probe(spark, sf_dir):
             return spark.createDataFrame(out.collect(), out.schema)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store")
+            spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store_seeds")
 
 
 @query("suppliers_kept_waiting", sql="""

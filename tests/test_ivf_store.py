@@ -43,17 +43,60 @@ def test_ivf_store_total_and_exchange_free(spark):
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
             spark.sql("DROP TABLE IF EXISTS t_ivf_store")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_store_seeds")
 
 
 def test_ivf_store_query_self_cleans(spark):
     out = QUERIES["ivf_store_cell_stats"](spark, SF)
     rows = out.collect()
     assert len(rows) > 0
-    # members sum to the corpus; the catalog keeps no residue.
+    # members sum to the corpus; the catalog keeps no residue —
+    # neither the store nor its seed sidecar.
     emb_n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert sum(r["n_members"] for r in rows) == emb_n
-    assert not any(t.name == "ann_ivf_store"
+    assert not any(t.name in ("ann_ivf_store", "ann_ivf_store_seeds")
                    for t in spark.catalog.listTables())
+
+
+def test_ivf_store_probe_reads_sidecar_not_corpus(spark):
+    """VERDICT r7 #1: the probe's seed table comes from the persisted
+    ``{table}_seeds`` sidecar, and the only store access is the
+    candidate fetch — pruned to the probed cells by a pushed In()
+    filter. No probe stage reads the full store's vec rows."""
+    from pudl_spark.functions.similarity import ivf_store_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, emb, "t_ivf_sidecar",
+                        os.path.join(td, "store"))
+        try:
+            out = ivf_store_topk(spark, "t_ivf_sidecar", queries,
+                                 k=10, seed_probe=3)
+            plan = (out._jdf.queryExecution().executedPlan()
+                    .toString())
+            # The seed sidecar is read (centroids + seed cells)...
+            assert "t_ivf_sidecar_seeds" in plan, plan
+            # ...and the store table itself is scanned exactly once
+            # (the candidate fetch), with the probed-cell In()
+            # predicate pushed into that scan.
+            store_scans = [ln for ln in plan.splitlines()
+                           if "FileScan" in ln
+                           and "t_ivf_sidecar" in ln
+                           and "t_ivf_sidecar_seeds" not in ln]
+            assert len(store_scans) == 1, plan
+            assert "In(cell" in store_scans[0], store_scans[0]
+            # Pruning preserved the result: identical to the
+            # unpruned join-only path.
+            got = sorted(map(tuple, out.collect()))
+            ref = sorted(map(tuple, ivf_store_topk(
+                spark, "t_ivf_sidecar", queries, k=10, seed_probe=3,
+                prune_scan=False).collect()))
+            assert got == ref
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ivf_sidecar")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_sidecar_seeds")
 
 
 def test_ivf_store_topk_probe(spark):
@@ -72,6 +115,7 @@ def test_ivf_store_topk_probe(spark):
                                  k=10, seed_probe=3).collect()
         finally:
             spark.sql("DROP TABLE IF EXISTS t_ivf_probe")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_probe_seeds")
     by_q = {}
     for r in got:
         by_q.setdefault(r["query_id"], []).append(r)
