@@ -4852,30 +4852,40 @@ def salted_event_type_totals(spark, sf_dir):
     has only 5 values, so a naive groupBy lands the whole table on 5
     tasks — the hot-key shape AQE's skew-join handling does NOT cover
     (it only splits join partitions). `operators/skew.py::salted_agg`
-    splits each key into 16 salt buckets for the heavy partial
-    (decimal sums + per-bucket distinct sets), then combines tiny
-    partials per key. The oracle states the naive one-stage
+    splits each key into 16 salt buckets for the heavy partials
+    (count + decimal sum), then combines tiny partials per key. The
+    exact distinct-user count routes through
+    `salted_distinct_count` (VERDICT r7 #2): dedupe (key, value)
+    pairs — inherently balanced, partial-agg'd map-side — then count
+    per key, so NO aggregation buffer ever materializes a distinct
+    set (the old collect_set path made a hot key's full user set one
+    multi-GB row). The two results join back null-safely (NULL is a
+    legal group key). The oracle states the naive one-stage
     aggregation — identical results prove the rewrite is
-    semantics-preserving, including distinct counting across buckets.
+    semantics-preserving, including distinct counting.
     """
-    from pudl_spark.operators.skew import salted_agg
+    from pudl_spark.operators.skew import salted_agg, salted_distinct_count
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "user_id", _dec("value").alias("v"))
-    return salted_agg(
+    totals = salted_agg(
         ev, ["event_type"],
         partial_aggs=[
             F.count(F.lit(1)).alias("__pc"),
             F.sum("v").alias("__pv"),
-            F.collect_set("user_id").alias("__pu"),
         ],
         final_aggs=[
             F.sum("__pc").cast("bigint").alias("n_events"),
             F.sum("__pv").cast("double").alias("total_value"),
-            F.size(F.array_distinct(F.flatten(F.collect_list("__pu"))))
-            .cast("bigint").alias("n_users"),
         ],
         salt_buckets=16)
+    users = salted_distinct_count(ev.select("event_type", "user_id"),
+                                  ["event_type"], "user_id",
+                                  out_col="n_users")
+    return (totals.join(
+        users, on=totals["event_type"].eqNullSafe(users["event_type"]))
+        .select(totals["event_type"], "n_events", "total_value",
+                F.col("n_users").cast("bigint").alias("n_users")))
 
 
 @query("order_price_screens", sql="""

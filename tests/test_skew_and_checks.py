@@ -33,6 +33,29 @@ def test_salted_collect_set_equals_plain(spark):
     assert got == plain
 
 
+def test_salted_distinct_count_exact_and_setless(spark):
+    """VERDICT r7 #2: exact COUNT(DISTINCT) as two grouped passes —
+    and the plan holds NO set-building aggregate anywhere (the
+    collect_set path materialized the hot key's whole distinct set
+    in one buffer)."""
+    from pudl_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("hot", i % 97) for i in range(1000)]
+        + [("cold", 1), ("cold", None), (None, 3), (None, 3)],
+        "k string, v int")
+    out = salted_distinct_count(df, ["k"], "v", out_col="n")
+    got = {r["k"]: r["n"] for r in out.collect()}
+    # NULL value not counted; NULL key is its own group.
+    assert got == {"hot": 97, "cold": 1, None: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for banned in ("collect_set", "collect_list", "array_distinct"):
+        assert banned not in plan, plan
+    # Two-stage shape: a (key, value) dedupe aggregate feeding a
+    # per-key count — both partial-agg'd (>= 4 HashAggregate nodes).
+    assert plan.count("HashAggregate") >= 4, plan
+
+
 def test_asset_checks_abort_on_violation(spark, tmp_path):
     g = AssetGraph()
 
