@@ -26,15 +26,33 @@ CLUSTER_SCHEMA = "vec_id long, block long, cluster_id long"
 
 
 def _cluster_block(pdf: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Single-linkage components over cosine >= threshold (NumPy)."""
+    """Single-linkage components over cosine >= threshold (NumPy).
+
+    The similarity replays the SQL reduce-fold bit-for-bit (ADVICE
+    r7): dot and squared-norm accumulate dimension-by-dimension in
+    index order — each product an exactly-rounded double multiply,
+    each += an exactly-rounded double add, no FMA and no BLAS
+    pairwise reassociation — and cosine divides dot by the rounded
+    norm product, exactly the `dot_expr(a,b) / (nrm_a * nrm_b)`
+    expression shape the DuckDB oracles fold. A pair whose cosine
+    sits within an ulp of the threshold therefore cannot flip the
+    edge set between this kernel and the oracle (a `unit @ unit.T`
+    matmul could, via reassociation/FMA in the last ulp).
+    """
     import numpy as np
 
     ids = pdf["vec_id"].to_numpy()
     mat = np.array(pdf["embedding"].tolist(), dtype="float64")
-    norms = np.linalg.norm(mat, axis=1)
+    d = mat.shape[1] if mat.ndim == 2 else 0
+    dot = np.zeros((len(ids), len(ids)))
+    sq = np.zeros(len(ids))
+    for t in range(d):
+        col = mat[:, t]
+        dot += col[:, None] * col[None, :]
+        sq += col * col
+    norms = np.sqrt(sq)
     norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    sim = unit @ unit.T
+    sim = dot / (norms[:, None] * norms[None, :])
     n = len(ids)
     parent = list(range(n))
 
