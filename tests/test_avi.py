@@ -25,7 +25,8 @@ def test_grayscale_block_frames_roundtrip_exact():
     frames = _block_frames(7)
     back = decode_avi_frames(encode_avi_mjpeg(frames))
     assert len(back) == len(frames)
-    for a, b in zip(frames, back):
+    assert [fno for fno, _ in back] == list(range(len(frames)))
+    for a, (_, b) in zip(frames, back):
         assert np.array_equal(a, b)
 
 
@@ -36,7 +37,7 @@ def test_rgb_roundtrip_close_not_exact():
     v = rng.integers(0, 256, (2, 3, 3), dtype=np.uint8)
     frames = [np.repeat(np.repeat(v, 8, 0), 8, 1)] * 2
     back = decode_avi_frames(encode_avi_mjpeg(frames))
-    for a, b in zip(frames, back):
+    for a, (_, b) in zip(frames, back):
         assert b.shape == a.shape
         assert np.abs(a.astype(int) - b.astype(int)).max() <= 3
 
@@ -61,7 +62,7 @@ def test_word_alignment_odd_jpeg_sizes():
         frames = _block_frames(seed, nf=3, wb=2 + seed % 3, hb=2)
         back = decode_avi_frames(encode_avi_mjpeg(frames))
         assert len(back) == 3
-        for a, b in zip(frames, back):
+        for a, (_, b) in zip(frames, back):
             assert np.array_equal(a, b)
 
 
@@ -127,7 +128,7 @@ def test_second_stream_ignored():
     full = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
     back = decode_avi_frames(full)
     assert len(back) == 2
-    for a, b in zip(frames, back):
+    for a, (_, b) in zip(frames, back):
         assert np.array_equal(a, b)
 
 
@@ -154,7 +155,8 @@ def test_frame_skip_never_decodes_unsampled_chunks():
         data[offs[k] + 8:offs[k] + 8 + size] = b"\x00" * size
     back = decode_avi_frames(bytes(data), every_n=2)
     assert len(back) == 3
-    for i, b in enumerate(back):
+    for i, (fno, b) in enumerate(back):
+        assert fno == 2 * i
         assert np.array_equal(frames[2 * i], b)
     with pytest.raises(Exception):
         decode_avi_frames(bytes(data))  # full decode hits the garbage
@@ -172,14 +174,16 @@ def test_frame_skip_decode_count(monkeypatch):
                         lambda p: (calls.append(1), real(p))[1])
     back = decode_avi_frames(blob, every_n=3)
     assert len(calls) == 3  # frames 0, 3, 6 only
-    for i, b in enumerate(back):
+    for i, (fno, b) in enumerate(back):
+        assert fno == 3 * i
         assert np.array_equal(frames[3 * i], b)
 
 
 def _insert_dropped_frame(data: bytes, after_chunk: int) -> bytes:
     """Splice a zero-size '00dc' chunk (the spec's dropped-frame
-    placeholder) after the ``after_chunk``-th video chunk, fixing the
-    RIFF and movi LIST sizes."""
+    placeholder) after the ``after_chunk``-th video chunk — or BEFORE
+    the first one when ``after_chunk < 0`` — fixing the RIFF and movi
+    LIST sizes."""
     buf = bytearray(data)
     movi = buf.find(b"movi")
     idx1 = buf.find(b"idx1")
@@ -189,9 +193,12 @@ def _insert_dropped_frame(data: bytes, after_chunk: int) -> bytes:
         if p < 0:
             break
         offs.append(p)
-    off = offs[after_chunk]
-    size = struct.unpack("<I", bytes(buf[off + 4:off + 8]))[0]
-    ins = off + 8 + size + (size & 1)
+    if after_chunk < 0:
+        ins = offs[0]
+    else:
+        off = offs[after_chunk]
+        size = struct.unpack("<I", bytes(buf[off + 4:off + 8]))[0]
+        ins = off + 8 + size + (size & 1)
     buf[ins:ins] = b"00dc" + struct.pack("<I", 0)
     riff = struct.unpack("<I", bytes(buf[4:8]))[0]
     buf[4:8] = struct.pack("<I", riff + 8)
@@ -209,13 +216,14 @@ def test_dropped_frame_advances_sampling_grid():
     data = _insert_dropped_frame(encode_avi_mjpeg(frames), 0)
     # stream slots: [f0, drop, f1, f2, f3]; every_n=2 -> slots 0,2,4
     back = decode_avi_frames(data, every_n=2)
-    assert len(back) == 3
-    for got, want in zip(back, [frames[0], frames[1], frames[3]]):
+    assert [fno for fno, _ in back] == [0, 2, 4]
+    for (_, got), want in zip(back, [frames[0], frames[1], frames[3]]):
         assert np.array_equal(got, want)
     # Full decode: the dropped slot repeats the previous frame.
     full = decode_avi_frames(data)
     assert len(full) == 5
-    assert np.array_equal(full[1], frames[0])
+    assert [fno for fno, _ in full] == [0, 1, 2, 3, 4]
+    assert np.array_equal(full[1][1], frames[0])
 
 
 def test_dropped_frame_on_sampled_slot_repeats_previous():
@@ -223,6 +231,41 @@ def test_dropped_frame_on_sampled_slot_repeats_previous():
     data = _insert_dropped_frame(encode_avi_mjpeg(frames), 1)
     # stream slots: [f0, f1, drop, f2, f3]; every_n=2 -> slots 0,2,4
     back = decode_avi_frames(data, every_n=2)
-    assert len(back) == 3
-    for got, want in zip(back, [frames[0], frames[1], frames[3]]):
+    assert [fno for fno, _ in back] == [0, 2, 4]
+    for (_, got), want in zip(back, [frames[0], frames[1], frames[3]]):
         assert np.array_equal(got, want)
+
+
+def test_leading_dropped_frame_keeps_true_positions():
+    """ADVICE r7: a LEADING zero-size '00dc' chunk (dropped frame
+    with no prior payload) yields no pixels, but must still occupy
+    its stream slot — emitted frame_no values stay the TRUE stream
+    positions instead of shifting by every_n."""
+    frames = _block_frames(15, nf=3)
+    data = _insert_dropped_frame(encode_avi_mjpeg(frames), -1)
+    # stream slots: [drop, f0, f1, f2]; every_n=2 -> slots 0, 2;
+    # slot 0 has no content to repeat -> omitted, slot 2 = f1.
+    back = decode_avi_frames(data, every_n=2)
+    assert [fno for fno, _ in back] == [2]
+    assert np.array_equal(back[0][1], frames[1])
+    # Full decode: slots 1..3 decode with faithful positions.
+    full = decode_avi_frames(data)
+    assert [fno for fno, _ in full] == [1, 2, 3]
+    for (fno, got), want in zip(full, frames):
+        assert np.array_equal(got, want)
+
+
+def test_extract_video_frames_true_positions(spark):
+    from pudl_spark.functions.multimodal import extract_video_frames
+
+    frames = _block_frames(16, nf=3)
+    blob = _insert_dropped_frame(encode_avi_mjpeg(frames), -1)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, content binary")
+    rows = {r["frame_no"]: r for r in
+            extract_video_frames(df, every_n=2).collect()}
+    # true stream slots [drop, f0, f1, f2]: sampled slot 0 empty,
+    # slot 2 = f1 — labeled 2, not 0.
+    assert set(rows) == {2}
+    flat = frames[1].reshape(-1).astype(np.int64)
+    assert rows[2]["px_sum"] == int(flat.sum())
