@@ -8194,7 +8194,7 @@ SELECT new_id, corpus_id,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
-WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
 """)
 def doc_lsh_store_increment(spark, sf_dir):
     """Incremental near-dup detection against a PERSISTED LSH index:
@@ -8203,11 +8203,16 @@ def doc_lsh_store_increment(spark, sf_dir):
     the new batch (doc_id % 7 == 0) signatures only itself and
     probes (`dedup.lsh_store_probe`) — per-batch cost O(batch), not
     O(corpus), with no Exchange on the store side of either join.
-    The oracle is the exact cross-split shingle-Jaccard; parity holds
-    by the same argument as `minhash_near_dup_pairs` (identical OPH
-    signature path, exact verify, qualifying pairs at j >= 0.8 where
-    the 16x4 banding miss probability is <= 1e-3 per pair, verified
-    equal at sf0.01 and sf0.1).
+    The oracle is the exact cross-split shingle-Jaccard AT THE SAME
+    THRESHOLD THE BANDING ARGUMENT COVERS (ADVICE r7): at j >= 0.8
+    the 16x4 banding miss probability is <= 2.3e-4 per pair, the OPH
+    signature is deterministic, and the outcome is verified equal to
+    the exact oracle at sf0.01 and sf0.1 — a fixed (verified)
+    equality like `minhash_near_dup_pairs`. (The earlier 0.5-certified
+    variant relied on the corpora containing no cross-split pairs in
+    [0.5, 0.8), where banding recall is only ~0.65 — data-dependent
+    green; callers mining at looser thresholds should widen bands or
+    accept documented recall.)
     """
     import tempfile
 
@@ -8221,7 +8226,7 @@ def doc_lsh_store_increment(spark, sf_dir):
                         os.path.join(td, "store"))
         try:
             out = lsh_store_probe(spark, "lsh_docs", batch, "doc_id",
-                                  "text", jaccard_threshold=0.5)
+                                  "text", jaccard_threshold=0.8)
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): bounded — O(the increment's dup pairs), the
             # same order as the pair miner's own output.
