@@ -26,7 +26,8 @@ def _hash_key(id_col: str, salt: str) -> F.Column:
 def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
                    k: int = 10, salt: str = ":smp",
                    safety: float = 8.0,
-                   rank_col: str = "smp_rank") -> DataFrame:
+                   rank_col: str = "smp_rank",
+                   max_strata: int = 100_000) -> DataFrame:
     """Exact bottom-k-by-hash sample per stratum, with a threshold
     prefilter so the window sort never sees the full data.
 
@@ -53,10 +54,30 @@ def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
     Only ~``safety*k`` rows per stratum ever shuffle. Ordering by the
     full 128-bit digest with an id tie-break makes the sample
     deterministic even under prefix collisions.
+
+    DRIVER-CARDINALITY CONTRACT (ADVICE r7): steps 1 and 3 each
+    collect ONE row per stratum (and the threshold table broadcasts
+    one row per stratum), so the driver materialization is bounded
+    by the stratum count, not the data — fine for the
+    validation-stratum shapes this exists for (languages, years,
+    sources), an OOM with a high-cardinality ``by`` key. The
+    ``max_strata`` guard fails loudly instead: above it, use the
+    map-only rate-based `doc_stratified_sample` shape (Bernoulli by
+    hash threshold — no per-stratum driver state) or aggregate the
+    strata first.
     """
     key = _hash_key(id_col, salt)
     hex6 = F.conv(F.substring(key, 1, 6), 16, 10).cast("long")
-    counts = df.groupBy(*by).count().collect()
+    # limit() bounds the collect BEFORE it reaches the driver — the
+    # guard itself must not OOM while counting the strata.
+    counts = df.groupBy(*by).count().limit(max_strata + 1).collect()
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"bottomk_sample: more than max_strata={max_strata} "
+            f"strata in {by}; per-stratum driver state would be "
+            "unbounded. Use a rate-based hash-threshold sample "
+            "(e.g. the doc_stratified_sample shape) or raise "
+            "max_strata explicitly.")
     spark = df.sparkSession
     thr_rows = []
     for r in counts:

@@ -566,6 +566,24 @@ class TestBottomkSample:
         assert len(by_lang["en"]) == 5 and sorted(by_lang["fr"]) == [
             1000, 1001]
 
+    def test_max_strata_guard_fails_loudly(self, spark):
+        # ADVICE r7: one driver row per stratum — a high-cardinality
+        # `by` key must raise instead of OOMing the driver. The guard
+        # count itself is limit()-bounded before the collect.
+        import pytest
+
+        from pudl_spark.functions.sampling import bottomk_sample
+        rows = [(f"s{i}", i) for i in range(50)]
+        df = spark.createDataFrame(rows, "lang string, doc_id long")
+        with pytest.raises(ValueError, match="max_strata"):
+            bottomk_sample(df, ["lang"], "doc_id", k=2,
+                           max_strata=10).collect()
+        # Explicitly raising the bound restores the exact behavior.
+        got = {(r["lang"], r["doc_id"]): r["smp_rank"]
+               for r in bottomk_sample(df, ["lang"], "doc_id", k=2,
+                                       max_strata=50).collect()}
+        assert got == self._brute(rows, 2)
+
 
 class TestExactQuantilesNarrowing:
     """Iterative-narrowing paths of exact_quantiles."""
