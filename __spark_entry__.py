@@ -31,47 +31,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r7: extract_video_frames/decode_avi_frames now REALLY skip
-    # non-sampled AVI frame decodes via the chunk walk (VERDICT r6
-    # #1 — the r6 ledger claimed this early and the round never got
-    # back to it; landed this round with decode-count + corrupt-
-    # frame pins in tests/test_avi.py)
+    # r8: IVF store grows its {table}_seeds SIDECAR (VERDICT r7 #1):
+    # build persists (seed_id, seed_vec, seed_nrm, ccell); the probe
+    # reads it instead of rescanning the corpus-sized store, and
+    # pushes the probed cell ids into the store scan as an In()
+    # filter. The shared seed-cell fold moved to seed_cells() —
+    # every ivf_partitioned_argmax caller re-certifies.
+    "ann_ivf_store_probe", "ivf_store_cell_stats",
+    "embedding_semantic_dedup", "embedding_ivf_clusters",
+    # r8: _cluster_block's cosine now replays the SQL fold order
+    # exactly (dimension-wise accumulate, no BLAS reassociation/FMA
+    # — ADVICE r7 ulp hazard); both blocked-cluster queries
+    # re-certify (embedding_ivf_clusters doubly touched above)
+    "embedding_blocked_clusters",
+    # r8: n_users routed through salted_distinct_count — exact
+    # distinct via (key,value) dedupe + count, NO set
+    # materialization in any aggregation buffer (VERDICT r7 #2)
+    "salted_event_type_totals",
+    # r8: decode_avi_frames returns (frame_no, frame) pairs so a
+    # leading dropped-frame placeholder can't shift every later
+    # frame's label (ADVICE r7); extract_video_frames consumes the
+    # true positions
     "media_avi_frames", "media_video_frames",
-    # r7: SemDeDup made TOTAL (ADVICE r6): unassigned vectors now
-    # left-join back with NULL cluster / is_kept=true — impl AND
-    # oracle changed
-    "embedding_semantic_dedup",
-    # r7: NEW queries — footer-stats pushdown + observe counters
-    # driver-certified (VERDICT r5 #6 / r6 next-round #5)
-    "scan_stats_orders", "orders_observed_counts",
-    # r7: NEW query — IVF-cell-blocked clustering (VERDICT r6
-    # next-round #8): ivf_partitioned_argmax becomes the shared
-    # assignment primitive for the whole embedding family
-    "embedding_ivf_clusters",
-    # r7: NEW query — persisted cell-bucketed IVF store with
-    # Exchange-free cell-keyed reads (the layout the argmax
-    # docstring promised)
-    "ivf_store_cell_stats",
-    # r7: NEW queries — histogram-guided exact quantiles (no total
-    # sort) and exact per-stratum bottom-k hash sampling (prefilter
-    # + exactness guard; functions/sampling.py)
-    "lineitem_exact_quantiles", "doc_bottomk_sample",
-    # r7: NEW query — persisted incremental LSH near-dup index
-    # (build_lsh_store/lsh_store_probe); the shared oph_banded/
-    # shingle_hash_sets/verified_jaccard_pairs extraction also
-    # touches the one-shot miner's callers, re-certified here
-    # (minhash_dedup_clusters already sits in the r3 block below)
-    "doc_lsh_store_increment", "minhash_near_dup_pairs",
-    "doc_leakage_safe_split",
-    # r7: NEW query — ANN top-k served from the persisted IVF store
-    # (ivf_store_topk; the centroid machinery it shares with
-    # ivf_partitioned_argmax was extracted to centroid_array/
-    # _topn_centroid_fold — the three argmax-backed queries above
-    # are already in this touched list)
-    "ann_ivf_store_probe",
-    # r7: NEW query — TPC-H Q21-shaped EXISTS/NOT-EXISTS pair
-    # rewritten as one grouped pass (plan pinned)
-    "suppliers_kept_waiting",
+    # r8: LSH store increment certified at jaccard >= 0.8 in BOTH
+    # query and oracle — the threshold the 16x4 banding argument
+    # actually covers (ADVICE r7 medium)
+    "doc_lsh_store_increment",
+    # r8: bottomk_sample gained the max_strata driver-cardinality
+    # guard (ADVICE r7 / VERDICT r7 #7)
+    "doc_bottomk_sample",
+    # r8: NEW query — the BPE APPLY leg driver-certified against a
+    # fixed literal merge table (VERDICT r7 #3: train stays
+    # rows-only, apply is map-only and SQL-replayable)
+    "doc_apply_bpe",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -81,7 +73,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 6
+_BUILT_AGAINST_ROUND = 7
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -91,42 +83,34 @@ _BUILT_AGAINST_ROUND = 6
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- ALL 23 queries whose latest green driver row is round 3:
-    #    the alphabetical r3 tail rolled from the r6 prefix
-    #    (VERDICT r6 "Next round" #2). After round 7 no registered
-    #    query's latest driver row predates round 4. --
-    "excel_roundtrip_nation", "fs_linkage_trained",
-    "hourly_wide_melt_roundtrip", "imputation_mape_score",
-    "impute_event_values", "impute_latc_tubal_mape",
-    "lineitem_multiheader_stack", "lineitem_zorder_stats",
-    "linkage_best_match", "minhash_dedup_clusters",
-    "nation_holed_zone_overlay", "nation_multipart_explode",
-    "ngram_jaccard_dup_pairs", "orders_profile",
-    "part_name_levenshtein_pairs", "pipeline_nation_summary",
-    "region_revenue_allocation", "signup_conversion_funnel",
-    "simhash_near_dup_pairs", "sql_interface_nation_revenue",
-    "supplier_close_balances", "supplier_customer_pagerank",
-    "supplier_territory_area",
-    # -- remaining slots: the oldest round-4 certifications
-    #    (alphabetical; 50 r4 rows total — the remaining 37 roll to
-    #    round 8: `events_to_utc`/`event_value_quartiles` displaced
-    #    by embedding_ivf_clusters + ivf_store_cell_stats, then
-    #    `event_sessions_cc`/`event_user_kmv_distinct` by
-    #    lineitem_exact_quantiles + doc_bottomk_sample, then
-    #    `event_anomaly_flags`/`event_bad_days`/
-    #    `event_local_outliers` by the LSH-store block, then
-    #    `event_anomalous_regions`/`doc_token_budget` by
-    #    ann_ivf_store_probe + suppliers_kept_waiting). New queries
-    #    added during the round displace from the END of this block;
-    #    displaced names stay r4-certified and lead the r8 re-cert
-    #    queue. --
-    "allocate_order_total", "ann_cosine_topk",
-    "annual_nations_complete_months", "calc_reconcile_orders",
-    "correct_quantity_units", "customer_intkey_sentinel",
-    "customer_parts_true_gran", "customer_phone_standardized",
-    "customer_unique_priority", "date_merge_month",
-    "doc_fingerprints_fast", "doc_shingle_stats",
-    "doc_stratified_sample",
+    # -- ALL 36 queries whose latest green driver row is still
+    #    round 4 (VERDICT r7 next-round #3: after this round the
+    #    oldest certification anywhere is r5 and the rolling window
+    #    is steady-state at <= 3 rounds' age). Alphabetical;
+    #    computed from CORRECTNESS_r01..r07 latest-green rows. --
+    "doc_token_budget", "event_anomalous_regions",
+    "event_anomaly_flags", "event_bad_days", "event_local_outliers",
+    "event_sessions_cc", "event_user_kmv_distinct",
+    "event_value_quartiles", "events_to_utc", "exact_dedup_docs",
+    "fill_monthly_revenue_gaps", "harvest_report_consistency",
+    "harvest_user_profile", "jw_part_name_similarity",
+    "monthly_orders_densified", "nation_revenue_by_year",
+    "nations_with_both_roles", "order_price_screens",
+    "order_year_fragments", "pricing_summary",
+    "rolling_monthly_revenue", "rollup_revenue",
+    "scale_by_ownership_suppliers", "snake_cased_part_types",
+    "supplier_address_parse", "supplier_code_cleanup",
+    "supplier_nation_codes", "supplier_overlap_union_area",
+    "table_row_counts", "top_revenue_orders",
+    "user_event_source_label", "user_latest_good_value",
+    "user_ramp_extremes", "user_stable_load_bin",
+    "weighted_avg_price", "weighted_median_quantity",
+    # -- remaining slots: the oldest round-5 certifications
+    #    (alphabetical head of the r5 block; the rest of the r5 rows
+    #    lead the r9 re-cert queue). New queries added during the
+    #    round displace from the END of this block. --
+    "clean_customer_names", "complete_year_nations",
+    "declarative_transform_orders",
 ]
 
 

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "order_counts_cube",
     "orders_above_customer_avg",
     "event_type_median_udaf",
+    "doc_apply_bpe",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its
