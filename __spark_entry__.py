@@ -64,6 +64,14 @@ _TOUCHED_THIS_ROUND = [
     # fixed literal merge table (VERDICT r7 #3: train stays
     # rows-only, apply is map-only and SQL-replayable)
     "doc_apply_bpe",
+    # r8: NEW queries — prefix-filter similarity join (SSJoin/
+    # PPJoin: deterministically COMPLETE candidates, the exact
+    # complement to probabilistic LSH banding, same definitional
+    # oracle), rendezvous/HRW sharding (minimal-movement shard
+    # assignment, map-only md5 argmax), and the TPC-H Q18 shape
+    # (aggregate-then-join + TakeOrderedAndProject top-k)
+    "doc_prefix_filter_dup_pairs", "doc_rendezvous_shards",
+    "large_volume_customers",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -105,12 +113,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "user_event_source_label", "user_latest_good_value",
     "user_ramp_extremes", "user_stable_load_bin",
     "weighted_avg_price", "weighted_median_quantity",
-    # -- remaining slots: the oldest round-5 certifications
-    #    (alphabetical head of the r5 block; the rest of the r5 rows
-    #    lead the r9 re-cert queue). New queries added during the
-    #    round displace from the END of this block. --
-    "clean_customer_names", "complete_year_nations",
-    "declarative_transform_orders",
+    # -- The 44 r5-certified rows lead the r9 re-cert queue (from
+    #    `clean_customer_names` alphabetically): the three late-r8
+    #    queries displaced the r5 head this round. --
 ]
 
 

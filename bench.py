@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "orders_above_customer_avg",
     "event_type_median_udaf",
     "doc_apply_bpe",
+    "doc_prefix_filter_dup_pairs",
+    "large_volume_customers",
+    "doc_rendezvous_shards",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from pudl_spark.functions.text import char_ngrams, word_shingles
 
@@ -260,6 +260,55 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
     return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b",
                                   jaccard_threshold)
+
+
+def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
+                        shingle_k: int = 3,
+                        jaccard_threshold: float = 0.7) -> DataFrame:
+    """DETERMINISTICALLY COMPLETE near-dup pairs via prefix filtering
+    (SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006; All-Pairs, Bayardo et
+    al. WWW 2007; PPJoin, Xiao et al. WWW 2008) — the exact
+    alternative to MinHash banding: banding misses a qualifying pair
+    with probability (1-j^r)^b > 0, while the prefix filter misses
+    NONE at/above the threshold, by construction.
+
+    Order every document's shingle-hash set by a global canonical
+    order (ascending corpus frequency, rarest first — ties by hash);
+    keep each set's first ``p = n - ceil(t*n) + 1`` tokens as its
+    PREFIX. Any pair with J(a,b) >= t shares >= ceil(t*|a|) tokens,
+    and a's suffix holds only ceil(t*|a|) - 1 of them, so some shared
+    token sits in a's prefix — candidates = pairs sharing any prefix
+    token, provably a superset of the answer. Exact-Jaccard verify
+    restores precision.
+
+    Scale shape: one token-frequency aggregation (vocabulary-sized,
+    map-side combinable), one bounded per-doc window (partition = one
+    document's set), one equi-join on prefix tokens — rare tokens
+    first means the join's fan-out per token is small by
+    construction (the frequent tokens that would explode the join
+    land in suffixes). Returns (id_a, id_b, jaccard), id_a < id_b.
+    """
+    t = jaccard_threshold
+    sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    tok = sets.select("id", F.size("__set").alias("__n"),
+                      F.explode("__set").alias("__tok"))
+    freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.col("__df").asc(),
+                                         F.col("__tok").asc())
+    prefix = (tok.join(freq, "__tok")
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn")
+                      <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n"))
+                      + F.lit(1))
+              .select("id", "__tok"))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  on=[F.col("a.__tok") == F.col("b.__tok"),
+                      F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b", t)
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,

@@ -8472,3 +8472,123 @@ def doc_apply_bpe(spark, sf_dir):
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
         F.concat_ws("|", "bpe_tokens").alias("tok_str"))
+
+
+@query("doc_prefix_filter_dup_pairs", sql=_SHINGLE_JACCARD_SQL)
+def doc_prefix_filter_dup_pairs(spark, sf_dir):
+    """Near-dup pairs via PREFIX FILTERING (SSJoin/All-Pairs/PPJoin
+    — Chaudhuri 2006, Bayardo 2007, Xiao 2008): the DETERMINISTIC
+    complement to `minhash_near_dup_pairs`. Banding misses a
+    qualifying pair with probability (1-j^r)^b > 0 (the LSH family's
+    documented caveat); the prefix filter misses NONE at/above the
+    threshold by construction — any pair with J >= t must share a
+    token in each side's (n - ceil(t*n) + 1)-token canonical-order
+    prefix, so candidates are a provable superset and the exact
+    verify restores precision. Rarest-token-first ordering keeps the
+    candidate join's per-token fan-out small (frequent tokens land in
+    suffixes and never join). Same definitional exact-Jaccard oracle
+    as the minhash path: two algorithm families, one truth.
+    """
+    from pudl_spark.functions.dedup import prefix_filter_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(d, "doc_id", "text", shingle_k=3,
+                               jaccard_threshold=0.5)
+
+
+@query("doc_rendezvous_shards", sql="""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(9),
+      s -> md5(CAST(doc_id AS VARCHAR) || ':shard:' ||
+               CAST(s AS VARCHAR))) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_position(list_slice(hs, 1, 8),
+                     list_max(list_slice(hs, 1, 8))) - 1
+       AS INTEGER) AS shard8,
+  CAST(list_position(hs, list_max(hs)) - 1 AS INTEGER) AS shard9,
+  list_position(list_slice(hs, 1, 8), list_max(list_slice(hs, 1, 8)))
+    <> list_position(hs, list_max(hs)) AS moved
+FROM h
+""")
+def doc_rendezvous_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) sharding — Thaler &
+    Ravishankar 1998 — the shard-assignment rule a growing 100 TB
+    corpus store wants: doc -> argmax_s md5(doc || shard s). Unlike
+    mod-N hashing (adding one shard remaps ~all docs, a full-corpus
+    rewrite), HRW moves EXACTLY the docs whose new shard's hash
+    beats their previous max — expected 1/(n+1) of the corpus, the
+    provable minimum. Map-only codegen (an array of md5s folded with
+    array_max); emitted here as the 8-shard and 9-shard assignments
+    side by side with the moved flag, so the oracle hash certifies
+    both assignments AND the minimal-movement delta per document.
+    md5-string argmax replays identically in any engine; ties are
+    impossible (distinct inputs).
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def hs(n):
+        return [F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(f":shard:{s}"))) for s in range(n)]
+
+    def argmax(exprs):
+        arr = F.array(*[F.struct(h.alias("h"),
+                                 F.lit(-s).cast("int").alias("ns"))
+                        for s, h in enumerate(exprs)])
+        # max over (h, -s): h-ties (impossible for md5 of distinct
+        # inputs) would break to the SMALLEST shard id, matching the
+        # oracle's list_position-first-match rule.
+        return -F.array_max(arr)["ns"]
+
+    return d.select(
+        "doc_id",
+        argmax(hs(8)).cast("int").alias("shard8"),
+        argmax(hs(9)).cast("int").alias("shard9"),
+        (argmax(hs(8)) != argmax(hs(9))).alias("moved"))
+
+
+@query("large_volume_customers", sql="""
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+  CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+  o.o_orderdate, o.o_totalprice,
+  CAST(s.q AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS q
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""")
+def large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the IN-subquery-
+    with-HAVING form becomes aggregate-THEN-join — the per-order
+    quantity sum reduces lineitem to one row per order BEFORE any
+    join (partial agg map-side), the >250 filter shrinks it to the
+    qualifying sliver, and only that sliver joins orders (AQE
+    broadcasts it at any scale — it is output-bounded, not
+    corpus-bounded) and the customer dim. The final top-100 is
+    TakeOrderedAndProject: per-partition top-k then a k-row merge on
+    the driver — Spark's built-in global top-k NEVER total-sorts, so
+    no bespoke operator is needed (the Spark-first answer to "top-k
+    without sorting 100 TB"). Deterministic tie-break on
+    (o_totalprice DESC, o_orderkey ASC).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = (li.groupBy("l_orderkey")
+         .agg(F.sum(_dec("l_quantity")).alias("q"))
+         .filter(F.col("q") > 250))
+    return (s.join(o, s["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .select("c_name",
+                    F.col("c_custkey").cast("bigint").alias("c_custkey"),
+                    F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    "o_orderdate", "o_totalprice",
+                    F.col("q").cast("double").alias("total_qty"))
+            .orderBy(F.col("o_totalprice").desc(),
+                     F.col("o_orderkey").asc())
+            .limit(100))

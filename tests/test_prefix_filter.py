@@ -1,0 +1,78 @@
+"""Prefix-filter similarity join: deterministic completeness vs a
+brute-force exact-Jaccard reference (the property LSH banding cannot
+offer), and the rendezvous-sharding minimal-movement law."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import prefix_filter_pairs
+
+
+def _brute_pairs(docs, k=3, t=0.5):
+    def shingles(text):
+        w = text.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    sets = {i: shingles(x) for i, x in docs}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= t:
+            out[(a, b)] = j
+    return out
+
+
+def test_complete_at_threshold_vs_brute_force(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base),  # exact dup
+        (3, base + " tail"),  # high-j near dup
+        (4, "the quick brown fox jumps over the sleepy dog again and again"),
+        (5, "a completely different document about spark shuffles"),
+        (6, "a completely different document about spark shuffles and joins"),
+        (7, "short text only"),
+        (8, "the quick brown fox"),  # one shingle, subset of base
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        jaccard_threshold=0.5).collect()}
+    want = _brute_pairs(docs, t=0.5)
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert abs(got[p] - j) < 1e-12
+    assert (1, 2) in got  # the dup pair actually exercises the join
+
+
+def test_threshold_one_keeps_only_exact(spark):
+    docs = [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c d f")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"])
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        jaccard_threshold=1.0).collect()}
+    assert got == {(1, 2)}
+
+
+def test_rendezvous_minimal_movement(spark):
+    from pudl_spark.plans.queries import QUERIES
+
+    out = QUERIES["doc_rendezvous_shards"](spark,
+                                           "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["shard8"] < 8 and 0 <= r["shard9"] < 9
+        # HRW law: a doc moves IFF the new shard (8) wins its argmax
+        # — movement is always INTO the added shard, never reshuffle.
+        assert r["moved"] == (r["shard9"] == 8)
+        if not r["moved"]:
+            assert r["shard8"] == r["shard9"]
+    moved = sum(r["moved"] for r in rows) / len(rows)
+    # expected 1/9 of the corpus; generous envelope for 500 docs
+    assert 0.03 < moved < 0.25, moved
