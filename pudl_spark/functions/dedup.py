@@ -300,11 +300,18 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
               .filter(F.col("__rn")
                       <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n"))
                       + F.lit(1))
-              .select("id", "__tok"))
+              .select("id", "__n", "__tok"))
+    # LENGTH filter (SSJoin): J >= t forces min(|a|,|b|) >= overlap
+    # >= t * max(|a|,|b|), so size-incompatible pairs drop inside the
+    # join before the dedupe shuffle ever sees them.
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   on=[F.col("a.__tok") == F.col("b.__tok"),
-                      F.col("a.id") < F.col("b.id")])
+                      F.col("a.id") < F.col("b.id"),
+                      F.col("b.__n")
+                      >= F.ceil(F.lit(t) * F.col("a.__n")),
+                      F.col("a.__n")
+                      >= F.ceil(F.lit(t) * F.col("b.__n"))])
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
@@ -363,36 +370,47 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                     shingle_k: int = 3,
                     jaccard_threshold: float = 0.7,
                     prune_scan: bool = True,
-                    max_prune_values: int = 100_000) -> DataFrame:
+                    max_prune_values: int = 2048) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     signature only the batch, bucket-join against ``{prefix}_bands``,
     exact-verify against ``{prefix}_sets``. Returns
     (new_id, corpus_id, jaccard). The signature/banding parameters
     must match the ones the store was built with.
 
-    With ``prune_scan`` (default, VERDICT r7 #8) the probe also
-    SKIPS store bytes, not just the Exchange: the batch's distinct
+    With ``prune_scan`` (VERDICT r7 #8) SMALL probe batches also
+    SKIP store bytes, not just the Exchange: the batch's distinct
     band-bucket hashes (bounded by batch_size * bands) and then the
     surviving candidates' corpus ids (bounded by the batch's dup
     pairs) are collected into In() predicates pushed into the two
     store scans. Both tables are written SORTED by exactly these
     columns, so parquet row-group min/max stats prune the index
     files the batch never touches — per-batch read cost follows the
-    batch, not the corpus. Batches whose value set would exceed
-    ``max_prune_values`` fall back to the full-scan join (the In
-    literal itself must stay driver- and plan-sized); the join keeps
-    results exact either way, so pruned == unpruned.
+    batch, not the corpus. The regime gate matters: pruning pays two
+    extra small jobs (the value collects, the second of which
+    re-runs the batch-sized candidate join), and an In() literal
+    beyond a few thousand values costs more to PLAN than the scan it
+    saves (measured: an ~11k-value batch regressed 3.9 s -> 13 s at
+    sf0.1, ~10x at sf1) — so a batch whose band-hash set exceeds
+    ``max_prune_values`` takes the plain full-scan join, which is
+    already the right plan for large batches (the join amortizes the
+    index scan over many probe rows). Results are join-exact in both
+    regimes: pruned == unpruned.
     """
     store_bands = spark.table(f"{table_prefix}_bands")
     store_sets = spark.table(f"{table_prefix}_sets")
     nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
                     shingle_k)
-    if prune_scan:
+    pruned = False
+    # Cheap regime detection first: batch_count * bands upper-bounds
+    # the distinct band hashes, so a large batch skips pruning after
+    # one column-less count — never paying the signature pass twice.
+    if prune_scan and new_docs.count() * bands <= max_prune_values:
         # Bounded collect: one row per distinct batch band-hash.
         vals = [r["bucket"] for r in
                 nb.select("bucket").distinct()
                 .limit(max_prune_values + 1).collect()]
-        if len(vals) <= max_prune_values:
+        pruned = len(vals) <= max_prune_values
+        if pruned:
             store_bands = store_bands.filter(
                 F.col("bucket").isin(sorted(vals)))
     cand = (
@@ -404,18 +422,19 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                 F.col("b.id").alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    if prune_scan:
+    if pruned:
         # Bounded collect: one row per candidate corpus doc (~the
-        # batch's dup pairs plus banding collisions, O(batch)).
+        # batch's dup pairs plus banding collisions, O(batch)). Only
+        # in the small-batch regime — the collect re-evaluates the
+        # (pruned, batch-sized) candidate join once; against an
+        # unpruned corpus-wide join that recompute would cost more
+        # than the sets-scan it saves.
         ids = [r["corpus_id"] for r in
                cand.select("corpus_id").distinct()
                .limit(max_prune_values + 1).collect()]
         if len(ids) <= max_prune_values:
             store_sets = store_sets.filter(
                 F.col("id").isin(sorted(ids)))
-            # The candidate frame re-evaluates against the verify
-            # join below; localCheckpoint would pin it, but the
-            # recompute is batch-sized — cheaper than materializing.
     new_sets = shingle_hash_sets(new_docs, id_col, text_col, shingle_k)
     return verified_jaccard_pairs(cand, new_sets, store_sets,
                                   "new_id", "corpus_id",

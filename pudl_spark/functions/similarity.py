@@ -228,8 +228,17 @@ def ivf_partitioned_argmax(vectors: DataFrame, seeds: DataFrame,
     tie) drop out — callers needing totality should left-join back.
     """
     cents_arr = centroid_array(seeds, centroid_factor, salt)
-    _probes = _topn_centroid_fold  # nearest-centroid scoring fold
     seed_cell = seed_cells(seeds, cents_arr)
+    return _argmax_over_cells(vectors, seed_cell, cents_arr, nprobe)
+
+
+def _argmax_over_cells(vectors: DataFrame, seed_cell: DataFrame,
+                       cents_arr: DataFrame, nprobe: int) -> DataFrame:
+    """The probe+argmax core of `ivf_partitioned_argmax`, split out so
+    `build_ivf_store` can reuse a seed_cell/cents_arr it already
+    computed (it persists seed_cell as the store sidecar) instead of
+    re-scoring every seed against the centroids a second time."""
+    _probes = _topn_centroid_fold  # nearest-centroid scoring fold
     cells = ([-F.col("__top")["n1"]] if nprobe == 1
              else [-F.col("__top")["n1"], -F.col("__top")["n2"]])
     probed = (vectors.crossJoin(F.broadcast(cents_arr))
@@ -487,8 +496,11 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
     base = emb.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm_expr(F.col("embedding")))
     seeds = sample_seeds(base, seed_modulus)
-    best = ivf_partitioned_argmax(base, seeds, nprobe=nprobe,
-                                  centroid_factor=centroid_factor)
+    cents_arr = centroid_array(seeds, centroid_factor)
+    sc = seed_cells(seeds, cents_arr, cell_col="ccell")
+    best = _argmax_over_cells(
+        base, sc.withColumnRenamed("ccell", "__cell"), cents_arr,
+        nprobe)
     rows = (base.join(best, "vec_id", "left")
             .select(F.coalesce(F.col("cluster_seed"),
                                -F.col("vec_id") - 1).alias("cell"),
@@ -498,8 +510,6 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     write_bucketed_table(rows, table_name, ["cell"], num_buckets,
                          sort_cols=["cell", "vec_id"], path=path)
-    sc = seed_cells(seeds, centroid_array(seeds, centroid_factor),
-                    cell_col="ccell")
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_seeds")
     write_bucketed_table(sc, f"{table_name}_seeds", ["ccell"],
                          num_buckets, sort_cols=["ccell", "seed_id"],
