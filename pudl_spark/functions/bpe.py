@@ -151,13 +151,20 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple],
               out_col: str = "bpe_tokens") -> DataFrame:
     """Tokenize a text column with a trained merge list (ranks in
     order): Arrow-batched map-only kernel, the corpus-scale side of
-    the tokenizer — no shuffle, merge table broadcast by closure."""
+    the tokenizer — no shuffle, merge table broadcast by closure.
+    NULL-total: a NULL text yields NULL tokens (SQL semantics — the
+    oracle's string chain propagates NULL the same way), never the
+    literal string "None" tokenized."""
     ordered = [(m[1], m[2]) for m in sorted(merges, key=lambda m: m[0])]
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             toks = []
             for text in pdf[text_col]:
+                if text is None or (isinstance(text, float)
+                                    and pd.isna(text)):
+                    toks.append(None)
+                    continue
                 words = str(text).split()
                 out: list[str] = []
                 for w in words:

@@ -351,7 +351,8 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
                    centroid_factor: float = 2.0,
                    query_id_col: str = "query_id",
                    vec_col: str = "embedding",
-                   prune_scan: bool = True) -> DataFrame:
+                   prune_scan: bool = True,
+                   max_prune_values: int = 2048) -> DataFrame:
     """ANN top-k served FROM the persisted cell-bucketed IVF store —
     the production read path `build_ivf_store` exists for.
 
@@ -408,13 +409,20 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
               .select("query_id", "__qvec", "__qnrm",
                       F.col("seed_id").alias("cell")))
     if prune_scan:
-        # Bounded collect: at most n_queries * seed_probe cell ids.
-        # The In() predicate reaches the parquet reader, so the
-        # cell-sorted store files prune to the probed cells' row
-        # groups instead of scanning the corpus and joining it away.
+        # Bounded collect: at most n_queries * seed_probe cell ids,
+        # limit()-bounded BEFORE the driver and regime-gated like
+        # lsh_store_probe — an In() literal beyond a few thousand
+        # values costs more to plan than the scan it saves, and a
+        # bulk query batch is the full-join regime anyway. For small
+        # serving batches the In() predicate reaches the parquet
+        # reader, so the cell-sorted store files prune to the probed
+        # cells' row groups instead of scanning the corpus and
+        # joining it away.
         cells = sorted(r["cell"] for r in
-                       qseeds.select("cell").distinct().collect())
-        s = s.filter(F.col("cell").isin(cells))
+                       qseeds.select("cell").distinct()
+                       .limit(max_prune_values + 1).collect())
+        if len(cells) <= max_prune_values:
+            s = s.filter(F.col("cell").isin(cells))
     cand = qseeds.join(s, "cell").select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         (dot_expr(F.col("__qvec"), F.col("embedding"))

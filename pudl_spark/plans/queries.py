@@ -8468,10 +8468,16 @@ def doc_apply_bpe(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = apply_bpe(d, "text", _BPE_FIXED_MERGES)
+    # NULL-text rows carry NULL tokens (apply_bpe is NULL-total, the
+    # oracle's string chain propagates NULL identically): size(NULL)
+    # is already NULL, but concat_ws treats a NULL array as empty —
+    # guard it so tok_str stays NULL, not "".
     return out.select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
-        F.concat_ws("|", "bpe_tokens").alias("tok_str"))
+        F.when(F.col("bpe_tokens").isNull(),
+               F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("|", "bpe_tokens")).alias("tok_str"))
 
 
 @query("doc_prefix_filter_dup_pairs", sql=_SHINGLE_JACCARD_SQL)
@@ -8582,8 +8588,13 @@ def large_volume_customers(spark, sf_dir):
     s = (li.groupBy("l_orderkey")
          .agg(F.sum(_dec("l_quantity")).alias("q"))
          .filter(F.col("q") > 250))
+    # No broadcast hint on customer: the dim is corpus-proportional
+    # (150k rows/sf), while the sliver-joined LEFT side is
+    # output-bounded — AQE promotes the correct (small) side at any
+    # scale, which is the whole point of the aggregate-then-join
+    # rewrite.
     return (s.join(o, s["l_orderkey"] == o["o_orderkey"])
-            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
             .select("c_name",
                     F.col("c_custkey").cast("bigint").alias("c_custkey"),
                     F.col("o_orderkey").cast("bigint").alias("o_orderkey"),

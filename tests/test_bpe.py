@@ -69,3 +69,17 @@ def test_property_reference_parity_random_corpora(seed, spark):
             r["pair_count"]) for r in
            train_bpe(df, "text", num_merges=8).collect()]
     assert got == train_bpe_reference(_wc(texts), num_merges=8)
+
+
+def test_apply_bpe_null_text_is_null_total(spark):
+    """NULL text must yield NULL tokens (SQL semantics, matching the
+    doc_apply_bpe oracle's NULL propagation) — never the literal
+    string \"None\" tokenized (self-review r8)."""
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, None)], "doc_id long, text string")
+    merges = [(0, "t", "h"), (1, "th", "e")]
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in apply_bpe(df, "text", merges).collect()}
+    assert out[1] is None
+    assert out[0] is not None and "the" + EOW not in out[0]
+    assert out[0][0] == "the"  # merges applied to the real row
