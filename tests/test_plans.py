@@ -216,3 +216,24 @@ def test_profile_is_single_scan(spark):
     # list; count distinct detail entries "(n) Scan parquet"
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) == 1
+
+
+def test_q18_aggregates_before_join_and_topk_never_sorts(spark):
+    """large_volume_customers: the per-order quantity sum must reduce
+    lineitem BEFORE any join (partial agg map-side), the lineitem
+    scan must read only the two needed columns, and the global
+    top-100 must plan as TakeOrderedAndProject (per-partition top-k
+    + k-row merge), never a total Sort."""
+    plan = _plan(spark, "large_volume_customers", "simple")
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+    # The agg's partial pass sits in the lineitem branch, below the
+    # joins: everything before the first join line must contain it.
+    first_join = min(plan.find("BroadcastHashJoin") % 10**9,
+                     plan.find("SortMergeJoin") % 10**9,
+                     plan.find("ShuffledHashJoin") % 10**9)
+    assert "partial_sum" in plan[first_join:], plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" \
+        in plan, plan
+    # No standalone global Sort: the only ordering operator is the
+    # TakeOrderedAndProject itself.
+    assert "\n   +- Sort " not in plan and "+- Sort [" not in plan, plan
