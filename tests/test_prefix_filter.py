@@ -76,3 +76,31 @@ def test_rendezvous_minimal_movement(spark):
     moved = sum(r["moved"] for r in rows) / len(rows)
     # expected 1/9 of the corpus; generous envelope for 500 docs
     assert 0.03 < moved < 0.25, moved
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       t=st.sampled_from([0.4, 0.5, 0.7, 0.9]))
+@settings(max_examples=4, deadline=None)
+def test_property_complete_on_random_corpora(seed, t, spark):
+    """Completeness is the operator's whole claim — fuzz it: on
+    random small-vocab corpora (high shingle overlap by construction)
+    the prefix-filter output must equal the brute-force exact-Jaccard
+    pair set at every threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = [(i, " ".join(rng.choice(vocab, size=rng.integers(3, 12))))
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        jaccard_threshold=t).collect()}
+    want = _brute_pairs(docs, t=t)
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert abs(got[p] - j) < 1e-12
