@@ -300,10 +300,22 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
               .filter(F.col("__rn")
                       <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n"))
                       + F.lit(1))
-              .select("id", "__n", "__tok"))
+              .select("id", "__n", "__rn", "__tok"))
     # LENGTH filter (SSJoin): J >= t forces min(|a|,|b|) >= overlap
     # >= t * max(|a|,|b|), so size-incompatible pairs drop inside the
-    # join before the dedupe shuffle ever sees them.
+    # join before the dedupe shuffle ever sees them. POSITIONAL
+    # filter (PPJoin): every common token sits at canonical position
+    # >= this one, so overlap <= min(|a|-i+1, |b|-j+1); J >= t needs
+    # overlap >= t/(1+t)*(|a|+|b|). The pair's FIRST common token has
+    # the smallest positions (largest bound), so keeping a pair when
+    # ANY shared prefix token passes equals the paper's first-match
+    # rule. Both filters run Spark-side only (the verify is exact),
+    # so the sole hazard is OVER-pruning — the 1e-9 slack keeps
+    # float-rounded bounds from ever exceeding the true rational one.
+    a_left = F.col("a.__n") - F.col("a.__rn") + F.lit(1)
+    b_left = F.col("b.__n") - F.col("b.__rn") + F.lit(1)
+    min_overlap = (F.lit(t) / F.lit(1.0 + t)
+                   * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9))
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   on=[F.col("a.__tok") == F.col("b.__tok"),
@@ -311,7 +323,8 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.col("b.__n")
                       >= F.ceil(F.lit(t) * F.col("a.__n")),
                       F.col("a.__n")
-                      >= F.ceil(F.lit(t) * F.col("b.__n"))])
+                      >= F.ceil(F.lit(t) * F.col("b.__n")),
+                      F.least(a_left, b_left) >= min_overlap])
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
