@@ -289,6 +289,17 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     land in suffixes). Returns (id_a, id_b, jaccard), id_a < id_b.
     """
     t = jaccard_threshold
+
+    def ceil_safe(x):
+        # ceil(t*n) with an epsilon shaved off first: float rounding
+        # can push t*n a hair ABOVE the true rational product (e.g.
+        # 0.56*25 -> 14.000000000000002, ceil 15 not 14), and an
+        # overshot ceiling here would SHORTEN a prefix / TIGHTEN a
+        # filter and silently drop a qualifying pair — the one
+        # direction that breaks completeness. Undershooting merely
+        # lengthens a prefix; the exact verify keeps precision.
+        return F.ceil(x - F.lit(1e-9))
+
     sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
     tok = sets.select("id", F.size("__set").alias("__n"),
                       F.explode("__set").alias("__tok"))
@@ -298,7 +309,8 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     prefix = (tok.join(freq, "__tok")
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn")
-                      <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n"))
+                      <= F.col("__n")
+                      - ceil_safe(F.lit(t) * F.col("__n"))
                       + F.lit(1))
               .select("id", "__n", "__rn", "__tok"))
     # LENGTH filter (SSJoin): J >= t forces min(|a|,|b|) >= overlap
@@ -321,9 +333,9 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                   on=[F.col("a.__tok") == F.col("b.__tok"),
                       F.col("a.id") < F.col("b.id"),
                       F.col("b.__n")
-                      >= F.ceil(F.lit(t) * F.col("a.__n")),
+                      >= ceil_safe(F.lit(t) * F.col("a.__n")),
                       F.col("a.__n")
-                      >= F.ceil(F.lit(t) * F.col("b.__n")),
+                      >= ceil_safe(F.lit(t) * F.col("b.__n")),
                       F.least(a_left, b_left) >= min_overlap])
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))

@@ -408,13 +408,15 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
               .filter(F.col("__r") <= seed_probe)
               .select("query_id", "__qvec", "__qnrm",
                       F.col("seed_id").alias("cell")))
-    if prune_scan:
-        # Bounded collect: at most n_queries * seed_probe cell ids,
-        # limit()-bounded BEFORE the driver and regime-gated like
-        # lsh_store_probe — an In() literal beyond a few thousand
-        # values costs more to plan than the scan it saves, and a
-        # bulk query batch is the full-join regime anyway. For small
-        # serving batches the In() predicate reaches the parquet
+    if prune_scan and queries.count() * seed_probe <= max_prune_values:
+        # Regime-gated like lsh_store_probe, with the CHEAP gate
+        # first: n_queries * seed_probe upper-bounds the probed cell
+        # count, so a bulk batch skips after one column-less count —
+        # never paying the scoring/window pipeline an extra time
+        # (an In() literal beyond a few thousand values also costs
+        # more to plan than the scan it saves; bulk batches are the
+        # full-join regime anyway). For small serving batches the
+        # bounded collect's In() predicate reaches the parquet
         # reader, so the cell-sorted store files prune to the probed
         # cells' row groups instead of scanning the corpus and
         # joining it away.
@@ -504,8 +506,15 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
     base = emb.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm_expr(F.col("embedding")))
     seeds = sample_seeds(base, seed_modulus)
-    cents_arr = centroid_array(seeds, centroid_factor)
-    sc = seed_cells(seeds, cents_arr, cell_col="ccell")
+    # 1-row checkpoint: the centroid array is broadcast by two
+    # consumers (seed-cell assignment and the vector probe), each of
+    # which would otherwise re-derive it from the corpus scan.
+    cents_arr = centroid_array(seeds, centroid_factor).localCheckpoint()
+    # Eager checkpoint: sc (corpus/seed_modulus rows) feeds BOTH the
+    # store write (via the argmax) and the sidecar write; without it
+    # each write-job re-derives the seeds from the corpus scan and
+    # re-scores them against the centroids (self-review r8).
+    sc = seed_cells(seeds, cents_arr, cell_col="ccell").localCheckpoint()
     best = _argmax_over_cells(
         base, sc.withColumnRenamed("ccell", "__cell"), cents_arr,
         nprobe)

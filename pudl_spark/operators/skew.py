@@ -78,25 +78,22 @@ def salted_distinct_count(df: DataFrame, key_cols: list[str],
     materialization (VERDICT r7 #2) — the scale-safe form when only
     the COUNT is needed.
 
-    Two grouped passes, neither of which ever holds more than a
-    constant per aggregation buffer:
-
-    1. dedupe (key, value) PAIRS — the grouping key INCLUDES the
-       value, so a hot key's distinct values spread across shuffle
-       partitions instead of funneling into one task, and partial
-       aggregation collapses same-partition duplicates map-side (the
-       wire carries each distinct pair once per partition at most);
-    2. count surviving pairs per key — a plain map-side-combinable
-       count over one row per distinct (key, value).
-
-    No explicit salt is needed: stage 1's key IS the de-skewing
-    (cardinality = distinct pairs, inherently balanced), and stage
-    2's input is one row per distinct value, which partial count
-    collapses before the shuffle. NULL values are not counted
-    (count(col) semantics — matches COUNT(DISTINCT col)); NULL KEYS
-    form their own group like any groupBy.
+    Implemented as the built-in distinct aggregate, because
+    Catalyst's RewriteDistinctAggregates already plans EXACTLY the
+    skew-safe two-stage shape a manual rewrite would build (verified
+    in the paired plan test): a partial HashAggregate keyed on
+    (key, value) — the hot key's distinct values spread across
+    shuffle partitions and same-partition duplicates collapse
+    map-side — then an Exchange on (key, value), the dedupe, a
+    partial count, and the final per-key Exchange+count. No
+    aggregation buffer ever holds more than a scalar, unlike the
+    collect_set route (see :func:`salted_collect_set`'s warning).
+    No explicit salt is needed: stage 1's grouping key includes the
+    value, which IS the de-skewing. NULL values are not counted
+    (COUNT(DISTINCT col) semantics); NULL keys form their own group
+    like any groupBy. The helper exists to NAME this contract and
+    pin the plan — not to out-plan the optimizer.
     """
     out_col = out_col or f"n_{value_col}_distinct"
-    pairs = df.select(*key_cols, value_col).distinct()
-    return pairs.groupBy(*key_cols).agg(
-        F.count(F.col(value_col)).alias(out_col))
+    return df.groupBy(*key_cols).agg(
+        F.count_distinct(F.col(value_col)).alias(out_col))

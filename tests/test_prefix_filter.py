@@ -104,3 +104,19 @@ def test_property_complete_on_random_corpora(seed, t, spark):
     assert set(got) == set(want)
     for p, j in want.items():
         assert abs(got[p] - j) < 1e-12
+
+
+def test_float_ceil_overshoot_cannot_drop_pairs(spark):
+    """Self-review r8 (high pass): 0.56*25 floats to 14.000…002, so a
+    naive ceil gives 15 and the length/prefix filters drop a pair at
+    exactly J = 14/25 = 0.56 before verification. The shaved-epsilon
+    ceil must keep it."""
+    words = [f"w{i}" for i in range(27)]
+    a = " ".join(words)            # 25 distinct 3-shingles
+    b = " ".join(words[:16])       # 14 shingles, all shared
+    df = spark.createDataFrame([(1, a), (2, b)],
+                               "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        jaccard_threshold=0.56).collect()}
+    assert got == {(1, 2): 14 / 25}
