@@ -22,7 +22,8 @@ from pudl_spark.functions.dedup import (
 from pudl_spark.functions.sampling import bottomk_sample
 from pudl_spark.functions.similarity import (
     cosine_similarity_expr, dot_expr, l2_norm_expr, brute_force_topk,
-    lsh_bucket_topk,
+    lsh_bucket_topk, build_ivf_store, append_to_ivf_store,
+    ivf_store_topk,
 )
 
 __all__ = [n for n in dir() if not n.startswith("_")]

@@ -395,7 +395,8 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                     shingle_k: int = 3,
                     jaccard_threshold: float = 0.7,
                     prune_scan: bool = True,
-                    max_prune_values: int = 2048) -> DataFrame:
+                    max_prune_values: int = 2048,
+                    batch_rows: int | None = None) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     signature only the batch, bucket-join against ``{prefix}_bands``,
     exact-verify against ``{prefix}_sets``. Returns
@@ -420,16 +421,33 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     already the right plan for large batches (the join amortizes the
     index scan over many probe rows). Results are join-exact in both
     regimes: pruned == unpruned.
+
+    ``batch_rows``: callers that already know the batch size pass it
+    here so the regime gate never triggers an extra action over the
+    batch's lineage (a DERIVED batch — the output of a cleaning
+    pipeline — would otherwise re-run that pipeline just to be
+    counted, ADVICE r8). In the pruned branch the batch is
+    additionally localCheckpoint()ed — it is small by the gate's own
+    definition — so its upstream DAG evaluates ONCE, not once per
+    collect/join consumer.
     """
     store_bands = spark.table(f"{table_prefix}_bands")
     store_sets = spark.table(f"{table_prefix}_sets")
-    nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
-                    shingle_k)
     pruned = False
     # Cheap regime detection first: batch_count * bands upper-bounds
     # the distinct band hashes, so a large batch skips pruning after
-    # one column-less count — never paying the signature pass twice.
-    if prune_scan and new_docs.count() * bands <= max_prune_values:
+    # at most one column-less count (zero extra actions when the
+    # caller supplies batch_rows) — never paying the signature pass
+    # twice.
+    n = batch_rows if batch_rows is not None else new_docs.count()
+    if prune_scan and n * bands <= max_prune_values:
+        # Small by the gate (<= max_prune_values/bands rows): cut the
+        # batch's lineage so the bucket collect, the candidate join
+        # and the verify all read materialized rows instead of
+        # re-running the caller's upstream pipeline.
+        new_docs = new_docs.localCheckpoint()
+        nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
+                        shingle_k)
         # Bounded collect: one row per distinct batch band-hash.
         vals = [r["bucket"] for r in
                 nb.select("bucket").distinct()
@@ -438,6 +456,9 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         if pruned:
             store_bands = store_bands.filter(
                 F.col("bucket").isin(sorted(vals)))
+    else:
+        nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
+                        shingle_k)
     cand = (
         nb.alias("a").join(
             store_bands.alias("b"),
@@ -451,9 +472,10 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         # Bounded collect: one row per candidate corpus doc (~the
         # batch's dup pairs plus banding collisions, O(batch)). Only
         # in the small-batch regime — the collect re-evaluates the
-        # (pruned, batch-sized) candidate join once; against an
-        # unpruned corpus-wide join that recompute would cost more
-        # than the sets-scan it saves.
+        # (pruned, batch-sized) candidate join once, reading the
+        # CHECKPOINTED batch rows, never the caller's upstream
+        # pipeline; against an unpruned corpus-wide join that
+        # recompute would cost more than the sets-scan it saves.
         ids = [r["corpus_id"] for r in
                cand.select("corpus_id").distinct()
                .limit(max_prune_values + 1).collect()]

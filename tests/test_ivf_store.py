@@ -76,23 +76,36 @@ def test_ivf_store_probe_reads_sidecar_not_corpus(spark):
                                  k=10, seed_probe=3)
             plan = (out._jdf.queryExecution().executedPlan()
                     .toString())
-            # The seed sidecar is read (centroids + seed cells)...
-            assert "t_ivf_sidecar_seeds" in plan, plan
-            # ...and the store table itself is scanned exactly once
-            # (the candidate fetch), with the probed-cell In()
-            # predicate pushed into that scan.
+            # The store table itself is scanned exactly once (the
+            # candidate fetch), with the probed-cell In() predicate
+            # pushed into that scan. The probe side reads the
+            # checkpointed qseeds rows (the ADVICE r8
+            # single-evaluation fix), never the corpus.
             store_scans = [ln for ln in plan.splitlines()
                            if "FileScan" in ln
                            and "t_ivf_sidecar" in ln
                            and "t_ivf_sidecar_seeds" not in ln]
             assert len(store_scans) == 1, plan
             assert "In(cell" in store_scans[0], store_scans[0]
+            # The seed table comes from the persisted sidecar, never
+            # a corpus-sized store rescan: visible in the UNpruned
+            # plan, whose lineage isn't cut by the pruned branch's
+            # localCheckpoint.
+            unpruned = ivf_store_topk(spark, "t_ivf_sidecar", queries,
+                                      k=10, seed_probe=3,
+                                      prune_scan=False)
+            uplan = (unpruned._jdf.queryExecution().executedPlan()
+                     .toString())
+            assert "t_ivf_sidecar_seeds" in uplan, uplan
+            ustore = [ln for ln in uplan.splitlines()
+                      if "FileScan" in ln
+                      and "t_ivf_sidecar" in ln
+                      and "t_ivf_sidecar_seeds" not in ln]
+            assert len(ustore) == 1, uplan
             # Pruning preserved the result: identical to the
             # unpruned join-only path.
             got = sorted(map(tuple, out.collect()))
-            ref = sorted(map(tuple, ivf_store_topk(
-                spark, "t_ivf_sidecar", queries, k=10, seed_probe=3,
-                prune_scan=False).collect()))
+            ref = sorted(map(tuple, unpruned.collect()))
             assert got == ref
         finally:
             spark.sql("DROP TABLE IF EXISTS t_ivf_sidecar")
@@ -138,3 +151,89 @@ def test_ivf_store_topk_probe(spark):
     # fixed number; require a loose floor so the probe is meaningful
     # (brute force would be 1.0, random ~0).
     assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_append_equals_rebuild_when_batch_has_no_seeds(spark):
+    """VERDICT r8 #3: append(batch) == rebuild(corpus UNION batch)
+    exactly when the batch contributes no seed-eligible rows — the
+    seed set (vec_id % 97 == 1) is then identical, and assignment is
+    per-vector, so the two stores must match row-for-row."""
+    from pudl_spark.functions.similarity import append_to_ivf_store
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 97 != 3)
+    batch = emb.filter(F.col("vec_id") % 97 == 3)
+    assert batch.count() > 0
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, corpus, "t_ivf_app",
+                        os.path.join(td, "inc"))
+        build_ivf_store(spark, emb, "t_ivf_full",
+                        os.path.join(td, "full"))
+        try:
+            append_to_ivf_store(spark, "t_ivf_app", batch)
+            got = sorted(map(tuple, spark.table("t_ivf_app")
+                             .select("cell", "vec_id").collect()))
+            want = sorted(map(tuple, spark.table("t_ivf_full")
+                              .select("cell", "vec_id").collect()))
+            assert got == want and got
+            # The appended store keeps the bucketed-layout contract:
+            # a cell-keyed self-join still plans with no Exchange on
+            # the store side (broadcast off so the bucketing is what
+            # the planner must lean on, as at scale).
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           "-1")
+            try:
+                s = spark.table("t_ivf_app")
+                j = s.alias("a").join(
+                    s.alias("b"),
+                    on=[F.col("a.cell") == F.col("b.cell"),
+                        F.col("a.vec_id") < F.col("b.vec_id")])
+                plan = (j._jdf.queryExecution().executedPlan()
+                        .toString())
+                assert "Exchange" not in plan, plan
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", "64m")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ivf_app")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_full")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_app_seeds")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_full_seeds")
+
+
+def test_append_assigns_against_old_seeds(spark):
+    """An append is an index INGEST, not a re-train: a batch that
+    WOULD be seed-eligible under the build rule is still assigned
+    against the existing sidecar's seeds, and the sidecar itself is
+    unchanged."""
+    from pudl_spark.functions.similarity import append_to_ivf_store
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    batch = emb.filter(F.col("vec_id") % 2 == 1)  # contains %97==1
+    assert batch.filter(F.col("vec_id") % 97 == 1).count() > 0
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, corpus, "t_ivf_app2",
+                        os.path.join(td, "inc"))
+        try:
+            seeds_before = sorted(
+                r["seed_id"] for r in
+                spark.table("t_ivf_app2_seeds").collect())
+            append_to_ivf_store(spark, "t_ivf_app2", batch)
+            seeds_after = sorted(
+                r["seed_id"] for r in
+                spark.table("t_ivf_app2_seeds").collect())
+            assert seeds_before == seeds_after
+            # Every appended vector landed in an existing seed's
+            # cell or its own negative singleton — never in a cell
+            # keyed by a batch vec_id.
+            s = spark.table("t_ivf_app2")
+            assert s.count() == corpus.count() + batch.count()
+            bad = (s.filter(F.col("cell") >= 0)
+                   .join(spark.table("t_ivf_app2_seeds"),
+                         F.col("cell") == F.col("seed_id"),
+                         "left_anti"))
+            assert bad.count() == 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ivf_app2")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_app2_seeds")

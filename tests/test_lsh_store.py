@@ -124,3 +124,41 @@ def test_probe_prunes_store_scans(spark):
         finally:
             for t in ("t_lsh3_bands", "t_lsh3_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_pruned_probe_evaluates_batch_lineage_once(spark):
+    """ADVICE r8: a DERIVED probe batch (the output of an upstream
+    pipeline) must not re-run that pipeline once per gate/collect/
+    join consumer. With batch_rows supplied and the pruned branch's
+    localCheckpoint, the batch's upstream DAG evaluates exactly
+    once."""
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    @F.pandas_udf("string")
+    def tag(text):
+        acc.add(len(text))
+        return text
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    batch = (d.filter(F.col("doc_id") % 7 == 0)
+             .withColumn("text", tag(F.col("text"))))
+    n_batch = d.filter(F.col("doc_id") % 7 == 0).count()
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_lsh4",
+                        os.path.join(td, "store"))
+        try:
+            acc.value = 0
+            out = lsh_store_probe(spark, "t_lsh4", batch, "doc_id",
+                                  "text", jaccard_threshold=0.5,
+                                  batch_rows=n_batch)
+            out.collect()
+            # The tagging UDF ran once per batch row: the checkpoint
+            # materialization is the ONLY evaluation of the batch's
+            # upstream pipeline (gate counted via batch_rows, bucket
+            # collect / candidate join / verify all read checkpointed
+            # rows).
+            assert acc.value == n_batch, acc.value
+        finally:
+            for t in ("t_lsh4_bands", "t_lsh4_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
