@@ -264,7 +264,9 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
-                        jaccard_threshold: float = 0.7) -> DataFrame:
+                        jaccard_threshold: float = 0.7,
+                        suffix_filter: bool = True,
+                        broadcast_freq: bool = False) -> DataFrame:
     """DETERMINISTICALLY COMPLETE near-dup pairs via prefix filtering
     (SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006; All-Pairs, Bayardo et
     al. WWW 2007; PPJoin, Xiao et al. WWW 2008) — the exact
@@ -287,6 +289,29 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     first means the join's fan-out per token is small by
     construction (the frequent tokens that would explode the join
     land in suffixes). Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``suffix_filter`` (default on) adds PPJoin+'s remaining pruning
+    stage (Xiao et al. WWW 2008, Algorithm 3 at depth 1): for each
+    pair's FIRST common prefix token, partition both suffixes around
+    the probing token in the middle of one suffix and lower-bound
+    their Hamming distance — pairs whose resulting overlap ceiling
+    falls below the threshold never reach the exact verify. Sound by
+    the same one-direction argument as the prefix bounds: the
+    Hamming partition bound is exact integer arithmetic, the only
+    float (the required-overlap threshold) is shaved DOWNWARD, and
+    the first-match row of any QUALIFYING pair always survives the
+    join-level filters, so the per-pair min is the true first match
+    and zero common tokens precede it (overlap = 1 + overlap of the
+    suffixes exactly).
+
+    Skew note (ADVICE r8): both the prefix and the suffix stage join
+    the corpus-sized exploded token table to the frequency table on
+    ``__tok``, so a very frequent token lands all its occurrences in
+    one shuffle partition. The build side is one row per token —
+    replicable — so AQE's skew-join split (on by default) handles
+    the hot partitions; when the vocabulary is known to be bounded
+    (e.g. fixed shingle space), ``broadcast_freq=True`` skips that
+    shuffle entirely.
     """
     t = jaccard_threshold
 
@@ -304,9 +329,12 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     tok = sets.select("id", F.size("__set").alias("__n"),
                       F.explode("__set").alias("__tok"))
     freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    if broadcast_freq:
+        freq = F.broadcast(freq)
+    tokf = tok.join(freq, "__tok")
     w = Window.partitionBy("id").orderBy(F.col("__df").asc(),
                                          F.col("__tok").asc())
-    prefix = (tok.join(freq, "__tok")
+    prefix = (tokf
               .withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn")
                       <= F.col("__n")
@@ -328,19 +356,92 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     b_left = F.col("b.__n") - F.col("b.__rn") + F.lit(1)
     min_overlap = (F.lit(t) / F.lit(1.0 + t)
                    * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9))
-    cand = (prefix.alias("a")
-            .join(prefix.alias("b"),
-                  on=[F.col("a.__tok") == F.col("b.__tok"),
-                      F.col("a.id") < F.col("b.id"),
-                      F.col("b.__n")
-                      >= ceil_safe(F.lit(t) * F.col("a.__n")),
-                      F.col("a.__n")
-                      >= ceil_safe(F.lit(t) * F.col("b.__n")),
-                      F.least(a_left, b_left) >= min_overlap])
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    matches = (prefix.alias("a")
+               .join(prefix.alias("b"),
+                     on=[F.col("a.__tok") == F.col("b.__tok"),
+                         F.col("a.id") < F.col("b.id"),
+                         F.col("b.__n")
+                         >= ceil_safe(F.lit(t) * F.col("a.__n")),
+                         F.col("a.__n")
+                         >= ceil_safe(F.lit(t) * F.col("b.__n")),
+                         F.least(a_left, b_left) >= min_overlap])
+               .select(F.col("a.id").alias("id_a"),
+                       F.col("b.id").alias("id_b"),
+                       F.struct(F.col("a.__rn").alias("rn_a"),
+                                F.col("b.__rn").alias("rn_b"),
+                                F.col("a.__n").alias("n_a"),
+                                F.col("b.__n").alias("n_b"))
+                       .alias("__m")))
+    # One row per pair at its FIRST common prefix token: common
+    # tokens appear in the same relative order on both sides (one
+    # global canonical order), so the lexicographic struct-min picks
+    # the match that no common token precedes — the position the
+    # suffix filter's overlap accounting is exact at. Same shuffle
+    # the old dropDuplicates paid; the payload grows by 4 ints.
+    first = (matches.groupBy("id_a", "id_b")
+             .agg(F.min("__m").alias("__m")))
+    if suffix_filter:
+        first = _ppjoin_suffix_filter(first, tokf, t)
+    cand = first.select("id_a", "id_b")
     return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b", t)
+
+
+def _ppjoin_suffix_filter(first: DataFrame, tokf: DataFrame,
+                          t: float) -> DataFrame:
+    """PPJoin+ depth-1 suffix filter over first-match candidate pairs.
+
+    ``first``: (id_a, id_b, __m{rn_a, rn_b, n_a, n_b}) with __m the
+    pair's first common prefix token's canonical positions. ``tokf``:
+    the exploded token table with ``__df`` attached. For the pair's
+    suffixes sx = x[rn_a+1..], sy = y[rn_b+1..] (canonical order),
+    probe the middle token of sy, partition both suffixes around it,
+    and lower-bound the Hamming distance H(sx, sy) by the partition
+    imbalance — since overlap(sx, sy) = (|sx|+|sy|-H)/2 and the
+    total overlap is exactly 1 + overlap(sx, sy) at the first match,
+    any pair with 1 + (|sx|+|sy|-H_lb)/2 below the required overlap
+    provably fails the threshold. All counts are exact integers; the
+    only float (the required overlap) is shaved downward, so the
+    filter can only UNDER-prune — completeness is preserved and the
+    exact verify restores precision.
+    """
+    ordered = (tokf.groupBy("id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("__df").alias("df"),
+                            F.col("__tok").alias("tok"))))
+                    .alias("__ord")))
+    f = (first
+         .join(ordered.select(F.col("id").alias("id_a"),
+                              F.col("__ord").alias("__oa")), "id_a")
+         .join(ordered.select(F.col("id").alias("id_b"),
+                              F.col("__ord").alias("__ob")), "id_b"))
+    i, j = F.col("__m.rn_a"), F.col("__m.rn_b")
+    na, nb = F.col("__m.n_a"), F.col("__m.n_b")
+    sxn, syn = na - i, nb - j
+    # Probing token: the middle of sy (1-based offset ceil(|sy|/2)).
+    mid = F.floor((syn + F.lit(1)) / F.lit(2)).cast("long")
+    wm = F.element_at(F.col("__ob"), (j + mid).cast("int"))
+    syl, syr = mid - F.lit(1), syn - mid
+    # Everything at position <= rn_a in x precedes wm in canonical
+    # order (x[rn_a] is the shared token, which sits BEFORE wm in
+    # y), so full-array counts need only subtract i — no slicing.
+    lt = F.size(F.filter(
+        F.col("__oa"),
+        lambda e: (e["df"] < wm["df"])
+        | ((e["df"] == wm["df"]) & (e["tok"] < wm["tok"]))))
+    gt = F.size(F.filter(
+        F.col("__oa"),
+        lambda e: (e["df"] > wm["df"])
+        | ((e["df"] == wm["df"]) & (e["tok"] > wm["tok"]))))
+    sxl, sxr = lt - i, gt
+    d = sxn - sxl - sxr  # 1 iff wm itself is in sx (sets: 0 or 1)
+    hlb = (F.abs(sxl - syl) + F.abs(sxr - syr)
+           + F.when(d >= 1, F.lit(0)).otherwise(F.lit(1)))
+    # Empty sy: the partition probe is undefined — H is exactly |sx|.
+    hlb = F.when(syn == 0, sxn).otherwise(hlb)
+    bound = F.lit(1.0) + (sxn + syn - hlb) / F.lit(2.0)
+    req = (F.lit(t) / F.lit(1.0 + t) * (na + nb) - F.lit(1e-9))
+    return (f.filter(bound >= req)
+            .select("id_a", "id_b", "__m"))
 
 
 def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
