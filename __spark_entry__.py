@@ -31,47 +31,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r8: IVF store grows its {table}_seeds SIDECAR (VERDICT r7 #1):
-    # build persists (seed_id, seed_vec, seed_nrm, ccell); the probe
-    # reads it instead of rescanning the corpus-sized store, and
-    # pushes the probed cell ids into the store scan as an In()
-    # filter. The shared seed-cell fold moved to seed_cells() —
-    # every ivf_partitioned_argmax caller re-certifies.
-    "ann_ivf_store_probe", "ivf_store_cell_stats",
-    "embedding_semantic_dedup", "embedding_ivf_clusters",
-    # r8: _cluster_block's cosine now replays the SQL fold order
-    # exactly (dimension-wise accumulate, no BLAS reassociation/FMA
-    # — ADVICE r7 ulp hazard); both blocked-cluster queries
-    # re-certify (embedding_ivf_clusters doubly touched above)
-    "embedding_blocked_clusters",
-    # r8: n_users routed through salted_distinct_count — exact
-    # distinct via (key,value) dedupe + count, NO set
-    # materialization in any aggregation buffer (VERDICT r7 #2)
-    "salted_event_type_totals",
-    # r8: decode_avi_frames returns (frame_no, frame) pairs so a
-    # leading dropped-frame placeholder can't shift every later
-    # frame's label (ADVICE r7); extract_video_frames consumes the
-    # true positions
-    "media_avi_frames", "media_video_frames",
-    # r8: LSH store increment certified at jaccard >= 0.8 in BOTH
-    # query and oracle — the threshold the 16x4 banding argument
-    # actually covers (ADVICE r7 medium)
-    "doc_lsh_store_increment",
-    # r8: bottomk_sample gained the max_strata driver-cardinality
-    # guard (ADVICE r7 / VERDICT r7 #7)
-    "doc_bottomk_sample",
-    # r8: NEW query — the BPE APPLY leg driver-certified against a
-    # fixed literal merge table (VERDICT r7 #3: train stays
-    # rows-only, apply is map-only and SQL-replayable)
-    "doc_apply_bpe",
-    # r8: NEW queries — prefix-filter similarity join (SSJoin/
-    # PPJoin: deterministically COMPLETE candidates, the exact
-    # complement to probabilistic LSH banding, same definitional
-    # oracle), rendezvous/HRW sharding (minimal-movement shard
-    # assignment, map-only md5 argmax), and the TPC-H Q18 shape
-    # (aggregate-then-join + TakeOrderedAndProject top-k)
-    "doc_prefix_filter_dup_pairs", "doc_rendezvous_shards",
-    "large_volume_customers",
+    # r9: NEW query — the LSH store's PRUNED serving regime gets the
+    # same hash-grade evidence as the IVF twin (VERDICT r8 #2): a
+    # 117-doc batch under the 2048 In()-gate at every test scale, so
+    # the certified path IS the row-group-pruned one.
+    "doc_lsh_store_probe_small",
+    # r9: NEW query — incremental IVF store append via the persisted
+    # seeds sidecar (VERDICT r8 #3); the oracle replays the
+    # full-corpus assignment, exact because the batch holds no
+    # seed-eligible rows (build+append == rebuild-on-union).
+    "ivf_store_append",
+    # r9: NEW query — weighted rendezvous sharding, the logarithmic
+    # -w/ln(u) HRW variant for heterogeneous shard capacity
+    # (VERDICT r8 stretch #8).
+    "doc_weighted_rendezvous_shards",
+    # r9: PPJoin+ depth-1 suffix filter added to the prefix join
+    # (VERDICT r8 stretch #7) — candidates collapse to their first
+    # common prefix token and a Hamming partition bound prunes
+    # ~14% more before the exact verify; plus the broadcast_freq
+    # option / AQE skew note on the frequency join (ADVICE r8).
+    "doc_prefix_filter_dup_pairs",
+    # r9: lsh_store_probe/ivf_store_topk regime gates take a
+    # batch_rows hint and localCheckpoint the small batch so the
+    # caller's batch lineage evaluates ONCE (ADVICE r8 #1/#2);
+    # build_ivf_store persists+unpersists its intermediates instead
+    # of localCheckpoint (executor-loss-safe, ADVICE r8 #3) — every
+    # query over either store path re-certifies.
+    "doc_lsh_store_increment", "ann_ivf_store_probe",
+    "ivf_store_cell_stats",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -81,7 +68,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 7
+_BUILT_AGAINST_ROUND = 8
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -91,31 +78,33 @@ _BUILT_AGAINST_ROUND = 7
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- ALL 36 queries whose latest green driver row is still
-    #    round 4 (VERDICT r7 next-round #3: after this round the
-    #    oldest certification anywhere is r5 and the rolling window
+    # -- ALL 43 queries whose latest green driver row is still
+    #    round 5 (VERDICT r8 next-round #1: after this round the
+    #    oldest certification anywhere is r6 and the rolling window
     #    is steady-state at <= 3 rounds' age). Alphabetical;
-    #    computed from CORRECTNESS_r01..r07 latest-green rows. --
-    "doc_token_budget", "event_anomalous_regions",
-    "event_anomaly_flags", "event_bad_days", "event_local_outliers",
-    "event_sessions_cc", "event_user_kmv_distinct",
-    "event_value_quartiles", "events_to_utc", "exact_dedup_docs",
-    "fill_monthly_revenue_gaps", "harvest_report_consistency",
-    "harvest_user_profile", "jw_part_name_similarity",
-    "monthly_orders_densified", "nation_revenue_by_year",
-    "nations_with_both_roles", "order_price_screens",
-    "order_year_fragments", "pricing_summary",
-    "rolling_monthly_revenue", "rollup_revenue",
-    "scale_by_ownership_suppliers", "snake_cased_part_types",
-    "supplier_address_parse", "supplier_code_cleanup",
-    "supplier_nation_codes", "supplier_overlap_union_area",
-    "table_row_counts", "top_revenue_orders",
-    "user_event_source_label", "user_latest_good_value",
-    "user_ramp_extremes", "user_stable_load_bin",
-    "weighted_avg_price", "weighted_median_quantity",
-    # -- The 44 r5-certified rows lead the r9 re-cert queue (from
-    #    `clean_customer_names` alphabetically): the three late-r8
-    #    queries displaced the r5 head this round. --
+    #    computed from CORRECTNESS_r01..r08 latest-green rows.
+    #    7 touched + 43 re-certs = exactly the 50-slot prefix. --
+    "clean_customer_names", "complete_year_nations",
+    "declarative_transform_orders", "doc_bigram_perplexity",
+    "doc_bloom_incremental_dedup", "doc_bm25_relevance",
+    "doc_bpe_token_estimate", "doc_chunk_spans_udtf",
+    "doc_dup_spans", "doc_fingerprints", "doc_language_id",
+    "doc_quality_scores", "doc_shard_manifest", "doc_top_terms",
+    "embedding_near_dup_pairs", "encode_order_status",
+    "event_hypertable_rollup", "event_run_lengths",
+    "event_sessions_windowed", "event_sliding_windows",
+    "event_type_median_udaf", "event_value_histogram",
+    "file_provenance_counts", "fixed_width_roundtrip_nation",
+    "jsonl_sink_roundtrip", "market_share_by_year",
+    "media_feature_extract", "media_gif_features",
+    "media_jpeg_features", "media_png_features",
+    "media_thumbnail_stats", "media_wav_features",
+    "mode_segment_per_nation", "orc_sink_roundtrip",
+    "order_counts_cube", "order_status_flags",
+    "parquet_schema_evolution", "parquet_sink_roundtrip",
+    "part_copurchase_triangles", "primary_priority_share",
+    "spot_fix_regions", "sum_min_count_semantics",
+    "uncategorized_part_types",
 ]
 
 

@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "doc_prefix_filter_dup_pairs",
     "large_volume_customers",
     "doc_rendezvous_shards",
+    "doc_lsh_store_probe_small",
+    "ivf_store_append",
+    "doc_weighted_rendezvous_shards",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

@@ -8175,7 +8175,12 @@ def doc_bottomk_sample(spark, sf_dir):
             .select("lang", "doc_id", "smp_rank"))
 
 
-@query("doc_lsh_store_increment", sql=r"""
+def _lsh_cross_split_sql(mod: int) -> str:
+    """Exact cross-split shingle-Jaccard at j >= 0.8 — ONE oracle
+    shared by every LSH-store probe query (batch = doc_id % mod == 0
+    vs the rest of the corpus); a threshold or shingle change edits
+    exactly one place (r7 self-review lesson #5)."""
+    return rf"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2,
@@ -8187,7 +8192,7 @@ WITH sh AS (
 pairs AS (
   SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s
-  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+  WHERE a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
   GROUP BY 1, 2)
 SELECT new_id, corpus_id,
   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
@@ -8195,7 +8200,10 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id
 WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
-""")
+"""
+
+
+@query("doc_lsh_store_increment", sql=_lsh_cross_split_sql(7))
 def doc_lsh_store_increment(spark, sf_dir):
     """Incremental near-dup detection against a PERSISTED LSH index:
     the corpus (doc_id % 7 != 0) is indexed once into two bucketed
@@ -8607,3 +8615,156 @@ def large_volume_customers(spark, sf_dir):
             .orderBy(F.col("o_totalprice").desc(),
                      F.col("o_orderkey").asc())
             .limit(100))
+
+
+@query("doc_lsh_store_probe_small", sql=_lsh_cross_split_sql(43))
+def doc_lsh_store_probe_small(spark, sf_dir):
+    """The LSH store's PRUNED serving regime, driver-certified
+    (VERDICT r8 #2): a tens-of-docs online batch (doc_id % 43 == 0 —
+    117 docs at sf0.1, so batch * 16 bands = 1872 <= the 2048 gate
+    at every test scale) probes the persisted index built over the
+    rest of the corpus. Unlike `doc_lsh_store_increment`'s bulk
+    batch (which correctly takes the full-scan join regime), this
+    batch's band hashes and candidate ids collect into In()
+    predicates pushed into BOTH store scans, so the (band, bucket)-
+    and id-sorted index files prune to the row groups the batch
+    actually touches — per-probe bytes follow the batch, not the
+    corpus (plan pinned in tests/test_lsh_store.py). Same exact
+    cross-split shingle-Jaccard oracle at j >= 0.8, the threshold
+    the 16x4 banding argument covers.
+    """
+    import tempfile
+
+    from pudl_spark.functions.dedup import build_lsh_store, lsh_store_probe
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 43 != 0)
+    batch = d.filter(F.col("doc_id") % 43 == 0)
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshsmall_") as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "lsh_small",
+                        os.path.join(td, "store"))
+        try:
+            out = lsh_store_probe(spark, "lsh_small", batch, "doc_id",
+                                  "text", jaccard_threshold=0.8)
+            # Materialize before the store vanishes (sink-roundtrip
+            # pattern): bounded — O(the batch's dup pairs).
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            for t in ("lsh_small_bands", "lsh_small_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query("ivf_store_append", sql=f"""
+WITH {_IVF_PROBE_CTES}, assigned AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT e.vec_id, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
+)
+SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
+FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+""")
+def ivf_store_append(spark, sf_dir):
+    """Incremental IVF store APPEND (VERDICT r8 #3): the corpus
+    minus the vec_id % 97 == 3 slice is built into the cell-bucketed
+    store, then that slice is appended via
+    `similarity.append_to_ivf_store` — new vectors assign to the
+    EXISTING cells using only the persisted seeds sidecar (the
+    centroid array re-derives from its O(corpus/97) rows, never a
+    corpus scan), and the bucketed append keeps every downstream
+    cell-keyed read Exchange-free. The batch contains no
+    seed-eligible rows (% 97 == 1 and % 97 == 3 are disjoint), so
+    build(corpus) + append(batch) == build(corpus UNION batch)
+    EXACTLY, and the oracle replays the full-corpus two-level
+    assignment: the hash certifies every appended vector's cell
+    (tests/test_ivf_store.py pins the same equivalence
+    DataFrame-to-DataFrame and the old-seed semantics when a batch
+    WOULD be seed-eligible).
+    """
+    import tempfile
+
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, build_ivf_store,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 97 != 3)
+    batch = e.filter(F.col("vec_id") % 97 == 3)
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfapp_") as td:
+        build_ivf_store(spark, corpus, "ivf_append_store",
+                        os.path.join(td, "store"))
+        try:
+            append_to_ivf_store(spark, "ivf_append_store", batch)
+            out = spark.table("ivf_append_store").select("cell", "vec_id")
+            # Materialize before the store vanishes: two longs per
+            # corpus row — the assignment itself is the certified
+            # artifact.
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_append_store")
+            spark.sql("DROP TABLE IF EXISTS ivf_append_store_seeds")
+
+
+@query("doc_weighted_rendezvous_shards", sql=f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(range(5),
+      s -> -(CAST(s + 1 AS DOUBLE)) / ln(
+        ({_hex6("md5(CAST(doc_id AS VARCHAR) || ':wshard:' || CAST(s AS VARCHAR))")}
+         + 0.5) / 16777216.0)) AS sc
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_position(list_slice(sc, 1, 4),
+                     list_max(list_slice(sc, 1, 4))) - 1
+       AS INTEGER) AS shard4,
+  CAST(list_position(sc, list_max(sc)) - 1 AS INTEGER) AS shard5,
+  list_position(list_slice(sc, 1, 4), list_max(list_slice(sc, 1, 4)))
+    <> list_position(sc, list_max(sc)) AS moved
+FROM h
+""")
+def doc_weighted_rendezvous_shards(spark, sf_dir):
+    """WEIGHTED rendezvous sharding (VERDICT r8 stretch #8) — the
+    logarithmic-score HRW variant for heterogeneous shard capacity:
+    doc -> argmax_s  -w_s / ln(u_s), with u_s the doc-shard hash
+    mapped to (0,1). Each shard's expected share is exactly
+    w_s / sum(w), and adding a shard still moves only the docs the
+    new shard wins — here shards 0..3 weighted 1..4, then shard 4
+    (weight 5) added, so the moved fraction concentrates at 5/15.
+    Map-only codegen like the unweighted query. Engine-portability:
+    u = (24-bit md5 prefix + 0.5) / 2^24 is exact arithmetic and
+    never 0 or 1, ln is the only inexact op and both engines'
+    libm/ Math.log agree to ~1 ulp — adjacent representable u values
+    shift the score by ~2^-24 relative, nine orders of magnitude
+    coarser, so the argmax cannot flip across engines (and only the
+    integer shard ids are output, never the float scores). Ties
+    break to the smaller shard id in both implementations.
+    """
+    d = _t(spark, sf_dir, "documents")
+
+    def wscore(s):
+        u = ((F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":wshard:{s}"))), 1, 6),
+            16, 10).cast("double") + F.lit(0.5))
+            / F.lit(16777216.0))
+        return -F.lit(float(s + 1)) / F.log(u)
+
+    def argmax(n):
+        arr = F.array(*[F.struct(wscore(s).alias("sc"),
+                                 F.lit(-s).cast("int").alias("ns"))
+                        for s in range(n)])
+        # max over (score, -s): ties (never observed; u-collisions
+        # give EQUAL scores only under equal weights) break to the
+        # smallest shard id, matching the oracle's list_position
+        # first-match rule.
+        return -F.array_max(arr)["ns"]
+
+    return d.select(
+        "doc_id",
+        argmax(4).cast("int").alias("shard4"),
+        argmax(5).cast("int").alias("shard5"),
+        (argmax(4) != argmax(5)).alias("moved"))

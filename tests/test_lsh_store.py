@@ -162,3 +162,26 @@ def test_pruned_probe_evaluates_batch_lineage_once(spark):
         finally:
             for t in ("t_lsh4_bands", "t_lsh4_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_probe_small_query_takes_pruned_regime(spark):
+    """VERDICT r8 #2: `doc_lsh_store_probe_small`'s certified path
+    must BE the In()-pruned one — its batch stays under the 2048
+    regime gate (batch * 16 bands) at every scale the driver/bench
+    run, unlike the bulk increment batch which correctly full-scans."""
+    from pudl_spark.catalog import read_parquet_table
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = read_parquet_table(
+            spark, f"/root/testdata/sf{sf}/documents.parquet")
+        n = d.filter(F.col("doc_id") % 43 == 0).count()
+        assert 0 < n * 16 <= 2048, (sf, n)
+    out = QUERIES["doc_lsh_store_probe_small"](spark,
+                                               "/root/testdata/sf0.01")
+    rows = out.collect()
+    # Non-trivially green at the driver's correctness scale: the
+    # sf0.01 batch really contains cross-split near-dup pairs.
+    assert len(rows) > 0
+    for r in rows:
+        assert r["new_id"] % 43 == 0 and r["corpus_id"] % 43 != 0
+        assert r["jaccard"] >= 0.8

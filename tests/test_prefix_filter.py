@@ -194,3 +194,31 @@ def test_property_suffix_filter_never_drops_pairs(seed, t, spark):
     assert set(got_on) == set(want)
     for p, j in want.items():
         assert abs(got_on[p] - j) < 1e-12
+
+
+def test_weighted_rendezvous_share_and_movement(spark):
+    from pudl_spark.plans.queries import QUERIES
+
+    out = QUERIES["doc_weighted_rendezvous_shards"](
+        spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert rows
+    n = len(rows)
+    for r in rows:
+        assert 0 <= r["shard4"] < 4 and 0 <= r["shard5"] < 5
+        # weighted HRW law: movement is only ever INTO the added
+        # shard — the old argmax is untouched unless the new shard
+        # beats it.
+        assert r["moved"] == (r["shard5"] == 4)
+        if not r["moved"]:
+            assert r["shard4"] == r["shard5"]
+    # expected shares w_s / sum(w): 1/10..4/10 over 4 shards, then
+    # the added shard takes 5/15 of the corpus. Generous envelopes
+    # for 500 docs (sigma ~ 2%).
+    from collections import Counter
+    c4 = Counter(r["shard4"] for r in rows)
+    for s in range(4):
+        want = (s + 1) / 10
+        assert abs(c4[s] / n - want) < 0.08, (s, c4[s] / n, want)
+    moved = sum(r["moved"] for r in rows) / n
+    assert abs(moved - 5 / 15) < 0.08, moved
