@@ -490,6 +490,18 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
         sort_cols=["id"], path=os.path.join(path, "sets"))
 
 
+def _table_location_bytes(spark, table_name: str) -> int:
+    """Total bytes under a table's storage location — a driver-side
+    filesystem METADATA call (ContentSummary), never a Spark job, so
+    regime gates can consult index size for free."""
+    loc = [r["data_type"]
+           for r in spark.sql(f"DESCRIBE FORMATTED {table_name}")
+           .collect() if r["col_name"] == "Location"][0]
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(jpath).getLength()
+
+
 def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                     id_col: str, text_col: str,
                     num_hashes: int = 64, bands: int = 16,
@@ -497,7 +509,8 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                     jaccard_threshold: float = 0.7,
                     prune_scan: bool = True,
                     max_prune_values: int = 2048,
-                    batch_rows: int | None = None) -> DataFrame:
+                    batch_rows: int | None = None,
+                    min_store_bytes: int = 4 << 30) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     signature only the batch, bucket-join against ``{prefix}_bands``,
     exact-verify against ``{prefix}_sets``. Returns
@@ -527,10 +540,27 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     here so the regime gate never triggers an extra action over the
     batch's lineage (a DERIVED batch — the output of a cleaning
     pipeline — would otherwise re-run that pipeline just to be
-    counted, ADVICE r8). In the pruned branch the batch is
-    additionally localCheckpoint()ed — it is small by the gate's own
-    definition — so its upstream DAG evaluates ONCE, not once per
-    collect/join consumer.
+    counted, ADVICE r8). A small batch is localCheckpoint()ed in
+    BOTH regimes — it is small by the gate's own definition — so its
+    upstream DAG evaluates ONCE, not once per collect/join consumer.
+
+    ``min_store_bytes`` (r9, measured): pruning exists to SKIP INDEX
+    BYTES, so it must not engage unless there are enough bytes to
+    skip. The pruned path pays ~3 extra driver-scheduled jobs (the
+    two value collects, one of which re-runs the batch-sized
+    candidate join) — ~2 s of fixed overhead on local[32] — while a
+    FULL scan of a toy index costs ~1 s: head-to-head at sf0.1 (117-
+    doc batch) the full path won 0.90 s vs 2.86 s, and at 10x data
+    1.1-2.1 s vs 4.6-5.1 s — the index is simply too small for
+    byte-skipping to matter below a few GB. The default engages
+    In() pruning only when the two index tables exceed 4 GiB
+    (roughly where a full scan's read time crosses the fixed prune
+    overhead at ~2 GB/s local scan rate; at 100 TB-class indexes the
+    pruned path is the only sane one). The size check is a
+    filesystem metadata call, not a job. Pass 0 to force pruning
+    (the certified small-probe query does, so the In() path keeps
+    hash-grade correctness evidence); results are join-exact in
+    every regime: pruned == unpruned.
     """
     store_bands = spark.table(f"{table_prefix}_bands")
     store_sets = spark.table(f"{table_prefix}_sets")
@@ -541,14 +571,20 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     # caller supplies batch_rows) — never paying the signature pass
     # twice.
     n = batch_rows if batch_rows is not None else new_docs.count()
-    if prune_scan and n * bands <= max_prune_values:
+    small = n * bands <= max_prune_values
+    if small:
         # Small by the gate (<= max_prune_values/bands rows): cut the
         # batch's lineage so the bucket collect, the candidate join
         # and the verify all read materialized rows instead of
         # re-running the caller's upstream pipeline.
         new_docs = new_docs.localCheckpoint()
-        nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
-                        shingle_k)
+    nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
+                    shingle_k)
+    if (prune_scan and small
+            and (min_store_bytes <= 0
+                 or _table_location_bytes(spark, f"{table_prefix}_bands")
+                 + _table_location_bytes(spark, f"{table_prefix}_sets")
+                 >= min_store_bytes)):
         # Bounded collect: one row per distinct batch band-hash.
         vals = [r["bucket"] for r in
                 nb.select("bucket").distinct()
@@ -557,9 +593,6 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         if pruned:
             store_bands = store_bands.filter(
                 F.col("bucket").isin(sorted(vals)))
-    else:
-        nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
-                        shingle_k)
     cand = (
         nb.alias("a").join(
             store_bands.alias("b"),

@@ -8629,7 +8629,12 @@ def doc_lsh_store_probe_small(spark, sf_dir):
     predicates pushed into BOTH store scans, so the (band, bucket)-
     and id-sorted index files prune to the row groups the batch
     actually touches — per-probe bytes follow the batch, not the
-    corpus (plan pinned in tests/test_lsh_store.py). Same exact
+    corpus (plan pinned in tests/test_lsh_store.py).
+    ``min_store_bytes=0`` forces the pruned regime here: at test
+    scale the index is far below the measured ~4 GiB crossover where
+    byte-skipping beats the prune path's fixed job overhead
+    (SCALE.md r9), but THIS query's purpose is hash-grade
+    correctness evidence for exactly that serving path. Same exact
     cross-split shingle-Jaccard oracle at j >= 0.8, the threshold
     the 16x4 banding argument covers.
     """
@@ -8645,7 +8650,8 @@ def doc_lsh_store_probe_small(spark, sf_dir):
                         os.path.join(td, "store"))
         try:
             out = lsh_store_probe(spark, "lsh_small", batch, "doc_id",
-                                  "text", jaccard_threshold=0.8)
+                                  "text", jaccard_threshold=0.8,
+                                  min_store_bytes=0)
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): bounded — O(the batch's dup pairs).
             return spark.createDataFrame(out.collect(), out.schema)

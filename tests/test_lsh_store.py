@@ -106,7 +106,8 @@ def test_probe_prunes_store_scans(spark):
                         os.path.join(td, "store"))
         try:
             out = lsh_store_probe(spark, "t_lsh3", batch, "doc_id",
-                                  "text", jaccard_threshold=0.5)
+                                  "text", jaccard_threshold=0.5,
+                                  min_store_bytes=0)
             plan = (out._jdf.queryExecution().executedPlan()
                     .toString())
             bands_scans = [ln for ln in plan.splitlines()
@@ -129,9 +130,9 @@ def test_probe_prunes_store_scans(spark):
 def test_pruned_probe_evaluates_batch_lineage_once(spark):
     """ADVICE r8: a DERIVED probe batch (the output of an upstream
     pipeline) must not re-run that pipeline once per gate/collect/
-    join consumer. With batch_rows supplied and the pruned branch's
-    localCheckpoint, the batch's upstream DAG evaluates exactly
-    once."""
+    join consumer. With batch_rows supplied and the small-batch
+    localCheckpoint (both regimes), the batch's upstream DAG
+    evaluates exactly once."""
     sc = spark.sparkContext
     acc = sc.accumulator(0)
 
@@ -185,3 +186,36 @@ def test_probe_small_query_takes_pruned_regime(spark):
     for r in rows:
         assert r["new_id"] % 43 == 0 and r["corpus_id"] % 43 != 0
         assert r["jaccard"] >= 0.8
+
+
+def test_store_bytes_gate_skips_pruning_on_small_index(spark):
+    """r9 measured regime fix: In() pruning exists to skip index
+    BYTES, so below the min_store_bytes crossover a small batch takes
+    the plain full-scan join (head-to-head the full path won 0.90 s
+    vs 2.86 s at sf0.1 — SCALE.md r9). min_store_bytes=0 still forces
+    the pruned plan, and both regimes are join-exact."""
+    from pudl_spark.functions.dedup import _table_location_bytes
+
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_lsh5",
+                        os.path.join(td, "store"))
+        try:
+            nbytes = (_table_location_bytes(spark, "t_lsh5_bands")
+                      + _table_location_bytes(spark, "t_lsh5_sets"))
+            assert 0 < nbytes < 4 << 30  # a toy index, below the gate
+            out = lsh_store_probe(spark, "t_lsh5", batch, "doc_id",
+                                  "text", jaccard_threshold=0.5)
+            plan = (out._jdf.queryExecution().executedPlan()
+                    .toString())
+            assert "In(bucket" not in plan, plan  # full-scan regime
+            got = sorted(map(tuple, out.collect()))
+            ref = sorted(map(tuple, lsh_store_probe(
+                spark, "t_lsh5", batch, "doc_id", "text",
+                jaccard_threshold=0.5, min_store_bytes=0).collect()))
+            assert got == ref and got
+        finally:
+            for t in ("t_lsh5_bands", "t_lsh5_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
