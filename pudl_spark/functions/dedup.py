@@ -265,7 +265,7 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
                         jaccard_threshold: float = 0.7,
-                        suffix_filter: bool = True,
+                        suffix_filter: bool = False,
                         broadcast_freq: bool = False) -> DataFrame:
     """DETERMINISTICALLY COMPLETE near-dup pairs via prefix filtering
     (SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006; All-Pairs, Bayardo et
@@ -290,19 +290,29 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     construction (the frequent tokens that would explode the join
     land in suffixes). Returns (id_a, id_b, jaccard), id_a < id_b.
 
-    ``suffix_filter`` (default on) adds PPJoin+'s remaining pruning
-    stage (Xiao et al. WWW 2008, Algorithm 3 at depth 1): for each
-    pair's FIRST common prefix token, partition both suffixes around
-    the probing token in the middle of one suffix and lower-bound
-    their Hamming distance — pairs whose resulting overlap ceiling
-    falls below the threshold never reach the exact verify. Sound by
-    the same one-direction argument as the prefix bounds: the
-    Hamming partition bound is exact integer arithmetic, the only
-    float (the required-overlap threshold) is shaved DOWNWARD, and
-    the first-match row of any QUALIFYING pair always survives the
-    join-level filters, so the per-pair min is the true first match
-    and zero common tokens precede it (overlap = 1 + overlap of the
-    suffixes exactly).
+    ``suffix_filter`` (default OFF — measured) adds PPJoin+'s
+    remaining pruning stage (Xiao et al. WWW 2008, Algorithm 3 at
+    depth 1): for each pair's FIRST common prefix token, partition
+    both suffixes around the probing token in the middle of one
+    suffix and lower-bound their Hamming distance — pairs whose
+    resulting overlap ceiling falls below the threshold never reach
+    the exact verify. Sound by the same one-direction argument as
+    the prefix bounds: the Hamming partition bound is exact integer
+    arithmetic, the only float (the required-overlap threshold) is
+    shaved DOWNWARD, and the first-match row of any QUALIFYING pair
+    always survives the join-level filters, so the per-pair min is
+    the true first match and zero common tokens precede it (overlap
+    = 1 + overlap of the suffixes exactly). Why off by default: in
+    the paper the suffix probe runs IN MEMORY while both records are
+    already at hand; distributed, it costs two extra candidate-sized
+    joins against the full ordered-token arrays. Measured at t=0.5:
+    candidates drop 14% (124.8k -> 107.1k at sf0.1; 12.7M -> 10.9M
+    at 10x), but wall goes +12% drift-adjusted at sf0.1 and ~6x at
+    10x data (31 s -> 179 s, SCALE.md r9) — the exact verify it
+    saves is cheaper than the joins it adds at every measured scale.
+    Turn it on only when documents are long enough (and true-dup
+    density low enough) that per-pair verification dominates the
+    pair-side joins.
 
     Skew note (ADVICE r8): both the prefix and the suffix stage join
     the corpus-sized exploded token table to the frequency table on
@@ -356,33 +366,37 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     b_left = F.col("b.__n") - F.col("b.__rn") + F.lit(1)
     min_overlap = (F.lit(t) / F.lit(1.0 + t)
                    * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9))
-    matches = (prefix.alias("a")
-               .join(prefix.alias("b"),
-                     on=[F.col("a.__tok") == F.col("b.__tok"),
-                         F.col("a.id") < F.col("b.id"),
-                         F.col("b.__n")
-                         >= ceil_safe(F.lit(t) * F.col("a.__n")),
-                         F.col("a.__n")
-                         >= ceil_safe(F.lit(t) * F.col("b.__n")),
-                         F.least(a_left, b_left) >= min_overlap])
-               .select(F.col("a.id").alias("id_a"),
-                       F.col("b.id").alias("id_b"),
-                       F.struct(F.col("a.__rn").alias("rn_a"),
-                                F.col("b.__rn").alias("rn_b"),
-                                F.col("a.__n").alias("n_a"),
-                                F.col("b.__n").alias("n_b"))
-                       .alias("__m")))
-    # One row per pair at its FIRST common prefix token: common
-    # tokens appear in the same relative order on both sides (one
-    # global canonical order), so the lexicographic struct-min picks
-    # the match that no common token precedes — the position the
-    # suffix filter's overlap accounting is exact at. Same shuffle
-    # the old dropDuplicates paid; the payload grows by 4 ints.
-    first = (matches.groupBy("id_a", "id_b")
-             .agg(F.min("__m").alias("__m")))
+    joined = (prefix.alias("a")
+              .join(prefix.alias("b"),
+                    on=[F.col("a.__tok") == F.col("b.__tok"),
+                        F.col("a.id") < F.col("b.id"),
+                        F.col("b.__n")
+                        >= ceil_safe(F.lit(t) * F.col("a.__n")),
+                        F.col("a.__n")
+                        >= ceil_safe(F.lit(t) * F.col("b.__n")),
+                        F.least(a_left, b_left) >= min_overlap]))
     if suffix_filter:
-        first = _ppjoin_suffix_filter(first, tokf, t)
-    cand = first.select("id_a", "id_b")
+        # One row per pair at its FIRST common prefix token: common
+        # tokens appear in the same relative order on both sides
+        # (one global canonical order), so the lexicographic
+        # struct-min picks the match that no common token precedes —
+        # the position the suffix filter's overlap accounting is
+        # exact at. Same shuffle the dropDuplicates path pays; the
+        # payload grows by 4 ints.
+        matches = joined.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.struct(F.col("a.__rn").alias("rn_a"),
+                     F.col("b.__rn").alias("rn_b"),
+                     F.col("a.__n").alias("n_a"),
+                     F.col("b.__n").alias("n_b")).alias("__m"))
+        first = (matches.groupBy("id_a", "id_b")
+                 .agg(F.min("__m").alias("__m")))
+        cand = (_ppjoin_suffix_filter(first, tokf, t)
+                .select("id_a", "id_b"))
+    else:
+        cand = (joined.select(F.col("a.id").alias("id_a"),
+                              F.col("b.id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
     return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b", t)
 
 
