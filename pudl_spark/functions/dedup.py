@@ -504,6 +504,37 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
         sort_cols=["id"], path=os.path.join(path, "sets"))
 
 
+def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
+                        id_col: str, text_col: str,
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 3,
+                        num_buckets: int = 8) -> None:
+    """INGEST a batch into the persisted LSH index — the write half
+    of the probe-then-ingest loop a growing corpus runs every batch
+    (r9; the IVF twin is `similarity.append_to_ivf_store`): the
+    batch's band keys and shingle sets append into the two bucketed
+    tables under the build's exact bucket/sort spec, so downstream
+    probes keep their Exchange-free store side across appends.
+    Index rows are per-document and independent, so append(batch) ==
+    rebuild(corpus UNION batch) UNCONDITIONALLY (unlike the IVF
+    append, which also needs the batch to contribute no seeds) —
+    pinned in tests/test_lsh_store.py. Work is O(batch): signature +
+    shingle the batch, two bucketed appends, nothing corpus-sized.
+    Parameters must match the build.
+    """
+    from pudl_spark.sources.files import write_bucketed_table
+
+    write_bucketed_table(
+        oph_banded(new_docs, id_col, text_col, num_hashes, bands,
+                   shingle_k),
+        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
+        sort_cols=["band", "bucket", "id"], mode="append")
+    write_bucketed_table(
+        shingle_hash_sets(new_docs, id_col, text_col, shingle_k),
+        f"{table_prefix}_sets", ["id"], num_buckets,
+        sort_cols=["id"], mode="append")
+
+
 def _table_location_bytes(spark, table_name: str) -> int:
     """Total bytes under a table's storage location — a driver-side
     filesystem METADATA call (ContentSummary), never a Spark job, so

@@ -219,3 +219,43 @@ def test_store_bytes_gate_skips_pruning_on_small_index(spark):
         finally:
             for t in ("t_lsh5_bands", "t_lsh5_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_equals_rebuild_and_probe_sees_ingested(spark):
+    """r9: append(batch) == rebuild(corpus UNION batch) for the LSH
+    index — rows are per-doc, so the equality is unconditional — and
+    a subsequent probe finds near-dups against the INGESTED docs."""
+    from pudl_spark.functions.dedup import append_to_lsh_store
+
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 7 > 1)
+    batch1 = d.filter(F.col("doc_id") % 7 == 1)
+    batch2 = d.filter(F.col("doc_id") % 7 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_lsh6",
+                        os.path.join(td, "inc"))
+        build_lsh_store(spark, d.filter(F.col("doc_id") % 7 != 0),
+                        "doc_id", "text", "t_lsh7",
+                        os.path.join(td, "full"))
+        try:
+            append_to_lsh_store(spark, "t_lsh6", batch1, "doc_id",
+                                "text")
+            for suffix in ("_bands", "_sets"):
+                got = sorted(map(tuple, spark.table(f"t_lsh6{suffix}")
+                                 .collect()))
+                want = sorted(map(tuple, spark.table(f"t_lsh7{suffix}")
+                                  .collect()))
+                assert got == want and got, suffix
+            # The grown index serves probes: batch2 vs corpus+batch1
+            # must equal the probe against the from-scratch index.
+            got = sorted(map(tuple, lsh_store_probe(
+                spark, "t_lsh6", batch2, "doc_id", "text",
+                jaccard_threshold=0.5).collect()))
+            want = sorted(map(tuple, lsh_store_probe(
+                spark, "t_lsh7", batch2, "doc_id", "text",
+                jaccard_threshold=0.5).collect()))
+            assert got == want and got
+        finally:
+            for t in ("t_lsh6_bands", "t_lsh6_sets",
+                      "t_lsh7_bands", "t_lsh7_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
