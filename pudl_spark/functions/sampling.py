@@ -125,3 +125,96 @@ def bottomk_sample(df: DataFrame, by: list[str], id_col: str,
     return (pre.withColumn(rank_col,
                            F.row_number().over(w).cast("bigint"))
             .filter(F.col(rank_col) <= k))
+
+
+def weighted_bottomk_sample(df: DataFrame, by: list[str], id_col: str,
+                            weight_col: str, k: int = 10,
+                            salt: str = ":wsmp",
+                            safety: float = 8.0,
+                            rank_col: str = "smp_rank",
+                            max_strata: int = 100_000) -> DataFrame:
+    """Exact weight-proportional without-replacement k-sample per
+    stratum (Efraimidis & Spirakis 2006, the exponential-race form) —
+    the data-mixing primitive a training pipeline uses to sample
+    documents proportional to a quality/importance score.
+
+    Each row races with key ``e = -ln(u) / w`` where
+    ``u = (24-bit md5(id||salt) prefix + 0.5) / 2^24`` — exact
+    arithmetic, never 0 or 1, deterministic across runs and engines
+    (the same portability argument as the weighted-HRW query: ln is
+    the only inexact op and adjacent u values move e nine orders of
+    magnitude more than a cross-engine ulp). The k smallest e per
+    stratum are a weighted without-replacement sample: for k=1 the
+    inclusion probability is EXACTLY w_i / sum(w) (the exponential
+    race), and iterating removes the winner — the A-ES reservoir
+    semantics, computed in one pass.
+
+    Scale shape mirrors `bottomk_sample`: e < thr survivors with
+    ``thr = safety * k / W`` (W = stratum weight total; expected
+    survivors = sum(1 - exp(-thr*w_i)) <= thr*W = safety*k), then
+    the shortfall GUARD re-admits any stratum whose survivor count
+    dropped below min(k, n) — if a true bottom-k row were cut, every
+    survivor would rank below it and the stratum would hold < k
+    survivors, so the guard makes the result exact regardless of
+    weight skew. Only ~safety*k rows per stratum ever reach the
+    ranking shuffle. Same bounded-driver-state contract and
+    ``max_strata`` guard as `bottomk_sample`.
+
+    Rows with NULL or non-positive weight never sample (weight 0 by
+    definition). Ties (impossible for distinct ids) break by id.
+    """
+    df = df.filter(F.col(weight_col) > 0)
+    u = ((F.conv(F.substring(_hash_key(id_col, salt), 1, 6), 16, 10)
+          .cast("double") + F.lit(0.5)) / F.lit(float(_HEX6_MAX)))
+    e = -F.log(u) / F.col(weight_col).cast("double")
+    counts = (df.groupBy(*by)
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(weight_col).cast("double")).alias("W"))
+              .limit(max_strata + 1).collect())
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"weighted_bottomk_sample: more than max_strata="
+            f"{max_strata} strata in {by}; per-stratum driver state "
+            "would be unbounded. Aggregate the strata first or use a "
+            "rate-based hash-threshold sample.")
+    spark = df.sparkSession
+    thr_rows = []
+    for r in counts:
+        thr = (float("inf") if r["n"] <= safety * k
+               else safety * k / r["W"])
+        thr_rows.append(tuple(r[c] for c in by) + (thr,))
+    thr_df = spark.createDataFrame(
+        thr_rows,
+        df.select(*by).schema.add("__thr", "double")).select(
+            *[F.col(c).alias(f"__t_{c}") for c in by], "__thr")
+
+    def stratum_cond(right):
+        c = F.lit(True)
+        for col in by:
+            c = c & F.col(col).eqNullSafe(right(col))
+        return c
+
+    pre = (df.join(F.broadcast(thr_df),
+                   on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+           .filter(e < F.col("__thr"))
+           .drop("__thr", *[f"__t_{c}" for c in by]))
+    need = {tuple(r[c] for c in by): min(k, r["n"]) for r in counts}
+    got = {tuple(r[c] for c in by): r["count"]
+           for r in pre.groupBy(*by).count().collect()}
+    short = [s for s, m in need.items() if got.get(s, 0) < m]
+    if short:
+        short_df = spark.createDataFrame(
+            [s for s in short], df.select(*by).schema).select(
+                *[F.col(c).alias(f"__s_{c}") for c in by])
+        readmit = (df.join(F.broadcast(short_df),
+                           on=stratum_cond(lambda c: F.col(f"__s_{c}")),
+                           how="left_semi")
+                   .join(F.broadcast(thr_df),
+                         on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+                   .filter(e >= F.col("__thr"))
+                   .drop("__thr", *[f"__t_{c}" for c in by]))
+        pre = pre.unionByName(readmit)
+    w = Window.partitionBy(*by).orderBy(e.asc(), F.col(id_col).asc())
+    return (pre.withColumn(rank_col,
+                           F.row_number().over(w).cast("bigint"))
+            .filter(F.col(rank_col) <= k))

@@ -637,3 +637,61 @@ class TestExactQuantilesNarrowing:
         rows = exact_quantiles(df, "x", [0.5, 0.5, 0.9]).collect()
         got = {r["quantile"]: r["value"] for r in rows}
         assert len(rows) == 2 and got == self._brute(vals, [0.5, 0.9])
+
+
+class TestWeightedBottomK:
+    def test_exact_vs_naive_window(self, spark):
+        """Prefilter + shortfall guard must reproduce the exact
+        naive per-stratum top-k-by-race-key result, including tiny
+        strata the threshold skips and skewed weights."""
+        from pudl_spark.functions.sampling import weighted_bottomk_sample
+
+        rows = [(i, f"s{i % 3}", float(1 + (i * 7) % 50)) for i in range(300)]
+        rows += [(1000, "tiny", 5.0), (1001, "tiny", 1.0)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+        got = {(r["lang"], r["doc_id"], r["smp_rank"])
+               for r in weighted_bottomk_sample(
+                   df, ["lang"], "doc_id", "w", k=5).collect()}
+        # naive reference in python over the same deterministic race
+        import hashlib, math as m
+        by_s = {}
+        for i, s, w in rows:
+            hx = int(hashlib.md5(f"{i}:wsmp".encode()).hexdigest()[:6], 16)
+            u = (hx + 0.5) / 16 ** 6
+            by_s.setdefault(s, []).append((-m.log(u) / w, i))
+        want = set()
+        for s, lst in by_s.items():
+            for rk, (_, i) in enumerate(sorted(lst)[:5], 1):
+                want.add((s, i, rk))
+        assert got == want
+
+    def test_inclusion_proportional_to_weight_k1(self, spark):
+        """Exponential race law: for k=1 the winner is item i with
+        probability exactly w_i / sum(w); 400 independent strata give
+        a tight frequency check."""
+        from collections import Counter
+
+        from pudl_spark.functions.sampling import weighted_bottomk_sample
+
+        rows = [(s * 100 + i, s, i, float(i + 1))
+                for s in range(400) for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "uid long, stratum int, item int, w double")
+        got = weighted_bottomk_sample(df, ["stratum"], "uid", "w",
+                                      k=1).collect()
+        assert len(got) == 400
+        freq = Counter(r["item"] for r in got)
+        for i in range(4):
+            want = (i + 1) / 10
+            assert abs(freq[i] / 400 - want) < 0.09, (i, freq[i] / 400)
+
+    def test_nonpositive_weights_never_sample(self, spark):
+        from pudl_spark.functions.sampling import weighted_bottomk_sample
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 0.0), (3, "a", -2.0),
+             (4, "a", None)],
+            "doc_id long, lang string, w double")
+        got = weighted_bottomk_sample(df, ["lang"], "doc_id", "w",
+                                      k=10).collect()
+        assert {r["doc_id"] for r in got} == {1}
