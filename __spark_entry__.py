@@ -105,6 +105,13 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "part_copurchase_triangles", "primary_priority_share",
     "spot_fix_regions", "sum_min_count_semantics",
     "uncategorized_part_types",
+    # -- r10 queue: the 45 r6-certified rows (alphabetically from
+    #    `ann_ivf_topk`) lead the next re-cert prefix; with 45 slots
+    #    spoken for, r10 has room for <= 5 touched/new queries —
+    #    first in line are the two r9 functions shipped with
+    #    pytest-only certification: `append_to_lsh_store`
+    #    (doc_lsh_store_ingest) and `weighted_bottomk_sample`
+    #    (doc_weighted_sample). --
 ]
 
 

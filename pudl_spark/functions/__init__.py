@@ -26,5 +26,8 @@ from pudl_spark.functions.similarity import (
     lsh_bucket_topk, build_ivf_store, append_to_ivf_store,
     ivf_store_topk,
 )
+from pudl_spark.functions.sampling import (
+    bottomk_sample, weighted_bottomk_sample,
+)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

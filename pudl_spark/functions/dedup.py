@@ -471,6 +471,9 @@ def minhash_dedup(df: DataFrame, id_col: str, text_col: str,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+_STORE_BYTES_CACHE: dict[str, int] = {}
+
+
 def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
                     table_prefix: str, path: str,
                     num_hashes: int = 64, bands: int = 16,
@@ -493,6 +496,7 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
 
     for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _STORE_BYTES_CACHE.pop(t, None)  # rebuilt size differs
     write_bucketed_table(
         oph_banded(df, id_col, text_col, num_hashes, bands, shingle_k),
         f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
@@ -533,18 +537,32 @@ def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
         shingle_hash_sets(new_docs, id_col, text_col, shingle_k),
         f"{table_prefix}_sets", ["id"], num_buckets,
         sort_cols=["id"], mode="append")
+    # The index grew: drop the probe gate's cached sizes so the next
+    # probe re-reads them (r9 self-review).
+    for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+        _STORE_BYTES_CACHE.pop(t, None)
 
 
 def _table_location_bytes(spark, table_name: str) -> int:
     """Total bytes under a table's storage location — a driver-side
-    filesystem METADATA call (ContentSummary), never a Spark job, so
-    regime gates can consult index size for free."""
+    filesystem metadata call (ContentSummary), never a Spark job.
+    CACHED per table name (r9 self-review): on HDFS the summary is
+    one RPC, but on object stores it is a recursive O(files) listing
+    — a serving loop must not pay that walk per probe. The cache is
+    invalidated by `append_to_lsh_store` (the only in-engine way a
+    store grows); external growth merely delays the gate flipping to
+    the pruned regime, which is a performance choice, not a
+    correctness one (pruned == unpruned always)."""
+    if table_name in _STORE_BYTES_CACHE:
+        return _STORE_BYTES_CACHE[table_name]
     loc = [r["data_type"]
            for r in spark.sql(f"DESCRIBE FORMATTED {table_name}")
            .collect() if r["col_name"] == "Location"][0]
     jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.getContentSummary(jpath).getLength()
+    size = fs.getContentSummary(jpath).getLength()
+    _STORE_BYTES_CACHE[table_name] = size
+    return size
 
 
 def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,

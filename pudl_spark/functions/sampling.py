@@ -145,9 +145,14 @@ def weighted_bottomk_sample(df: DataFrame, by: list[str], id_col: str,
     the only inexact op and adjacent u values move e nine orders of
     magnitude more than a cross-engine ulp). The k smallest e per
     stratum are a weighted without-replacement sample: for k=1 the
-    inclusion probability is EXACTLY w_i / sum(w) (the exponential
-    race), and iterating removes the winner — the A-ES reservoir
-    semantics, computed in one pass.
+    inclusion probability is w_i / sum(w) (the exponential race law,
+    exact up to the 2^-24 u-quantization grid), and iterating
+    removes the winner — the A-ES reservoir semantics, computed in
+    one pass. Distinct ids CAN tie: e uses only the 24-bit digest
+    prefix, so two ids with colliding prefixes and equal weights get
+    identical keys — the id tie-break below is load-bearing (do not
+    drop it), keeping the sample deterministic under collisions just
+    as `bottomk_sample`'s full-digest ordering does.
 
     Scale shape mirrors `bottomk_sample`: e < thr survivors with
     ``thr = safety * k / W`` (W = stratum weight total; expected
@@ -161,7 +166,13 @@ def weighted_bottomk_sample(df: DataFrame, by: list[str], id_col: str,
     ``max_strata`` guard as `bottomk_sample`.
 
     Rows with NULL or non-positive weight never sample (weight 0 by
-    definition). Ties (impossible for distinct ids) break by id.
+    definition).
+
+    NOTE (r9 self-review): this shares its prefilter/guard
+    scaffolding shape with `bottomk_sample` by design; a unifying
+    helper is queued for r10 so the NULL-stratum eqNullSafe rule and
+    the exactness guard live once (it touches the certified
+    `doc_bottomk_sample`, whose re-cert slot the r9 prefix lacks).
     """
     df = df.filter(F.col(weight_col) > 0)
     u = ((F.conv(F.substring(_hash_key(id_col, salt), 1, 6), 16, 10)

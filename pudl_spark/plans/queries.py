@@ -7243,6 +7243,22 @@ _IVF_PROBE_CTES = f"""base AS (
 )"""
 
 
+# The vec->seed assignment CTE shared BYTE-IDENTICALLY by the
+# three oracles that replay it bare (cell stats, store probe,
+# store append) — r7 self-review lesson #5: duplicated oracle
+# SQL diverges. embedding_semantic_dedup's variant carries
+# extra columns and stays inline.
+_IVF_ASSIGNED_CTE = f"""assigned AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT e.vec_id, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
+)"""
+
+
 @query("embedding_semantic_dedup", sql=f"""
 WITH {_IVF_PROBE_CTES}, assigned AS (
   SELECT vec_id, embedding, seed_id AS cluster_seed FROM (
@@ -8036,15 +8052,7 @@ def embedding_ivf_clusters(spark, sf_dir):
 
 
 @query("ivf_store_cell_stats", sql=f"""
-WITH RECURSIVE {_IVF_PROBE_CTES}, assigned AS (
-  SELECT vec_id, seed_id FROM (
-    SELECT e.vec_id, sc.seed_id,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
-        sc.seed_id ASC) AS rn
-    FROM base e JOIN probes p ON p.vec_id = e.vec_id
-    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
-), cells AS (
+WITH RECURSIVE {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}, cells AS (
   SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
     e.vec_id, e.embedding
   FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
@@ -8245,15 +8253,7 @@ def doc_lsh_store_increment(spark, sf_dir):
 
 
 @query("ann_ivf_store_probe", sql=f"""
-WITH {_IVF_PROBE_CTES}, assigned AS (
-  SELECT vec_id, seed_id FROM (
-    SELECT e.vec_id, sc.seed_id,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
-        sc.seed_id ASC) AS rn
-    FROM base e JOIN probes p ON p.vec_id = e.vec_id
-    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
-), cells AS (
+WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}, cells AS (
   SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
     e.vec_id, e.embedding
   FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
@@ -8664,15 +8664,7 @@ def doc_lsh_store_probe_small(spark, sf_dir):
 
 
 @query("ivf_store_append", sql=f"""
-WITH {_IVF_PROBE_CTES}, assigned AS (
-  SELECT vec_id, seed_id FROM (
-    SELECT e.vec_id, sc.seed_id,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {_SEMDEDUP_COS.format(a='e.embedding', b='sc.seed_vec')} DESC,
-        sc.seed_id ASC) AS rn
-    FROM base e JOIN probes p ON p.vec_id = e.vec_id
-    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
-)
+WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}
 SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
 FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
 """)
