@@ -107,11 +107,14 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "uncategorized_part_types",
     # -- r10 queue: the 45 r6-certified rows (alphabetically from
     #    `ann_ivf_topk`) lead the next re-cert prefix; with 45 slots
-    #    spoken for, r10 has room for <= 5 touched/new queries —
-    #    first in line are the two r9 functions shipped with
-    #    pytest-only certification: `append_to_lsh_store`
-    #    (doc_lsh_store_ingest) and `weighted_bottomk_sample`
-    #    (doc_weighted_sample). --
+    #    spoken for, r10 has room for <= 5 touched/new queries.
+    #    First in line: `doc_lsh_store_ingest` and
+    #    `doc_weighted_sample`, STAGED ready-to-register in
+    #    pudl_spark/plans/queued.py — their query/oracle pairs
+    #    already pass the driver-style differential check at sf0.01
+    #    (tests/test_r10_queue.py), so registration is a move.
+    #    Also queued: unify bottomk/weighted_bottomk scaffolding
+    #    (touches certified doc_bottomk_sample). --
 ]
 
 
