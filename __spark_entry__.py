@@ -114,7 +114,12 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    already pass the driver-style differential check at sf0.01
     #    (tests/test_r10_queue.py), so registration is a move.
     #    Also queued: unify bottomk/weighted_bottomk scaffolding
-    #    (touches certified doc_bottomk_sample). --
+    #    (touches certified doc_bottomk_sample), and derive
+    #    build_lsh_store's bands pass from the just-written sets
+    #    table instead of re-shingling the raw text (saves one full
+    #    corpus text pass per index build; touches oph_banded and so
+    #    re-certifies the minhash family — needs their prefix
+    #    slots). --
 ]
 
 
