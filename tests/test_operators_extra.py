@@ -695,3 +695,45 @@ class TestWeightedBottomK:
         got = weighted_bottomk_sample(df, ["lang"], "doc_id", "w",
                                       k=10).collect()
         assert {r["doc_id"] for r in got} == {1}
+
+    def test_property_exact_under_weight_skew(self, spark):
+        """Fuzz the exactness guard: random corpora with weights
+        spanning 6 orders of magnitude (skew pushes most races far
+        from the threshold, the shortfall path triggers for tiny or
+        skewed strata) must equal the naive reference exactly."""
+        import hashlib
+        import math as m
+
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pudl_spark.functions.sampling import weighted_bottomk_sample
+
+        @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+        @settings(max_examples=3, deadline=None)
+        def check(seed):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(5, 60))
+            rows = [(i, f"s{int(rng.integers(0, 4))}",
+                     float(10.0 ** rng.uniform(-3, 3)))
+                    for i in range(n)]
+            df = spark.createDataFrame(
+                rows, "doc_id long, lang string, w double")
+            k = int(rng.integers(1, 6))
+            got = {(r["lang"], r["doc_id"], r["smp_rank"])
+                   for r in weighted_bottomk_sample(
+                       df, ["lang"], "doc_id", "w", k=k).collect()}
+            by_s = {}
+            for i, s, w in rows:
+                hx = int(hashlib.md5(
+                    f"{i}:wsmp".encode()).hexdigest()[:6], 16)
+                u = (hx + 0.5) / 16 ** 6
+                by_s.setdefault(s, []).append((-m.log(u) / w, i))
+            want = set()
+            for s, lst in by_s.items():
+                for rk, (_, i) in enumerate(sorted(lst)[:k], 1):
+                    want.add((s, i, rk))
+            assert got == want
+
+        check()
