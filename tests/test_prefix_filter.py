@@ -222,3 +222,21 @@ def test_weighted_rendezvous_share_and_movement(spark):
         assert abs(c4[s] / n - want) < 0.08, (s, c4[s] / n, want)
     moved = sum(r["moved"] for r in rows) / n
     assert abs(moved - 5 / 15) < 0.08, moved
+
+
+def test_broadcast_freq_same_output_and_broadcast_plan(spark):
+    """ADVICE r8: bounded-vocab callers can broadcast the token
+    frequency table — the output is unchanged and the freq join side
+    plans as a broadcast (no __tok shuffle to skew)."""
+    docs = [(i, " ".join(f"w{(i + j) % 9}" for j in range(8)))
+            for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_b = prefix_filter_pairs(df, "doc_id", "text",
+                                jaccard_threshold=0.5,
+                                broadcast_freq=True)
+    plan = got_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    got = sorted(map(tuple, got_b.collect()))
+    want = sorted(map(tuple, prefix_filter_pairs(
+        df, "doc_id", "text", jaccard_threshold=0.5).collect()))
+    assert got == want and got
