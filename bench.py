@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "doc_lsh_store_probe_small",
     "ivf_store_append",
     "doc_weighted_rendezvous_shards",
+    "doc_lsh_store_ingest",
+    "doc_weighted_sample",
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its

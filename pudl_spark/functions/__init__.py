@@ -20,7 +20,6 @@ from pudl_spark.functions.dedup import (
     append_to_lsh_store,
     prefix_filter_pairs,
 )
-from pudl_spark.functions.sampling import bottomk_sample
 from pudl_spark.functions.similarity import (
     cosine_similarity_expr, dot_expr, l2_norm_expr, brute_force_topk,
     lsh_bucket_topk, build_ivf_store, append_to_ivf_store,

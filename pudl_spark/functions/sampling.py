@@ -170,9 +170,10 @@ def weighted_bottomk_sample(df: DataFrame, by: list[str], id_col: str,
 
     NOTE (r9 self-review): this shares its prefilter/guard
     scaffolding shape with `bottomk_sample` by design; a unifying
-    helper is queued for r10 so the NULL-stratum eqNullSafe rule and
-    the exactness guard live once (it touches the certified
-    `doc_bottomk_sample`, whose re-cert slot the r9 prefix lacks).
+    helper is scheduled for r12 — the round whose re-cert queue
+    already holds the touched queries' slots (see the r12 queue note
+    in __spark_entry__.py) — so the NULL-stratum eqNullSafe rule and
+    the exactness guard live once.
     """
     df = df.filter(F.col(weight_col) > 0)
     u = ((F.conv(F.substring(_hash_key(id_col, salt), 1, 6), 16, 10)

@@ -8663,10 +8663,50 @@ def doc_lsh_store_probe_small(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@query("doc_lsh_store_ingest", sql=_lsh_cross_split_sql(7))
+def doc_lsh_store_ingest(spark, sf_dir):
+    """Probe-then-ingest round trip on the persisted LSH index
+    (registered r11 from the r9-staged queue): build on
+    doc_id % 7 > 1, INGEST the % 7 == 1 slice
+    (`dedup.append_to_lsh_store`), then probe the % 7 == 0 batch
+    against the GROWN index. The oracle is the increment query's
+    exact cross-split Jaccard (`_lsh_cross_split_sql(7)`) verbatim —
+    corpus side = everything not % 7 == 0 — so the hash certifies
+    that an appended index serves byte-identically to a
+    built-from-scratch one (append == rebuild is unconditional for
+    per-doc index rows; pinned in tests/test_lsh_store.py).
+    """
+    import tempfile
+
+    from pudl_spark.functions.dedup import (
+        append_to_lsh_store, build_lsh_store, lsh_store_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 > 1)
+    ingest = d.filter(F.col("doc_id") % 7 == 1)
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshing_") as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "lsh_ing",
+                        os.path.join(td, "store"))
+        try:
+            append_to_lsh_store(spark, "lsh_ing", ingest, "doc_id",
+                                "text")
+            out = lsh_store_probe(spark, "lsh_ing", batch, "doc_id",
+                                  "text", jaccard_threshold=0.8)
+            # Materialize before the store vanishes (sink-roundtrip
+            # pattern): bounded — O(the batch's dup pairs).
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            for t in ("lsh_ing_bands", "lsh_ing_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 @query("ivf_store_append", sql=f"""
 WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}
 SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
 FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+WHERE e.vec_id % 97 = 3 OR e.vec_id % 11 = 0
 """)
 def ivf_store_append(spark, sf_dir):
     """Incremental IVF store APPEND (VERDICT r8 #3): the corpus
@@ -8699,10 +8739,17 @@ def ivf_store_append(spark, sf_dir):
                         os.path.join(td, "store"))
         try:
             append_to_ivf_store(spark, "ivf_append_store", batch)
-            out = spark.table("ivf_append_store").select("cell", "vec_id")
-            # Materialize before the store vanishes: two longs per
-            # corpus row — the assignment itself is the certified
-            # artifact.
+            # Certify the APPENDED slice plus a deterministic 1/11
+            # corpus residue (VERDICT r9 #4 / r10 #6): the appended
+            # vectors are the operator's actual output and the
+            # residue pins that the pre-existing store rows survived
+            # the append untouched — same evidence, but the driver
+            # materialization is O(batch + corpus/11) instead of the
+            # full corpus assignment.
+            out = (spark.table("ivf_append_store")
+                   .filter((F.col("vec_id") % 97 == 3)
+                           | (F.col("vec_id") % 11 == 0))
+                   .select("cell", "vec_id"))
             return spark.createDataFrame(out.collect(), out.schema)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_append_store")
@@ -8769,3 +8816,51 @@ def doc_weighted_rendezvous_shards(spark, sf_dir):
         argmax(4).cast("int").alias("shard4"),
         argmax(5).cast("int").alias("shard5"),
         (argmax(4) != argmax(5)).alias("moved"))
+
+
+_WSMP_U = ("(" + _hex6("md5(CAST(doc_id AS VARCHAR) || ':wsmp')")
+           + " + 0.5) / 16777216.0")
+
+
+@query("doc_weighted_sample", sql=f"""
+WITH w AS (
+  SELECT doc_id, lang,
+    -ln({_WSMP_U}) / CAST(strlen(text) AS DOUBLE) AS e
+  FROM documents WHERE strlen(text) > 0
+)
+SELECT lang, doc_id, smp_rank FROM (
+  SELECT lang, doc_id,
+    CAST(row_number() OVER (PARTITION BY lang
+                            ORDER BY e ASC, doc_id ASC) AS BIGINT)
+      AS smp_rank
+  FROM w) WHERE smp_rank <= 5
+""")
+def doc_weighted_sample(spark, sf_dir):
+    """Length-proportional document sampling per language — the
+    training-mix primitive (`sampling.weighted_bottomk_sample`,
+    Efraimidis-Spirakis; registered r11 from the r9-staged queue):
+    weight = octet_length(text), k = 5 per lang stratum.
+    Deterministic md5-race keys replay in SQL, and only integer
+    ids/ranks are output (the float race key never crosses the hash
+    check). DuckDB's byte-length of a VARCHAR is strlen(); Spark's
+    is octet_length() — same value.
+
+    Between-row float-tie caveat (ADVICE r9): unlike the HRW
+    queries, where every comparison shares one u-grid, two DIFFERENT
+    rows' race keys e = -ln(u)/w are continuous in w and can in
+    principle land within a cross-engine ulp of each other, in which
+    case the rank-k boundary could disagree between engines even
+    with the (e, doc_id) tie-break. With integer byte-length weights
+    and the 2^-24 u-grid the collision probability per stratum is
+    ~k*n*2^-53-scale — never observed at any test SF — and a caller
+    who needs a bitwise-portable boundary should use integer-valued
+    weights and accept the documented residual risk, or rank by an
+    exact integer key (`bottomk_sample`'s full-digest ordering) when
+    weights are uniform.
+    """
+    from pudl_spark.functions.sampling import weighted_bottomk_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.octet_length("text").alias("__w"))
+    out = weighted_bottomk_sample(d, ["lang"], "doc_id", "__w", k=5)
+    return out.select("lang", "doc_id", "smp_rank")

@@ -1,13 +1,12 @@
-"""Differential evidence for the r10-queued queries: the same
-plain-session-vs-DuckDB comparison tools/driver_sim.py runs, executed
-at sf0.01 BEFORE registration, so the r10 prefix move ships
-pre-verified."""
+"""Differential evidence for the queries registered this round: the
+same plain-session-vs-DuckDB comparison tools/driver_sim.py runs,
+executed at sf0.01 in-suite, so registration never waits on the
+driver's end-of-round sweep to learn a new query diverges."""
 
 from __future__ import annotations
 
 import importlib.util
 import os
-import sys
 
 import duckdb
 import pytest
@@ -28,18 +27,16 @@ def _driver_sim():
 
 @pytest.mark.parametrize("name", ["doc_lsh_store_ingest",
                                   "doc_weighted_sample"])
-def test_queued_query_matches_oracle(spark, name):
-    from pudl_spark.plans import queued
+def test_new_registered_query_matches_oracle(spark, name):
+    from pudl_spark.plans.queries import ORACLES, QUERIES
 
     ds = _driver_sim()
-    fn = getattr(queued, name)
-    sql = getattr(queued, f"{name}_oracle")()
-    sdf = fn(spark, SF).toPandas()
+    sdf = QUERIES[name](spark, SF).toPandas()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
-    odf = con.execute(sql).df()
+    odf = con.execute(ORACLES[name]).df()
     assert len(sdf) > 0
     err = ds.compare(name, sdf, odf)
     assert err is None, err
