@@ -492,11 +492,13 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
     the store side (the same bucketed-layout contract as
     `similarity.build_ivf_store`).
     """
-    from pudl_spark.sources.files import write_bucketed_table
+    from pudl_spark.sources.files import (
+        set_table_build_params, write_bucketed_table,
+    )
 
     for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+        _invalidate_store_bytes(spark, t)  # rebuilt size differs
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _STORE_BYTES_CACHE.pop(t, None)  # rebuilt size differs
     write_bucketed_table(
         oph_banded(df, id_col, text_col, num_hashes, bands, shingle_k),
         f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
@@ -506,6 +508,15 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
         shingle_hash_sets(df, id_col, text_col, shingle_k),
         f"{table_prefix}_sets", ["id"], num_buckets,
         sort_cols=["id"], path=os.path.join(path, "sets"))
+    # The bands table carries the index's build parameters
+    # (VERDICT r10 #4): every append/probe asserts against them, so
+    # a caller who repeats the wrong num_hashes/bands/shingle_k now
+    # raises instead of silently corrupting the index (append) or
+    # missing pairs (probe).
+    set_table_build_params(
+        spark, f"{table_prefix}_bands",
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k, "num_buckets": num_buckets})
 
 
 def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
@@ -524,10 +535,19 @@ def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
     append, which also needs the batch to contribute no seeds) —
     pinned in tests/test_lsh_store.py. Work is O(batch): signature +
     shingle the batch, two bucketed appends, nothing corpus-sized.
-    Parameters must match the build.
+    Parameters are ASSERTED against the ones the build persisted as
+    table properties (VERDICT r10 #4): a mismatched append raises
+    instead of silently writing signatures the probes can't match.
     """
-    from pudl_spark.sources.files import write_bucketed_table
+    from pudl_spark.sources.files import (
+        assert_build_params_match, write_bucketed_table,
+    )
 
+    assert_build_params_match(
+        spark, f"{table_prefix}_bands",
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k, "num_buckets": num_buckets},
+        "append_to_lsh_store")
     write_bucketed_table(
         oph_banded(new_docs, id_col, text_col, num_hashes, bands,
                    shingle_k),
@@ -540,28 +560,48 @@ def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
     # The index grew: drop the probe gate's cached sizes so the next
     # probe re-reads them (r9 self-review).
     for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
-        _STORE_BYTES_CACHE.pop(t, None)
+        _invalidate_store_bytes(spark, t)
+
+
+def _resolve_table_location(spark, table_name: str) -> str:
+    """A table's resolved storage Location (DESCRIBE FORMATTED) —
+    a driver-side catalog lookup, never a Spark job."""
+    return [r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {table_name}")
+            .collect() if r["col_name"] == "Location"][0]
+
+
+def _invalidate_store_bytes(spark, table_name: str) -> None:
+    """Drop a table's cached byte size, resolving its Location
+    first; a missing table (checked via the catalog, so the resolve
+    never throws-and-logs an AnalysisException on the expected
+    first-build case) has nothing cached under any live key."""
+    if not spark.catalog.tableExists(table_name):
+        return
+    _STORE_BYTES_CACHE.pop(_resolve_table_location(spark, table_name),
+                           None)
 
 
 def _table_location_bytes(spark, table_name: str) -> int:
     """Total bytes under a table's storage location — a driver-side
     filesystem metadata call (ContentSummary), never a Spark job.
-    CACHED per table name (r9 self-review): on HDFS the summary is
-    one RPC, but on object stores it is a recursive O(files) listing
-    — a serving loop must not pay that walk per probe. The cache is
-    invalidated by `append_to_lsh_store` (the only in-engine way a
-    store grows); external growth merely delays the gate flipping to
-    the pruned regime, which is a performance choice, not a
-    correctness one (pruned == unpruned always)."""
-    if table_name in _STORE_BYTES_CACHE:
-        return _STORE_BYTES_CACHE[table_name]
-    loc = [r["data_type"]
-           for r in spark.sql(f"DESCRIBE FORMATTED {table_name}")
-           .collect() if r["col_name"] == "Location"][0]
+    CACHED per resolved LOCATION (r9 self-review; VERDICT r10 #7 —
+    a bare-name key let same-named stores in different warehouses
+    alias each other's sizes): on HDFS the summary is one RPC, but
+    on object stores it is a recursive O(files) listing — a serving
+    loop must not pay that walk per probe. The Location resolve
+    itself is a per-call catalog lookup (~ms, no job). The cache is
+    invalidated by `build_lsh_store`/`append_to_lsh_store` (the
+    in-engine ways a store changes); external growth merely delays
+    the gate flipping to the pruned regime, which is a performance
+    choice, not a correctness one (pruned == unpruned always)."""
+    loc = _resolve_table_location(spark, table_name)
+    if loc in _STORE_BYTES_CACHE:
+        return _STORE_BYTES_CACHE[loc]
     jpath = spark._jvm.org.apache.hadoop.fs.Path(loc)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     size = fs.getContentSummary(jpath).getLength()
-    _STORE_BYTES_CACHE[table_name] = size
+    _STORE_BYTES_CACHE[loc] = size
     return size
 
 
@@ -625,6 +665,17 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     hash-grade correctness evidence); results are join-exact in
     every regime: pruned == unpruned.
     """
+    # Signature compatibility is asserted against the build's
+    # persisted parameters (VERDICT r10 #4): a probe signaturing the
+    # batch under different num_hashes/bands/shingle_k than the
+    # index would MISS pairs with no error. Driver-side catalog
+    # lookup, no job.
+    from pudl_spark.sources.files import assert_build_params_match
+
+    assert_build_params_match(
+        spark, f"{table_prefix}_bands",
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k}, "lsh_store_probe")
     store_bands = spark.table(f"{table_prefix}_bands")
     store_sets = spark.table(f"{table_prefix}_sets")
     pruned = False

@@ -394,6 +394,16 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
     raising TypeError on pre-sidecar call sites).
     """
     del seed_modulus  # implied by the build's persisted sidecar
+    # centroid_factor must equal the build's or the probe re-derives
+    # a DIFFERENT centroid array than the one the cells were
+    # assigned under — silently skewed recall. Asserted against the
+    # sidecar's persisted build parameters (VERDICT r10 #4);
+    # nprobe/seed_probe stay free serving-time recall knobs.
+    from pudl_spark.sources.files import assert_build_params_match
+
+    assert_build_params_match(
+        spark, f"{table_name}_seeds",
+        {"centroid_factor": centroid_factor}, "ivf_store_topk")
     s = spark.table(table_name)
     sidecar = spark.table(f"{table_name}_seeds")
     cents_arr = centroid_array(
@@ -561,6 +571,21 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
         write_bucketed_table(sc, f"{table_name}_seeds", ["ccell"],
                              num_buckets, sort_cols=["ccell", "seed_id"],
                              path=f"{path}_seeds")
+        # The seeds sidecar carries the build parameters
+        # (VERDICT r10 #4): appends assert nprobe/centroid_factor/
+        # num_buckets (a mismatch silently assigns new vectors under
+        # a DIFFERENT rule than the stored corpus — index
+        # corruption), probes assert centroid_factor (the centroid
+        # re-derivation rule; probe-time nprobe/seed_probe remain
+        # free recall knobs). seed_modulus is recorded for
+        # provenance — the seed set itself is already frozen in the
+        # sidecar rows.
+        from pudl_spark.sources.files import set_table_build_params
+
+        set_table_build_params(
+            spark, f"{table_name}_seeds",
+            {"nprobe": nprobe, "centroid_factor": centroid_factor,
+             "num_buckets": num_buckets, "seed_modulus": seed_modulus})
     finally:
         sc.unpersist()
         cents_arr.unpersist()
@@ -593,8 +618,18 @@ def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
     assignments still use the old seeds (an index append, not a
     re-train; rebuild when the appended fraction grows large enough
     that cell sizes drift). ``num_buckets``/``nprobe``/
-    ``centroid_factor`` must match the build.
+    ``centroid_factor`` are ASSERTED against the parameters the
+    build persisted on the sidecar (VERDICT r10 #4): a mismatched
+    append would assign new vectors under a different
+    coarse-quantization rule than the stored corpus — silent index
+    corruption — so it now raises instead.
     """
+    from pudl_spark.sources.files import assert_build_params_match
+
+    assert_build_params_match(
+        spark, f"{table_name}_seeds",
+        {"nprobe": nprobe, "centroid_factor": centroid_factor,
+         "num_buckets": num_buckets}, "append_to_ivf_store")
     sidecar = spark.table(f"{table_name}_seeds")
     seeds = sidecar.select("seed_id", "seed_vec", "seed_nrm")
     cents_arr = centroid_array(seeds, centroid_factor)

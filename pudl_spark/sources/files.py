@@ -200,3 +200,54 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+_BUILD_PROP_PREFIX = "pudl_spark.build."
+
+
+def set_table_build_params(spark, table_name: str,
+                           params: dict) -> None:
+    """Record an index/store's BUILD PARAMETERS as table properties
+    (``pudl_spark.build.*``) so they travel with the catalog entry —
+    the sidecar-meta discipline (VERDICT r10 #4). An append or probe
+    that silently assumed different parameters than the build would
+    corrupt the index (appends) or miss results (probes) with no
+    error; persisting the parameters lets every later operation
+    `assert_build_params_match` instead of trusting the caller to
+    repeat them. Metadata-only ALTER — no Spark job, no file I/O.
+    """
+    kv = ", ".join(f"'{_BUILD_PROP_PREFIX}{k}'='{v}'"
+                   for k, v in sorted(params.items()))
+    spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({kv})")
+
+
+def get_table_build_params(spark, table_name: str) -> dict:
+    """The ``pudl_spark.build.*`` properties recorded at build time,
+    as a {name: string-value} dict (empty for pre-r11 / foreign
+    tables). Driver-side catalog lookup — never a Spark job."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    return {r["key"][len(_BUILD_PROP_PREFIX):]: r["value"]
+            for r in rows if r["key"].startswith(_BUILD_PROP_PREFIX)}
+
+
+def assert_build_params_match(spark, table_name: str, caller: dict,
+                              op: str) -> None:
+    """Raise ValueError when the caller's parameters disagree with
+    the ones the store was BUILT with. Values compare as strings
+    (they were stored via str()); parameters the build did not
+    record — legacy stores predating the meta properties — are not
+    checked, so old stores keep working while every store built by
+    this codebase gets the hard guarantee."""
+    stored = get_table_build_params(spark, table_name)
+    mismatched = {k: (stored[k], str(v)) for k, v in caller.items()
+                  if k in stored and stored[k] != str(v)}
+    if mismatched:
+        detail = "; ".join(
+            f"{k}: built with {b!r}, called with {c!r}"
+            for k, (b, c) in sorted(mismatched.items()))
+        raise ValueError(
+            f"{op}: build-parameter mismatch on {table_name} — "
+            f"{detail}. Appending or probing with parameters that "
+            "differ from the build silently corrupts the index / "
+            "misses results; rebuild the store or pass the recorded "
+            "parameters.")

@@ -237,3 +237,48 @@ def test_append_assigns_against_old_seeds(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS t_ivf_app2")
             spark.sql("DROP TABLE IF EXISTS t_ivf_app2_seeds")
+
+
+def test_mismatched_ivf_append_and_probe_raise(spark):
+    """VERDICT r10 #4, IVF half: the sidecar persists nprobe /
+    centroid_factor / num_buckets / seed_modulus at build time; an
+    append under a different assignment rule (silent index
+    corruption) or a probe re-deriving centroids under a different
+    factor (silently skewed recall) must raise."""
+    import pytest
+
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, ivf_store_topk,
+    )
+    from pudl_spark.sources.files import get_table_build_params
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 97 != 3)
+    batch = emb.filter(F.col("vec_id") % 97 == 3)
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, corpus, "t_ivf_mm",
+                        os.path.join(td, "s"))
+        try:
+            stored = get_table_build_params(spark, "t_ivf_mm_seeds")
+            assert stored == {"nprobe": "2", "centroid_factor": "2.0",
+                              "num_buckets": "8", "seed_modulus": "97"}
+            with pytest.raises(ValueError, match="centroid_factor"):
+                append_to_ivf_store(spark, "t_ivf_mm", batch,
+                                    centroid_factor=3.0)
+            with pytest.raises(ValueError, match="nprobe"):
+                append_to_ivf_store(spark, "t_ivf_mm", batch,
+                                    nprobe=1)
+            q = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            with pytest.raises(ValueError, match="centroid_factor"):
+                ivf_store_topk(spark, "t_ivf_mm", q, k=3,
+                               centroid_factor=3.0)
+            # Probe-time nprobe stays a FREE recall knob (only the
+            # centroid derivation rule is pinned), and matched calls
+            # work end-to-end.
+            ivf_store_topk(spark, "t_ivf_mm", q, k=3,
+                           nprobe=1).collect()
+            append_to_ivf_store(spark, "t_ivf_mm", batch)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_ivf_mm")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_mm_seeds")

@@ -288,3 +288,77 @@ def test_append_equals_rebuild_and_probe_sees_ingested(spark):
             for t in ("t_lsh6_bands", "t_lsh6_sets",
                       "t_lsh7_bands", "t_lsh7_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_mismatched_append_and_probe_raise(spark):
+    """VERDICT r10 #4: the build persists its signature parameters
+    as table properties, and an append or probe that repeats them
+    WRONG must raise — a silent mismatch corrupts the index
+    (append writes signatures no probe can match) or misses pairs
+    (probe signatures the batch under a different scheme)."""
+    import pytest
+
+    from pudl_spark.functions.dedup import append_to_lsh_store
+    from pudl_spark.sources.files import get_table_build_params
+
+    d = _docs(spark).limit(40)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_lshmm",
+                        os.path.join(td, "s"))
+        try:
+            stored = get_table_build_params(spark, "t_lshmm_bands")
+            assert stored == {"num_hashes": "64", "bands": "16",
+                              "shingle_k": "3", "num_buckets": "8"}
+            with pytest.raises(ValueError, match="shingle_k"):
+                append_to_lsh_store(spark, "t_lshmm", batch,
+                                    "doc_id", "text", shingle_k=4)
+            with pytest.raises(ValueError, match="num_hashes"):
+                lsh_store_probe(spark, "t_lshmm", batch, "doc_id",
+                                "text", num_hashes=32, bands=16)
+            # ...and the matched calls still work end-to-end.
+            append_to_lsh_store(spark, "t_lshmm", batch, "doc_id",
+                                "text")
+            lsh_store_probe(spark, "t_lshmm", batch, "doc_id",
+                            "text", jaccard_threshold=0.5).collect()
+        finally:
+            for t in ("t_lshmm_bands", "t_lshmm_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_store_bytes_cache_keyed_by_location(spark):
+    """VERDICT r10 #7: the probe gate's byte cache must key by the
+    RESOLVED table location, not the bare name — two same-named
+    stores at different paths (e.g. across warehouses, or a drop +
+    out-of-band rebuild that bypasses build_lsh_store's
+    invalidation) must never alias each other's sizes."""
+    from pudl_spark.functions.dedup import (
+        _STORE_BYTES_CACHE, _resolve_table_location,
+        _table_location_bytes,
+    )
+    from pudl_spark.sources.files import write_bucketed_table
+
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        write_bucketed_table(
+            d.limit(5).select("doc_id"), "t_alias_bytes",
+            ["doc_id"], 2, path=os.path.join(td, "small"))
+        try:
+            small = _table_location_bytes(spark, "t_alias_bytes")
+            loc_small = _resolve_table_location(spark,
+                                                "t_alias_bytes")
+            assert _STORE_BYTES_CACHE[loc_small] == small
+            # Same NAME, different location, more data — dropped and
+            # recreated WITHOUT the store builders' invalidation
+            # hook, exactly the alias hazard.
+            spark.sql("DROP TABLE t_alias_bytes")
+            write_bucketed_table(
+                d.select("doc_id", "text"), "t_alias_bytes",
+                ["doc_id"], 2, path=os.path.join(td, "big"))
+            big = _table_location_bytes(spark, "t_alias_bytes")
+            assert big != small, "aliased a stale same-named store"
+            assert big == _STORE_BYTES_CACHE[
+                _resolve_table_location(spark, "t_alias_bytes")]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_alias_bytes")
