@@ -1,0 +1,146 @@
+"""VERDICT r9 #2 / r10 #3: bucket-aware compaction for the
+append-growing LSH/IVF stores. N appends leave up to N x num_buckets
+files; `compact_bucketed_table` must collapse them to <= num_buckets
+(x files_per_bucket) while preserving the bucket spec, the sort
+order, the table location, the build-parameter properties, and —
+the actual read contracts the probes pin — Exchange-free bucketed
+joins and In()-pruned scans with identical results."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import (
+    append_to_lsh_store, build_lsh_store, lsh_store_probe,
+)
+from pudl_spark.operators.layout import compact_bucketed_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from pudl_spark.catalog import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/documents.parquet")
+
+
+def _n_files(table_dir: str) -> int:
+    return len(glob.glob(os.path.join(table_dir, "part-*")))
+
+
+def test_compaction_restores_file_bound_and_probe_contracts(spark):
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 7 > 2)
+    app1 = d.filter(F.col("doc_id") % 7 == 1)
+    app2 = d.filter(F.col("doc_id") % 7 == 2)
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    with tempfile.TemporaryDirectory() as td:
+        store = os.path.join(td, "store")
+        build_lsh_store(spark, corpus, "doc_id", "text", "t_cmp",
+                        store, num_buckets=4)
+        try:
+            append_to_lsh_store(spark, "t_cmp", app1, "doc_id",
+                                "text", num_buckets=4)
+            append_to_lsh_store(spark, "t_cmp", app2, "doc_id",
+                                "text", num_buckets=4)
+            bands_dir = os.path.join(store, "bands")
+            sets_dir = os.path.join(store, "sets")
+            assert _n_files(bands_dir) > 4  # append-grown
+            before = sorted(map(tuple, lsh_store_probe(
+                spark, "t_cmp", batch, "doc_id", "text",
+                jaccard_threshold=0.5).collect()))
+            assert before
+            removed_b = compact_bucketed_table(spark, "t_cmp_bands")
+            removed_s = compact_bucketed_table(spark, "t_cmp_sets")
+            assert removed_b > 4 and removed_s > 4
+            # (c) file count drops to <= num_buckets...
+            assert _n_files(bands_dir) <= 4
+            assert _n_files(sets_dir) <= 4
+            # ...and a second pass is a no-op.
+            assert compact_bucketed_table(spark, "t_cmp_bands") == 0
+            # Build-parameter properties survive the swap
+            # (VERDICT r10 #4 composes with #3).
+            from pudl_spark.sources.files import get_table_build_params
+
+            assert get_table_build_params(
+                spark, "t_cmp_bands")["num_buckets"] == "4"
+            # (b) pruned == unpruned == pre-compaction results.
+            pruned = lsh_store_probe(spark, "t_cmp", batch, "doc_id",
+                                     "text", jaccard_threshold=0.5,
+                                     min_store_bytes=0)
+            # (a) the In() predicates still reach both compacted
+            # store scans (row-group pruning intact).
+            plan = (pruned._jdf.queryExecution().executedPlan()
+                    .toString())
+            bands_scans = [ln for ln in plan.splitlines()
+                           if "FileScan" in ln and "t_cmp_bands" in ln]
+            sets_scans = [ln for ln in plan.splitlines()
+                          if "FileScan" in ln and "t_cmp_sets" in ln]
+            assert bands_scans and sets_scans, plan
+            assert all("In(bucket" in ln for ln in bands_scans), plan
+            assert all("In(id" in ln for ln in sets_scans), plan
+            got_p = sorted(map(tuple, pruned.collect()))
+            got_f = sorted(map(tuple, lsh_store_probe(
+                spark, "t_cmp", batch, "doc_id", "text",
+                jaccard_threshold=0.5, prune_scan=False).collect()))
+            assert got_p == got_f == before
+            # (a) the bucketed-join contract survives: store-vs-store
+            # band join plans with NO Exchange after the rewrite.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           "-1")
+            try:
+                bands = spark.table("t_cmp_bands")
+                b2 = bands.select("band", "bucket",
+                                  F.col("id").alias("id2"))
+                jp = (bands.join(b2, ["band", "bucket"])
+                      ._jdf.queryExecution().executedPlan().toString())
+                assert "Exchange" not in jp, jp
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                               "64m")
+        finally:
+            for t in ("t_cmp_bands", "t_cmp_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compaction_files_per_bucket_bound(spark):
+    """files_per_bucket > 1 keeps task memory bounded for fat
+    buckets: the salted rewrite still routes every row to its
+    correct bucket id and the file bound scales accordingly."""
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d.filter(F.col("doc_id") % 3 != 0),
+                        "doc_id", "text", "t_cmp2",
+                        os.path.join(td, "s"), num_buckets=2)
+        try:
+            append_to_lsh_store(spark, "t_cmp2",
+                                d.filter(F.col("doc_id") % 3 == 0),
+                                "doc_id", "text", num_buckets=2)
+            sets_dir = os.path.join(td, "s", "sets")
+            before = sorted(map(tuple, spark.table("t_cmp2_sets")
+                                .collect()))
+            assert _n_files(sets_dir) > 4
+            compact_bucketed_table(spark, "t_cmp2_sets",
+                                   files_per_bucket=2)
+            assert _n_files(sets_dir) <= 4
+            after = sorted(map(tuple, spark.table("t_cmp2_sets")
+                               .collect()))
+            assert after == before
+        finally:
+            for t in ("t_cmp2_bands", "t_cmp2_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_rejects_unbucketed_table(spark):
+    import pytest
+
+    spark.range(3).write.mode("overwrite").saveAsTable("t_plain")
+    try:
+        with pytest.raises(ValueError, match="not bucketed"):
+            compact_bucketed_table(spark, "t_plain")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_plain")
