@@ -86,9 +86,109 @@ def build_scaled(spark, mult: int, base: str = BASE) -> None:
             os.path.join(SCALED, f"{t}.parquet"))
 
 
+def stress_append_paths(spark, mult: int) -> dict:
+    """VERDICT r9 #3 / r10 #5: time the two store APPEND paths with
+    the corpus at 1x and at mult-x while the ingest batch stays
+    IDENTICAL (the unshifted-id slice — scaled copies shift ids by
+    >= 10**7, so `id < 10**7` selects exactly the base rows at both
+    scales). The O(batch) claim both append docstrings make is then
+    directly falsifiable: build wall may grow ~mult (it IS
+    O(corpus)), but append wall for the same batch must stay ~flat —
+    an append ratio tracking the corpus multiplier means a hidden
+    corpus-sized scan (e.g. the IVF centroid derivation regressing
+    from the sidecar to the store). Probe wall for a fixed batch is
+    reported alongside (bounded by index-scan growth in the
+    full-scan regime; the In()-pruned regime at real index sizes
+    follows the batch).
+
+    min-of-2 full build/append/probe cycles per scale, fresh store
+    tables each cycle, gc between (the bench-hygiene rules)."""
+    import gc
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import (
+        append_to_lsh_store, build_lsh_store, lsh_store_probe,
+    )
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, build_ivf_store, ivf_store_topk,
+    )
+
+    unshifted = F.col("doc_id") < 10**7
+    out: dict = {}
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    for label, sf_dir in (("base", BASE), ("scaled", SCALED)):
+        d = read_parquet_table(
+            spark, os.path.join(sf_dir, "documents.parquet"))
+        corpus = d.filter((F.col("doc_id") % 7 != 1) | ~unshifted)
+        batch = d.filter((F.col("doc_id") % 7 == 1) & unshifted)
+        probe_b = d.filter((F.col("doc_id") % 7 == 0) & unshifted)
+        cycles = []
+        for _ in range(2):
+            gc.collect()
+            with tempfile.TemporaryDirectory() as td:
+                row = {}
+                row["build"] = timed(lambda: build_lsh_store(
+                    spark, corpus, "doc_id", "text", "st_lsh",
+                    os.path.join(td, "s")))
+                row["append"] = timed(lambda: append_to_lsh_store(
+                    spark, "st_lsh", batch, "doc_id", "text"))
+                row["probe"] = timed(lambda: lsh_store_probe(
+                    spark, "st_lsh", probe_b, "doc_id", "text",
+                    jaccard_threshold=0.8).write.format("noop")
+                    .mode("overwrite").save())
+                for t in ("st_lsh_bands", "st_lsh_sets"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                cycles.append(row)
+        out.setdefault("lsh_store", {})[label] = {
+            k: round(min(c[k] for c in cycles), 3)
+            for k in ("build", "append", "probe")}
+
+        e = read_parquet_table(
+            spark, os.path.join(sf_dir, "embeddings.parquet"))
+        vu = F.col("vec_id") < 10**7
+        vcorpus = e.filter((F.col("vec_id") % 97 != 3) | ~vu)
+        vbatch = e.filter((F.col("vec_id") % 97 == 3) & vu)
+        q = (e.filter((F.col("vec_id") < 5) & vu)
+             .select(F.col("vec_id").alias("query_id"), "embedding"))
+        cycles = []
+        for _ in range(2):
+            gc.collect()
+            with tempfile.TemporaryDirectory() as td:
+                row = {}
+                row["build"] = timed(lambda: build_ivf_store(
+                    spark, vcorpus, "st_ivf", os.path.join(td, "s")))
+                row["append"] = timed(lambda: append_to_ivf_store(
+                    spark, "st_ivf", vbatch))
+                row["probe"] = timed(lambda: ivf_store_topk(
+                    spark, "st_ivf", q, k=10, batch_rows=5)
+                    .write.format("noop").mode("overwrite").save())
+                for t in ("st_ivf", "st_ivf_seeds"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+                cycles.append(row)
+        out.setdefault("ivf_store", {})[label] = {
+            k: round(min(c[k] for c in cycles), 3)
+            for k in ("build", "append", "probe")}
+    for store, row in out.items():
+        row["ratios"] = {k: round(row["scaled"][k]
+                                  / max(row["base"][k], 1e-9), 2)
+                         for k in ("build", "append", "probe")}
+    return out
+
+
 def main() -> int:
     mult = 10
     args = sys.argv[1:]
+    append_stress = False
+    if args[:1] == ["--append-stress"]:
+        append_stress = True; args = args[1:]
     if args[:1] == ["--mult"]:
         mult = int(args[1]); args = args[2:]
     names = args or DEFAULT_QUERIES
@@ -104,6 +204,12 @@ def main() -> int:
     t0 = time.perf_counter()
     build_scaled(spark, mult)
     print(f"built in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    if append_stress:
+        res = stress_append_paths(spark, mult)
+        print(json.dumps({"mult": mult, "append_stress": res}))
+        spark.stop()
+        return 0
 
     results = {}
     for name in names:
