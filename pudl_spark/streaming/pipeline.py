@@ -325,3 +325,96 @@ def upsert_stream_to_parquet(stream_df: DataFrame, path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
+                      store_path: str, pairs_path: str,
+                      checkpoint_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      jaccard_threshold: float = 0.8,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 3, num_buckets: int = 8):
+    """Streaming twin of the LSH probe-then-ingest loop (r11,
+    VERDICT r10 stretch #10): each micro-batch of documents is
+    probed against the PERSISTED index for near-dups vs everything
+    ingested before it, the pairs land in a parquet sink partitioned
+    by batch, and the batch then appends into the index — the
+    continuous-curation loop a 100 TB training pipeline runs on
+    arriving data, with the same O(batch) per-step cost as the batch
+    API (`dedup.lsh_store_probe` + append).
+
+    Crash recovery follows the CDC-sink pattern
+    (`upsert_stream_to_parquet`), adapted to an APPEND-mode store:
+
+      * the pairs sink writes per-batch PARTITIONS under dynamic
+        partition overwrite, so a redelivered batch overwrites its
+        own partition instead of duplicating rows;
+      * the store append is `append_to_lsh_store_idempotent` — each
+        index table anti-joins the batch ids it already holds, so
+        redelivery (or a crash between the two table appends)
+        converges to the same final store;
+      * pairs materialize BEFORE the append (the probe must see the
+        pre-batch corpus); a crash between them redelivers into an
+        identical pairs overwrite plus the pending append. After a
+        COMPLETED append, a redelivered batch is detected (no fresh
+        ids) and skipped entirely, leaving the already-written pairs
+        partition intact. A partially-appended batch (bands yes,
+        sets no) re-probes correctly too: batch-vs-itself candidates
+        from the half-ingested bands rows die in the exact verify
+        join, whose inner join on the sets table cannot see them.
+
+    The FIRST batch bootstraps the store (`build_lsh_store` at
+    ``store_path``) — there is no earlier corpus, so it emits no
+    pairs; within-batch duplicates are never mined by this loop (the
+    one-shot miner's job — run `minhash_candidate_pairs` on a batch
+    first if intra-batch dups matter). Parity with the batch API —
+    stream-ingested store == batch-built store, pairs == the batch
+    replay's — is pinned in tests/test_lsh_ingest_stream.py.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from pudl_spark.functions.dedup import (
+        append_to_lsh_store_idempotent, build_lsh_store,
+        lsh_store_probe,
+    )
+
+    sig = {"num_hashes": num_hashes, "bands": bands,
+           "shingle_k": shingle_k}
+
+    def _probe_then_ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.localCheckpoint()
+        if batch.count() == 0:
+            return
+        if not spark.catalog.tableExists(f"{table_prefix}_bands"):
+            build_lsh_store(spark, batch, id_col, text_col,
+                            table_prefix, store_path,
+                            num_buckets=num_buckets, **sig)
+            return
+        # Fully-redelivered batch (crash after append, before the
+        # checkpoint commit): every id is already in the sets table
+        # -> skip, keeping the first delivery's pairs partition.
+        fresh = batch.join(
+            spark.table(f"{table_prefix}_sets").select(
+                F.col("id").alias(id_col)).distinct(),
+            id_col, "left_anti").localCheckpoint()
+        nf = fresh.count()
+        if nf == 0:
+            return
+        pairs = lsh_store_probe(spark, table_prefix, fresh, id_col,
+                                text_col,
+                                jaccard_threshold=jaccard_threshold,
+                                batch_rows=nf, **sig)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id")
+         .parquet(pairs_path))
+        append_to_lsh_store_idempotent(spark, table_prefix, fresh,
+                                       id_col, text_col,
+                                       num_buckets=num_buckets, **sig)
+
+    return (stream_docs.writeStream.foreachBatch(_probe_then_ingest)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

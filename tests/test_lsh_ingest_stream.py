@@ -1,0 +1,99 @@
+"""r11 (VERDICT r10 stretch #10): streaming twin of the LSH
+probe-then-ingest loop. Parity is the contract: a store grown by the
+foreachBatch sink must equal the batch-built store row-for-row, the
+mined pairs must equal the batch API's replay, and redelivering every
+batch (fresh checkpoint, same source) must change nothing."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.dedup import build_lsh_store, lsh_store_probe
+from pudl_spark.streaming.pipeline import lsh_ingest_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from pudl_spark.catalog import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/documents.parquet")
+
+
+def _drain(spark, schema, src, prefix, store, pairs, ckpt):
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = lsh_ingest_stream(stream, prefix, store, pairs, ckpt,
+                          jaccard_threshold=0.5)
+    q.awaitTermination()
+
+
+def test_stream_ingest_parity_and_redelivery(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lshstream")
+    src = str(base / "in")
+    store = str(base / "store")
+    pairs = str(base / "pairs")
+    ckpt = str(base / "ckpt")
+    os.makedirs(src)
+
+    d = _docs(spark).select("doc_id", "text")
+    schema = d.schema.simpleString().replace("struct<", "") \
+        .rstrip(">").replace(":", " ").replace(",", ", ")
+    slices = [d.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    # One file per micro-batch; distinct mtimes pin the source order
+    # (FileStreamSource processes oldest-first).
+    for i, s in enumerate(slices):
+        s.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    try:
+        _drain(spark, schema, src, "t_stream_lsh", store, pairs, ckpt)
+
+        # Parity 1: stream-grown store == batch-built store.
+        build_lsh_store(spark, d, "doc_id", "text", "t_batch_lsh",
+                        str(base / "ref"))
+        for suffix in ("_bands", "_sets"):
+            got = sorted(map(tuple,
+                             spark.table(f"t_stream_lsh{suffix}")
+                             .collect()))
+            want = sorted(map(tuple,
+                              spark.table(f"t_batch_lsh{suffix}")
+                              .collect()))
+            assert got == want and got, suffix
+
+        # Parity 2: mined pairs == the batch API's ordered replay
+        # (slice i probed against slices < i). Batch 0 bootstraps
+        # and emits nothing.
+        want_pairs = set()
+        for i in (1, 2):
+            earlier = d.filter(F.col("doc_id") % 3 < i)
+            build_lsh_store(spark, earlier, "doc_id", "text",
+                            "t_replay", str(base / f"rp{i}"))
+            want_pairs |= {
+                (r["new_id"], r["corpus_id"]) for r in lsh_store_probe(
+                    spark, "t_replay", slices[i], "doc_id", "text",
+                    jaccard_threshold=0.5).collect()}
+        got_pairs = {(r["new_id"], r["corpus_id"])
+                     for r in spark.read.parquet(pairs).collect()}
+        assert got_pairs == want_pairs and got_pairs
+
+        # Redelivery: a FRESH checkpoint re-delivers every batch; the
+        # idempotent append and the skip-if-ingested guard must leave
+        # store AND pairs byte-identical.
+        before_sets = sorted(map(tuple, spark.table("t_stream_lsh_sets")
+                                 .collect()))
+        _drain(spark, schema, src, "t_stream_lsh", store, pairs,
+               str(base / "ckpt2"))
+        assert sorted(map(tuple, spark.table("t_stream_lsh_sets")
+                          .collect())) == before_sets
+        assert {(r["new_id"], r["corpus_id"])
+                for r in spark.read.parquet(pairs).collect()
+                } == got_pairs
+    finally:
+        for t in ("t_stream_lsh_bands", "t_stream_lsh_sets",
+                  "t_batch_lsh_bands", "t_batch_lsh_sets",
+                  "t_replay_bands", "t_replay_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
