@@ -17,7 +17,7 @@ from pudl_spark.functions.dedup import (
     minhash_dedup, simhash_expr, simhash_near_duplicates,
     ngram_jaccard_pairs, oph_banded, shingle_hash_sets,
     verified_jaccard_pairs, build_lsh_store, lsh_store_probe,
-    append_to_lsh_store,
+    append_to_lsh_store, append_to_lsh_store_idempotent,
     prefix_filter_pairs,
 )
 from pudl_spark.functions.similarity import (

@@ -282,7 +282,12 @@ def compact_bucketed_table(spark, table_name: str,
     # real lakehouse this is the table-format rewrite commit; on a
     # filesystem it is per-file renames after the staged write
     # fully succeeded — a crash before the swap leaves the original
-    # table untouched.
+    # table untouched. SINGLE-WRITER, like every store mutation
+    # here: a crash mid-swap can leave the table with a subset of
+    # its rows, but never duplicates (originals delete before
+    # staged files move in), and the staging directory retains the
+    # complete compacted copy for manual recovery — do NOT re-run
+    # compaction over a half-swapped table.
     spark_catalog_refresh_needed = False
     try:
         sjpath = jvm.org.apache.hadoop.fs.Path(staging_loc)

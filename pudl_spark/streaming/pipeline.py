@@ -386,7 +386,14 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
         batch = batch_df.localCheckpoint()
         if batch.count() == 0:
             return
-        if not spark.catalog.tableExists(f"{table_prefix}_bands"):
+        # Bootstrap gate on the SETS table — the one build writes
+        # LAST: a crash between the bootstrap's two table writes
+        # leaves bands without sets, and a bands-keyed gate would
+        # then route the redelivery into the probe path and throw on
+        # the missing sets table forever. Keyed on sets, the
+        # redelivery re-enters the build, which drops both leftovers
+        # and rebuilds cleanly.
+        if not spark.catalog.tableExists(f"{table_prefix}_sets"):
             build_lsh_store(spark, batch, id_col, text_col,
                             table_prefix, store_path,
                             num_buckets=num_buckets, **sig)
@@ -405,10 +412,14 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                                 text_col,
                                 jaccard_threshold=jaccard_threshold,
                                 batch_rows=nf, **sig)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
+        # Per-WRITE dynamic overwrite (not spark.conf.set, which
+        # would leak dynamic semantics into every later partitioned
+        # overwrite in the session): only this batch's partition is
+        # replaced on redelivery.
         (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
          .parquet(pairs_path))
         append_to_lsh_store_idempotent(spark, table_prefix, fresh,
                                        id_col, text_col,
