@@ -564,7 +564,9 @@ def append_to_lsh_store_idempotent(
         spark, table_prefix: str, new_docs: DataFrame,
         id_col: str, text_col: str,
         num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
-        num_buckets: int = 8, max_prune_values: int = 2048) -> None:
+        num_buckets: int = 8, max_prune_values: int = 2048,
+        guard_tables: tuple = ("_bands", "_sets"),
+        checkpoint: bool = True) -> None:
     """Redelivery-safe LSH store append — the exactly-once variant a
     STREAMING foreachBatch sink needs (r11, VERDICT r10 stretch #10).
 
@@ -583,6 +585,14 @@ def append_to_lsh_store_idempotent(
     bounded-collect regime gate as the probes), so the guard reads
     O(batch), not O(corpus). Build parameters are asserted like the
     plain append.
+
+    ``guard_tables``/``checkpoint``: a caller that already
+    anti-joined the batch against one of the index tables (the
+    streaming loop pre-filters against ``_sets`` to detect
+    fully-redelivered batches) passes the remaining table(s) and
+    ``checkpoint=False`` for an already-checkpointed batch, so the
+    per-micro-batch hot path never repeats a guard scan or
+    re-materializes the batch (r11 self-review).
     """
     from pudl_spark.sources.files import (
         assert_build_params_match, write_bucketed_table,
@@ -593,7 +603,7 @@ def append_to_lsh_store_idempotent(
         {"num_hashes": num_hashes, "bands": bands,
          "shingle_k": shingle_k, "num_buckets": num_buckets},
         "append_to_lsh_store_idempotent")
-    batch = new_docs.localCheckpoint()
+    batch = new_docs.localCheckpoint() if checkpoint else new_docs
     ids = [r[0] for r in batch.select(id_col).distinct()
            .limit(max_prune_values + 1).collect()]
     small = len(ids) <= max_prune_values
@@ -605,11 +615,14 @@ def append_to_lsh_store_idempotent(
             ("_sets",
              shingle_hash_sets(batch, id_col, text_col, shingle_k),
              ["id"], ["id"])):
-        store_ids = spark.table(f"{table_prefix}{suffix}").select("id")
-        if small:
-            store_ids = store_ids.filter(F.col("id").isin(sorted(ids)))
-        fresh = rows.join(store_ids.distinct(), "id", "left_anti")
-        write_bucketed_table(fresh, f"{table_prefix}{suffix}",
+        if suffix in guard_tables:
+            store_ids = spark.table(
+                f"{table_prefix}{suffix}").select("id")
+            if small:
+                store_ids = store_ids.filter(
+                    F.col("id").isin(sorted(ids)))
+            rows = rows.join(store_ids.distinct(), "id", "left_anti")
+        write_bucketed_table(rows, f"{table_prefix}{suffix}",
                              buckets, num_buckets, sort_cols=sorts,
                              mode="append")
     _invalidate_after_append(spark, table_prefix)

@@ -252,20 +252,21 @@ def compact_bucketed_table(spark, table_name: str,
     # file count that never shrinks (measured: 128 -> 91 files).
     df = spark.read.parquet(loc)
     if files_per_bucket > 1:
-        # Salt-ONLY partitioning: each of the files_per_bucket tasks
-        # holds a deterministic 1/fpb row slice spanning all buckets
-        # and the bucketed writer splits it into one file per bucket
-        # — exactly <= num_buckets * files_per_bucket files. Salting
-        # the bucket columns alongside would NOT bound the count:
-        # pmod(hash(cols, salt), n) doesn't align with the bucket id
-        # pmod(hash(cols), num_buckets), so every mixed task writes
-        # up to num_buckets files (measured: 8 files for a 2x2
-        # spec). pmod, not abs(hash)%n: ANSI makes abs(INT_MIN)
-        # throw.
-        salt = F.pmod(F.hash(*df.columns), F.lit(files_per_bucket))
-        routed = (df.withColumn("__salt", salt)
-                  .repartition(files_per_bucket, "__salt")
-                  .drop("__salt"))
+        # Round-robin into files_per_bucket cross-bucket slices: each
+        # task holds ~1/fpb of the rows spanning all buckets and the
+        # bucketed writer splits it into one file per bucket —
+        # exactly <= num_buckets * files_per_bucket files with task
+        # memory ~table/fpb. NOT hash-keyed: repartition(n, expr)
+        # re-hashes the key, and pmod(Murmur3(salt), n) collides for
+        # small n (fpb=2 maps both salt values to ONE partition —
+        # hash(0) and hash(1) are both odd — silently putting the
+        # whole table through a single task, the exact failure the
+        # knob exists to avoid); salting the bucket columns instead
+        # would unbound the file count (mixed tasks write up to
+        # num_buckets files each, measured 8 for a 2x2 spec).
+        # Spark's round-robin repartition locally sorts first, so
+        # the slicing is retry-deterministic.
+        routed = df.repartition(files_per_bucket)
     else:
         # repartition on the bucket columns IS the bucket hash
         # (both are pmod(Murmur3(cols), num_buckets)), so every task

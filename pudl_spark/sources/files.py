@@ -233,14 +233,24 @@ def get_table_build_params(spark, table_name: str) -> dict:
 def assert_build_params_match(spark, table_name: str, caller: dict,
                               op: str) -> None:
     """Raise ValueError when the caller's parameters disagree with
-    the ones the store was BUILT with. Values compare as strings
-    (they were stored via str()); parameters the build did not
-    record — legacy stores predating the meta properties — are not
-    checked, so old stores keep working while every store built by
-    this codebase gets the hard guarantee."""
+    the ones the store was BUILT with. Numeric values compare as
+    numbers — a store built with centroid_factor=2 (int) must accept
+    the default 2.0 probe, not brick itself on '2' != '2.0' — with
+    string equality as the fallback for non-numeric parameters.
+    Parameters the build did not record — legacy stores predating
+    the meta properties — are not checked, so old stores keep
+    working while every store built by this codebase gets the hard
+    guarantee."""
+
+    def differs(stored_v: str, caller_v) -> bool:
+        try:
+            return float(stored_v) != float(caller_v)
+        except (TypeError, ValueError):
+            return stored_v != str(caller_v)
+
     stored = get_table_build_params(spark, table_name)
     mismatched = {k: (stored[k], str(v)) for k, v in caller.items()
-                  if k in stored and stored[k] != str(v)}
+                  if k in stored and differs(stored[k], v)}
     if mismatched:
         detail = "; ".join(
             f"{k}: built with {b!r}, called with {c!r}"

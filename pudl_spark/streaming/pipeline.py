@@ -367,7 +367,13 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
     ``store_path``) — there is no earlier corpus, so it emits no
     pairs; within-batch duplicates are never mined by this loop (the
     one-shot miner's job — run `minhash_candidate_pairs` on a batch
-    first if intra-batch dups matter). Parity with the batch API —
+    first if intra-batch dups matter). Until some batch emits its
+    first pair the sink directory holds no parquet footers, so read
+    it with an explicit schema —
+    ``spark.read.schema("new_id long, corpus_id long, jaccard "
+    "double, batch_id long").parquet(pairs_path)`` — or gate on
+    existence; a bare ``spark.read.parquet`` cannot infer a schema
+    from an all-empty sink. Parity with the batch API —
     stream-ingested store == batch-built store, pairs == the batch
     replay's — is pinned in tests/test_lsh_ingest_stream.py.
 
@@ -421,9 +427,15 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id")
          .parquet(pairs_path))
+        # fresh is already checkpointed and already sets-guarded —
+        # only the bands guard remains (covers the crash window
+        # between the two table appends), so the hot path pays one
+        # guard scan per table total, not two plus a re-checkpoint.
         append_to_lsh_store_idempotent(spark, table_prefix, fresh,
                                        id_col, text_col,
-                                       num_buckets=num_buckets, **sig)
+                                       num_buckets=num_buckets,
+                                       guard_tables=("_bands",),
+                                       checkpoint=False, **sig)
 
     return (stream_docs.writeStream.foreachBatch(_probe_then_ingest)
             .option("checkpointLocation", checkpoint_dir)

@@ -127,6 +127,15 @@ def test_compaction_files_per_bucket_bound(spark):
             compact_bucketed_table(spark, "t_cmp2_sets",
                                    files_per_bucket=2)
             assert _n_files(sets_dir) <= 4
+            # The knob must actually SPLIT the rewrite across tasks
+            # (r11 self-review: a hash-keyed salt collapsed both
+            # slices into one partition, leaving the memory-bounding
+            # mechanism inert while the file bound still passed):
+            # bucketed file names lead with the writer task id.
+            tasks = {os.path.basename(p).split("-")[1]
+                     for p in glob.glob(os.path.join(sets_dir,
+                                                     "part-*"))}
+            assert len(tasks) == 2, tasks
             after = sorted(map(tuple, spark.table("t_cmp2_sets")
                                .collect()))
             assert after == before
