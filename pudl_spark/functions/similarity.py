@@ -630,6 +630,22 @@ def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
         spark, f"{table_name}_seeds",
         {"nprobe": nprobe, "centroid_factor": centroid_factor,
          "num_buckets": num_buckets}, "append_to_ivf_store")
+    rows = _assign_to_store_cells(spark, table_name, new_vecs,
+                                  nprobe, centroid_factor)
+    from pudl_spark.sources.files import write_bucketed_table
+
+    write_bucketed_table(rows, table_name, ["cell"], num_buckets,
+                         sort_cols=["cell", "vec_id"], mode="append")
+
+
+def _assign_to_store_cells(spark, table_name: str,
+                           new_vecs: DataFrame, nprobe: int,
+                           centroid_factor: float) -> DataFrame:
+    """(cell, vec_id, embedding, nrm) rows for a batch, assigned to
+    the store's EXISTING cells via the persisted seeds sidecar —
+    the shared assignment half of both append variants. O(batch):
+    the centroid array re-derives from the sidecar's O(corpus/97)
+    rows, never a corpus scan."""
     sidecar = spark.table(f"{table_name}_seeds")
     seeds = sidecar.select("seed_id", "seed_vec", "seed_nrm")
     cents_arr = centroid_array(seeds, centroid_factor)
@@ -639,11 +655,54 @@ def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
     base = new_vecs.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm_expr(F.col("embedding")))
     best = _argmax_over_cells(base, seed_cell, cents_arr, nprobe)
-    rows = (base.join(best, "vec_id", "left")
+    return (base.join(best, "vec_id", "left")
             .select(F.coalesce(F.col("cluster_seed"),
                                -F.col("vec_id") - 1).alias("cell"),
                     "vec_id", "embedding", "nrm"))
-    from pudl_spark.sources.files import write_bucketed_table
 
-    write_bucketed_table(rows, table_name, ["cell"], num_buckets,
+
+def append_to_ivf_store_idempotent(spark, table_name: str,
+                                   new_vecs: DataFrame,
+                                   num_buckets: int = 8,
+                                   nprobe: int = 2,
+                                   centroid_factor: float = 2.0,
+                                   max_prune_values: int = 2048
+                                   ) -> None:
+    """Redelivery-safe IVF store append — the exactly-once variant a
+    streaming foreachBatch sink needs (r11; the LSH twin is
+    `dedup.append_to_lsh_store_idempotent`). A blind re-append after
+    a checkpoint redelivery would double the batch's store rows;
+    here the batch anti-joins the vec_ids the store already holds,
+    so replaying a batch converges to the same final store.
+
+    Scale shape: the store is CELL-bucketed, not vec_id-bucketed, so
+    a naive vec_id anti-join would shuffle the corpus. Instead the
+    guard exploits determinism — a redelivered batch assigns to the
+    SAME cells — and reads only those cells: the batch's distinct
+    assigned cells (bounded by the batch size) collect into an In()
+    predicate pushed into the (cell, vec_id)-sorted store scan, and
+    the anti-join touches O(probed cells' members), not the corpus.
+    Batches beyond ``max_prune_values`` cells take the plain
+    full-scan anti-join (the bulk regime, where the join amortizes
+    the scan). Build parameters are asserted like the plain append.
+    """
+    from pudl_spark.sources.files import (
+        assert_build_params_match, write_bucketed_table,
+    )
+
+    assert_build_params_match(
+        spark, f"{table_name}_seeds",
+        {"nprobe": nprobe, "centroid_factor": centroid_factor,
+         "num_buckets": num_buckets}, "append_to_ivf_store_idempotent")
+    rows = _assign_to_store_cells(spark, table_name, new_vecs,
+                                  nprobe, centroid_factor
+                                  ).localCheckpoint()
+    cells = [r["cell"] for r in rows.select("cell").distinct()
+             .limit(max_prune_values + 1).collect()]
+    store_ids = spark.table(table_name)
+    if len(cells) <= max_prune_values:
+        store_ids = store_ids.filter(F.col("cell").isin(sorted(cells)))
+    fresh = rows.join(store_ids.select("vec_id").distinct(),
+                      "vec_id", "left_anti")
+    write_bucketed_table(fresh, table_name, ["cell"], num_buckets,
                          sort_cols=["cell", "vec_id"], mode="append")

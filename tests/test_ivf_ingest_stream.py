@@ -1,0 +1,117 @@
+"""r11: IVF twin of the streaming probe-then-ingest loop. Parity:
+a store grown by the stream must equal the batch API's replay
+(build(batch0) + append(batch1) + append(batch2) — the seed set
+freezes at bootstrap by the documented IVF append semantics), the
+ANN matches must equal the replay's probes, and full redelivery must
+be a no-op."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from pudl_spark.functions.similarity import (
+    append_to_ivf_store, append_to_ivf_store_idempotent,
+    build_ivf_store, ivf_store_topk,
+)
+from pudl_spark.streaming.pipeline import ivf_ingest_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _drain(spark, src, store_dir, matches, ckpt):
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = ivf_ingest_stream(stream, "t_stream_ivf", store_dir, matches,
+                          ckpt, k=2)
+    q.awaitTermination()
+
+
+def test_ivf_stream_parity_and_redelivery(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ivfstream")
+    src = str(base / "in")
+    matches = str(base / "matches")
+    os.makedirs(src)
+
+    e = _emb(spark).select("vec_id", "embedding")
+    slices = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    try:
+        _drain(spark, src, str(base / "store"), matches,
+               str(base / "ckpt"))
+
+        # Batch replay: bootstrap-build on slice 0, then the two
+        # idempotent appends (same code path as the plain append for
+        # fresh batches — both pinned equal here).
+        build_ivf_store(spark, slices[0], "t_replay_ivf",
+                        str(base / "replay"))
+        want_matches = set()
+        for i in (1, 2):
+            q = slices[i].select(F.col("vec_id").alias("query_id"),
+                                 "embedding")
+            want_matches |= {
+                (r["query_id"], r["neighbor_id"], r["rank"])
+                for r in ivf_store_topk(spark, "t_replay_ivf", q,
+                                        k=2).collect()}
+            if i == 1:
+                append_to_ivf_store(spark, "t_replay_ivf", slices[i])
+            else:
+                append_to_ivf_store_idempotent(spark, "t_replay_ivf",
+                                               slices[i])
+        got = sorted(map(tuple, spark.table("t_stream_ivf")
+                         .select("cell", "vec_id").collect()))
+        want = sorted(map(tuple, spark.table("t_replay_ivf")
+                          .select("cell", "vec_id").collect()))
+        assert got == want and got
+        got_matches = {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in spark.read.parquet(matches).collect()}
+        assert got_matches == want_matches and got_matches
+
+        # Full redelivery (fresh checkpoint, same files): the
+        # cell-pruned id guard must skip every batch, leaving store
+        # and matches untouched.
+        _drain(spark, src, str(base / "store"), matches,
+               str(base / "ckpt2"))
+        assert sorted(map(tuple, spark.table("t_stream_ivf")
+                          .select("cell", "vec_id").collect())) == got
+        assert {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in spark.read.parquet(matches).collect()
+                } == got_matches
+    finally:
+        for t in ("t_stream_ivf", "t_stream_ivf_seeds",
+                  "t_replay_ivf", "t_replay_ivf_seeds"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_idempotent_ivf_append_replay_converges(spark,
+                                                tmp_path_factory):
+    """Replaying the same batch through the idempotent append leaves
+    the store identical; the plain append would double it."""
+    base = tmp_path_factory.mktemp("ivfidem")
+    e = _emb(spark)
+    corpus = e.filter(F.col("vec_id") % 97 != 3)
+    batch = e.filter(F.col("vec_id") % 97 == 3)
+    build_ivf_store(spark, corpus, "t_ivf_idem", str(base / "s"))
+    try:
+        append_to_ivf_store_idempotent(spark, "t_ivf_idem", batch)
+        once = sorted(map(tuple, spark.table("t_ivf_idem")
+                          .select("cell", "vec_id").collect()))
+        append_to_ivf_store_idempotent(spark, "t_ivf_idem", batch)
+        assert sorted(map(tuple, spark.table("t_ivf_idem")
+                          .select("cell", "vec_id").collect())) == once
+        # and it matches the plain append's single application
+        assert len(once) == corpus.count() + batch.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idem")
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idem_seeds")
