@@ -153,3 +153,41 @@ def test_compact_rejects_unbucketed_table(spark):
             compact_bucketed_table(spark, "t_plain")
     finally:
         spark.sql("DROP TABLE IF EXISTS t_plain")
+
+
+def test_compaction_composes_with_ivf_store(spark):
+    """Cross-family: compacting an append-grown IVF store (+ its
+    seeds sidecar) preserves the ANN serving contract — identical
+    top-k, build-param properties intact, file bound restored."""
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, build_ivf_store, ivf_store_topk,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.filter(F.col("vec_id") % 5 > 1)
+    with tempfile.TemporaryDirectory() as td:
+        build_ivf_store(spark, corpus, "t_cmp_ivf",
+                        os.path.join(td, "s"), num_buckets=4)
+        try:
+            for i in (0, 1):
+                append_to_ivf_store(spark, "t_cmp_ivf",
+                                    e.filter(F.col("vec_id") % 5 == i),
+                                    num_buckets=4)
+            q = e.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("query_id"), "embedding")
+            before = sorted(map(tuple, ivf_store_topk(
+                spark, "t_cmp_ivf", q, k=5).collect()))
+            assert _n_files(os.path.join(td, "s")) > 4
+            removed = compact_bucketed_table(spark, "t_cmp_ivf")
+            assert removed > 4
+            assert _n_files(os.path.join(td, "s")) <= 4
+            from pudl_spark.sources.files import get_table_build_params
+
+            assert get_table_build_params(
+                spark, "t_cmp_ivf_seeds")["num_buckets"] == "4"
+            after = sorted(map(tuple, ivf_store_topk(
+                spark, "t_cmp_ivf", q, k=5).collect()))
+            assert after == before and after
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_cmp_ivf")
+            spark.sql("DROP TABLE IF EXISTS t_cmp_ivf_seeds")

@@ -97,3 +97,43 @@ def test_stream_ingest_parity_and_redelivery(spark, tmp_path_factory):
                   "t_batch_lsh_bands", "t_batch_lsh_sets",
                   "t_replay_bands", "t_replay_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_auto_compaction_bounds_files(spark, tmp_path_factory):
+    """compact_every keeps a long-lived ingest loop's file counts
+    bounded without changing results: after the drain the store
+    holds <= num_buckets files per table and still equals the
+    batch-built store."""
+    import glob
+
+    base = tmp_path_factory.mktemp("lshcmp")
+    src = str(base / "in")
+    store = str(base / "store")
+    os.makedirs(src)
+    d = _docs(spark).select("doc_id", "text")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.1)
+    try:
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = lsh_ingest_stream(stream, "t_str_cmp", store,
+                              str(base / "pairs"), str(base / "ckpt"),
+                              jaccard_threshold=0.5, compact_every=1)
+        q.awaitTermination()
+        for sub in ("bands", "sets"):
+            n = len(glob.glob(os.path.join(store, sub, "part-*")))
+            assert n <= 8, (sub, n)
+        build_lsh_store(spark, d, "doc_id", "text", "t_ref_cmp",
+                        str(base / "ref"))
+        for suffix in ("_bands", "_sets"):
+            got = sorted(map(tuple, spark.table(f"t_str_cmp{suffix}")
+                             .collect()))
+            want = sorted(map(tuple, spark.table(f"t_ref_cmp{suffix}")
+                              .collect()))
+            assert got == want and got, suffix
+    finally:
+        for t in ("t_str_cmp_bands", "t_str_cmp_sets",
+                  "t_ref_cmp_bands", "t_ref_cmp_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
