@@ -496,7 +496,9 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
     to a one-shot build over ALL the data additionally needs the
     later batches to contribute no seed-eligible rows. Like the LSH
     pairs sink, read an all-empty matches sink with an explicit
-    schema. Returns the started StreamingQuery (availableNow).
+    schema; like the LSH loop, ``compact_every=N`` runs the
+    bucket-aware compaction every N batches to bound the store's
+    file count. Returns the started StreamingQuery (availableNow).
     """
     from pudl_spark.functions.similarity import (
         append_to_ivf_store_idempotent, build_ivf_store,

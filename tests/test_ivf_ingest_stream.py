@@ -115,3 +115,37 @@ def test_idempotent_ivf_append_replay_converges(spark,
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ivf_idem")
         spark.sql("DROP TABLE IF EXISTS t_ivf_idem_seeds")
+
+
+def test_stream_on_mismatched_store_raises(spark, tmp_path_factory):
+    """A stream attached to a PRE-EXISTING store built under
+    different parameters must fail loudly (VERDICT r10 #4 applies to
+    the streaming path too), not silently assign under the wrong
+    rule."""
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    base = tmp_path_factory.mktemp("ivfmm")
+    src = str(base / "in")
+    os.makedirs(src)
+    e = _emb(spark).select("vec_id", "embedding")
+    build_ivf_store(spark, e.filter(F.col("vec_id") % 2 == 0),
+                    "t_stream_mm", str(base / "s"),
+                    centroid_factor=3.0)
+    e.filter(F.col("vec_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    try:
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .parquet(src))
+        q = ivf_ingest_stream(stream, "t_stream_mm",
+                              str(base / "s"), str(base / "m"),
+                              str(base / "ckpt"))
+        with pytest.raises(StreamingQueryException,
+                           match="centroid_factor"):
+            q.awaitTermination()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stream_mm")
+        spark.sql("DROP TABLE IF EXISTS t_stream_mm_seeds")
