@@ -191,3 +191,48 @@ def test_compaction_composes_with_ivf_store(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS t_cmp_ivf")
             spark.sql("DROP TABLE IF EXISTS t_cmp_ivf_seeds")
+
+
+def test_idempotent_guard_scans_are_pruned(spark):
+    """The redelivery guards must READ O(batch), not O(corpus): the
+    LSH guard's In(id) and the IVF guard's In(cell) predicates reach
+    the store file scans (both tables are sorted by exactly those
+    columns, so row-group min/max stats skip the untouched index)."""
+    from pudl_spark.functions.similarity import (
+        _assign_to_store_cells, build_ivf_store,
+    )
+
+    d = _docs(spark)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d.filter(F.col("doc_id") % 5 != 0),
+                        "doc_id", "text", "t_grd",
+                        os.path.join(td, "l"))
+        build_ivf_store(spark, e.filter(F.col("vec_id") % 5 != 0),
+                        "t_grd_ivf", os.path.join(td, "v"))
+        try:
+            # LSH guard read side: store ids pruned by the batch ids.
+            ids = [r[0] for r in d.filter(F.col("doc_id") % 5 == 0)
+                   .select("doc_id").distinct().collect()]
+            guarded = (spark.table("t_grd_sets").select("id")
+                       .filter(F.col("id").isin(sorted(ids))))
+            plan = (guarded._jdf.queryExecution().executedPlan()
+                    .toString())
+            assert "In(id" in plan, plan
+            # IVF guard read side: store rows pruned by the batch's
+            # assigned cells.
+            batch = e.filter(F.col("vec_id") % 5 == 0)
+            rows = _assign_to_store_cells(spark, "t_grd_ivf", batch,
+                                          2, 2.0)
+            cells = [r["cell"] for r in
+                     rows.select("cell").distinct().collect()]
+            guarded = (spark.table("t_grd_ivf")
+                       .filter(F.col("cell").isin(sorted(cells)))
+                       .select("vec_id"))
+            plan = (guarded._jdf.queryExecution().executedPlan()
+                    .toString())
+            assert "In(cell" in plan, plan
+        finally:
+            for t in ("t_grd_bands", "t_grd_sets", "t_grd_ivf",
+                      "t_grd_ivf_seeds"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
