@@ -107,6 +107,12 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    `xbrl_roundtrip_totals`) lead, then the 42 r7-certified
     #    rows (alphabetically from `allocate_order_total`) — 44+
     #    slots spoken for, so r12 has room for <= 5 touched/new.
+    #    First in line: `doc_lsh_store_redelivery` and
+    #    `ivf_store_redelivery`, STAGED ready-to-register in
+    #    pudl_spark/plans/queued.py — hash-grade evidence that the
+    #    r11 idempotent appends converge under redelivery; their
+    #    query/oracle pairs already pass the driver-style
+    #    differential check at sf0.01 (tests/test_r12_queue.py).
     #    The two refactors deferred r9->r11 are SCHEDULED for r12
     #    precisely because their touch sets sit in that queue:
     #    deriving build_lsh_store's bands pass from the just-written
