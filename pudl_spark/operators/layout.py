@@ -233,11 +233,20 @@ def compact_bucketed_table(spark, table_name: str,
     """
     from pudl_spark.sources.files import write_bucketed_table
 
+    # Complete any swap a previous run crashed in (and only then
+    # trust the file listing), and garbage-collect staging dirs a
+    # pre-marker crash left behind.
+    recover_pending_compaction(spark, table_name)
     num_buckets, bucket_cols, sort_cols, loc = _parse_bucket_spec(
         spark, table_name)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(loc)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parent = jpath.getParent()
+    base = jpath.getName()
+    for st in fs.listStatus(parent):
+        if st.getPath().getName().startswith(f"{base}__compact_"):
+            fs.delete(st.getPath(), True)  # stale pre-marker staging
     data_files = [st.getPath() for st in fs.listStatus(jpath)
                   if st.getPath().getName().startswith("part-")]
     if len(data_files) <= num_buckets * files_per_bucket:
@@ -281,20 +290,26 @@ def compact_bucketed_table(spark, table_name: str,
                          path=staging_loc)
     # Publish: swap data files under the original location. On a
     # real lakehouse this is the table-format rewrite commit; on a
-    # filesystem it is per-file renames after the staged write
-    # fully succeeded — a crash before the swap leaves the original
-    # table untouched. SINGLE-WRITER, like every store mutation
-    # here: a crash mid-swap can leave the table with a subset of
-    # its rows, but never duplicates (originals delete before
-    # staged files move in), and the staging directory retains the
-    # complete compacted copy for manual recovery — do NOT re-run
-    # compaction over a half-swapped table.
+    # filesystem it is a WRITE-AHEAD-MARKED swap (r11 self-review):
+    # before touching the originals, a marker file records the
+    # staging directory and the complete staged file-name manifest
+    # (written to a temp name and renamed — atomic on local/HDFS).
+    # A crash at ANY later point leaves (marker + staged copy), and
+    # `recover_pending_compaction` — run automatically at the start
+    # of the next compaction, and by the streaming loops before any
+    # store read — deterministically completes the swap (it is
+    # itself idempotent: every recovery step re-derives from the
+    # manifest). A crash BEFORE the marker leaves the original table
+    # untouched (the stale staging dir is garbage-collected by the
+    # next run). SINGLE-WRITER, like every store mutation here.
     spark_catalog_refresh_needed = False
     try:
         sjpath = jvm.org.apache.hadoop.fs.Path(staging_loc)
         staged = [st.getPath() for st in fs.listStatus(sjpath)
                   if st.getPath().getName().startswith("part-")]
         assert staged, "staged compaction wrote no data files"
+        _write_compact_marker(spark, loc, staging_loc,
+                              [p.getName() for p in staged])
         for p in data_files:
             fs.delete(p, False)
         spark_catalog_refresh_needed = True
@@ -305,6 +320,8 @@ def compact_bucketed_table(spark, table_name: str,
                     f"compact_bucketed_table: rename {p} -> {dest} "
                     "failed")
         fs.delete(sjpath, True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER),
+                  False)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {staging}")
         if spark_catalog_refresh_needed:
@@ -315,3 +332,86 @@ def compact_bucketed_table(spark, table_name: str,
 
             _invalidate_store_bytes(spark, table_name)
     return len(data_files)
+
+
+_COMPACT_MARKER = "_COMPACT_PENDING"
+
+
+def _hadoop_fs(spark, path_str: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_compact_marker(spark, loc: str, staging_loc: str,
+                          staged_names: list[str]) -> None:
+    """Atomically publish the swap intent: staging dir + the staged
+    file-name manifest, written to a temp name then renamed."""
+    import json
+
+    jvm, fs = _hadoop_fs(spark, loc)
+    tmp = jvm.org.apache.hadoop.fs.Path(loc,
+                                        f"{_COMPACT_MARKER}.__tmp__")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(
+        {"staging": staging_loc, "files": staged_names}),
+        "utf-8"))
+    out.close()
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER))
+
+
+def recover_pending_compaction(spark, table_name: str) -> bool:
+    """Complete a compaction swap that crashed mid-publish. Returns
+    True when a pending swap was found and finished, False when the
+    table is clean (the common case: one listStatus, no Spark job).
+
+    The marker's manifest makes recovery deterministic and
+    idempotent regardless of where the crash hit: every manifest
+    file still in the staging dir moves into the table location
+    (ones already moved are skipped), every ``part-*`` file at the
+    location NOT in the manifest is a leftover original and is
+    deleted, and only then do the staging dir and the marker go
+    away. Crash DURING recovery → the next call re-runs the same
+    steps. Callers that read an auto-compacting store outside the
+    writing process (the streaming loops run this before every
+    store read when ``compact_every`` is set) get the
+    'every crash point converges' guarantee back."""
+    import json
+
+    rows = {r["col_name"]: r["data_type"]
+            for r in spark.sql(
+                f"DESCRIBE FORMATTED {table_name}").collect()}
+    loc = rows["Location"]
+    jvm, fs = _hadoop_fs(spark, loc)
+    marker = jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER)
+    if not fs.exists(marker):
+        return False
+    stream = fs.open(marker)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("utf-8")
+    finally:
+        stream.close()
+    manifest = json.loads(raw)
+    keep = set(manifest["files"])
+    sjpath = jvm.org.apache.hadoop.fs.Path(manifest["staging"])
+    if fs.exists(sjpath):
+        for st in fs.listStatus(sjpath):
+            name = st.getPath().getName()
+            if name in keep:
+                dest = jvm.org.apache.hadoop.fs.Path(loc, name)
+                if fs.exists(dest):
+                    fs.delete(dest, False)  # partial earlier move
+                fs.rename(st.getPath(), dest)
+    jpath = jvm.org.apache.hadoop.fs.Path(loc)
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("part-") and name not in keep:
+            fs.delete(st.getPath(), False)
+    if fs.exists(sjpath):
+        fs.delete(sjpath, True)
+    fs.delete(marker, False)
+    spark.catalog.refreshTable(table_name)
+    from pudl_spark.functions.dedup import _invalidate_store_bytes
+
+    _invalidate_store_bytes(spark, table_name)
+    return True

@@ -409,6 +409,19 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                             table_prefix, store_path,
                             num_buckets=num_buckets, **sig)
             return
+        # A previous run may have died INSIDE the periodic
+        # compaction's publish step; complete the swap before any
+        # store read, or the guard/probe would see a half-swapped
+        # table (r11 self-review — this is what keeps the
+        # every-crash-point-converges claim true with
+        # compact_every on). One listStatus when clean.
+        if compact_every:
+            from pudl_spark.operators.layout import (
+                recover_pending_compaction,
+            )
+
+            for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+                recover_pending_compaction(spark, t)
         # Fully-redelivered batch (crash after append, before the
         # checkpoint commit): every id is already in the sets table
         # -> skip, keeping the first delivery's pairs partition.
@@ -470,7 +483,8 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
                       k: int = 3, min_score: float | None = None,
                       num_buckets: int = 8, nprobe: int = 2,
                       centroid_factor: float = 2.0,
-                      compact_every: int | None = None):
+                      compact_every: int | None = None,
+                      max_prune_values: int = 2048):
     """IVF twin of `lsh_ingest_stream` (r11): the embedding-side
     probe-then-ingest loop. Each micro-batch of vectors ANN-probes
     the persisted cell-bucketed store for its nearest previously-
@@ -519,15 +533,23 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
                             centroid_factor=centroid_factor)
             return
         # A stream can attach to a PRE-EXISTING store: assert its
-        # build parameters before assigning/appending under ours
-        # (VERDICT r10 #4 — the inlined append below must carry the
-        # same guarantee as append_to_ivf_store_idempotent).
+        # build parameters ONCE per batch, before assigning/probing/
+        # appending under ours (VERDICT r10 #4; the probe and append
+        # below skip their own asserts via assert_params=False).
         from pudl_spark.sources.files import assert_build_params_match
 
         assert_build_params_match(
             spark, f"{table_name}_seeds",
             {"nprobe": nprobe, "centroid_factor": centroid_factor,
              "num_buckets": num_buckets}, "ivf_ingest_stream")
+        # Complete any half-published compaction swap before reading
+        # the store (same rationale as the LSH loop).
+        if compact_every:
+            from pudl_spark.operators.layout import (
+                recover_pending_compaction,
+            )
+
+            recover_pending_compaction(spark, table_name)
         # Fully-redelivered batch: every vec_id already in the store
         # (checked cell-pruned, O(batch cells' members)) -> skip.
         from pudl_spark.functions.similarity import (
@@ -538,9 +560,9 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
                                       nprobe, centroid_factor
                                       ).localCheckpoint()
         cells = [r["cell"] for r in rows.select("cell").distinct()
-                 .limit(2049).collect()]
+                 .limit(max_prune_values + 1).collect()]
         store = spark.table(table_name)
-        if len(cells) <= 2048:
+        if len(cells) <= max_prune_values:
             store = store.filter(F.col("cell").isin(sorted(cells)))
         fresh = rows.join(store.select("vec_id").distinct(),
                           "vec_id", "left_anti").localCheckpoint()
@@ -552,7 +574,7 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
         matches = ivf_store_topk(spark, table_name, q, k=k,
                                  nprobe=nprobe,
                                  centroid_factor=centroid_factor,
-                                 batch_rows=nf)
+                                 batch_rows=nf, assert_params=False)
         if min_score is not None:
             matches = matches.filter(F.col("score") >= min_score)
         (matches.withColumn("batch_id", F.lit(batch_id))
@@ -561,15 +583,16 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
          .partitionBy("batch_id")
          .parquet(matches_path))
         # fresh already carries its (cell, vec_id, embedding, nrm)
-        # assignment and is id-guarded; append it directly under the
-        # build's bucket spec (the idempotent variant would redo
-        # both steps — same convergence, twice the work).
-        from pudl_spark.sources.files import write_bucketed_table
-
-        write_bucketed_table(fresh, table_name, ["cell"],
-                             num_buckets,
-                             sort_cols=["cell", "vec_id"],
-                             mode="append")
+        # assignment and is id-guarded: hand it to the shared append
+        # with the repeat work switched off (assign/guard/assert run
+        # once per batch total).
+        append_to_ivf_store_idempotent(spark, table_name,
+                                       num_buckets=num_buckets,
+                                       nprobe=nprobe,
+                                       centroid_factor=centroid_factor,
+                                       assigned_rows=fresh,
+                                       guard=False,
+                                       assert_params=False)
         # Periodic bucket-aware compaction, same contract as the LSH
         # loop (the seeds sidecar never grows on append — only the
         # store table needs it).

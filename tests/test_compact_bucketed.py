@@ -236,3 +236,57 @@ def test_idempotent_guard_scans_are_pruned(spark):
             for t in ("t_grd_bands", "t_grd_sets", "t_grd_ivf",
                       "t_grd_ivf_seeds"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_recover_pending_compaction_mid_swap_crash(spark):
+    """A crash inside the compaction publish step must be fully
+    recoverable (r11 self-review: the streaming loops run this
+    before every store read): the write-ahead marker + staged copy
+    let recover_pending_compaction restore the exact table content
+    from ANY interruption point, idempotently."""
+    import shutil
+
+    from pudl_spark.operators.layout import (
+        _write_compact_marker, recover_pending_compaction,
+    )
+
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d, "doc_id", "text", "t_rec",
+                        os.path.join(td, "s"), num_buckets=2)
+        try:
+            sets_dir = os.path.join(td, "s", "sets")
+            want = sorted(map(tuple, spark.table("t_rec_sets")
+                              .collect()))
+            parts = sorted(glob.glob(os.path.join(sets_dir,
+                                                  "part-*")))
+            assert len(parts) >= 2
+            # Simulate: staged copy complete (same logical content),
+            # marker published, then a crash midway through deleting
+            # the originals.
+            staging = sets_dir + "__compact_testtok"
+            os.makedirs(staging)
+            for p in parts:
+                shutil.copy(p, os.path.join(staging,
+                                            os.path.basename(p)))
+            _write_compact_marker(
+                spark, "file:" + sets_dir, "file:" + staging,
+                [os.path.basename(p) for p in parts])
+            os.remove(parts[0])  # the mid-delete crash
+            # Half-swapped: a bare read now loses rows...
+            spark.catalog.refreshTable("t_rec_sets")
+            assert len(spark.table("t_rec_sets").collect()) < len(want)
+            # ...recovery completes the swap deterministically.
+            assert recover_pending_compaction(spark, "t_rec_sets")
+            got = sorted(map(tuple, spark.table("t_rec_sets")
+                             .collect()))
+            assert got == want
+            assert not os.path.exists(staging)
+            assert not os.path.exists(
+                os.path.join(sets_dir, "_COMPACT_PENDING"))
+            # Clean table: recovery is a cheap no-op.
+            assert recover_pending_compaction(spark,
+                                              "t_rec_sets") is False
+        finally:
+            for t in ("t_rec_bands", "t_rec_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

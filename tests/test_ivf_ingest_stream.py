@@ -149,3 +149,56 @@ def test_stream_on_mismatched_store_raises(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stream_mm")
         spark.sql("DROP TABLE IF EXISTS t_stream_mm_seeds")
+
+
+def test_ivf_stream_min_score_and_auto_compaction(spark,
+                                                  tmp_path_factory):
+    """The SemDeDup flagging path (min_score) and the IVF loop's
+    auto-compaction path both work end-to-end: the drained store
+    stays <= num_buckets files with results equal to the batch
+    replay, every emitted match clears the threshold, and an
+    all-filtered matches sink reads back (with an explicit schema)
+    as empty rather than crashing downstream."""
+    import glob
+
+    base = tmp_path_factory.mktemp("ivfms")
+    src = str(base / "in")
+    matches = str(base / "matches")
+    store_dir = str(base / "store")
+    os.makedirs(src)
+    e = _emb(spark).select("vec_id", "embedding")
+    for i in range(3):
+        e.filter(F.col("vec_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.1)
+    try:
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ivf_ingest_stream(stream, "t_ivf_ms", store_dir, matches,
+                              str(base / "ckpt"), k=2,
+                              min_score=0.99, compact_every=1)
+        q.awaitTermination()
+        n = len(glob.glob(os.path.join(store_dir, "part-*")))
+        assert n <= 8, n
+        build_ivf_store(spark, e.filter(F.col("vec_id") % 3 == 0),
+                        "t_ivf_ms_ref", str(base / "ref"))
+        for i in (1, 2):
+            append_to_ivf_store(spark, "t_ivf_ms_ref",
+                                e.filter(F.col("vec_id") % 3 == i))
+        got = sorted(map(tuple, spark.table("t_ivf_ms")
+                         .select("cell", "vec_id").collect()))
+        want = sorted(map(tuple, spark.table("t_ivf_ms_ref")
+                          .select("cell", "vec_id").collect()))
+        assert got == want and got
+        # The matches sink may be empty at this threshold; an
+        # explicit-schema read must work either way, and whatever is
+        # there clears the threshold.
+        m = spark.read.schema(
+            "query_id long, neighbor_id long, score double, "
+            "rank int, batch_id long").parquet(matches)
+        assert all(r["score"] >= 0.99 for r in m.collect())
+    finally:
+        for t in ("t_ivf_ms", "t_ivf_ms_seeds",
+                  "t_ivf_ms_ref", "t_ivf_ms_ref_seeds"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
