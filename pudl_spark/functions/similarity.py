@@ -395,6 +395,12 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
     raising TypeError on pre-sidecar call sites).
     """
     del seed_modulus  # implied by the build's persisted sidecar
+    # Recovery first: a probe must never read a store some process
+    # left half-swapped mid-compaction (r11). One catalog lookup +
+    # one fs.exists when clean.
+    from pudl_spark.operators.layout import recover_pending_compaction
+
+    recover_pending_compaction(spark, table_name)
     # centroid_factor must equal the build's or the probe re-derives
     # a DIFFERENT centroid array than the one the cells were
     # assigned under — silently skewed recall. Asserted against the
@@ -717,6 +723,11 @@ def append_to_ivf_store_idempotent(spark, table_name: str,
         assert_build_params_match, write_bucketed_table,
     )
 
+    if (new_vecs is None) == (assigned_rows is None):
+        raise ValueError(
+            "append_to_ivf_store_idempotent: pass exactly one of "
+            "new_vecs (raw vectors to assign) or assigned_rows "
+            "(pre-assigned (cell, vec_id, embedding, nrm) rows).")
     if assert_params:
         assert_build_params_match(
             spark, f"{table_name}_seeds",

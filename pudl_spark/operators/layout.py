@@ -239,9 +239,8 @@ def compact_bucketed_table(spark, table_name: str,
     recover_pending_compaction(spark, table_name)
     num_buckets, bucket_cols, sort_cols, loc = _parse_bucket_spec(
         spark, table_name)
-    jvm = spark._jvm
+    jvm, fs = _hadoop_fs(spark, loc)
     jpath = jvm.org.apache.hadoop.fs.Path(loc)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     parent = jpath.getParent()
     base = jpath.getName()
     for st in fs.listStatus(parent):
@@ -308,8 +307,18 @@ def compact_bucketed_table(spark, table_name: str,
         staged = [st.getPath() for st in fs.listStatus(sjpath)
                   if st.getPath().getName().startswith("part-")]
         assert staged, "staged compaction wrote no data files"
+        # The manifest records BOTH name lists: the staged files to
+        # move in AND the exact originals to delete — recovery must
+        # never infer "originals" as everything-not-staged, or it
+        # would destroy files legitimately appended between a crash
+        # and the recovery run (r11 self-review #3). Distinct write
+        # jobs guarantee the two name sets never collide; assert it,
+        # since recovery's delete step depends on it.
+        staged_names = [p.getName() for p in staged]
+        original_names = [p.getName() for p in data_files]
+        assert not set(staged_names) & set(original_names)
         _write_compact_marker(spark, loc, staging_loc,
-                              [p.getName() for p in staged])
+                              staged_names, original_names)
         for p in data_files:
             fs.delete(p, False)
         spark_catalog_refresh_needed = True
@@ -344,9 +353,12 @@ def _hadoop_fs(spark, path_str: str):
 
 
 def _write_compact_marker(spark, loc: str, staging_loc: str,
-                          staged_names: list[str]) -> None:
-    """Atomically publish the swap intent: staging dir + the staged
-    file-name manifest, written to a temp name then renamed."""
+                          staged_names: list[str],
+                          original_names: list[str]) -> None:
+    """Atomically publish the swap intent: staging dir, the staged
+    file-name manifest, and the EXACT original file names to delete
+    (never inferred — see recover_pending_compaction), written to a
+    temp name then renamed."""
     import json
 
     jvm, fs = _hadoop_fs(spark, loc)
@@ -354,34 +366,50 @@ def _write_compact_marker(spark, loc: str, staging_loc: str,
                                         f"{_COMPACT_MARKER}.__tmp__")
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(
-        {"staging": staging_loc, "files": staged_names}),
+        {"staging": staging_loc, "files": staged_names,
+         "originals": original_names}),
         "utf-8"))
     out.close()
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER))
+    marker = jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER)
+    # rename reports failure by RETURNING false on several Hadoop
+    # filesystems (dest exists, src vanished) — an unchecked marker
+    # publish would let the swap delete originals unprotected (r11
+    # self-review #3).
+    if fs.exists(marker):
+        fs.delete(marker, False)
+    if not fs.rename(tmp, marker):
+        raise IOError(f"compact marker publish failed: {tmp} -> "
+                      f"{marker}")
 
 
 def recover_pending_compaction(spark, table_name: str) -> bool:
     """Complete a compaction swap that crashed mid-publish. Returns
     True when a pending swap was found and finished, False when the
-    table is clean (the common case: one listStatus, no Spark job).
+    table is clean (the common case: one catalog lookup + one
+    fs.exists, no Spark job).
 
     The marker's manifest makes recovery deterministic and
     idempotent regardless of where the crash hit: every manifest
     file still in the staging dir moves into the table location
-    (ones already moved are skipped), every ``part-*`` file at the
-    location NOT in the manifest is a leftover original and is
-    deleted, and only then do the staging dir and the marker go
-    away. Crash DURING recovery → the next call re-runs the same
-    steps. Callers that read an auto-compacting store outside the
-    writing process (the streaming loops run this before every
-    store read when ``compact_every`` is set) get the
-    'every crash point converges' guarantee back."""
+    (ones already moved are skipped), every file on the manifest's
+    ORIGINALS list that still exists is deleted — and nothing else:
+    files appended between the crash and the recovery are untouched
+    (an everything-not-staged delete rule would destroy them, r11
+    self-review #3) — and only then do the staging dir and the
+    marker go away. Crash DURING recovery → the next call re-runs
+    the same steps. Every in-engine store touch point runs this
+    first — bucketed APPENDS (`sources.files.write_bucketed_table`
+    in append mode), both store PROBES, the streaming loops
+    (unconditionally, not only when compact_every is set), and
+    compaction itself — so no reader or writer ever sees a
+    half-swapped table."""
     import json
 
-    rows = {r["col_name"]: r["data_type"]
-            for r in spark.sql(
-                f"DESCRIBE FORMATTED {table_name}").collect()}
-    loc = rows["Location"]
+    from pudl_spark.functions.dedup import (
+        _invalidate_store_bytes, _resolve_table_location,
+    )
+
+    loc = _resolve_table_location(spark, table_name)
     jvm, fs = _hadoop_fs(spark, loc)
     marker = jvm.org.apache.hadoop.fs.Path(loc, _COMPACT_MARKER)
     if not fs.exists(marker):
@@ -392,26 +420,26 @@ def recover_pending_compaction(spark, table_name: str) -> bool:
     finally:
         stream.close()
     manifest = json.loads(raw)
-    keep = set(manifest["files"])
     sjpath = jvm.org.apache.hadoop.fs.Path(manifest["staging"])
     if fs.exists(sjpath):
+        staged = set(manifest["files"])
         for st in fs.listStatus(sjpath):
             name = st.getPath().getName()
-            if name in keep:
+            if name in staged:
                 dest = jvm.org.apache.hadoop.fs.Path(loc, name)
                 if fs.exists(dest):
                     fs.delete(dest, False)  # partial earlier move
-                fs.rename(st.getPath(), dest)
-    jpath = jvm.org.apache.hadoop.fs.Path(loc)
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.startswith("part-") and name not in keep:
-            fs.delete(st.getPath(), False)
+                if not fs.rename(st.getPath(), dest):
+                    raise IOError(
+                        f"compaction recovery rename failed: "
+                        f"{st.getPath()} -> {dest}")
+    for name in manifest["originals"]:
+        p = jvm.org.apache.hadoop.fs.Path(loc, name)
+        if fs.exists(p):
+            fs.delete(p, False)
     if fs.exists(sjpath):
         fs.delete(sjpath, True)
     fs.delete(marker, False)
     spark.catalog.refreshTable(table_name)
-    from pudl_spark.functions.dedup import _invalidate_store_bytes
-
     _invalidate_store_bytes(spark, table_name)
     return True

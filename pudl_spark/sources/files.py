@@ -194,6 +194,21 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     discipline for query-scoped stores) instead of a managed table
     under the warehouse dir.
     """
+    if mode == "append":
+        spark = df.sparkSession
+        if spark.catalog.tableExists(table_name):
+            # Never append onto a half-swapped table: complete any
+            # compaction publish a previous process crashed in (r11
+            # self-review #3 — recovery deletes exactly the marker's
+            # original list, so files appended AFTER recovery are
+            # safe, but an append BEFORE recovery would read/write
+            # against missing rows). No-op cost: one catalog lookup
+            # + one fs.exists.
+            from pudl_spark.operators.layout import (
+                recover_pending_compaction,
+            )
+
+            recover_pending_compaction(spark, table_name)
     writer = df.write.mode(mode).format("parquet") \
         .bucketBy(num_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))

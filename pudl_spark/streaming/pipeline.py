@@ -410,19 +410,19 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                             table_prefix, store_path,
                             num_buckets=num_buckets, **sig)
             return
-        # A previous run may have died INSIDE the periodic
-        # compaction's publish step; complete the swap before any
-        # store read, or the guard/probe would see a half-swapped
-        # table (r11 self-review — this is what keeps the
-        # every-crash-point-converges claim true with
-        # compact_every on). One listStatus when clean.
-        if compact_every:
-            from pudl_spark.operators.layout import (
-                recover_pending_compaction,
-            )
+        # A previous run may have died INSIDE a compaction publish
+        # step; complete the swap before any store read, or the
+        # guard/probe would see a half-swapped table. UNCONDITIONAL
+        # (r11 self-review #3): the crash may have happened under a
+        # previous run's compact_every even if this run disables it.
+        # No-op cost when clean: one catalog lookup + fs.exists per
+        # table.
+        from pudl_spark.operators.layout import (
+            recover_pending_compaction,
+        )
 
-            for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
-                recover_pending_compaction(spark, t)
+        for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+            recover_pending_compaction(spark, t)
         # Fully-redelivered batch (crash after append, before the
         # checkpoint commit): every id is already in the sets table
         # -> skip, keeping the first delivery's pairs partition.
@@ -445,7 +445,9 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
         pairs = lsh_store_probe(spark, table_prefix, fresh, id_col,
                                 text_col,
                                 jaccard_threshold=jaccard_threshold,
-                                batch_rows=nf, **sig)
+                                batch_rows=nf,
+                                max_prune_values=max_prune_values,
+                                **sig)
         # Per-WRITE dynamic overwrite (not spark.conf.set, which
         # would leak dynamic semantics into every later partitioned
         # overwrite in the session): only this batch's partition is
@@ -459,12 +461,17 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
         # only the bands guard remains (covers the crash window
         # between the two table appends), so the hot path pays one
         # guard scan per table total, not two plus a re-checkpoint.
+        # `ids` (the whole batch's ids) is a valid SUPERSET prune
+        # list for fresh's bands guard — a superset In() filter
+        # cannot change an anti-join result — so the append never
+        # re-collects (r11 self-review #3).
         append_to_lsh_store_idempotent(spark, table_prefix, fresh,
                                        id_col, text_col,
                                        num_buckets=num_buckets,
                                        max_prune_values=max_prune_values,
                                        guard_tables=("_bands",),
-                                       checkpoint=False, **sig)
+                                       checkpoint=False,
+                                       prune_ids=ids, **sig)
         # Periodic bucket-aware compaction (``compact_every``): each
         # append leaves up to num_buckets new files, so a long-lived
         # ingest loop self-heals its file counts on the SCALE.md
@@ -554,13 +561,14 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
             {"nprobe": nprobe, "centroid_factor": centroid_factor,
              "num_buckets": num_buckets}, "ivf_ingest_stream")
         # Complete any half-published compaction swap before reading
-        # the store (same rationale as the LSH loop).
-        if compact_every:
-            from pudl_spark.operators.layout import (
-                recover_pending_compaction,
-            )
+        # the store (same rationale as the LSH loop; unconditional —
+        # a previous run may have compacted even if this one does
+        # not).
+        from pudl_spark.operators.layout import (
+            recover_pending_compaction,
+        )
 
-            recover_pending_compaction(spark, table_name)
+        recover_pending_compaction(spark, table_name)
         # Fully-redelivered batch: every vec_id already in the store
         # (checked cell-pruned, O(batch cells' members)) -> skip.
         from pudl_spark.functions.similarity import (
@@ -585,7 +593,9 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
         matches = ivf_store_topk(spark, table_name, q, k=k,
                                  nprobe=nprobe,
                                  centroid_factor=centroid_factor,
-                                 batch_rows=nf, assert_params=False)
+                                 batch_rows=nf,
+                                 max_prune_values=max_prune_values,
+                                 assert_params=False)
         if min_score is not None:
             matches = matches.filter(F.col("score") >= min_score)
         (matches.withColumn("batch_id", F.lit(batch_id))

@@ -261,23 +261,37 @@ def test_recover_pending_compaction_mid_swap_crash(spark):
             parts = sorted(glob.glob(os.path.join(sets_dir,
                                                   "part-*")))
             assert len(parts) >= 2
-            # Simulate: staged copy complete (same logical content),
-            # marker published, then a crash midway through deleting
-            # the originals.
+            # Simulate: staged copy complete (same logical content
+            # under DISTINCT file names, as real staged write jobs
+            # produce), marker published, then a crash midway
+            # through deleting the originals. An extra file
+            # "appended after the crash" must SURVIVE recovery (the
+            # manifest's originals list, not everything-not-staged,
+            # drives the deletes).
             staging = sets_dir + "__compact_testtok"
             os.makedirs(staging)
+            staged_names = []
             for p in parts:
-                shutil.copy(p, os.path.join(staging,
-                                            os.path.basename(p)))
+                sname = os.path.basename(p).replace("part-", "part-9",
+                                                    1)
+                staged_names.append(sname)
+                shutil.copy(p, os.path.join(staging, sname))
             _write_compact_marker(
                 spark, "file:" + sets_dir, "file:" + staging,
-                [os.path.basename(p) for p in parts])
+                staged_names, [os.path.basename(p) for p in parts])
             os.remove(parts[0])  # the mid-delete crash
             # Half-swapped: a bare read now loses rows...
             spark.catalog.refreshTable("t_rec_sets")
             assert len(spark.table("t_rec_sets").collect()) < len(want)
-            # ...recovery completes the swap deterministically.
+            survivor = os.path.join(
+                sets_dir, "part-survivor_00000.c000.zstd.parquet")
+            shutil.copy(parts[1], survivor)  # post-crash append
+            # ...recovery completes the swap deterministically, and
+            # the post-crash append SURVIVES it.
             assert recover_pending_compaction(spark, "t_rec_sets")
+            assert os.path.exists(survivor)
+            os.remove(survivor)  # drop the duplicate rows it holds
+            spark.catalog.refreshTable("t_rec_sets")
             got = sorted(map(tuple, spark.table("t_rec_sets")
                              .collect()))
             assert got == want
