@@ -109,3 +109,197 @@ def ivf_store_redelivery_oracle() -> str:
     from pudl_spark.plans.queries import ORACLES
 
     return ORACLES["ivf_store_append"]
+
+
+def oph_banded_from_sets(sets_df, num_hashes: int = 64,
+                         bands: int = 16):
+    """STAGED for r12 (VERDICT r9 #6 / r10 #8): LSH band keys
+    derived from an already-computed ``(id, __set)`` shingle-hash
+    frame — `shingle_hash_sets`' output, or the persisted
+    ``{prefix}_sets`` table — instead of re-shingling raw text.
+    `build_lsh_store` currently shingles the corpus TWICE (once for
+    the bands pass, once for the sets pass); writing sets first and
+    deriving bands from them saves one full corpus text pass per
+    index build.
+
+    Byte-identical to `dedup.oph_banded` BY CONSTRUCTION: the sets
+    frame holds exactly the distinct xxhash64 shingle hashes
+    oph_banded's explode produces, and the OPH bin/min/densify/band
+    pipeline below applies the same expressions in the same order —
+    pinned per-row-equal in tests/test_r12_queue.py at two SFs, so
+    the r12 swap (which re-certifies the minhash-family prefix
+    slots) ships pre-verified. Kept OUT of dedup.py until then: the
+    shared-stage extraction touches `oph_banded`, whose dependent
+    certified queries have no r11 prefix slots; the identity test
+    doubles as the divergence tripwire while this copy waits.
+    """
+    from pudl_spark.functions.dedup import _spread  # noqa: F401
+
+    rows_per_band = num_hashes // bands
+    nb = F.lit(num_hashes)
+    exploded = sets_df.select(
+        "id", F.explode("__set").alias("__sh"))
+    binned = exploded.groupBy(
+        "id", F.pmod("__sh", nb).alias("__bin")
+    ).agg(F.min("__sh").alias("__mh"))
+    sig_map = binned.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig_map = sig_map.withColumn(
+        "__v0",
+        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
+
+    def _double(prev, s):
+        return lambda i: F.coalesce(
+            F.element_at(F.col(prev), i + 1),
+            F.element_at(F.col(prev),
+                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
+        )
+
+    step, r = 1, 0
+    while step < num_hashes:
+        sig_map = sig_map.withColumn(
+            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
+        step, r = step * 2, r + 1
+    sig_agg = sig_map.select(
+        "id", F.col(f"__v{r}").alias("__sig")
+    ).localCheckpoint(eager=False)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig_agg.select(
+        "id", F.explode(band_arr).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def stratified_threshold_sample(df, by, id_col, race_key,
+                                thr_fn, thr_type, k: int,
+                                rank_col: str = "smp_rank",
+                                max_strata: int = 100_000,
+                                extra_aggs=(), order_key=None):
+    """STAGED for r12 (VERDICT r9 #7 / r10 #9): the ONE
+    prefilter/guard scaffold both samplers share —
+    `sampling.bottomk_sample` (uniform: race key = full md5, integer
+    hex6 threshold) and `sampling.weighted_bottomk_sample` (A-ES:
+    race key = -ln(u)/w, double threshold) differ only in the race
+    key, the per-stratum aggregates, the threshold rule, and
+    (for the uniform sampler, which prefilters on the 6-hex prefix
+    but ranks by the FULL digest so prefix collisions stay
+    deterministic) an optional distinct ranking key — all of which
+    arrive here as parameters. The NULL-stratum eqNullSafe rule, the
+    bounded per-stratum driver-state contract (max_strata), the
+    shortfall re-admission guard (exactness regardless of
+    hash/weight luck), and the (race key, id) deterministic ranking
+    then live ONCE. Byte-identity of both samplers replayed through
+    this scaffold vs their live implementations is pinned in
+    tests/test_r12_queue.py — the r12 swap (which re-certifies
+    doc_bottomk_sample / doc_weighted_sample / doc_stratified_sample
+    prefix slots) ships pre-verified.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    counts = (df.groupBy(*by)
+              .agg(F.count(F.lit(1)).alias("__n"), *extra_aggs)
+              .limit(max_strata + 1).collect())
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"stratified sample: more than max_strata={max_strata} "
+            f"strata in {by}; per-stratum driver state would be "
+            "unbounded. Use a rate-based hash-threshold sample or "
+            "aggregate the strata first.")
+    thr_rows = [tuple(r[c] for c in by) + (thr_fn(r),) for r in counts]
+    thr_df = spark.createDataFrame(
+        thr_rows,
+        df.select(*by).schema.add("__thr", thr_type)).select(
+            *[F.col(c).alias(f"__t_{c}") for c in by], "__thr")
+
+    def stratum_cond(right):
+        c = F.lit(True)
+        for col in by:
+            c = c & F.col(col).eqNullSafe(right(col))
+        return c
+
+    pre = (df.join(F.broadcast(thr_df),
+                   on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+           .filter(race_key < F.col("__thr"))
+           .drop("__thr", *[f"__t_{c}" for c in by]))
+    need = {tuple(r[c] for c in by): min(k, r["__n"]) for r in counts}
+    got = {tuple(r[c] for c in by): r["count"]
+           for r in pre.groupBy(*by).count().collect()}
+    short = [s for s, m in need.items() if got.get(s, 0) < m]
+    if short:
+        short_df = spark.createDataFrame(
+            [s for s in short], df.select(*by).schema).select(
+                *[F.col(c).alias(f"__s_{c}") for c in by])
+        readmit = (df.join(F.broadcast(short_df),
+                           on=stratum_cond(lambda c: F.col(f"__s_{c}")),
+                           how="left_semi")
+                   .join(F.broadcast(thr_df),
+                         on=stratum_cond(lambda c: F.col(f"__t_{c}")))
+                   .filter(race_key >= F.col("__thr"))
+                   .drop("__thr", *[f"__t_{c}" for c in by]))
+        pre = pre.unionByName(readmit)
+    order = order_key if order_key is not None else race_key
+    w = Window.partitionBy(*by).orderBy(order.asc(),
+                                        F.col(id_col).asc())
+    return (pre.withColumn(rank_col,
+                           F.row_number().over(w).cast("bigint"))
+            .filter(F.col(rank_col) <= k))
+
+
+def bottomk_sample_staged(df, by, id_col, k=10, salt=":smp",
+                          safety=8.0, rank_col="smp_rank",
+                          max_strata=100_000):
+    """`sampling.bottomk_sample` replayed through the staged unified
+    scaffold (identity-pinned)."""
+    import math
+
+    from pudl_spark.functions.sampling import _HEX6_MAX, _hash_key
+
+    key = _hash_key(id_col, salt)
+    hex6 = F.conv(F.substring(key, 1, 6), 16, 10).cast("long")
+
+    def thr(r):
+        n = r["__n"]
+        return (_HEX6_MAX if n <= safety * k
+                else math.ceil(_HEX6_MAX * safety * k / n))
+
+    # Filter/guard on the 6-hex prefix (that is what the threshold
+    # bounds), rank by the FULL digest (prefix-collision
+    # determinism) — the scaffold's order_key keeps the two keys
+    # separate exactly like the live implementation.
+    return stratified_threshold_sample(
+        df, by, id_col, hex6, thr, "long", k,
+        rank_col=rank_col, max_strata=max_strata, order_key=key)
+
+
+def weighted_bottomk_sample_staged(df, by, id_col, weight_col, k=10,
+                                   salt=":wsmp", safety=8.0,
+                                   rank_col="smp_rank",
+                                   max_strata=100_000):
+    """`sampling.weighted_bottomk_sample` replayed through the
+    staged unified scaffold (identity-pinned)."""
+    from pudl_spark.functions.sampling import _HEX6_MAX, _hash_key
+
+    df = df.filter(F.col(weight_col) > 0)
+    u = ((F.conv(F.substring(_hash_key(id_col, salt), 1, 6), 16, 10)
+          .cast("double") + F.lit(0.5)) / F.lit(float(_HEX6_MAX)))
+    e = -F.log(u) / F.col(weight_col).cast("double")
+
+    def thr(r):
+        return (float("inf") if r["__n"] <= safety * k
+                else safety * k / r["__W"])
+
+    return stratified_threshold_sample(
+        df, by, id_col, e, thr, "double", k,
+        rank_col=rank_col, max_strata=max_strata,
+        extra_aggs=(F.sum(F.col(weight_col).cast("double"))
+                    .alias("__W"),))

@@ -42,3 +42,62 @@ def test_queued_query_matches_oracle(spark, name):
     assert len(sdf) > 0
     err = ds.compare(name, sdf, odf)
     assert err is None, err
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
+def test_oph_banded_from_sets_byte_identical(spark, sf):
+    """The staged bands-from-sets derivation must equal the live
+    text-shingling path row-for-row — the precondition VERDICT r9 #6
+    set for the r12 build_lsh_store swap, and the divergence
+    tripwire while the staged copy waits in queued.py."""
+    from pudl_spark.functions.dedup import oph_banded, shingle_hash_sets
+    from pudl_spark.plans.queued import oph_banded_from_sets
+    from pudl_spark.catalog import read_parquet_table
+
+    d = read_parquet_table(spark, f"{sf}/documents.parquet")
+    live = sorted(map(tuple,
+                      oph_banded(d, "doc_id", "text").collect()))
+    staged = sorted(map(tuple, oph_banded_from_sets(
+        shingle_hash_sets(d, "doc_id", "text")).collect()))
+    assert staged == live and staged
+
+
+def test_staged_unified_samplers_byte_identical(spark):
+    """Both live samplers replayed through the staged unified
+    scaffold must match row-for-row — including a NULL stratum and a
+    stratum small enough to trip the shortfall guard — the
+    precondition for the r12 sampling.py unification."""
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.sampling import (
+        bottomk_sample, weighted_bottomk_sample,
+    )
+    from pudl_spark.plans.queued import (
+        bottomk_sample_staged, weighted_bottomk_sample_staged,
+    )
+
+    d = (read_parquet_table(spark, f"{SF}/documents.parquet")
+         .select("doc_id",
+                 # NULL stratum + a tiny stratum (guard path): lang
+                 # NULL for doc_id % 11 == 0, a singleton stratum
+                 # for doc_id == 1.
+                 F.when(F.col("doc_id") == 1, F.lit("tiny"))
+                 .when(F.col("doc_id") % 11 == 0, F.lit(None))
+                 .otherwise(F.col("lang")).alias("lang"),
+                 F.octet_length("text").alias("__w")))
+    live_u = set(map(tuple, bottomk_sample(
+        d, ["lang"], "doc_id", k=5).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    staged_u = set(map(tuple, bottomk_sample_staged(
+        d, ["lang"], "doc_id", k=5).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    assert staged_u == live_u and staged_u
+    live_w = set(map(tuple, weighted_bottomk_sample(
+        d, ["lang"], "doc_id", "__w", k=5).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    staged_w = set(map(tuple, weighted_bottomk_sample_staged(
+        d, ["lang"], "doc_id", "__w", k=5).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    assert staged_w == live_w and staged_w
+    assert any(r[0] is None for r in staged_w)  # NULL stratum sampled
