@@ -113,6 +113,12 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    r11 idempotent appends converge under redelivery; their
     #    query/oracle pairs already pass the driver-style
     #    differential check at sf0.01 (tests/test_r12_queue.py).
+    #    BOTH r12 refactors are staged there too with byte-identity
+    #    tripwires already green at two SFs: `oph_banded_from_sets`
+    #    (build_lsh_store's single-text-pass bands derivation) and
+    #    `stratified_threshold_sample` (the unified sampler
+    #    scaffold) — the r12 swaps are moves, with the touched
+    #    queries' re-cert slots already in this queue.
     #    The two refactors deferred r9->r11 are SCHEDULED for r12
     #    precisely because their touch sets sit in that queue:
     #    deriving build_lsh_store's bands pass from the just-written
