@@ -304,3 +304,69 @@ def test_recover_pending_compaction_mid_swap_crash(spark):
         finally:
             for t in ("t_rec_bands", "t_rec_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_hook_recovers_half_swapped_table(spark):
+    """The write_bucketed_table append-mode hook must complete a
+    pending swap BEFORE appending — an append onto a half-swapped
+    table would guard/write against missing rows. Also covers the
+    vanished-staging recovery branch (crash after the staging dir
+    was consumed but before the marker delete): recovery just
+    finishes the bookkeeping."""
+    import shutil
+
+    from pudl_spark.functions.dedup import append_to_lsh_store
+    from pudl_spark.operators.layout import (
+        _write_compact_marker, recover_pending_compaction,
+    )
+
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d.filter(F.col("doc_id") % 5 != 0),
+                        "doc_id", "text", "t_hook",
+                        os.path.join(td, "s"), num_buckets=2)
+        try:
+            sets_dir = os.path.join(td, "s", "sets")
+            before = sorted(map(tuple, spark.table("t_hook_sets")
+                                .collect()))
+            parts = sorted(glob.glob(os.path.join(sets_dir,
+                                                  "part-*")))
+            staging = sets_dir + "__compact_hooktok"
+            os.makedirs(staging)
+            staged_names = []
+            for p in parts:
+                sname = os.path.basename(p).replace("part-",
+                                                    "part-9", 1)
+                staged_names.append(sname)
+                shutil.copy(p, os.path.join(staging, sname))
+            _write_compact_marker(
+                spark, "file:" + sets_dir, "file:" + staging,
+                staged_names, [os.path.basename(p) for p in parts])
+            os.remove(parts[0])  # crash mid-delete
+            # An APPEND now runs the recovery hook first, then
+            # appends — nothing lost, nothing duplicated.
+            batch = d.filter(F.col("doc_id") % 5 == 0)
+            append_to_lsh_store(spark, "t_hook", batch, "doc_id",
+                                "text", num_buckets=2)
+            got = sorted(map(tuple, spark.table("t_hook_sets")
+                             .collect()))
+            from pudl_spark.functions.dedup import shingle_hash_sets
+
+            want = sorted(map(tuple, shingle_hash_sets(
+                d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text")
+                .unionByName(shingle_hash_sets(batch, "doc_id",
+                                               "text")).collect()))
+            assert got == want
+            # Vanished-staging branch: marker present, staging gone.
+            parts2 = sorted(glob.glob(os.path.join(sets_dir,
+                                                   "part-*")))
+            _write_compact_marker(
+                spark, "file:" + sets_dir,
+                "file:" + sets_dir + "__compact_gone",
+                [os.path.basename(p) for p in parts2], [])
+            assert recover_pending_compaction(spark, "t_hook_sets")
+            assert sorted(map(tuple, spark.table("t_hook_sets")
+                              .collect())) == want
+        finally:
+            for t in ("t_hook_bands", "t_hook_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
