@@ -107,12 +107,21 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    `xbrl_roundtrip_totals`) lead, then the 42 r7-certified
     #    rows (alphabetically from `allocate_order_total`) — 44+
     #    slots spoken for, so r12 has room for <= 5 touched/new.
-    #    First in line: `doc_lsh_store_redelivery` and
-    #    `ivf_store_redelivery`, STAGED ready-to-register in
-    #    pudl_spark/plans/queued.py — hash-grade evidence that the
-    #    r11 idempotent appends converge under redelivery; their
+    #    First in line: `doc_lsh_store_redelivery`,
+    #    `ivf_store_redelivery`, and `doc_lsh_stream_pairs` (the
+    #    streaming loop's end-to-end pairs-sink certification),
+    #    STAGED ready-to-register in pudl_spark/plans/queued.py —
+    #    hash-grade evidence that the r11 idempotent appends
+    #    converge under redelivery and that the streaming loop's
+    #    sink equals the arrival-ordered exact cross-split; their
     #    query/oracle pairs already pass the driver-style
     #    differential check at sf0.01 (tests/test_r12_queue.py).
+    #    Budget math: 3 staged new + 2 sampler-swap re-certs = 5,
+    #    exactly the touched/new room left by the 44 queued recerts.
+    #    The oph_banded swap ADDITIONALLY re-touches the 3 r11 LSH
+    #    store rows (build_lsh_store changes), which do NOT fit —
+    #    r12 should displace 3 of the queued r7 recerts to r13 for
+    #    it, or defer the swap to r13 where those rows queue anyway.
     #    BOTH r12 refactors are staged there too with byte-identity
     #    tripwires already green at two SFs: `oph_banded_from_sets`
     #    (build_lsh_store's single-text-pass bands derivation) and

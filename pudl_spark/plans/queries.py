@@ -8183,11 +8183,19 @@ def doc_bottomk_sample(spark, sf_dir):
             .select("lang", "doc_id", "smp_rank"))
 
 
-def _lsh_cross_split_sql(mod: int) -> str:
+def _lsh_cross_split_sql(mod: int, pair_pred: str | None = None,
+                         extra_select: str = "") -> str:
     """Exact cross-split shingle-Jaccard at j >= 0.8 — ONE oracle
     shared by every LSH-store probe query (batch = doc_id % mod == 0
     vs the rest of the corpus); a threshold or shingle change edits
-    exactly one place (r7 self-review lesson #5)."""
+    exactly one place (r7 self-review lesson #5). The streaming
+    loop's certification (queued.doc_lsh_stream_pairs) passes its
+    own arrival-order ``pair_pred`` plus a batch_id
+    ``extra_select`` — with the defaults the emitted string is
+    byte-identical to the pre-r11 single-arg form, so the registered
+    oracles are untouched (pinned in tests/test_r12_queue.py)."""
+    pred = (pair_pred if pair_pred is not None
+            else f"a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0")
     return rf"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
@@ -8200,10 +8208,10 @@ WITH sh AS (
 pairs AS (
   SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter
   FROM sh a JOIN sh b ON a.s = b.s
-  WHERE a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
+  WHERE {pred}
   GROUP BY 1, 2)
 SELECT new_id, corpus_id,
-  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard{extra_select}
 FROM pairs
 JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = corpus_id

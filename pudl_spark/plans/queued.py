@@ -6,11 +6,15 @@ sit in the prefix the round it registers — the standing rule).
 plain-session-vs-DuckDB comparison the driver uses, so r12's
 registration is a move, not a rewrite.
 
-Both stage the REDELIVERY convergence of the r11 idempotent appends
+Two stage the REDELIVERY convergence of the r11 idempotent appends
 as hash-grade evidence: applying the same batch twice through the
 exactly-once guards must leave a store that serves byte-identically
 to a single append — the property the streaming loops' crash
 recovery rests on (currently pinned by pytest parity tests only).
+The third (`doc_lsh_stream_pairs`) certifies the streaming LSH loop
+END-TO-END: the pairs sink a three-micro-batch run produces must
+hash-match the exact arrival-ordered cross-split Jaccard, batch
+attribution included.
 """
 
 from __future__ import annotations
@@ -109,6 +113,68 @@ def ivf_store_redelivery_oracle() -> str:
     from pudl_spark.plans.queries import ORACLES
 
     return ORACLES["ivf_store_append"]
+
+
+def doc_lsh_stream_pairs(spark, sf_dir):
+    """End-to-end hash-grade certification of the streaming LSH
+    probe-then-ingest loop (`streaming.lsh_ingest_stream`, r11 —
+    currently pinned by pytest parity only): documents arrive as
+    THREE micro-batches in doc_id % 3 order (one file per batch,
+    arrival pinned by explicit mtimes — FileStreamSource processes
+    oldest-first under maxFilesPerTrigger=1), batch 0 bootstraps the
+    store, and each later batch is mined against everything ingested
+    before it. The certified result is the PAIRS SINK itself —
+    (new_id, corpus_id, jaccard, batch_id) — whose oracle is the
+    exact cross-split shingle-Jaccard under the arrival-order
+    predicate ``a.doc_id % 3 > b.doc_id % 3`` with
+    ``batch_id = new_id % 3``: slice i arrives in micro-batch i, so
+    the union of per-batch probes is exactly the ordered cross-split
+    pair set, and the batch_id column certifies WHICH batch mined
+    each pair, not just the set.
+    """
+    import tempfile
+
+    from pudl_spark.streaming.pipeline import lsh_ingest_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshsp_") as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        stamped, t0 = set(), 1_000_000_000  # relative order only
+        for i in range(3):
+            (d.filter(F.col("doc_id") % 3 == i).coalesce(1)
+             .write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f not in stamped:  # stamp only this slice's files
+                    os.utime(os.path.join(src, f),
+                             (t0 + i * 60, t0 + i * 60))
+                    stamped.add(f)
+        pairs_path = os.path.join(td, "pairs")
+        q = lsh_ingest_stream(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            "lsh_strmp", os.path.join(td, "store"), pairs_path,
+            os.path.join(td, "ckpt"))
+        try:
+            q.awaitTermination()
+            out = (spark.read.schema("new_id long, corpus_id long, "
+                                     "jaccard double, batch_id int")
+                   .parquet(pairs_path)
+                   .select("new_id", "corpus_id", "jaccard",
+                           F.col("batch_id").cast("long")
+                           .alias("batch_id")))
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            for t in ("lsh_strmp_bands", "lsh_strmp_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def doc_lsh_stream_pairs_oracle() -> str:
+    from pudl_spark.plans.queries import _lsh_cross_split_sql
+
+    return _lsh_cross_split_sql(
+        3, pair_pred="a.doc_id % 3 > b.doc_id % 3",
+        extra_select=",\n  new_id % 3 AS batch_id")
 
 
 def oph_banded_from_sets(sets_df, num_hashes: int = 64,

@@ -26,7 +26,8 @@ def _driver_sim():
 
 
 @pytest.mark.parametrize("name", ["doc_lsh_store_redelivery",
-                                  "ivf_store_redelivery"])
+                                  "ivf_store_redelivery",
+                                  "doc_lsh_stream_pairs"])
 def test_queued_query_matches_oracle(spark, name):
     from pudl_spark.plans import queued
 
@@ -42,6 +43,25 @@ def test_queued_query_matches_oracle(spark, name):
     assert len(sdf) > 0
     err = ds.compare(name, sdf, odf)
     assert err is None, err
+
+
+def test_cross_split_oracle_defaults_unchanged():
+    """The r11 `_lsh_cross_split_sql` generalization (pair_pred /
+    extra_select for the staged streaming certification) must leave
+    the default-arg strings — the REGISTERED store-query oracles —
+    byte-identical to the pre-refactor form (frozen hashes)."""
+    import hashlib
+
+    from pudl_spark.plans.queries import _lsh_cross_split_sql
+
+    frozen = {7: "7518f9781b6faeec5843222314fbe6328a5ccb2b"
+                 "3b7425a2864430614ee996d7",
+              43: "ad8e58bca4b1174392f1bf9302be77b5315b09f7"
+                  "e62f2b095ba6cce7c9277f01"}
+    for mod, want in frozen.items():
+        got = hashlib.sha256(
+            _lsh_cross_split_sql(mod).encode()).hexdigest()
+        assert got == want, mod
 
 
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
