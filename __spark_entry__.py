@@ -136,9 +136,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    ngram_jaccard_dup_pairs, simhash_near_dup_pairs — all r7
     #    rows already in the r12 queue), and the
     #    bottomk/weighted_bottomk scaffolding unification touches
-    #    doc_stratified_sample (r7, queued) + doc_bottomk_sample /
-    #    doc_weighted_sample (r8/r11 — the only extra slots
-    #    needed). --
+    #    doc_bottomk_sample / doc_weighted_sample ONLY (r8/r11 —
+    #    the only extra slots needed; doc_stratified_sample is the
+    #    map-only rate-based sampler, no scaffold call). --
 ]
 
 

@@ -567,7 +567,8 @@ def append_to_lsh_store_idempotent(
         num_buckets: int = 8, max_prune_values: int = 2048,
         guard_tables: tuple = ("_bands", "_sets"),
         checkpoint: bool = True,
-        prune_ids: list | None = None) -> None:
+        prune_ids: list | None = None,
+        recover: bool = True) -> None:
     """Redelivery-safe LSH store append — the exactly-once variant a
     STREAMING foreachBatch sink needs (r11, VERDICT r10 stretch #10).
 
@@ -587,16 +588,19 @@ def append_to_lsh_store_idempotent(
     O(batch), not O(corpus). Build parameters are asserted like the
     plain append.
 
-    ``guard_tables``/``checkpoint``/``prune_ids``: a caller that
-    already anti-joined the batch against one of the index tables
-    (the streaming loop pre-filters against ``_sets`` to detect
-    fully-redelivered batches) passes the remaining table(s),
-    ``checkpoint=False`` for an already-checkpointed batch, and its
-    already-collected id list — any SUPERSET of the batch's ids is
-    valid for the guard's In() prune, since a superset filter cannot
-    change an anti-join result — so the per-micro-batch hot path
-    never repeats a guard scan, an id collect, or a batch
-    materialization (r11 self-review).
+    ``guard_tables``/``checkpoint``/``prune_ids``/``recover``: a
+    caller that already anti-joined the batch against one of the
+    index tables (the streaming loop pre-filters against ``_sets``
+    to detect fully-redelivered batches) passes the remaining
+    table(s), ``checkpoint=False`` for an already-checkpointed
+    batch, its already-collected id list — any SUPERSET of the
+    batch's ids is valid for the guard's In() prune, since a
+    superset filter cannot change an anti-join result — and
+    ``recover=False`` when it ran the compaction-swap recovery
+    check on both tables this batch already, so the per-micro-batch
+    hot path never repeats a guard scan, an id collect, a batch
+    materialization, or a recovery catalog round-trip (r11
+    self-review).
     """
     from pudl_spark.sources.files import (
         assert_build_params_match, write_bucketed_table,
@@ -629,7 +633,7 @@ def append_to_lsh_store_idempotent(
             rows = rows.join(store_ids.distinct(), "id", "left_anti")
         write_bucketed_table(rows, f"{table_prefix}{suffix}",
                              buckets, num_buckets, sort_cols=sorts,
-                             mode="append")
+                             mode="append", recover=recover)
     _invalidate_after_append(spark, table_prefix)
 
 
@@ -690,7 +694,8 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                     prune_scan: bool = True,
                     max_prune_values: int = 2048,
                     batch_rows: int | None = None,
-                    min_store_bytes: int = 4 << 30) -> DataFrame:
+                    min_store_bytes: int = 4 << 30,
+                    recover: bool = True) -> DataFrame:
     """Near-dup pairs between a NEW batch and the indexed corpus:
     signature only the batch, bucket-join against ``{prefix}_bands``,
     exact-verify against ``{prefix}_sets``. Returns
@@ -747,12 +752,18 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     # batch under different num_hashes/bands/shingle_k than the
     # index would MISS pairs with no error. Driver-side catalog
     # lookup, no job. Recovery first: a probe must never read a
-    # table some process left half-swapped mid-compaction (r11).
-    from pudl_spark.operators.layout import recover_pending_compaction
+    # table some process left half-swapped mid-compaction (r11);
+    # ``recover=False`` skips it for callers that ran recovery on
+    # both tables this batch already (the streaming loop).
     from pudl_spark.sources.files import assert_build_params_match
 
-    for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
-        recover_pending_compaction(spark, t)
+    if recover:
+        from pudl_spark.operators.layout import (
+            recover_pending_compaction,
+        )
+
+        for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+            recover_pending_compaction(spark, t)
     assert_build_params_match(
         spark, f"{table_prefix}_bands",
         {"num_hashes": num_hashes, "bands": bands,

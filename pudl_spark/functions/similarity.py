@@ -355,7 +355,8 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
                    max_prune_values: int = 2048,
                    batch_rows: int | None = None,
                    seed_modulus: int | None = None,
-                   assert_params: bool = True) -> DataFrame:
+                   assert_params: bool = True,
+                   recover: bool = True) -> DataFrame:
     """ANN top-k served FROM the persisted cell-bucketed IVF store —
     the production read path `build_ivf_store` exists for.
 
@@ -397,10 +398,15 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
     del seed_modulus  # implied by the build's persisted sidecar
     # Recovery first: a probe must never read a store some process
     # left half-swapped mid-compaction (r11). One catalog lookup +
-    # one fs.exists when clean.
-    from pudl_spark.operators.layout import recover_pending_compaction
+    # one fs.exists when clean; ``recover=False`` skips it for
+    # callers that ran recovery on this table this batch already
+    # (the streaming loop's unconditional pre-check).
+    if recover:
+        from pudl_spark.operators.layout import (
+            recover_pending_compaction,
+        )
 
-    recover_pending_compaction(spark, table_name)
+        recover_pending_compaction(spark, table_name)
     # centroid_factor must equal the build's or the probe re-derives
     # a DIFFERENT centroid array than the one the cells were
     # assigned under — silently skewed recall. Asserted against the
@@ -679,7 +685,8 @@ def append_to_ivf_store_idempotent(spark, table_name: str,
                                    max_prune_values: int = 2048,
                                    assigned_rows: DataFrame | None = None,
                                    guard: bool = True,
-                                   assert_params: bool = True
+                                   assert_params: bool = True,
+                                   recover: bool = True
                                    ) -> None:
     """Redelivery-safe IVF store append — the exactly-once variant a
     streaming foreachBatch sink needs (r11; the LSH twin is
@@ -711,13 +718,15 @@ def append_to_ivf_store_idempotent(spark, table_name: str,
     cell-bucketed layout.) Dedupe upstream if sources can re-emit
     mutated payloads.
 
-    ``assigned_rows``/``guard``/``assert_params``: a caller that
-    already assigned the batch (the streaming loop assigns once for
-    its skip-detection and reuses the rows) passes them here with
-    ``guard=False`` when the rows are already anti-joined and
-    ``assert_params=False`` when it asserted this batch already, so
-    the hot path never repeats a sidecar derivation, a guard scan,
-    or a catalog round-trip.
+    ``assigned_rows``/``guard``/``assert_params``/``recover``: a
+    caller that already assigned the batch (the streaming loop
+    assigns once for its skip-detection and reuses the rows) passes
+    them here with ``guard=False`` when the rows are already
+    anti-joined (`antijoin_store_ids` is the one shared guard
+    block), ``assert_params=False`` when it asserted this batch
+    already, and ``recover=False`` when it ran the compaction-swap
+    recovery check this batch already, so the hot path never repeats
+    a sidecar derivation, a guard scan, or a catalog round-trip.
     """
     from pudl_spark.sources.files import (
         assert_build_params_match, write_bucketed_table,
@@ -739,13 +748,30 @@ def append_to_ivf_store_idempotent(spark, table_name: str,
                                         nprobe, centroid_factor
                                         ).localCheckpoint())
     if guard:
-        cells = [r["cell"] for r in rows.select("cell").distinct()
-                 .limit(max_prune_values + 1).collect()]
-        store_ids = spark.table(table_name)
-        if len(cells) <= max_prune_values:
-            store_ids = store_ids.filter(
-                F.col("cell").isin(sorted(cells)))
-        rows = rows.join(store_ids.select("vec_id").distinct(),
-                         "vec_id", "left_anti")
+        rows = antijoin_store_ids(spark, table_name, rows,
+                                  max_prune_values)
     write_bucketed_table(rows, table_name, ["cell"], num_buckets,
-                         sort_cols=["cell", "vec_id"], mode="append")
+                         sort_cols=["cell", "vec_id"], mode="append",
+                         recover=recover)
+
+
+def antijoin_store_ids(spark, table_name: str, rows: DataFrame,
+                       max_prune_values: int = 2048) -> DataFrame:
+    """Drop ``rows`` whose vec_id the cell-bucketed store already
+    holds — the ONE redelivery-guard block shared by
+    `append_to_ivf_store_idempotent` and the streaming loop's
+    fully-redelivered-batch detection (r11 review: two hand-copies
+    of this block could silently diverge on the regime gate).
+    Exploits deterministic assignment: a redelivered batch lands in
+    the SAME cells, so the store scan reads only the rows' own
+    distinct assigned cells via an In() prune (bounded collect),
+    O(probed cells' members) — batches beyond ``max_prune_values``
+    cells take the full-scan anti-join (bulk regime)."""
+    cells = [r["cell"] for r in rows.select("cell").distinct()
+             .limit(max_prune_values + 1).collect()]
+    store_ids = spark.table(table_name)
+    if len(cells) <= max_prune_values:
+        store_ids = store_ids.filter(
+            F.col("cell").isin(sorted(cells)))
+    return rows.join(store_ids.select("vec_id").distinct(),
+                     "vec_id", "left_anti")

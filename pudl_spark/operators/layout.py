@@ -389,20 +389,26 @@ def recover_pending_compaction(spark, table_name: str) -> bool:
     fs.exists, no Spark job).
 
     The marker's manifest makes recovery deterministic and
-    idempotent regardless of where the crash hit: every manifest
+    idempotent regardless of where the crash hit: every file on the
+    manifest's ORIGINALS list that still exists is deleted FIRST —
+    and nothing else: files appended between the crash and the
+    recovery are untouched (an everything-not-staged delete rule
+    would destroy them, r11 self-review #3) — then every manifest
     file still in the staging dir moves into the table location
-    (ones already moved are skipped), every file on the manifest's
-    ORIGINALS list that still exists is deleted — and nothing else:
-    files appended between the crash and the recovery are untouched
-    (an everything-not-staged delete rule would destroy them, r11
-    self-review #3) — and only then do the staging dir and the
-    marker go away. Crash DURING recovery → the next call re-runs
-    the same steps. Every in-engine store touch point runs this
-    first — bucketed APPENDS (`sources.files.write_bucketed_table`
-    in append mode), both store PROBES, the streaming loops
-    (unconditionally, not only when compact_every is set), and
-    compaction itself — so no reader or writer ever sees a
-    half-swapped table."""
+    (ones already moved are skipped), and only then do the staging
+    dir and the marker go away. Delete-before-move mirrors the
+    swap's own publish order, so the never-duplicates invariant
+    holds through a crash at ANY point of recovery itself: a
+    non-touch-point reader (bare spark.table over the store,
+    an external consumer) can see a subset of the compacted rows
+    mid-recovery, never originals + staged doubled (r11 review:
+    move-first recovery had exactly that duplicate window). Crash
+    DURING recovery → the next call re-runs the same steps. Every
+    in-engine store touch point runs this first — bucketed APPENDS
+    (`sources.files.write_bucketed_table` in append mode), both
+    store PROBES, the streaming loops (unconditionally, not only
+    when compact_every is set), and compaction itself — so no
+    reader or writer ever sees a half-swapped table."""
     import json
 
     from pudl_spark.functions.dedup import (
@@ -421,6 +427,13 @@ def recover_pending_compaction(spark, table_name: str) -> bool:
         stream.close()
     manifest = json.loads(raw)
     sjpath = jvm.org.apache.hadoop.fs.Path(manifest["staging"])
+    # Originals delete BEFORE staged files move in — same order as
+    # the swap itself, so a crash anywhere in recovery leaves a
+    # subset, never duplicates (see docstring).
+    for name in manifest["originals"]:
+        p = jvm.org.apache.hadoop.fs.Path(loc, name)
+        if fs.exists(p):
+            fs.delete(p, False)
     if fs.exists(sjpath):
         staged = set(manifest["files"])
         for st in fs.listStatus(sjpath):
@@ -433,10 +446,6 @@ def recover_pending_compaction(spark, table_name: str) -> bool:
                     raise IOError(
                         f"compaction recovery rename failed: "
                         f"{st.getPath()} -> {dest}")
-    for name in manifest["originals"]:
-        p = jvm.org.apache.hadoop.fs.Path(loc, name)
-        if fs.exists(p):
-            fs.delete(p, False)
     if fs.exists(sjpath):
         fs.delete(sjpath, True)
     fs.delete(marker, False)

@@ -198,9 +198,12 @@ def oph_banded_from_sets(sets_df, num_hashes: int = 64,
     shared-stage extraction touches `oph_banded`, whose dependent
     certified queries have no r11 prefix slots; the identity test
     doubles as the divergence tripwire while this copy waits.
-    """
-    from pudl_spark.functions.dedup import _spread  # noqa: F401
 
+    Input contract: ``sets_df`` is `shingle_hash_sets` output (or
+    the persisted ``{prefix}_sets`` table), which is ALREADY
+    `_spread` across cores — this derivation adds no repartition of
+    its own.
+    """
     rows_per_band = num_hashes // bands
     nb = F.lit(num_hashes)
     exploded = sets_df.select(
@@ -265,9 +268,11 @@ def stratified_threshold_sample(df, by, id_col, race_key,
     hash/weight luck), and the (race key, id) deterministic ranking
     then live ONCE. Byte-identity of both samplers replayed through
     this scaffold vs their live implementations is pinned in
-    tests/test_r12_queue.py — the r12 swap (which re-certifies
-    doc_bottomk_sample / doc_weighted_sample / doc_stratified_sample
-    prefix slots) ships pre-verified.
+    tests/test_r12_queue.py — the r12 swap (which re-certifies the
+    doc_bottomk_sample / doc_weighted_sample prefix slots; those two
+    are the ONLY registered callers — doc_stratified_sample is the
+    map-only rate-based sampler and never touches this scaffold)
+    ships pre-verified.
     """
     from pyspark.sql import Window
 

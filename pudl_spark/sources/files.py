@@ -178,7 +178,8 @@ def write_bucketed_table(df: DataFrame, table_name: str,
                          bucket_cols: list[str], num_buckets: int,
                          sort_cols: list[str] | None = None,
                          mode: str = "overwrite",
-                         path: str | None = None) -> None:
+                         path: str | None = None,
+                         recover: bool = True) -> None:
     """Bucketed managed table — the shuffle-free-join layout.
 
     At 100 TB the dominant cost of fact-to-fact joins (orders x
@@ -194,7 +195,7 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     discipline for query-scoped stores) instead of a managed table
     under the warehouse dir.
     """
-    if mode == "append":
+    if mode == "append" and recover:
         spark = df.sparkSession
         if spark.catalog.tableExists(table_name):
             # Never append onto a half-swapped table: complete any
@@ -203,7 +204,9 @@ def write_bucketed_table(df: DataFrame, table_name: str,
             # original list, so files appended AFTER recovery are
             # safe, but an append BEFORE recovery would read/write
             # against missing rows). No-op cost: one catalog lookup
-            # + one fs.exists.
+            # + one fs.exists; ``recover=False`` skips it for
+            # callers that ran recovery on this table this batch
+            # already (the streaming loops' pre-check).
             from pudl_spark.operators.layout import (
                 recover_pending_compaction,
             )

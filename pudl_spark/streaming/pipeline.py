@@ -416,7 +416,9 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
         # (r11 self-review #3): the crash may have happened under a
         # previous run's compact_every even if this run disables it.
         # No-op cost when clean: one catalog lookup + fs.exists per
-        # table.
+        # table — and this is the ONE recovery check of the batch:
+        # the probe and append below pass recover=False (r11 review:
+        # they were re-running it, 6 catalog round-trips per batch).
         from pudl_spark.operators.layout import (
             recover_pending_compaction,
         )
@@ -447,7 +449,7 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                                 jaccard_threshold=jaccard_threshold,
                                 batch_rows=nf,
                                 max_prune_values=max_prune_values,
-                                **sig)
+                                recover=False, **sig)
         # Per-WRITE dynamic overwrite (not spark.conf.set, which
         # would leak dynamic semantics into every later partitioned
         # overwrite in the session): only this batch's partition is
@@ -471,7 +473,8 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                                        max_prune_values=max_prune_values,
                                        guard_tables=("_bands",),
                                        checkpoint=False,
-                                       prune_ids=ids, **sig)
+                                       prune_ids=ids, recover=False,
+                                       **sig)
         # Periodic bucket-aware compaction (``compact_every``): each
         # append leaves up to num_buckets new files, so a long-lived
         # ingest loop self-heals its file counts on the SCALE.md
@@ -563,7 +566,8 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
         # Complete any half-published compaction swap before reading
         # the store (same rationale as the LSH loop; unconditional —
         # a previous run may have compacted even if this one does
-        # not).
+        # not). The ONE recovery check of the batch: the probe and
+        # append below pass recover=False.
         from pudl_spark.operators.layout import (
             recover_pending_compaction,
         )
@@ -571,20 +575,18 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
         recover_pending_compaction(spark, table_name)
         # Fully-redelivered batch: every vec_id already in the store
         # (checked cell-pruned, O(batch cells' members)) -> skip.
+        # `antijoin_store_ids` is the SAME guard block the idempotent
+        # append uses (r11 review: a hand-copy here could silently
+        # diverge from the append's regime gate).
         from pudl_spark.functions.similarity import (
-            _assign_to_store_cells,
+            _assign_to_store_cells, antijoin_store_ids,
         )
 
         rows = _assign_to_store_cells(spark, table_name, batch,
                                       nprobe, centroid_factor
                                       ).localCheckpoint()
-        cells = [r["cell"] for r in rows.select("cell").distinct()
-                 .limit(max_prune_values + 1).collect()]
-        store = spark.table(table_name)
-        if len(cells) <= max_prune_values:
-            store = store.filter(F.col("cell").isin(sorted(cells)))
-        fresh = rows.join(store.select("vec_id").distinct(),
-                          "vec_id", "left_anti").localCheckpoint()
+        fresh = antijoin_store_ids(spark, table_name, rows,
+                                   max_prune_values).localCheckpoint()
         nf = fresh.count()
         if nf == 0:
             return
@@ -595,7 +597,7 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
                                  centroid_factor=centroid_factor,
                                  batch_rows=nf,
                                  max_prune_values=max_prune_values,
-                                 assert_params=False)
+                                 assert_params=False, recover=False)
         if min_score is not None:
             matches = matches.filter(F.col("score") >= min_score)
         (matches.withColumn("batch_id", F.lit(batch_id))
@@ -613,7 +615,8 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
                                        centroid_factor=centroid_factor,
                                        assigned_rows=fresh,
                                        guard=False,
-                                       assert_params=False)
+                                       assert_params=False,
+                                       recover=False)
         # Periodic bucket-aware compaction, same contract as the LSH
         # loop (the seeds sidecar never grows on append — only the
         # store table needs it).

@@ -306,6 +306,26 @@ def test_recover_pending_compaction_mid_swap_crash(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_recovery_deletes_originals_before_moving_staged():
+    """Never-duplicates must hold through a crash inside recovery
+    ITSELF: the originals-delete phase precedes the staged-move
+    phase (same order as the swap's own publish), so an
+    interruption at any point leaves a non-touch-point reader a
+    subset of rows, never originals + staged doubled (r11 review:
+    move-first recovery had exactly that duplicate window). Pinned
+    structurally on the function source — a behavioral fault
+    injection would need JVM-level rename hooks, and running as
+    root defeats permission-based ones."""
+    import inspect
+
+    from pudl_spark.operators.layout import recover_pending_compaction
+
+    src = inspect.getsource(recover_pending_compaction)
+    delete_phase = src.index('manifest["originals"]')
+    move_phase = src.index("compaction recovery rename failed")
+    assert delete_phase < move_phase
+
+
 def test_append_hook_recovers_half_swapped_table(spark):
     """The write_bucketed_table append-mode hook must complete a
     pending swap BEFORE appending — an append onto a half-swapped
