@@ -118,6 +118,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    differential check at sf0.01 (tests/test_r12_queue.py).
     #    Budget math: 3 staged new + 2 sampler-swap re-certs = 5,
     #    exactly the touched/new room left by the 44 queued recerts.
+    #    A 4th staged query (`ivf_stream_matches`, the IVF stream's
+    #    end-to-end matches-sink cert) is pre-verified in queued.py
+    #    but labeled r13 — it does not fit r12's budget.
     #    The oph_banded swap ADDITIONALLY re-touches the 3 r11 LSH
     #    store rows (build_lsh_store changes), which do NOT fit —
     #    r12 should displace 3 of the queued r7 recerts to r13 for

@@ -14,7 +14,8 @@ recovery rests on (currently pinned by pytest parity tests only).
 The third (`doc_lsh_stream_pairs`) certifies the streaming LSH loop
 END-TO-END: the pairs sink a three-micro-batch run produces must
 hash-match the exact arrival-ordered cross-split Jaccard, batch
-attribution included.
+attribution included. Its IVF twin (`ivf_stream_matches`) is staged
+here too but labeled for r13 — the r12 touched/new budget is full.
 """
 
 from __future__ import annotations
@@ -175,6 +176,140 @@ def doc_lsh_stream_pairs_oracle() -> str:
     return _lsh_cross_split_sql(
         3, pair_pred="a.doc_id % 3 > b.doc_id % 3",
         extra_select=",\n  new_id % 3 AS batch_id")
+
+
+def ivf_stream_matches(spark, sf_dir):
+    """STAGED for r13 (the r12 touched/new budget is full at 5):
+    end-to-end hash-grade certification of the streaming IVF
+    probe-then-ingest loop (`streaming.ivf_ingest_stream`, r11) —
+    the embedding-side twin of `doc_lsh_stream_pairs`. Vectors
+    arrive as THREE micro-batches in vec_id % 3 order; batch 0
+    bootstraps the store (seeds FREEZE at vec_id % 3 = 0 AND
+    vec_id % 97 = 1 — the documented IVF caveat), each later batch
+    ANN-probes the store grown so far and appends. The certified
+    result is the MATCHES SINK — (query_id, neighbor_id, rank,
+    score, batch_id) — whose oracle replays the deterministic
+    two-level assignment and the probe's exact scoring/tie rules
+    (the `ann_ivf_store_probe` CTE shapes) with the seed set
+    restricted to the bootstrap slice and each batch's candidates
+    restricted to earlier slices (``cl.vec_id % 3 < q.b``), so the
+    hash certifies per-batch store contents AND batch attribution.
+    """
+    import tempfile
+
+    from pudl_spark.streaming.pipeline import ivf_ingest_stream
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfsm_") as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        stamped, t0 = set(), 1_000_000_000  # relative order only
+        for i in range(3):
+            (e.filter(F.col("vec_id") % 3 == i).coalesce(1)
+             .write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f not in stamped:  # stamp only this slice's files
+                    os.utime(os.path.join(src, f),
+                             (t0 + i * 60, t0 + i * 60))
+                    stamped.add(f)
+        matches_path = os.path.join(td, "matches")
+        q = ivf_ingest_stream(
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            "ivf_strm", os.path.join(td, "store"), matches_path,
+            os.path.join(td, "ckpt"))
+        try:
+            q.awaitTermination()
+            out = (spark.read.schema(
+                "query_id long, neighbor_id long, score double, "
+                "rank int, batch_id int")
+                .parquet(matches_path)
+                .select("query_id", "neighbor_id",
+                        F.col("rank").cast("int").alias("rank"),
+                        F.round("score", 6).alias("score"),
+                        F.col("batch_id").cast("long")
+                        .alias("batch_id")))
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_strm")
+            spark.sql("DROP TABLE IF EXISTS ivf_strm_seeds")
+
+
+def ivf_stream_matches_oracle() -> str:
+    from pudl_spark.plans.queries import _SEMDEDUP_COS, _hex6
+
+    cos = _SEMDEDUP_COS
+    h = _hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_vec
+  FROM base WHERE vec_id % 3 = 0 AND vec_id % 97 = 1
+), k AS (
+  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
+), cents AS (
+  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
+  WHERE {h} * sqrt(k.k) < 33554432.0
+), seed_cell AS (
+  SELECT seed_id, seed_vec, cell FROM (
+    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY s.seed_id ORDER BY
+        {cos.format(a='s.seed_vec', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a='e.embedding', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM base e CROSS JOIN cents c) WHERE rn <= 2
+), assigned AS (
+  SELECT vec_id, seed_id FROM (
+    SELECT e.vec_id, sc.seed_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a='e.embedding', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM base e JOIN probes p ON p.vec_id = e.vec_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
+), cells AS (
+  SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
+    e.vec_id, e.embedding
+  FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, vec_id % 3 AS b
+  FROM base WHERE vec_id % 3 > 0
+), qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cent_id AS cell,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {cos.format(a='q.qv', b='c.cent_vec')} DESC,
+        c.cent_id ASC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2
+), qseeds AS (
+  SELECT query_id, seed_id FROM (
+    SELECT q.query_id, sc.seed_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        {cos.format(a='q.qv', b='sc.seed_vec')} DESC,
+        sc.seed_id ASC) AS rn
+    FROM q JOIN qprobe p ON p.query_id = q.query_id
+    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn <= 3
+), cand AS (
+  SELECT q.query_id, q.b, cl.vec_id AS neighbor_id,
+    {cos.format(a='q.qv', b='cl.embedding')} AS score
+  FROM q JOIN qseeds s2 ON s2.query_id = q.query_id
+  JOIN cells cl ON cl.cell = s2.seed_id
+  WHERE cl.vec_id % 3 < q.b
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+  round(score, 6) AS score, CAST(b AS BIGINT) AS batch_id
+FROM (
+  SELECT query_id, b, neighbor_id, score,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM cand) WHERE rank <= 3
+"""
 
 
 def oph_banded_from_sets(sets_df, num_hashes: int = 64,
