@@ -202,3 +202,39 @@ def test_ivf_stream_min_score_and_auto_compaction(spark,
         for t in ("t_ivf_ms", "t_ivf_ms_seeds",
                   "t_ivf_ms_ref", "t_ivf_ms_ref_seeds"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bootstrap_crash_reentry_rebuilds_cleanly(spark, tmp_path):
+    """The loop's bootstrap gate keys on the SEEDS sidecar (the
+    table the build writes LAST): a crash between the build's two
+    writes leaves the store's catalog entry + files but no sidecar,
+    and the redelivered first batch re-enters the build — which
+    must drop the leftovers and converge to the clean-build state,
+    including CTAS-overwriting the leftover files at the SAME store
+    path (a non-empty location)."""
+    import shutil
+
+    e = _emb(spark).select("vec_id", "embedding")
+    p = str(tmp_path / "store")
+    build_ivf_store(spark, e, "t_boot_ivf", p)
+    try:
+        want = sorted(map(tuple, spark.table("t_boot_ivf")
+                          .select("cell", "vec_id").collect()))
+        want_seeds = sorted(map(tuple,
+                                spark.table("t_boot_ivf_seeds")
+                                .select("seed_id", "ccell")
+                                .collect()))
+        # Simulated crash: sidecar never committed; store remains.
+        spark.sql("DROP TABLE IF EXISTS t_boot_ivf_seeds")
+        shutil.rmtree(p + "_seeds")
+        assert not spark.catalog.tableExists("t_boot_ivf_seeds")
+        build_ivf_store(spark, e, "t_boot_ivf", p)  # the re-entry
+        assert sorted(map(tuple, spark.table("t_boot_ivf")
+                          .select("cell", "vec_id")
+                          .collect())) == want
+        assert sorted(map(tuple, spark.table("t_boot_ivf_seeds")
+                          .select("seed_id", "ccell")
+                          .collect())) == want_seeds
+    finally:
+        for t in ("t_boot_ivf", "t_boot_ivf_seeds"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -137,3 +137,34 @@ def test_stream_auto_compaction_bounds_files(spark, tmp_path_factory):
         for t in ("t_str_cmp_bands", "t_str_cmp_sets",
                   "t_ref_cmp_bands", "t_ref_cmp_sets"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bootstrap_crash_reentry_rebuilds_cleanly(spark, tmp_path):
+    """The loop's bootstrap gate keys on the SETS table (the one the
+    build writes LAST): a crash between the build's two writes
+    leaves the bands catalog entry + files but no sets table, and
+    the redelivered first batch re-enters the build — which must
+    drop the leftovers and converge to the clean-build state,
+    including CTAS-overwriting the leftover bands files at the SAME
+    store path (a non-empty location)."""
+    import shutil
+
+    d = _docs(spark).select("doc_id", "text")
+    p = str(tmp_path / "store")
+    build_lsh_store(spark, d, "doc_id", "text", "t_boot_lsh", p)
+    try:
+        want = {s: sorted(map(tuple,
+                              spark.table(f"t_boot_lsh{s}").collect()))
+                for s in ("_bands", "_sets")}
+        # Simulated crash: sets never committed; bands remains.
+        spark.sql("DROP TABLE IF EXISTS t_boot_lsh_sets")
+        shutil.rmtree(os.path.join(p, "sets"))
+        assert not spark.catalog.tableExists("t_boot_lsh_sets")
+        build_lsh_store(spark, d, "doc_id", "text", "t_boot_lsh", p)
+        for s in ("_bands", "_sets"):
+            got = sorted(map(tuple,
+                             spark.table(f"t_boot_lsh{s}").collect()))
+            assert got == want[s] and got, s
+    finally:
+        for t in ("t_boot_lsh_bands", "t_boot_lsh_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
