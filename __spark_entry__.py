@@ -120,7 +120,13 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    exactly the touched/new room left by the 44 queued recerts.
     #    A 4th staged query (`ivf_stream_matches`, the IVF stream's
     #    end-to-end matches-sink cert) is pre-verified in queued.py
-    #    but labeled r13 — it does not fit r12's budget.
+    #    but labeled r13 — it does not fit r12's budget. 44 + 5
+    #    leaves ONE spare slot: give it to the alphabetically-first
+    #    r8 row (post-r11 histogram: r11=50, r10=45, r8=46, r7=42,
+    #    r6=2 — at 186 queries / 50 slots the sustainable
+    #    certification age is ceil(186/50)=4 rounds, so the r8
+    #    cohort is r13's rotation load and every spare slot chips
+    #    at it early).
     #    The oph_banded swap ADDITIONALLY re-touches the 3 r11 LSH
     #    store rows (build_lsh_store changes), which do NOT fit —
     #    r12 should displace 3 of the queued r7 recerts to r13 for
