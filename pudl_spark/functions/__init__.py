@@ -23,7 +23,7 @@ from pudl_spark.functions.dedup import (
 from pudl_spark.functions.similarity import (
     cosine_similarity_expr, dot_expr, l2_norm_expr, brute_force_topk,
     lsh_bucket_topk, build_ivf_store, append_to_ivf_store,
-    append_to_ivf_store_idempotent, ivf_store_topk,
+    append_to_ivf_store_idempotent, rebuild_ivf_store, ivf_store_topk,
 )
 from pudl_spark.functions.sampling import (
     bottomk_sample, weighted_bottomk_sample,

@@ -654,6 +654,43 @@ def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
                          sort_cols=["cell", "vec_id"], mode="append")
 
 
+def rebuild_ivf_store(spark, table_name: str, path: str,
+                      num_buckets: int = 8, seed_modulus: int = 97,
+                      nprobe: int = 2,
+                      centroid_factor: float = 2.0) -> None:
+    """RESEED a drifted store — the maintenance half the append
+    docstring defers to ("rebuild when the appended fraction grows
+    large enough that cell sizes drift"): the seed set freezes at
+    build time, so months of appends leave later vectors crowded
+    into stale cells and un-seedable outliers accumulating as
+    -vec_id-1 singletons, eroding probe recall and cell balance.
+    Rebuilding re-derives seeds (vec_id % seed_modulus == 1) from
+    the CURRENT corpus, so cell granularity follows the grown store
+    the way a fresh build's would.
+
+    Deterministic by construction: rebuild(store) == one-shot
+    build over the same rows (same seed rule, same centroid hash,
+    same argmax ties — pinned in tests/test_ivf_store.py), so every
+    probe-side guarantee carries over unchanged. The store rows are
+    localCheckpoint()ed BEFORE the build drops and overwrites the
+    very tables/files they are read from — the same read-then-swap
+    discipline as `operators.layout.compact_bucketed_table`, but
+    through a full re-train instead of a spec-preserving rewrite.
+    O(corpus) like any build; run it on the compaction cadence's
+    slower sibling (SCALE.md), not per batch. New build parameters
+    (a changed seed_modulus / centroid_factor is allowed — this IS
+    a re-train) re-persist on the fresh sidecar. The LSH store has
+    no twin: its index derives per-row with no trained state, so
+    appends never drift it.
+    """
+    rows = (spark.table(table_name).select("vec_id", "embedding")
+            .localCheckpoint())
+    build_ivf_store(spark, rows, table_name, path,
+                    num_buckets=num_buckets,
+                    seed_modulus=seed_modulus, nprobe=nprobe,
+                    centroid_factor=centroid_factor)
+
+
 def _assign_to_store_cells(spark, table_name: str,
                            new_vecs: DataFrame, nprobe: int,
                            centroid_factor: float) -> DataFrame:

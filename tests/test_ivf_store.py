@@ -282,3 +282,51 @@ def test_mismatched_ivf_append_and_probe_raise(spark):
         finally:
             spark.sql("DROP TABLE IF EXISTS t_ivf_mm")
             spark.sql("DROP TABLE IF EXISTS t_ivf_mm_seeds")
+
+
+def test_rebuild_ivf_store_reseeds_from_current_corpus(spark):
+    """`rebuild_ivf_store` = the drift remedy the append docstring
+    defers to. Pins (a) rebuild(grown store) == one-shot build over
+    the same rows — deterministic seed/centroid/argmax rules make
+    the re-train exactly reproducible — and (b) the reseed actually
+    absorbs drift: vectors that were seed-INELIGIBLE under the
+    bootstrap slice's frozen seeds but seed-eligible in the grown
+    corpus become seeds, so the sidecar grows past the frozen one.
+    Also exercises the read-then-swap mechanics (the build drops and
+    CTAS-overwrites the very tables/files the store rows were read
+    from)."""
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, rebuild_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    boot = emb.filter(F.col("vec_id") % 3 == 0)
+    rest = emb.filter(F.col("vec_id") % 3 != 0)
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            build_ivf_store(spark, boot, "t_ivf_rb",
+                            os.path.join(td, "s"))
+            frozen_seeds = spark.table("t_ivf_rb_seeds").count()
+            append_to_ivf_store(spark, "t_ivf_rb", rest)
+            assert spark.table("t_ivf_rb").count() == emb.count()
+            rebuild_ivf_store(spark, "t_ivf_rb",
+                              os.path.join(td, "s"))
+            build_ivf_store(spark, emb, "t_ivf_rb_ref",
+                            os.path.join(td, "ref"))
+            for suffix in ("", "_seeds"):
+                got = sorted(map(tuple,
+                                 spark.table(f"t_ivf_rb{suffix}")
+                                 .collect()))
+                want = sorted(map(tuple,
+                                  spark.table(f"t_ivf_rb_ref{suffix}")
+                                  .collect()))
+                assert got == want and got, suffix or "store"
+            # The reseed picked up seed-eligible appended vectors
+            # the frozen bootstrap seed set could not contain.
+            assert (spark.table("t_ivf_rb_seeds").count()
+                    > frozen_seeds)
+        finally:
+            for t in ("t_ivf_rb", "t_ivf_rb_seeds",
+                      "t_ivf_rb_ref", "t_ivf_rb_ref_seeds"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
