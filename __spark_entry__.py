@@ -118,9 +118,11 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    differential check at sf0.01 (tests/test_r12_queue.py).
     #    Budget math: 3 staged new + 2 sampler-swap re-certs = 5,
     #    exactly the touched/new room left by the 44 queued recerts.
-    #    A 4th staged query (`ivf_stream_matches`, the IVF stream's
-    #    end-to-end matches-sink cert) is pre-verified in queued.py
-    #    but labeled r13 — it does not fit r12's budget. 44 + 5
+    #    Two more staged queries (`ivf_stream_matches`, the IVF
+    #    stream's end-to-end matches-sink cert, and
+    #    `ivf_store_reseed`, rebuild-after-appends == one-shot
+    #    build) are pre-verified in queued.py but labeled r13 —
+    #    they do not fit r12's budget. 44 + 5
     #    leaves ONE spare slot: give it to the alphabetically-first
     #    r8 row (post-r11 histogram: r11=50, r10=45, r8=46, r7=42,
     #    r6=2 — at 186 queries / 50 slots the sustainable

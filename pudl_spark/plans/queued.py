@@ -14,8 +14,10 @@ recovery rests on (currently pinned by pytest parity tests only).
 The third (`doc_lsh_stream_pairs`) certifies the streaming LSH loop
 END-TO-END: the pairs sink a three-micro-batch run produces must
 hash-match the exact arrival-ordered cross-split Jaccard, batch
-attribution included. Its IVF twin (`ivf_stream_matches`) is staged
-here too but labeled for r13 — the r12 touched/new budget is full.
+attribution included. Two more are staged but labeled for r13 (the
+r12 touched/new budget is full): `ivf_stream_matches` (the IVF
+stream's end-to-end matches-sink cert) and `ivf_store_reseed`
+(rebuild-after-appends == one-shot build over the full corpus).
 """
 
 from __future__ import annotations
@@ -309,6 +311,56 @@ FROM (
     row_number() OVER (PARTITION BY query_id
                        ORDER BY score DESC, neighbor_id ASC) AS rank
   FROM cand) WHERE rank <= 3
+"""
+
+
+def ivf_store_reseed(spark, sf_dir):
+    """STAGED for r13 (with `ivf_stream_matches`): hash-grade
+    certification of `similarity.rebuild_ivf_store`, the reseed
+    remedy for IVF append drift (r11). Build on vec_id % 3 == 0,
+    append the rest under the FROZEN bootstrap seeds, then reseed —
+    the rebuilt store must equal a one-shot build over the full
+    corpus, so the oracle is exactly the standard full-base IVF
+    assignment (seeds = vec_id % 97 == 1 over ALL of embeddings —
+    the same CTEs every registered IVF query replays), certified on
+    the 1/7 vec_id residue to bound the collect. This is the
+    strongest reseed claim expressible: append drift fully absorbed,
+    byte-equal to never having drifted.
+    """
+    import tempfile
+
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, build_ivf_store, rebuild_ivf_store,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfrs_") as td:
+        p = os.path.join(td, "store")
+        build_ivf_store(spark, e.filter(F.col("vec_id") % 3 == 0),
+                        "ivf_rs_store", p)
+        try:
+            append_to_ivf_store(spark, "ivf_rs_store",
+                                e.filter(F.col("vec_id") % 3 != 0))
+            rebuild_ivf_store(spark, "ivf_rs_store", p)
+            out = (spark.table("ivf_rs_store")
+                   .filter(F.col("vec_id") % 7 == 0)
+                   .select("cell", "vec_id"))
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_rs_store")
+            spark.sql("DROP TABLE IF EXISTS ivf_rs_store_seeds")
+
+
+def ivf_store_reseed_oracle() -> str:
+    from pudl_spark.plans.queries import (
+        _IVF_ASSIGNED_CTE, _IVF_PROBE_CTES,
+    )
+
+    return f"""
+WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}
+SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
+FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
+WHERE e.vec_id % 7 = 0
 """
 
 

@@ -28,7 +28,8 @@ def _driver_sim():
 @pytest.mark.parametrize("name", ["doc_lsh_store_redelivery",
                                   "ivf_store_redelivery",
                                   "doc_lsh_stream_pairs",
-                                  "ivf_stream_matches"])
+                                  "ivf_stream_matches",
+                                  "ivf_store_reseed"])
 def test_queued_query_matches_oracle(spark, name):
     from pudl_spark.plans import queued
 
