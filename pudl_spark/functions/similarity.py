@@ -655,9 +655,10 @@ def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
 
 
 def rebuild_ivf_store(spark, table_name: str, path: str,
-                      num_buckets: int = 8, seed_modulus: int = 97,
-                      nprobe: int = 2,
-                      centroid_factor: float = 2.0) -> None:
+                      num_buckets: int | None = None,
+                      seed_modulus: int | None = None,
+                      nprobe: int | None = None,
+                      centroid_factor: float | None = None) -> None:
     """RESEED a drifted store — the maintenance half the append
     docstring defers to ("rebuild when the appended fraction grows
     large enough that cell sizes drift"): the seed set freezes at
@@ -671,24 +672,64 @@ def rebuild_ivf_store(spark, table_name: str, path: str,
     Deterministic by construction: rebuild(store) == one-shot
     build over the same rows (same seed rule, same centroid hash,
     same argmax ties — pinned in tests/test_ivf_store.py), so every
-    probe-side guarantee carries over unchanged. The store rows are
-    localCheckpoint()ed BEFORE the build drops and overwrites the
-    very tables/files they are read from — the same read-then-swap
-    discipline as `operators.layout.compact_bucketed_table`, but
-    through a full re-train instead of a spec-preserving rewrite.
-    O(corpus) like any build; run it on the compaction cadence's
-    slower sibling (SCALE.md), not per batch. New build parameters
-    (a changed seed_modulus / centroid_factor is allowed — this IS
-    a re-train) re-persist on the fresh sidecar. The LSH store has
-    no twin: its index derives per-row with no trained state, so
-    appends never drift it.
+    probe-side guarantee carries over unchanged. Build parameters
+    default to the SIDECAR'S persisted values (r11 review: a bare
+    rebuild is a pure reseed — hard-coded defaults would silently
+    re-geometry a non-default store); pass a value explicitly to
+    re-train under new parameters.
+
+    Crash-safe via a durable WRITE-AHEAD corpus snapshot (r11
+    review: a localCheckpoint copy dies with the session while the
+    build is destroying the only on-disk rows): any pending
+    compaction swap completes first (every store touch point's
+    rule), the corpus lands in ``{path}__reseed_src`` as plain
+    parquet, the build reads FROM the snapshot while it drops and
+    overwrites the store, and the snapshot is removed only after
+    the build commits (the sidecar write, last). A crash mid-build
+    leaves the complete snapshot + its _SUCCESS marker, and the
+    next rebuild_ivf_store call detects it and rebuilds from the
+    snapshot instead of the (possibly half-written) store —
+    re-entry converges to the same result from ANY crash point. A
+    crash mid-snapshot (no _SUCCESS) re-snapshots from the still-
+    untouched store. O(corpus) like any build; run it on the
+    compaction cadence's slower sibling (SCALE.md), not per batch.
+    The LSH store has no twin: its index derives per-row with no
+    trained state, so appends never drift it.
     """
-    rows = (spark.table(table_name).select("vec_id", "embedding")
-            .localCheckpoint())
-    build_ivf_store(spark, rows, table_name, path,
-                    num_buckets=num_buckets,
-                    seed_modulus=seed_modulus, nprobe=nprobe,
-                    centroid_factor=centroid_factor)
+    from pudl_spark.operators.layout import (
+        _hadoop_fs, recover_pending_compaction,
+    )
+    from pudl_spark.sources.files import get_table_build_params
+
+    persisted = get_table_build_params(spark, f"{table_name}_seeds")
+
+    def p(explicit, key, fallback):
+        if explicit is not None:
+            return explicit
+        return type(fallback)(persisted.get(key, fallback))
+
+    params = {"num_buckets": int(p(num_buckets, "num_buckets", 8)),
+              "seed_modulus": int(p(seed_modulus, "seed_modulus",
+                                    97)),
+              "nprobe": int(p(nprobe, "nprobe", 2)),
+              "centroid_factor": float(p(centroid_factor,
+                                         "centroid_factor", 2.0))}
+    src_dir = path + "__reseed_src"
+    jvm, fs = _hadoop_fs(spark, src_dir)
+    srcp = jvm.org.apache.hadoop.fs.Path(src_dir)
+    committed = jvm.org.apache.hadoop.fs.Path(src_dir, "_SUCCESS")
+    if not fs.exists(committed):
+        # No committed snapshot -> the store is intact: finish any
+        # half-published compaction swap (reading past it would bake
+        # its row loss into the rebuilt store), then snapshot.
+        if fs.exists(srcp):
+            fs.delete(srcp, True)  # partial snapshot, re-take it
+        recover_pending_compaction(spark, table_name)
+        (spark.table(table_name).select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(src_dir))
+    rows = spark.read.parquet(src_dir)
+    build_ivf_store(spark, rows, table_name, path, **params)
+    fs.delete(srcp, True)
 
 
 def _assign_to_store_cells(spark, table_name: str,

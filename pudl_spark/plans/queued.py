@@ -336,9 +336,9 @@ def ivf_store_reseed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfrs_") as td:
         p = os.path.join(td, "store")
-        build_ivf_store(spark, e.filter(F.col("vec_id") % 3 == 0),
-                        "ivf_rs_store", p)
         try:
+            build_ivf_store(spark, e.filter(F.col("vec_id") % 3 == 0),
+                            "ivf_rs_store", p)
             append_to_ivf_store(spark, "ivf_rs_store",
                                 e.filter(F.col("vec_id") % 3 != 0))
             rebuild_ivf_store(spark, "ivf_rs_store", p)

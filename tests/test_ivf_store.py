@@ -330,3 +330,59 @@ def test_rebuild_ivf_store_reseeds_from_current_corpus(spark):
             for t in ("t_ivf_rb", "t_ivf_rb_seeds",
                       "t_ivf_rb_ref", "t_ivf_rb_ref_seeds"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_crash_reentry_and_sidecar_defaults(spark):
+    """(a) Crash re-entry: a rebuild that died mid-build leaves the
+    committed write-ahead corpus snapshot at {path}__reseed_src; the
+    next rebuild must read the snapshot — NOT the half-written
+    store — and converge to the clean rebuild, then remove the
+    snapshot. Simulated by pre-committing a snapshot and truncating
+    the store to a subset (the 'half-written' state). (b) A bare
+    rebuild of a NON-default store takes its geometry from the
+    sidecar's persisted params, not hard-coded defaults (r11
+    review: a default-arg reseed must be a pure reseed)."""
+    from pudl_spark.functions.similarity import rebuild_ivf_store
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s")
+        try:
+            build_ivf_store(spark, emb, "t_ivf_cr", p,
+                            num_buckets=4, seed_modulus=31,
+                            centroid_factor=3.0)
+            want = sorted(map(tuple, spark.table("t_ivf_cr")
+                              .select("cell", "vec_id").collect()))
+            # (a) Simulate: snapshot committed, then the build
+            # crashed after destroying part of the store.
+            (spark.table("t_ivf_cr").select("vec_id", "embedding")
+             .write.mode("overwrite").parquet(p + "__reseed_src"))
+            assert os.path.exists(
+                os.path.join(p + "__reseed_src", "_SUCCESS"))
+            half = (spark.table("t_ivf_cr")
+                    .filter(F.col("vec_id") % 2 == 0)
+                    .localCheckpoint())
+            from pudl_spark.sources.files import write_bucketed_table
+
+            spark.sql("DROP TABLE IF EXISTS t_ivf_cr")
+            write_bucketed_table(half, "t_ivf_cr", ["cell"], 4,
+                                 sort_cols=["cell", "vec_id"],
+                                 path=os.path.join(td, "half"))
+            # (b) Bare re-entry: params from the sidecar (31/3.0/4),
+            # corpus from the snapshot — full convergence.
+            rebuild_ivf_store(spark, "t_ivf_cr", p)
+            got = sorted(map(tuple, spark.table("t_ivf_cr")
+                             .select("cell", "vec_id").collect()))
+            assert got == want and got
+            assert not os.path.exists(p + "__reseed_src")
+            from pudl_spark.sources.files import (
+                get_table_build_params,
+            )
+
+            params = get_table_build_params(spark, "t_ivf_cr_seeds")
+            assert params["seed_modulus"] == "31"
+            assert float(params["centroid_factor"]) == 3.0
+        finally:
+            for t in ("t_ivf_cr", "t_ivf_cr_seeds"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
