@@ -680,56 +680,120 @@ def rebuild_ivf_store(spark, table_name: str, path: str,
 
     Crash-safe via a durable WRITE-AHEAD corpus snapshot (r11
     review: a localCheckpoint copy dies with the session while the
-    build is destroying the only on-disk rows): any pending
+    build is destroying the only on-disk rows) scoped by a
+    REBUILD-PENDING marker (r11 advice: a committed snapshot left
+    behind by a crash AFTER the build committed must not win over
+    the now-valid, append-grown store — rows appended since the
+    snapshot live only in the store, and re-entering from the stale
+    snapshot would silently discard them). Protocol: any pending
     compaction swap completes first (every store touch point's
     rule), the corpus lands in ``{path}__reseed_src`` as plain
-    parquet, the build reads FROM the snapshot while it drops and
-    overwrites the store, and the snapshot is removed only after
-    the build commits (the sidecar write, last). A crash mid-build
-    leaves the complete snapshot + its _SUCCESS marker, and the
-    next rebuild_ivf_store call detects it and rebuilds from the
-    snapshot instead of the (possibly half-written) store —
-    re-entry converges to the same result from ANY crash point. A
-    crash mid-snapshot (no _SUCCESS) re-snapshots from the still-
-    untouched store. O(corpus) like any build; run it on the
-    compaction cadence's slower sibling (SCALE.md), not per batch.
-    The LSH store has no twin: its index derives per-row with no
-    trained state, so appends never drift it.
+    parquet together with the RESOLVED build params
+    (``_reseed_params.json`` — the sidecar is dropped/rewritten
+    mid-build, so a crash re-entry could not trust it for the
+    pure-reseed rule), then the marker ``{path}__reseed_pending``
+    publishes last — so the marker's presence implies a fully
+    committed snapshot. The build reads FROM the snapshot while it
+    drops and overwrites the store; on success the marker is
+    removed FIRST (the build commit), then the snapshot. Re-entry
+    rule: marker present -> the store may be mid-destruction, so
+    rebuild from the snapshot with the snapshot's params; marker
+    absent -> the store is the truth and any leftover snapshot
+    (partial, or complete-but-stale) is discarded before a fresh
+    one is taken. Every delete whose silent failure would flip that
+    rule (Hadoop filesystems report failure by RETURNING false) is
+    checked. Re-entry converges to the same result from ANY crash
+    point. O(corpus) like any build; run it on the compaction
+    cadence's slower sibling (SCALE.md), not per batch. The LSH
+    store has no twin: its index derives per-row with no trained
+    state, so appends never drift it.
     """
+    import json
+
     from pudl_spark.operators.layout import (
         _hadoop_fs, recover_pending_compaction,
     )
     from pudl_spark.sources.files import get_table_build_params
 
-    persisted = get_table_build_params(spark, f"{table_name}_seeds")
+    def resolve(source: dict) -> dict:
+        def p(explicit, key, fallback):
+            if explicit is not None:
+                return explicit
+            return type(fallback)(source.get(key, fallback))
 
-    def p(explicit, key, fallback):
-        if explicit is not None:
-            return explicit
-        return type(fallback)(persisted.get(key, fallback))
+        return {"num_buckets": int(p(num_buckets, "num_buckets", 8)),
+                "seed_modulus": int(p(seed_modulus, "seed_modulus",
+                                      97)),
+                "nprobe": int(p(nprobe, "nprobe", 2)),
+                "centroid_factor": float(p(centroid_factor,
+                                           "centroid_factor", 2.0))}
 
-    params = {"num_buckets": int(p(num_buckets, "num_buckets", 8)),
-              "seed_modulus": int(p(seed_modulus, "seed_modulus",
-                                    97)),
-              "nprobe": int(p(nprobe, "nprobe", 2)),
-              "centroid_factor": float(p(centroid_factor,
-                                         "centroid_factor", 2.0))}
     src_dir = path + "__reseed_src"
     jvm, fs = _hadoop_fs(spark, src_dir)
-    srcp = jvm.org.apache.hadoop.fs.Path(src_dir)
-    committed = jvm.org.apache.hadoop.fs.Path(src_dir, "_SUCCESS")
-    if not fs.exists(committed):
-        # No committed snapshot -> the store is intact: finish any
-        # half-published compaction swap (reading past it would bake
-        # its row loss into the rebuilt store), then snapshot.
-        if fs.exists(srcp):
-            fs.delete(srcp, True)  # partial snapshot, re-take it
+    hpath = jvm.org.apache.hadoop.fs.Path
+    srcp = hpath(src_dir)
+    marker = hpath(path + "__reseed_pending")
+    params_file = hpath(src_dir, "_reseed_params.json")
+    if fs.exists(marker):
+        # In-progress rebuild: the marker publishes only after the
+        # snapshot fully commits, so the snapshot — never the
+        # possibly half-destroyed store or its dropped sidecar — is
+        # the sole source of both corpus and params.
+        if not (fs.exists(hpath(src_dir, "_SUCCESS"))
+                and fs.exists(params_file)):
+            raise IOError(
+                f"reseed marker {path}__reseed_pending exists but "
+                f"the snapshot at {src_dir} is incomplete — the "
+                "marker-last write order makes this unreachable by "
+                "any crash; refusing to guess a corpus")
+        stream = fs.open(params_file)
+        try:
+            saved = json.loads(bytes(
+                stream.readAllBytes()).decode("utf-8"))
+        finally:
+            stream.close()
+        params = resolve(saved)
+    else:
+        # No rebuild in progress -> the store is intact and is the
+        # truth. A leftover snapshot (partial, or committed by a run
+        # that crashed between marker-delete and snapshot-delete) is
+        # STALE — discard it, loudly if the delete fails.
+        if fs.exists(srcp) and not fs.delete(srcp, True):
+            raise IOError(f"failed to delete stale reseed snapshot "
+                          f"{src_dir}")
+        # Finish any half-published compaction swap (reading past it
+        # would bake its row loss into the rebuilt store).
         recover_pending_compaction(spark, table_name)
+        params = resolve(
+            get_table_build_params(spark, f"{table_name}_seeds"))
         (spark.table(table_name).select("vec_id", "embedding")
          .write.mode("overwrite").parquet(src_dir))
+        out = fs.create(params_file, True)
+        try:
+            out.write(bytearray(json.dumps(params), "utf-8"))
+        finally:
+            out.close()
+        tmp = hpath(path + "__reseed_pending.__tmp__")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(src_dir, "utf-8"))
+        finally:
+            out.close()
+        if fs.exists(marker):
+            fs.delete(marker, False)
+        if not fs.rename(tmp, marker):
+            raise IOError(f"reseed marker publish failed: {tmp} -> "
+                          f"{marker}")
     rows = spark.read.parquet(src_dir)
     build_ivf_store(spark, rows, table_name, path, **params)
-    fs.delete(srcp, True)
+    # Build commit: marker first (a crash after this leaves a stale
+    # snapshot the next call discards — never one that wins), then
+    # the snapshot; both deletes checked.
+    if not fs.delete(marker, False):
+        raise IOError(f"failed to remove reseed marker "
+                      f"{path}__reseed_pending")
+    if not fs.delete(srcp, True):
+        raise IOError(f"failed to delete reseed snapshot {src_dir}")
 
 
 def _assign_to_store_cells(spark, table_name: str,

@@ -306,6 +306,77 @@ def test_recover_pending_compaction_mid_swap_crash(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_recovery_crash_inside_recovery_converges(spark):
+    """Behavioral twin of the structural ordering pin below (r11
+    advice #3): fabricate the state a crash INSIDE recovery leaves
+    behind — originals-delete phase complete, staged-move phase
+    interrupted after one file (marker + staging still present) —
+    and assert (a) a non-touch-point reader sees a strict SUBSET of
+    the table's rows with no duplicates (the never-duplicates
+    invariant the delete-before-move order buys), then (b) a second
+    recovery call converges to the exact full content. No rename
+    hooks needed: recovery is driven entirely by the on-disk
+    (marker, staging, data-files) state, so constructing that state
+    directly exercises the same resume path."""
+    import shutil
+
+    from pudl_spark.functions.dedup import build_lsh_store
+    from pudl_spark.operators.layout import (
+        _write_compact_marker, recover_pending_compaction,
+    )
+
+    d = _docs(spark)
+    with tempfile.TemporaryDirectory() as td:
+        build_lsh_store(spark, d, "doc_id", "text", "t_recx",
+                        os.path.join(td, "s"), num_buckets=2)
+        try:
+            sets_dir = os.path.join(td, "s", "sets")
+            want = sorted(map(tuple, spark.table("t_recx_sets")
+                              .collect()))
+            parts = sorted(glob.glob(os.path.join(sets_dir,
+                                                  "part-*")))
+            assert len(parts) >= 2
+            staging = sets_dir + "__compact_crashtok"
+            os.makedirs(staging)
+            staged_names = []
+            for p in parts:
+                sname = os.path.basename(p).replace("part-",
+                                                    "part-9", 1)
+                staged_names.append(sname)
+                shutil.copy(p, os.path.join(staging, sname))
+            _write_compact_marker(
+                spark, "file:" + sets_dir, "file:" + staging,
+                staged_names, [os.path.basename(p) for p in parts])
+            # Recovery's delete phase ran to completion...
+            for p in parts:
+                os.remove(p)
+            # ...and its move phase crashed after ONE file.
+            shutil.move(os.path.join(staging, staged_names[0]),
+                        os.path.join(sets_dir, staged_names[0]))
+            spark.catalog.refreshTable("t_recx_sets")
+            mid = sorted(map(tuple, spark.table("t_recx_sets")
+                             .collect()))
+            # (a) Subset, never duplicates: every mid-crash row is a
+            # want row, each at most its want multiplicity.
+            assert 0 < len(mid) < len(want)
+            wleft = list(want)
+            for r in mid:
+                assert r in wleft
+                wleft.remove(r)
+            # (b) Re-entering recovery converges exactly.
+            assert recover_pending_compaction(spark, "t_recx_sets")
+            spark.catalog.refreshTable("t_recx_sets")
+            got = sorted(map(tuple, spark.table("t_recx_sets")
+                             .collect()))
+            assert got == want
+            assert not os.path.exists(staging)
+            assert not os.path.exists(
+                os.path.join(sets_dir, "_COMPACT_PENDING"))
+        finally:
+            for t in ("t_recx_bands", "t_recx_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_recovery_deletes_originals_before_moving_staged():
     """Never-duplicates must hold through a crash inside recovery
     ITSELF: the originals-delete phase precedes the staged-move
@@ -313,9 +384,10 @@ def test_recovery_deletes_originals_before_moving_staged():
     interruption at any point leaves a non-touch-point reader a
     subset of rows, never originals + staged doubled (r11 review:
     move-first recovery had exactly that duplicate window). Pinned
-    structurally on the function source — a behavioral fault
-    injection would need JVM-level rename hooks, and running as
-    root defeats permission-based ones."""
+    structurally on the function source (the behavioral twin above
+    covers the resume path); a full in-flight fault injection would
+    need JVM-level rename hooks, and running as root defeats
+    permission-based ones."""
     import inspect
 
     from pudl_spark.operators.layout import recover_pending_compaction

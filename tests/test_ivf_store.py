@@ -332,16 +332,34 @@ def test_rebuild_ivf_store_reseeds_from_current_corpus(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def _fake_reseed_crash_state(spark, table_name, p, params):
+    """Simulate a rebuild that committed its write-ahead state and
+    then crashed mid-build: snapshot of the CURRENT store +
+    _reseed_params.json + the rebuild-pending marker, written in
+    the same marker-last order as rebuild_ivf_store itself."""
+    import json
+
+    (spark.table(table_name).select("vec_id", "embedding")
+     .write.mode("overwrite").parquet(p + "__reseed_src"))
+    with open(os.path.join(p + "__reseed_src",
+                           "_reseed_params.json"), "w") as f:
+        json.dump(params, f)
+    with open(p + "__reseed_pending", "w") as f:
+        f.write(p + "__reseed_src")
+
+
 def test_rebuild_crash_reentry_and_sidecar_defaults(spark):
     """(a) Crash re-entry: a rebuild that died mid-build leaves the
-    committed write-ahead corpus snapshot at {path}__reseed_src; the
-    next rebuild must read the snapshot — NOT the half-written
-    store — and converge to the clean rebuild, then remove the
-    snapshot. Simulated by pre-committing a snapshot and truncating
-    the store to a subset (the 'half-written' state). (b) A bare
-    rebuild of a NON-default store takes its geometry from the
-    sidecar's persisted params, not hard-coded defaults (r11
-    review: a default-arg reseed must be a pure reseed)."""
+    committed write-ahead snapshot at {path}__reseed_src AND the
+    {path}__reseed_pending marker; the next rebuild must read the
+    snapshot — NOT the half-written store — and converge to the
+    clean rebuild, then remove marker + snapshot. Simulated by
+    committing snapshot/params/marker and truncating the store to a
+    subset (the 'half-written' state). (b) Crash re-entry takes its
+    geometry from the snapshot's _reseed_params.json even when the
+    SIDECAR IS GONE (r11 advice #2: build_ivf_store drops the
+    sidecar mid-build, so a crash in that window must not raise or
+    silently fall back to hard-coded defaults)."""
     from pudl_spark.functions.similarity import rebuild_ivf_store
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
@@ -354,10 +372,13 @@ def test_rebuild_crash_reentry_and_sidecar_defaults(spark):
                             centroid_factor=3.0)
             want = sorted(map(tuple, spark.table("t_ivf_cr")
                               .select("cell", "vec_id").collect()))
-            # (a) Simulate: snapshot committed, then the build
-            # crashed after destroying part of the store.
-            (spark.table("t_ivf_cr").select("vec_id", "embedding")
-             .write.mode("overwrite").parquet(p + "__reseed_src"))
+            # (a) Simulate: snapshot+marker committed, then the
+            # build crashed after destroying part of the store —
+            # including (b) the sidecar drop window.
+            _fake_reseed_crash_state(
+                spark, "t_ivf_cr", p,
+                {"num_buckets": 4, "seed_modulus": 31, "nprobe": 2,
+                 "centroid_factor": 3.0})
             assert os.path.exists(
                 os.path.join(p + "__reseed_src", "_SUCCESS"))
             half = (spark.table("t_ivf_cr")
@@ -366,16 +387,19 @@ def test_rebuild_crash_reentry_and_sidecar_defaults(spark):
             from pudl_spark.sources.files import write_bucketed_table
 
             spark.sql("DROP TABLE IF EXISTS t_ivf_cr")
+            spark.sql("DROP TABLE IF EXISTS t_ivf_cr_seeds")
             write_bucketed_table(half, "t_ivf_cr", ["cell"], 4,
                                  sort_cols=["cell", "vec_id"],
                                  path=os.path.join(td, "half"))
-            # (b) Bare re-entry: params from the sidecar (31/3.0/4),
-            # corpus from the snapshot — full convergence.
+            # Bare re-entry: params from the snapshot (31/3.0/4),
+            # corpus from the snapshot — full convergence with no
+            # sidecar in sight.
             rebuild_ivf_store(spark, "t_ivf_cr", p)
             got = sorted(map(tuple, spark.table("t_ivf_cr")
                              .select("cell", "vec_id").collect()))
             assert got == want and got
             assert not os.path.exists(p + "__reseed_src")
+            assert not os.path.exists(p + "__reseed_pending")
             from pudl_spark.sources.files import (
                 get_table_build_params,
             )
@@ -385,4 +409,48 @@ def test_rebuild_crash_reentry_and_sidecar_defaults(spark):
             assert float(params["centroid_factor"]) == 3.0
         finally:
             for t in ("t_ivf_cr", "t_ivf_cr_seeds"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_discards_stale_committed_snapshot(spark):
+    """r11 advice #1: a COMMITTED snapshot with NO pending marker is
+    a leftover from a run that crashed between marker-delete and
+    snapshot-delete — the store is valid and may have grown since.
+    The next rebuild must discard the snapshot and reseed from the
+    CURRENT store, preserving rows appended after the stale
+    snapshot was taken (the old _SUCCESS-only rule silently dropped
+    them)."""
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, rebuild_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s")
+        try:
+            build_ivf_store(spark, emb.filter(F.col("vec_id") % 3
+                                              == 0),
+                            "t_ivf_st", p)
+            # Stale committed snapshot of the PRE-append store, no
+            # marker (the build that took it committed fully).
+            (spark.table("t_ivf_st").select("vec_id", "embedding")
+             .write.mode("overwrite").parquet(p + "__reseed_src"))
+            assert os.path.exists(
+                os.path.join(p + "__reseed_src", "_SUCCESS"))
+            # Rows appended SINCE live only in the store.
+            append_to_ivf_store(spark, "t_ivf_st",
+                                emb.filter(F.col("vec_id") % 3
+                                           != 0))
+            n_full = spark.table("t_ivf_st").count()
+            rebuild_ivf_store(spark, "t_ivf_st", p)
+            ids = [r[0] for r in spark.table("t_ivf_st")
+                   .select("vec_id").collect()]
+            assert len(ids) == n_full          # nothing discarded
+            assert sorted(ids) == sorted(
+                r[0] for r in emb.select("vec_id").collect())
+            assert not os.path.exists(p + "__reseed_src")
+            assert not os.path.exists(p + "__reseed_pending")
+        finally:
+            for t in ("t_ivf_st", "t_ivf_st_seeds"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
