@@ -31,27 +31,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r11: NEW queries — the two r9-staged registrations land
-    # (VERDICT r10 #1): the LSH ingest half of the probe-then-ingest
-    # loop (`dedup.append_to_lsh_store`, oracle = the increment
-    # query's exact cross-split Jaccard verbatim, append == rebuild
-    # unconditional) and the Efraimidis-Spirakis weighted
-    # without-replacement sampler (`sampling.weighted_bottomk_sample`,
-    # length-proportional per-lang k=5, integer ids/ranks only).
-    "doc_lsh_store_ingest", "doc_weighted_sample",
-    # r11: every store-path query re-certifies — build_lsh_store /
-    # build_ivf_store now PERSIST their build parameters as table
-    # properties and append_to_*/both probes ASSERT a match
-    # (VERDICT r10 #4, the latent-correctness item: a mismatched
-    # append/probe now raises instead of silently corrupting the
-    # index or missing pairs); the probe-gate bytes cache is keyed
-    # by the resolved table Location instead of the bare name
-    # (VERDICT r10 #7); ivf_store_append's certification collect
-    # shrinks to the appended slice + a deterministic 1/11 residue
-    # (VERDICT r10 #6).
-    "doc_lsh_store_increment", "doc_lsh_store_probe_small",
-    "ann_ivf_store_probe", "ivf_store_cell_stats",
-    "ivf_store_append",
+    # r12: NEW queries — the three r11-staged registrations land
+    # (VERDICT r11 #1): redelivery convergence of both idempotent
+    # appends (`doc_lsh_store_redelivery`, `ivf_store_redelivery` —
+    # hash-grade evidence that re-applying an identical batch leaves
+    # a store serving byte-identically to a single append) and the
+    # streaming LSH loop's end-to-end pairs-sink certification
+    # (`doc_lsh_stream_pairs` — the r11 flagship streaming work,
+    # previously pytest-parity only).
+    "doc_lsh_store_redelivery", "ivf_store_redelivery",
+    "doc_lsh_stream_pairs",
+    # r12: both samplers re-certify — bottomk_sample and
+    # weighted_bottomk_sample now run through the ONE
+    # `stratified_threshold_sample` scaffold (VERDICT r11 #2, the
+    # r9-scheduled unification; brute-force regression pin in
+    # tests/test_r13_queue.py).
+    "doc_bottomk_sample", "doc_weighted_sample",
+    # r12: the minhash family re-certifies — minhash_candidate_pairs
+    # now shingles the corpus ONCE (sets checkpointed, band keys via
+    # dedup.oph_banded_from_sets — byte-identical by construction,
+    # tripwire-pinned; same-session A/B faster at both scales, see
+    # SCALE.md r12 notes). oph_banded itself is untouched, so no
+    # LSH-store row is re-touched by this half of the swap.
+    "minhash_near_dup_pairs", "minhash_dedup_clusters",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -61,7 +63,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 10
+_BUILT_AGAINST_ROUND = 11
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -71,85 +73,63 @@ _BUILT_AGAINST_ROUND = 10
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- 43 of the 45 queries whose latest green driver row is still
-    #    round 6 (4 rounds stale after the r10 no-op round — the
-    #    rotation's top priority, VERDICT r10 #1/#2). Alphabetical;
-    #    computed from CORRECTNESS_r01..r10 latest-green rows.
-    #    7 touched + 43 re-certs = exactly the 50-slot prefix.
-    #    DISPLACED to the r12 head (the touched set is 7, not the 2
-    #    the verdict's fill plan assumed, because the build-param
-    #    assert work — VERDICT r10 #4, ranked above everything but
-    #    the registration itself — re-touches all 5 store-path
-    #    queries): the 2 alphabetical-tail r6 rows
-    #    `user_value_ramps` + `xbrl_roundtrip_totals`, and the 3
-    #    oldest r7 rows. --
-    "ann_ivf_topk", "ann_lsh_bucketed", "corpus_snapshot_diff",
-    "csv_partition_extract_nation", "date_merge_year",
-    "dbf_roundtrip_supplier", "dedupe_on_category_priority",
-    "doc_chunk_windows", "doc_curation_decisions",
-    "doc_decontaminate", "doc_gopher_repetition",
-    "doc_pack_sequences", "doc_pii_scrub", "doc_quality_classifier",
-    "doc_source_mixture", "doc_tfidf_topk", "doc_token_stats",
-    "dominant_event_type", "embedding_quantization",
-    "embedding_random_projection", "event_props_extract",
-    "event_seasonal_decompose", "event_type_changelog",
-    "event_user_pseudonymize", "event_zone_assignment",
-    "fk_orphan_counts", "freshest_event_per_user",
-    "fs_linkage_parts", "hourly_event_windows", "impute_latc_mape",
-    "incremental_rebuild_counts", "jw_linkage_parts",
-    "nation_zone_overlay", "orders_above_customer_avg",
-    "parse_address_tagged_suppliers", "pivot_event_values",
-    "purchase_asof_signup", "purchases_per_signup_interval",
-    "sqlite_roundtrip_orders", "supplier_month_utilization",
-    "union_balances_by_nation", "unpivot_lineitem_measures",
-    "user_running_stats",
-    # -- r12 queue: 2 displaced r6 rows (`user_value_ramps`,
-    #    `xbrl_roundtrip_totals`) lead, then the 42 r7-certified
-    #    rows (alphabetically from `allocate_order_total`) — 44+
-    #    slots spoken for, so r12 has room for <= 5 touched/new.
-    #    First in line: `doc_lsh_store_redelivery`,
-    #    `ivf_store_redelivery`, and `doc_lsh_stream_pairs` (the
-    #    streaming loop's end-to-end pairs-sink certification),
-    #    STAGED ready-to-register in pudl_spark/plans/queued.py —
-    #    hash-grade evidence that the r11 idempotent appends
-    #    converge under redelivery and that the streaming loop's
-    #    sink equals the arrival-ordered exact cross-split; their
-    #    query/oracle pairs already pass the driver-style
-    #    differential check at sf0.01 (tests/test_r12_queue.py).
-    #    Budget math: 3 staged new + 2 sampler-swap re-certs = 5,
-    #    exactly the touched/new room left by the 44 queued recerts.
-    #    Two more staged queries (`ivf_stream_matches`, the IVF
-    #    stream's end-to-end matches-sink cert, and
-    #    `ivf_store_reseed`, rebuild-after-appends == one-shot
-    #    build) are pre-verified in queued.py but labeled r13 —
-    #    they do not fit r12's budget. 44 + 5
-    #    leaves ONE spare slot: give it to the alphabetically-first
-    #    r8 row (post-r11 histogram: r11=50, r10=45, r8=46, r7=42,
-    #    r6=2 — at 186 queries / 50 slots the sustainable
-    #    certification age is ceil(186/50)=4 rounds, so the r8
-    #    cohort is r13's rotation load and every spare slot chips
-    #    at it early).
-    #    The oph_banded swap ADDITIONALLY re-touches the 3 r11 LSH
-    #    store rows (build_lsh_store changes), which do NOT fit —
-    #    r12 should displace 3 of the queued r7 recerts to r13 for
-    #    it, or defer the swap to r13 where those rows queue anyway.
-    #    BOTH r12 refactors are staged there too with byte-identity
-    #    tripwires already green at two SFs: `oph_banded_from_sets`
-    #    (build_lsh_store's single-text-pass bands derivation) and
-    #    `stratified_threshold_sample` (the unified sampler
-    #    scaffold) — the r12 swaps are moves, with the touched
-    #    queries' re-cert slots already in this queue.
-    #    The two refactors deferred r9->r11 are SCHEDULED for r12
-    #    precisely because their touch sets sit in that queue:
-    #    deriving build_lsh_store's bands pass from the just-written
-    #    sets table re-certifies the minhash family
-    #    (minhash_near_dup_pairs, minhash_dedup_clusters,
-    #    ngram_jaccard_dup_pairs, simhash_near_dup_pairs — all r7
-    #    rows already in the r12 queue), and the
-    #    bottomk/weighted_bottomk scaffolding unification touches
-    #    doc_bottomk_sample / doc_weighted_sample ONLY (r8/r11 —
-    #    the only extra slots needed; doc_stratified_sample is the
-    #    map-only rate-based sampler, no scaffold call). --
+    # -- The 2 rows whose latest green driver row is round 6 (5
+    #    rounds stale — the ledger's oldest debt, displaced from the
+    #    r11 prefix by the build-param re-touches; VERDICT r11 #2
+    #    queued them first and here they are), then 40 of the 42
+    #    r7-certified rows (alphabetical; the other two are the
+    #    touched minhash pair above), then ONE spare slot for the
+    #    alphabetically-first r8 row (`doc_apply_bpe`). 7 touched +
+    #    2 + 40 + 1 = exactly the 50-slot prefix. Histogram at
+    #    r12 start: r11=50, r10=45, r8=46, r7=42, r6=2. --
+    "user_value_ramps", "xbrl_roundtrip_totals",
+    "allocate_order_total", "ann_cosine_topk",
+    "annual_nations_complete_months", "calc_reconcile_orders",
+    "correct_quantity_units", "customer_intkey_sentinel",
+    "customer_parts_true_gran", "customer_phone_standardized",
+    "customer_unique_priority", "date_merge_month",
+    "doc_fingerprints_fast", "doc_leakage_safe_split",
+    "doc_shingle_stats", "doc_stratified_sample",
+    "excel_roundtrip_nation", "fs_linkage_trained",
+    "hourly_wide_melt_roundtrip", "imputation_mape_score",
+    "impute_event_values", "impute_latc_tubal_mape",
+    "lineitem_exact_quantiles", "lineitem_multiheader_stack",
+    "lineitem_zorder_stats", "linkage_best_match",
+    "nation_holed_zone_overlay", "nation_multipart_explode",
+    "ngram_jaccard_dup_pairs", "orders_observed_counts",
+    "orders_profile", "part_name_levenshtein_pairs",
+    "pipeline_nation_summary", "region_revenue_allocation",
+    "scan_stats_orders", "signup_conversion_funnel",
+    "simhash_near_dup_pairs", "sql_interface_nation_revenue",
+    "supplier_close_balances", "supplier_customer_pagerank",
+    "supplier_territory_area", "suppliers_kept_waiting",
+    "doc_apply_bpe",
+    # -- r13 queue (sketched now the way r12's was in r11): the r8
+    #    cohort is r13's rotation load — 45 rows after doc_apply_bpe
+    #    re-certifies here (4 rounds stale at r13, the sustainable
+    #    boundary at ceil(189/50)=4). Four staged queries register
+    #    on top, all pre-verified vs DuckDB in
+    #    tests/test_r13_queue.py with oracles in plans/queued.py:
+    #    `ivf_stream_matches` (IVF stream end-to-end matches-sink
+    #    cert), `ivf_store_reseed` (rebuild-after-appends ==
+    #    one-shot build; the reseed gained a pending-marker re-entry
+    #    protocol + snapshot-carried params this round, closing both
+    #    r11 ADVICE hazards BEFORE its certification lands),
+    #    `datapackage_descriptor` (S13's first driver row — the
+    #    descriptor rendered relationally against a literal
+    #    expected frame, VERDICT r11 #6) and
+    #    `events_null_value_screen` (P29's first driver row —
+    #    drop_records_with_null_in_column incl. the max-drop guard,
+    #    VERDICT r11 #6). 45 + 4 = 49, leaving ONE spare slot: the
+    #    alphabetically-first r10 row. r14's load is then the r10
+    #    cohort (45 rows, 4 rounds stale) + 5 spare.
+    #    The build_lsh_store half of the oph_banded swap (bands from
+    #    the just-written sets table — the one-shot-miner half
+    #    landed THIS round with zero extra slots) touches all five
+    #    LSH-store rows (3 certified r11 + 2 r12); it stays staged
+    #    with its tripwire green until those rows rotate through the
+    #    prefix naturally (r15 for the r11 trio), rather than
+    #    displacing r13/r14 recerts. --
 ]
 
 

@@ -15,7 +15,8 @@ from pudl_spark.functions.text import (
 from pudl_spark.functions.dedup import (
     exact_duplicates, exact_dedup, minhash_signature, minhash_candidate_pairs,
     minhash_dedup, simhash_expr, simhash_near_duplicates,
-    ngram_jaccard_pairs, oph_banded, shingle_hash_sets,
+    ngram_jaccard_pairs, oph_banded, oph_banded_from_sets,
+    shingle_hash_sets,
     verified_jaccard_pairs, build_lsh_store, lsh_store_probe,
     append_to_lsh_store, append_to_lsh_store_idempotent,
     prefix_filter_pairs,

@@ -188,6 +188,73 @@ def oph_banded(df: DataFrame, id_col: str, text_col: str,
     ).select("id", "bb.band", "bb.bucket")
 
 
+def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
+                         bands: int = 16) -> DataFrame:
+    """LSH band keys derived from an already-computed ``(id, __set)``
+    shingle-hash frame — `shingle_hash_sets`' output, or the
+    persisted ``{prefix}_sets`` table — instead of re-shingling raw
+    text (VERDICT r9 #6 / r10 #8, the single-text-pass derivation;
+    landed r12 for the one-shot miner, see `minhash_candidate_pairs`;
+    the `build_lsh_store` twin — bands from the just-written sets
+    table — waits for the round its store rows rotate through the
+    driver prefix).
+
+    Byte-identical to `oph_banded` BY CONSTRUCTION: the sets frame
+    holds exactly the distinct xxhash64 shingle hashes oph_banded's
+    explode produces, and the OPH bin/min/densify/band pipeline
+    below applies the same expressions in the same order — pinned
+    per-row-equal in tests/test_r13_queue.py at two SFs (the
+    divergence tripwire).
+
+    Input contract: ``sets_df`` is `shingle_hash_sets` output (or
+    the persisted ``{prefix}_sets`` table), which is ALREADY
+    `_spread` across cores — this derivation adds no repartition of
+    its own.
+    """
+    rows_per_band = num_hashes // bands
+    nb = F.lit(num_hashes)
+    exploded = sets_df.select(
+        "id", F.explode("__set").alias("__sh"))
+    binned = exploded.groupBy(
+        "id", F.pmod("__sh", nb).alias("__bin")
+    ).agg(F.min("__sh").alias("__mh"))
+    sig_map = binned.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig_map = sig_map.withColumn(
+        "__v0",
+        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
+
+    def _double(prev, s):
+        return lambda i: F.coalesce(
+            F.element_at(F.col(prev), i + 1),
+            F.element_at(F.col(prev),
+                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
+        )
+
+    step, r = 1, 0
+    while step < num_hashes:
+        sig_map = sig_map.withColumn(
+            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
+        step, r = step * 2, r + 1
+    sig_agg = sig_map.select(
+        "id", F.col(f"__v{r}").alias("__sig")
+    ).localCheckpoint(eager=False)
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    return sig_agg.select(
+        "id", F.explode(band_arr).alias("bb")
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
                       shingle_k: int = 3) -> DataFrame:
     """``(id, __set)`` distinct shingle-hash arrays — the verify-side
@@ -242,12 +309,23 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     true Jaccard on the shingle sets. Returns (id_a, id_b, jaccard)
     with id_a < id_b. The verify join re-reads only candidate rows'
     shingles; candidates ~ O(true dups), not O(n^2).
+
+    SINGLE TEXT PASS (r12, the oph_banded_from_sets swap's one-shot
+    half): the corpus shingles ONCE into the checkpointed sets
+    frame; the band keys derive from those stored hash arrays
+    (`oph_banded_from_sets` — byte-identical to `oph_banded` by
+    construction, tripwire-pinned) and the verify join reads the
+    same materialization. The pre-swap shape shingled the corpus
+    twice — once for the bands aggregate, once for the verify side —
+    and text shingling (regex split + slice + hash per position) is
+    the dominant map-side cost at corpus scale.
     """
     # Bands shuffle WITHOUT the verify sets (ids + two longs only —
     # the explode multiplies rows by `bands`, so payload width matters
     # 16x); sets re-join for the candidate pairs only.
-    banded = oph_banded(df, id_col, text_col, num_hashes, bands,
-                        shingle_k)
+    sets = shingle_hash_sets(df, id_col, text_col,
+                             shingle_k).localCheckpoint(eager=False)
+    banded = oph_banded_from_sets(sets, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -257,7 +335,6 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
     return verified_jaccard_pairs(cand, sets, sets, "id_a", "id_b",
                                   jaccard_threshold)
 

@@ -8710,12 +8710,20 @@ def doc_lsh_store_ingest(spark, sf_dir):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-@query("ivf_store_append", sql=f"""
+# Shared by ivf_store_append and ivf_store_redelivery: the appended
+# slice + the deterministic 1/11 residue under the full-corpus
+# two-level assignment — exact for both because append == rebuild
+# when the batch is seed-ineligible, and a doubly-applied idempotent
+# append must hold exactly the single-append rows.
+_IVF_APPEND_SQL = f"""
 WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}
 SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
 FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
 WHERE e.vec_id % 97 = 3 OR e.vec_id % 11 = 0
-""")
+"""
+
+
+@query("ivf_store_append", sql=_IVF_APPEND_SQL)
 def ivf_store_append(spark, sf_dir):
     """Incremental IVF store APPEND (VERDICT r8 #3): the corpus
     minus the vec_id % 97 == 3 slice is built into the cell-bucketed
@@ -8762,6 +8770,140 @@ def ivf_store_append(spark, sf_dir):
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_append_store")
             spark.sql("DROP TABLE IF EXISTS ivf_append_store_seeds")
+
+
+@query("doc_lsh_store_redelivery", sql=_lsh_cross_split_sql(7))
+def doc_lsh_store_redelivery(spark, sf_dir):
+    """Redelivered-batch convergence on the persisted LSH index
+    (registered r12 from the r11-staged queue): build on
+    doc_id % 7 > 1, apply the % 7 == 1 slice TWICE through
+    `dedup.append_to_lsh_store_idempotent` (a checkpoint redelivery
+    replays exactly this), then probe the % 7 == 0 batch. The oracle
+    is the ingest query's exact cross-split Jaccard verbatim — the
+    hash certifies the doubly-applied store serves identically to a
+    singly-appended one (no duplicated index rows inflating
+    candidate multiplicity or corrupting set cardinalities).
+    """
+    import tempfile
+
+    from pudl_spark.functions.dedup import (
+        append_to_lsh_store_idempotent, build_lsh_store,
+        lsh_store_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 > 1)
+    ingest = d.filter(F.col("doc_id") % 7 == 1)
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshrd_") as td:
+        build_lsh_store(spark, corpus, "doc_id", "text", "lsh_rd",
+                        os.path.join(td, "store"))
+        try:
+            for _ in range(2):  # second apply = simulated redelivery
+                append_to_lsh_store_idempotent(spark, "lsh_rd",
+                                               ingest, "doc_id",
+                                               "text")
+            out = lsh_store_probe(spark, "lsh_rd", batch, "doc_id",
+                                  "text", jaccard_threshold=0.8)
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            for t in ("lsh_rd_bands", "lsh_rd_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@query("ivf_store_redelivery", sql=_IVF_APPEND_SQL)
+def ivf_store_redelivery(spark, sf_dir):
+    """Redelivered-batch convergence on the persisted IVF store
+    (registered r12 from the r11-staged queue): build on
+    vec_id % 97 != 3, apply the % 97 == 3 slice TWICE through
+    `similarity.append_to_ivf_store_idempotent` (the guard reads
+    only the batch's own assigned cells), then certify the appended
+    slice plus the 1/11 residue — the same oracle as
+    `ivf_store_append`, which is exact because the doubly-applied
+    store must hold exactly the single-append rows.
+    """
+    import tempfile
+
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store_idempotent, build_ivf_store,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 97 != 3)
+    batch = e.filter(F.col("vec_id") % 97 == 3)
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfrd_") as td:
+        build_ivf_store(spark, corpus, "ivf_rd_store",
+                        os.path.join(td, "store"))
+        try:
+            for _ in range(2):
+                append_to_ivf_store_idempotent(spark, "ivf_rd_store",
+                                               batch)
+            out = (spark.table("ivf_rd_store")
+                   .filter((F.col("vec_id") % 97 == 3)
+                           | (F.col("vec_id") % 11 == 0))
+                   .select("cell", "vec_id"))
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ivf_rd_store")
+            spark.sql("DROP TABLE IF EXISTS ivf_rd_store_seeds")
+
+
+@query("doc_lsh_stream_pairs", sql=_lsh_cross_split_sql(
+    3, pair_pred="a.doc_id % 3 > b.doc_id % 3",
+    extra_select=",\n  new_id % 3 AS batch_id"))
+def doc_lsh_stream_pairs(spark, sf_dir):
+    """End-to-end hash-grade certification of the streaming LSH
+    probe-then-ingest loop (`streaming.lsh_ingest_stream`, r11 —
+    registered r12 from the staged queue; previously pinned by
+    pytest parity only): documents arrive as THREE micro-batches in
+    doc_id % 3 order (one file per batch, arrival pinned by explicit
+    mtimes — FileStreamSource processes oldest-first under
+    maxFilesPerTrigger=1), batch 0 bootstraps the store, and each
+    later batch is mined against everything ingested before it. The
+    certified result is the PAIRS SINK itself —
+    (new_id, corpus_id, jaccard, batch_id) — whose oracle is the
+    exact cross-split shingle-Jaccard under the arrival-order
+    predicate ``a.doc_id % 3 > b.doc_id % 3`` with
+    ``batch_id = new_id % 3``: slice i arrives in micro-batch i, so
+    the union of per-batch probes is exactly the ordered cross-split
+    pair set, and the batch_id column certifies WHICH batch mined
+    each pair, not just the set.
+    """
+    import tempfile
+
+    from pudl_spark.streaming.pipeline import lsh_ingest_stream
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshsp_") as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        stamped, t0 = set(), 1_000_000_000  # relative order only
+        for i in range(3):
+            (d.filter(F.col("doc_id") % 3 == i).coalesce(1)
+             .write.mode("append").parquet(src))
+            for f in os.listdir(src):
+                if f not in stamped:  # stamp only this slice's files
+                    os.utime(os.path.join(src, f),
+                             (t0 + i * 60, t0 + i * 60))
+                    stamped.add(f)
+        pairs_path = os.path.join(td, "pairs")
+        q = lsh_ingest_stream(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            "lsh_strmp", os.path.join(td, "store"), pairs_path,
+            os.path.join(td, "ckpt"))
+        try:
+            q.awaitTermination()
+            out = (spark.read.schema("new_id long, corpus_id long, "
+                                     "jaccard double, batch_id int")
+                   .parquet(pairs_path)
+                   .select("new_id", "corpus_id", "jaccard",
+                           F.col("batch_id").cast("long")
+                           .alias("batch_id")))
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            for t in ("lsh_strmp_bands", "lsh_strmp_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 @query("doc_weighted_rendezvous_shards", sql=f"""

@@ -1,23 +1,23 @@
-"""Queries staged for the ROUND-12 driver prefix (r11 ships them
-with full differential evidence but no registration: the r11 50-slot
-prefix is exactly 7 touched + 43 r6 re-certs, and a new query must
+"""Queries staged for the ROUND-13 driver prefix (pre-verified
+with full differential evidence but no registration: r12's 50-slot
+prefix is exactly 5 touched/new + 45 re-certs, and a new query must
 sit in the prefix the round it registers — the standing rule).
-`tests/test_r12_queue.py` runs each pair through the same
-plain-session-vs-DuckDB comparison the driver uses, so r12's
+`tests/test_r13_queue.py` runs each pair through the same
+plain-session-vs-DuckDB comparison the driver uses, so r13's
 registration is a move, not a rewrite.
 
-Two stage the REDELIVERY convergence of the r11 idempotent appends
-as hash-grade evidence: applying the same batch twice through the
-exactly-once guards must leave a store that serves byte-identically
-to a single append — the property the streaming loops' crash
-recovery rests on (currently pinned by pytest parity tests only).
-The third (`doc_lsh_stream_pairs`) certifies the streaming LSH loop
-END-TO-END: the pairs sink a three-micro-batch run produces must
-hash-match the exact arrival-ordered cross-split Jaccard, batch
-attribution included. Two more are staged but labeled for r13 (the
-r12 touched/new budget is full): `ivf_stream_matches` (the IVF
-stream's end-to-end matches-sink cert) and `ivf_store_reseed`
-(rebuild-after-appends == one-shot build over the full corpus).
+Staged: `ivf_stream_matches` (the IVF stream's end-to-end
+matches-sink certification — the embedding-side twin of the
+r12-registered `doc_lsh_stream_pairs`) and `ivf_store_reseed`
+(rebuild-after-appends == one-shot build over the full corpus — the
+hash-grade certification of `similarity.rebuild_ivf_store`).
+The `oph_banded_from_sets` derivation itself moved to dedup.py in
+r12 (its one-shot-miner half landed — `minhash_candidate_pairs` now
+shingles once; both touched queries sat in the r12 prefix); the
+remaining half — `build_lsh_store` deriving bands from the
+just-written sets table — touches all five LSH-store rows and waits
+for the round those rotate through the prefix (r15+, see the r13
+budget sketch in __spark_entry__.py).
 """
 
 from __future__ import annotations
@@ -32,152 +32,6 @@ def _t(spark, sf_dir, name):
 
     return read_parquet_table(spark, os.path.join(sf_dir,
                                                   f"{name}.parquet"))
-
-
-def doc_lsh_store_redelivery(spark, sf_dir):
-    """Redelivered-batch convergence on the persisted LSH index:
-    build on doc_id % 7 > 1, apply the % 7 == 1 slice TWICE through
-    `dedup.append_to_lsh_store_idempotent` (a checkpoint redelivery
-    replays exactly this), then probe the % 7 == 0 batch. The oracle
-    is the ingest query's exact cross-split Jaccard verbatim — the
-    hash certifies the doubly-applied store serves identically to a
-    singly-appended one (no duplicated index rows inflating
-    candidate multiplicity or corrupting set cardinalities).
-    """
-    import tempfile
-
-    from pudl_spark.functions.dedup import (
-        append_to_lsh_store_idempotent, build_lsh_store,
-        lsh_store_probe,
-    )
-
-    d = _t(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 7 > 1)
-    ingest = d.filter(F.col("doc_id") % 7 == 1)
-    batch = d.filter(F.col("doc_id") % 7 == 0)
-    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshrd_") as td:
-        build_lsh_store(spark, corpus, "doc_id", "text", "lsh_rd",
-                        os.path.join(td, "store"))
-        try:
-            for _ in range(2):  # second apply = simulated redelivery
-                append_to_lsh_store_idempotent(spark, "lsh_rd",
-                                               ingest, "doc_id",
-                                               "text")
-            out = lsh_store_probe(spark, "lsh_rd", batch, "doc_id",
-                                  "text", jaccard_threshold=0.8)
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            for t in ("lsh_rd_bands", "lsh_rd_sets"):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-
-
-def doc_lsh_store_redelivery_oracle() -> str:
-    from pudl_spark.plans.queries import _lsh_cross_split_sql
-
-    return _lsh_cross_split_sql(7)
-
-
-def ivf_store_redelivery(spark, sf_dir):
-    """Redelivered-batch convergence on the persisted IVF store:
-    build on vec_id % 97 != 3, apply the % 97 == 3 slice TWICE
-    through `similarity.append_to_ivf_store_idempotent` (the guard
-    reads only the batch's own assigned cells), then certify the
-    appended slice plus the 1/11 residue — the same oracle as
-    `ivf_store_append`, which is exact because the doubly-applied
-    store must hold exactly the single-append rows.
-    """
-    import tempfile
-
-    from pudl_spark.functions.similarity import (
-        append_to_ivf_store_idempotent, build_ivf_store,
-    )
-
-    e = _t(spark, sf_dir, "embeddings")
-    corpus = e.filter(F.col("vec_id") % 97 != 3)
-    batch = e.filter(F.col("vec_id") % 97 == 3)
-    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfrd_") as td:
-        build_ivf_store(spark, corpus, "ivf_rd_store",
-                        os.path.join(td, "store"))
-        try:
-            for _ in range(2):
-                append_to_ivf_store_idempotent(spark, "ivf_rd_store",
-                                               batch)
-            out = (spark.table("ivf_rd_store")
-                   .filter((F.col("vec_id") % 97 == 3)
-                           | (F.col("vec_id") % 11 == 0))
-                   .select("cell", "vec_id"))
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            spark.sql("DROP TABLE IF EXISTS ivf_rd_store")
-            spark.sql("DROP TABLE IF EXISTS ivf_rd_store_seeds")
-
-
-def ivf_store_redelivery_oracle() -> str:
-    from pudl_spark.plans.queries import ORACLES
-
-    return ORACLES["ivf_store_append"]
-
-
-def doc_lsh_stream_pairs(spark, sf_dir):
-    """End-to-end hash-grade certification of the streaming LSH
-    probe-then-ingest loop (`streaming.lsh_ingest_stream`, r11 —
-    currently pinned by pytest parity only): documents arrive as
-    THREE micro-batches in doc_id % 3 order (one file per batch,
-    arrival pinned by explicit mtimes — FileStreamSource processes
-    oldest-first under maxFilesPerTrigger=1), batch 0 bootstraps the
-    store, and each later batch is mined against everything ingested
-    before it. The certified result is the PAIRS SINK itself —
-    (new_id, corpus_id, jaccard, batch_id) — whose oracle is the
-    exact cross-split shingle-Jaccard under the arrival-order
-    predicate ``a.doc_id % 3 > b.doc_id % 3`` with
-    ``batch_id = new_id % 3``: slice i arrives in micro-batch i, so
-    the union of per-batch probes is exactly the ordered cross-split
-    pair set, and the batch_id column certifies WHICH batch mined
-    each pair, not just the set.
-    """
-    import tempfile
-
-    from pudl_spark.streaming.pipeline import lsh_ingest_stream
-
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    with tempfile.TemporaryDirectory(prefix="pudl_spark_lshsp_") as td:
-        src = os.path.join(td, "in")
-        os.makedirs(src)
-        stamped, t0 = set(), 1_000_000_000  # relative order only
-        for i in range(3):
-            (d.filter(F.col("doc_id") % 3 == i).coalesce(1)
-             .write.mode("append").parquet(src))
-            for f in os.listdir(src):
-                if f not in stamped:  # stamp only this slice's files
-                    os.utime(os.path.join(src, f),
-                             (t0 + i * 60, t0 + i * 60))
-                    stamped.add(f)
-        pairs_path = os.path.join(td, "pairs")
-        q = lsh_ingest_stream(
-            spark.readStream.schema(d.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src),
-            "lsh_strmp", os.path.join(td, "store"), pairs_path,
-            os.path.join(td, "ckpt"))
-        try:
-            q.awaitTermination()
-            out = (spark.read.schema("new_id long, corpus_id long, "
-                                     "jaccard double, batch_id int")
-                   .parquet(pairs_path)
-                   .select("new_id", "corpus_id", "jaccard",
-                           F.col("batch_id").cast("long")
-                           .alias("batch_id")))
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            for t in ("lsh_strmp_bands", "lsh_strmp_sets"):
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-
-
-def doc_lsh_stream_pairs_oracle() -> str:
-    from pudl_spark.plans.queries import _lsh_cross_split_sql
-
-    return _lsh_cross_split_sql(
-        3, pair_pred="a.doc_id % 3 > b.doc_id % 3",
-        extra_select=",\n  new_id % 3 AS batch_id")
 
 
 def ivf_stream_matches(spark, sf_dir):
@@ -364,200 +218,120 @@ WHERE e.vec_id % 7 = 0
 """
 
 
-def oph_banded_from_sets(sets_df, num_hashes: int = 64,
-                         bands: int = 16):
-    """STAGED for r12 (VERDICT r9 #6 / r10 #8): LSH band keys
-    derived from an already-computed ``(id, __set)`` shingle-hash
-    frame — `shingle_hash_sets`' output, or the persisted
-    ``{prefix}_sets`` table — instead of re-shingling raw text.
-    `build_lsh_store` currently shingles the corpus TWICE (once for
-    the bands pass, once for the sets pass); writing sets first and
-    deriving bands from them saves one full corpus text pass per
-    index build.
-
-    Byte-identical to `dedup.oph_banded` BY CONSTRUCTION: the sets
-    frame holds exactly the distinct xxhash64 shingle hashes
-    oph_banded's explode produces, and the OPH bin/min/densify/band
-    pipeline below applies the same expressions in the same order —
-    pinned per-row-equal in tests/test_r12_queue.py at two SFs, so
-    the r12 swap (which re-certifies the minhash-family prefix
-    slots) ships pre-verified. Kept OUT of dedup.py until then: the
-    shared-stage extraction touches `oph_banded`, whose dependent
-    certified queries have no r11 prefix slots; the identity test
-    doubles as the divergence tripwire while this copy waits.
-
-    Input contract: ``sets_df`` is `shingle_hash_sets` output (or
-    the persisted ``{prefix}_sets`` table), which is ALREADY
-    `_spread` across cores — this derivation adds no repartition of
-    its own.
+def datapackage_descriptor(spark, sf_dir):
+    """STAGED for r13 (VERDICT r11 #6 — S13's first driver row):
+    the frictionless-style datapackage emission
+    (`sources.datapackage.build_datapackage_descriptor`, ref:
+    src/pudl/metadata/classes.py:2311+) rendered RELATIONALLY —
+    one row per (resource, field) with type, required, primary-key
+    membership and foreign-key target — so the driver can
+    hash-certify the descriptor against a literal expected frame.
+    Declares nation/region Resources mirroring the test tables
+    (PK + FK included) and flattens the emitted descriptor dict;
+    metadata emission is driver-side by design, so the only Spark
+    work is the createDataFrame.
     """
-    rows_per_band = num_hashes // bands
-    nb = F.lit(num_hashes)
-    exploded = sets_df.select(
-        "id", F.explode("__set").alias("__sh"))
-    binned = exploded.groupBy(
-        "id", F.pmod("__sh", nb).alias("__bin")
-    ).agg(F.min("__sh").alias("__mh"))
-    sig_map = binned.groupBy("id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_map = sig_map.withColumn(
-        "__v0",
-        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
+    from pudl_spark.schema import Field, FieldConstraints, Resource
+    from pudl_spark.sources.datapackage import (
+        build_datapackage_descriptor,
+    )
 
-    def _double(prev, s):
-        return lambda i: F.coalesce(
-            F.element_at(F.col(prev), i + 1),
-            F.element_at(F.col(prev),
-                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
-        )
+    resources = [
+        Resource(
+            name="nation",
+            fields=(
+                Field("n_nationkey", "integer",
+                      FieldConstraints(required=True)),
+                Field("n_name", "string"),
+                Field("n_regionkey", "integer",
+                      FieldConstraints(required=True)),
+                Field("n_comment", "string"),
+            ),
+            primary_key=("n_nationkey",),
+            foreign_keys=(
+                (("n_regionkey",), "region", ("r_regionkey",)),),
+        ),
+        Resource(
+            name="region",
+            fields=(
+                Field("r_regionkey", "integer",
+                      FieldConstraints(required=True)),
+                Field("r_name", "string"),
+                Field("r_comment", "string"),
+            ),
+            primary_key=("r_regionkey",),
+        ),
+    ]
+    desc = build_datapackage_descriptor(resources)
+    rows = []
+    for res in desc["resources"]:
+        schema = res["schema"]
+        pk = set(schema.get("primaryKey", ()))
+        fk_ref = {f: fk["reference"]["resource"]
+                  for fk in schema.get("foreignKeys", ())
+                  for f in fk["fields"]}
+        for pos, f in enumerate(schema["fields"]):
+            rows.append((
+                res["name"], pos, f["name"], f["type"],
+                bool(f.get("constraints", {}).get("required")),
+                f["name"] in pk, fk_ref.get(f["name"])))
+    return spark.createDataFrame(
+        rows, "resource string, field_pos int, field string, "
+              "type string, required boolean, is_pk boolean, "
+              "fk_resource string")
 
-    step, r = 1, 0
-    while step < num_hashes:
-        sig_map = sig_map.withColumn(
-            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
-        step, r = step * 2, r + 1
-    sig_agg = sig_map.select(
-        "id", F.col(f"__v{r}").alias("__sig")
-    ).localCheckpoint(eager=False)
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    return sig_agg.select(
-        "id", F.explode(band_arr).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+
+def datapackage_descriptor_oracle() -> str:
+    return """
+SELECT * FROM (VALUES
+  ('nation', CAST(0 AS INTEGER), 'n_nationkey', 'integer', TRUE,
+   TRUE, CAST(NULL AS VARCHAR)),
+  ('nation', CAST(1 AS INTEGER), 'n_name', 'string', FALSE,
+   FALSE, CAST(NULL AS VARCHAR)),
+  ('nation', CAST(2 AS INTEGER), 'n_regionkey', 'integer', TRUE,
+   FALSE, 'region'),
+  ('nation', CAST(3 AS INTEGER), 'n_comment', 'string', FALSE,
+   FALSE, CAST(NULL AS VARCHAR)),
+  ('region', CAST(0 AS INTEGER), 'r_regionkey', 'integer', TRUE,
+   TRUE, CAST(NULL AS VARCHAR)),
+  ('region', CAST(1 AS INTEGER), 'r_name', 'string', FALSE,
+   FALSE, CAST(NULL AS VARCHAR)),
+  ('region', CAST(2 AS INTEGER), 'r_comment', 'string', FALSE,
+   FALSE, CAST(NULL AS VARCHAR))
+) AS t(resource, field_pos, field, type, required, is_pk,
+       fk_resource)
+"""
 
 
-def stratified_threshold_sample(df, by, id_col, race_key,
-                                thr_fn, thr_type, k: int,
-                                rank_col: str = "smp_rank",
-                                max_strata: int = 100_000,
-                                extra_aggs=(), order_key=None):
-    """STAGED for r12 (VERDICT r9 #7 / r10 #9): the ONE
-    prefilter/guard scaffold both samplers share —
-    `sampling.bottomk_sample` (uniform: race key = full md5, integer
-    hex6 threshold) and `sampling.weighted_bottomk_sample` (A-ES:
-    race key = -ln(u)/w, double threshold) differ only in the race
-    key, the per-stratum aggregates, the threshold rule, and
-    (for the uniform sampler, which prefilters on the 6-hex prefix
-    but ranks by the FULL digest so prefix collisions stay
-    deterministic) an optional distinct ranking key — all of which
-    arrive here as parameters. The NULL-stratum eqNullSafe rule, the
-    bounded per-stratum driver-state contract (max_strata), the
-    shortfall re-admission guard (exactness regardless of
-    hash/weight luck), and the (race key, id) deterministic ranking
-    then live ONCE. Byte-identity of both samplers replayed through
-    this scaffold vs their live implementations is pinned in
-    tests/test_r12_queue.py — the r12 swap (which re-certifies the
-    doc_bottomk_sample / doc_weighted_sample prefix slots; those two
-    are the ONLY registered callers — doc_stratified_sample is the
-    map-only rate-based sampler and never touches this scaffold)
-    ships pre-verified.
+def events_null_value_screen(spark, sf_dir):
+    """STAGED for r13 (VERDICT r11 #6 — P29's first driver row):
+    `operators.drop_records_with_null_in_column` (ref:
+    helpers.py:1648) exercised on a deterministically-nulled value
+    column (event_id % 13 == 0 -> NULL, ~7.7% of rows) with the
+    max-drop guard set at 20% — the guard's single aggregate runs
+    and passes, the null-keyed rows drop, and the surviving rows
+    aggregate per event type. The oracle is the equivalent
+    null-free selection; value sums route through DECIMAL(12,2)
+    per the hash-parity discipline.
     """
-    from pyspark.sql import Window
+    from pudl_spark.operators import drop_records_with_null_in_column
 
-    spark = df.sparkSession
-    counts = (df.groupBy(*by)
-              .agg(F.count(F.lit(1)).alias("__n"), *extra_aggs)
-              .limit(max_strata + 1).collect())
-    if len(counts) > max_strata:
-        raise ValueError(
-            f"stratified sample: more than max_strata={max_strata} "
-            f"strata in {by}; per-stratum driver state would be "
-            "unbounded. Use a rate-based hash-threshold sample or "
-            "aggregate the strata first.")
-    thr_rows = [tuple(r[c] for c in by) + (thr_fn(r),) for r in counts]
-    thr_df = spark.createDataFrame(
-        thr_rows,
-        df.select(*by).schema.add("__thr", thr_type)).select(
-            *[F.col(c).alias(f"__t_{c}") for c in by], "__thr")
-
-    def stratum_cond(right):
-        c = F.lit(True)
-        for col in by:
-            c = c & F.col(col).eqNullSafe(right(col))
-        return c
-
-    pre = (df.join(F.broadcast(thr_df),
-                   on=stratum_cond(lambda c: F.col(f"__t_{c}")))
-           .filter(race_key < F.col("__thr"))
-           .drop("__thr", *[f"__t_{c}" for c in by]))
-    need = {tuple(r[c] for c in by): min(k, r["__n"]) for r in counts}
-    got = {tuple(r[c] for c in by): r["count"]
-           for r in pre.groupBy(*by).count().collect()}
-    short = [s for s, m in need.items() if got.get(s, 0) < m]
-    if short:
-        short_df = spark.createDataFrame(
-            [s for s in short], df.select(*by).schema).select(
-                *[F.col(c).alias(f"__s_{c}") for c in by])
-        readmit = (df.join(F.broadcast(short_df),
-                           on=stratum_cond(lambda c: F.col(f"__s_{c}")),
-                           how="left_semi")
-                   .join(F.broadcast(thr_df),
-                         on=stratum_cond(lambda c: F.col(f"__t_{c}")))
-                   .filter(race_key >= F.col("__thr"))
-                   .drop("__thr", *[f"__t_{c}" for c in by]))
-        pre = pre.unionByName(readmit)
-    order = order_key if order_key is not None else race_key
-    w = Window.partitionBy(*by).orderBy(order.asc(),
-                                        F.col(id_col).asc())
-    return (pre.withColumn(rank_col,
-                           F.row_number().over(w).cast("bigint"))
-            .filter(F.col(rank_col) <= k))
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 13 != 0,
+                        F.col("value")))
+    kept = drop_records_with_null_in_column(
+        e, "value", max_drop_fraction=0.2)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double").alias("sum_value"))
 
 
-def bottomk_sample_staged(df, by, id_col, k=10, salt=":smp",
-                          safety=8.0, rank_col="smp_rank",
-                          max_strata=100_000):
-    """`sampling.bottomk_sample` replayed through the staged unified
-    scaffold (identity-pinned)."""
-    import math
-
-    from pudl_spark.functions.sampling import _HEX6_MAX, _hash_key
-
-    key = _hash_key(id_col, salt)
-    hex6 = F.conv(F.substring(key, 1, 6), 16, 10).cast("long")
-
-    def thr(r):
-        n = r["__n"]
-        return (_HEX6_MAX if n <= safety * k
-                else math.ceil(_HEX6_MAX * safety * k / n))
-
-    # Filter/guard on the 6-hex prefix (that is what the threshold
-    # bounds), rank by the FULL digest (prefix-collision
-    # determinism) — the scaffold's order_key keeps the two keys
-    # separate exactly like the live implementation.
-    return stratified_threshold_sample(
-        df, by, id_col, hex6, thr, "long", k,
-        rank_col=rank_col, max_strata=max_strata, order_key=key)
-
-
-def weighted_bottomk_sample_staged(df, by, id_col, weight_col, k=10,
-                                   salt=":wsmp", safety=8.0,
-                                   rank_col="smp_rank",
-                                   max_strata=100_000):
-    """`sampling.weighted_bottomk_sample` replayed through the
-    staged unified scaffold (identity-pinned)."""
-    from pudl_spark.functions.sampling import _HEX6_MAX, _hash_key
-
-    df = df.filter(F.col(weight_col) > 0)
-    u = ((F.conv(F.substring(_hash_key(id_col, salt), 1, 6), 16, 10)
-          .cast("double") + F.lit(0.5)) / F.lit(float(_HEX6_MAX)))
-    e = -F.log(u) / F.col(weight_col).cast("double")
-
-    def thr(r):
-        return (float("inf") if r["__n"] <= safety * k
-                else safety * k / r["__W"])
-
-    return stratified_threshold_sample(
-        df, by, id_col, e, thr, "double", k,
-        rank_col=rank_col, max_strata=max_strata,
-        extra_aggs=(F.sum(F.col(weight_col).cast("double"))
-                    .alias("__W"),))
+def events_null_value_screen_oracle() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE event_id % 13 <> 0
+GROUP BY event_type
+"""

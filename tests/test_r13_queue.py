@@ -1,7 +1,9 @@
-"""Differential evidence for the r12-queued queries: the same
+"""Differential evidence for the r13-queued queries: the same
 plain-session-vs-DuckDB comparison tools/driver_sim.py runs, executed
-at sf0.01 BEFORE registration, so the r12 prefix move ships
-pre-verified."""
+at sf0.01 BEFORE registration, so the r13 prefix move ships
+pre-verified. Also holds the byte-identity tripwire for the deferred
+`oph_banded_from_sets` swap and the brute-force regression pin for
+the r12-unified sampler scaffold."""
 
 from __future__ import annotations
 
@@ -25,11 +27,10 @@ def _driver_sim():
     return mod
 
 
-@pytest.mark.parametrize("name", ["doc_lsh_store_redelivery",
-                                  "ivf_store_redelivery",
-                                  "doc_lsh_stream_pairs",
-                                  "ivf_stream_matches",
-                                  "ivf_store_reseed"])
+@pytest.mark.parametrize("name", ["ivf_stream_matches",
+                                  "ivf_store_reseed",
+                                  "datapackage_descriptor",
+                                  "events_null_value_screen"])
 def test_queued_query_matches_oracle(spark, name):
     from pudl_spark.plans import queued
 
@@ -49,8 +50,8 @@ def test_queued_query_matches_oracle(spark, name):
 
 def test_cross_split_oracle_defaults_unchanged():
     """The r11 `_lsh_cross_split_sql` generalization (pair_pred /
-    extra_select for the staged streaming certification) must leave
-    the default-arg strings — the REGISTERED store-query oracles —
+    extra_select for the streaming certification) must leave the
+    default-arg strings — the REGISTERED store-query oracles —
     byte-identical to the pre-refactor form (frozen hashes)."""
     import hashlib
 
@@ -69,11 +70,15 @@ def test_cross_split_oracle_defaults_unchanged():
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
 def test_oph_banded_from_sets_byte_identical(spark, sf):
     """The staged bands-from-sets derivation must equal the live
-    text-shingling path row-for-row — the precondition VERDICT r9 #6
-    set for the r12 build_lsh_store swap, and the divergence
-    tripwire while the staged copy waits in queued.py."""
-    from pudl_spark.functions.dedup import oph_banded, shingle_hash_sets
-    from pudl_spark.plans.queued import oph_banded_from_sets
+    text-shingling path row-for-row (VERDICT r9 #6): since r12 this
+    derivation IS `minhash_candidate_pairs`' bands stage (the
+    single-text-pass swap), so this doubles as the correctness pin
+    for the live miner and the tripwire for the still-staged
+    `build_lsh_store` half (deferred to r15; see the queued.py
+    docstring for the slot-budget reasoning)."""
+    from pudl_spark.functions.dedup import (
+        oph_banded, oph_banded_from_sets, shingle_hash_sets,
+    )
     from pudl_spark.catalog import read_parquet_table
 
     d = read_parquet_table(spark, f"{sf}/documents.parquet")
@@ -84,19 +89,22 @@ def test_oph_banded_from_sets_byte_identical(spark, sf):
     assert staged == live and staged
 
 
-def test_staged_unified_samplers_byte_identical(spark):
-    """Both live samplers replayed through the staged unified
-    scaffold must match row-for-row — including a NULL stratum and a
-    stratum small enough to trip the shortfall guard — the
-    precondition for the r12 sampling.py unification."""
+def test_unified_samplers_match_brute_force(spark):
+    """Regression pin for the r12 sampler unification (both live
+    samplers now run through `stratified_threshold_sample`): on the
+    documents table with a NULL stratum and a singleton stratum (the
+    shortfall-guard path), each sampler must equal the definitional
+    brute-force computed row-by-row in Python — the same evidence
+    the pre-swap byte-identity test carried, now anchored to first
+    principles instead of a staged copy."""
+    import hashlib
+    import math
+
     from pyspark.sql import functions as F
 
     from pudl_spark.catalog import read_parquet_table
     from pudl_spark.functions.sampling import (
         bottomk_sample, weighted_bottomk_sample,
-    )
-    from pudl_spark.plans.queued import (
-        bottomk_sample_staged, weighted_bottomk_sample_staged,
     )
 
     d = (read_parquet_table(spark, f"{SF}/documents.parquet")
@@ -108,18 +116,36 @@ def test_staged_unified_samplers_byte_identical(spark):
                  .when(F.col("doc_id") % 11 == 0, F.lit(None))
                  .otherwise(F.col("lang")).alias("lang"),
                  F.octet_length("text").alias("__w")))
-    live_u = set(map(tuple, bottomk_sample(
+    rows = [(r["lang"], r["doc_id"], r["__w"]) for r in d.collect()]
+
+    def brute(key_fn, k):
+        strata = {}
+        for lang, i, w in rows:
+            key = key_fn(i, w)
+            if key is not None:
+                strata.setdefault(lang, []).append((key, i))
+        return {(lang, i, rn + 1)
+                for lang, keyed in strata.items()
+                for rn, (_, i) in enumerate(sorted(keyed)[:k])}
+
+    got_u = set(map(tuple, bottomk_sample(
         d, ["lang"], "doc_id", k=5).select(
         "lang", "doc_id", "smp_rank").collect()))
-    staged_u = set(map(tuple, bottomk_sample_staged(
-        d, ["lang"], "doc_id", k=5).select(
-        "lang", "doc_id", "smp_rank").collect()))
-    assert staged_u == live_u and staged_u
-    live_w = set(map(tuple, weighted_bottomk_sample(
+    want_u = brute(
+        lambda i, w: hashlib.md5(f"{i}:smp".encode()).hexdigest(), 5)
+    assert got_u == want_u and got_u
+
+    def wkey(i, w):
+        if not w or w <= 0:
+            return None
+        hex6 = int(hashlib.md5(
+            f"{i}:wsmp".encode()).hexdigest()[:6], 16)
+        u = (hex6 + 0.5) / 16 ** 6
+        return -math.log(u) / float(w)
+
+    got_w = set(map(tuple, weighted_bottomk_sample(
         d, ["lang"], "doc_id", "__w", k=5).select(
         "lang", "doc_id", "smp_rank").collect()))
-    staged_w = set(map(tuple, weighted_bottomk_sample_staged(
-        d, ["lang"], "doc_id", "__w", k=5).select(
-        "lang", "doc_id", "smp_rank").collect()))
-    assert staged_w == live_w and staged_w
-    assert any(r[0] is None for r in staged_w)  # NULL stratum sampled
+    want_w = brute(wkey, 5)
+    assert got_w == want_w and got_w
+    assert any(r[0] is None for r in got_w)  # NULL stratum sampled

@@ -86,6 +86,98 @@ def build_scaled(spark, mult: int, base: str = BASE) -> None:
             os.path.join(SCALED, f"{t}.parquet"))
 
 
+def stress_reseed(spark, mult: int) -> dict:
+    """VERDICT r11 #7: the two numbers behind the 'reseed when
+    appends ~= corpus' cadence rule.
+
+    (a) RESEED WALL at 1x vs mult-x: build an IVF store on a third
+    of the corpus, append the other two thirds (appends ~= 2x the
+    built corpus — past the cadence trigger), then time
+    `rebuild_ivf_store`. The reseed is O(corpus) like any build, so
+    its wall should track the corpus multiplier (~mult) — a
+    super-mult ratio would mean the rebuild hides quadratic work
+    (e.g. an all-pairs assignment) and the cadence rule would not
+    hold at scale.
+
+    (b) RECALL DRIFT (base scale): probe recall@10 vs exact brute
+    force BEFORE the reseed (store grown 3x under the FROZEN
+    bootstrap seeds — later vectors crowded into stale cells,
+    un-seedable outliers parked as negative singletons) and AFTER
+    (seeds re-derived from the full corpus). The delta is the
+    quality debt appends accumulate — the reason the cadence exists
+    at all; the reseed must recover it (post-reseed recall ==
+    a one-shot build's recall, since rebuild == build is pinned).
+
+    min-of-2 cycles per scale for the walls; recall is deterministic
+    (hash seeds, fixed tie-breaks) so it is measured once.
+    """
+    import gc
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, brute_force_topk, build_ivf_store,
+        ivf_store_topk, rebuild_ivf_store,
+    )
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    out: dict = {}
+    for label, sf_dir in (("base", BASE), ("scaled", SCALED)):
+        e = read_parquet_table(
+            spark, os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        corpus0 = e.filter(F.col("vec_id") % 3 == 0)
+        rest = e.filter(F.col("vec_id") % 3 != 0)
+        walls = []
+        for cycle in range(2):
+            gc.collect()
+            with tempfile.TemporaryDirectory() as td:
+                p = os.path.join(td, "s")
+                build_ivf_store(spark, corpus0, "st_rs", p)
+                append_to_ivf_store(spark, "st_rs", rest)
+                if label == "base" and cycle == 0:
+                    # (b) recall drift, measured on the grown store
+                    # before and after the reseed.
+                    q = (e.filter(F.col("vec_id") % 101 == 5)
+                         .select(F.col("vec_id").alias("query_id"),
+                                 "embedding"))
+                    truth = brute_force_topk(e, q, k=10).select(
+                        "query_id", "neighbor_id")
+                    truth.cache()
+                    n_truth = truth.count()
+
+                    def recall():
+                        got = ivf_store_topk(
+                            spark, "st_rs", q, k=10).select(
+                            "query_id", "neighbor_id")
+                        hit = got.join(truth,
+                                       ["query_id", "neighbor_id"]
+                                       ).count()
+                        return round(hit / max(n_truth, 1), 4)
+
+                    out["recall_pre_reseed"] = recall()
+                    walls.append(timed(lambda: rebuild_ivf_store(
+                        spark, "st_rs", p)))
+                    out["recall_post_reseed"] = recall()
+                    truth.unpersist()
+                else:
+                    walls.append(timed(lambda: rebuild_ivf_store(
+                        spark, "st_rs", p)))
+                for t in ("st_rs", "st_rs_seeds"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        out.setdefault("reseed_wall", {})[label] = round(min(walls), 3)
+    out["reseed_wall"]["ratio"] = round(
+        out["reseed_wall"]["scaled"]
+        / max(out["reseed_wall"]["base"], 1e-9), 2)
+    return out
+
+
 def stress_append_paths(spark, mult: int) -> dict:
     """VERDICT r9 #3 / r10 #5: time the two store APPEND paths with
     the corpus at 1x and at mult-x while the ingest batch stays
@@ -200,9 +292,12 @@ def main() -> int:
     append_stress = False
     # Order-independent flag parsing (r11 self-review: a trailing
     # --append-stress used to fall through into the query names).
+    reseed_stress = False
     while args and args[0].startswith("--"):
         if args[0] == "--append-stress":
             append_stress = True; args = args[1:]
+        elif args[0] == "--reseed-stress":
+            reseed_stress = True; args = args[1:]
         elif args[0] == "--mult":
             mult = int(args[1]); args = args[2:]
         else:
@@ -224,6 +319,12 @@ def main() -> int:
     if append_stress:
         res = stress_append_paths(spark, mult)
         print(json.dumps({"mult": mult, "append_stress": res}))
+        spark.stop()
+        return 0
+
+    if reseed_stress:
+        res = stress_reseed(spark, mult)
+        print(json.dumps({"mult": mult, "reseed_stress": res}))
         spark.stop()
         return 0
 
