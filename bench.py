@@ -96,6 +96,15 @@ BENCH_QUERIES = [
     "doc_weighted_rendezvous_shards",
     "doc_lsh_store_ingest",
     "doc_weighted_sample",
+    # The r12 registrations (doc_lsh_store_redelivery ~10s,
+    # ivf_store_redelivery ~5s, doc_lsh_stream_pairs ~18-26s at
+    # sf0.1) stay out: their walls are certification artifacts —
+    # store builds applied twice plus, for the stream query, three
+    # micro-batch bootstrap cycles — and every serving path they
+    # exercise is already benched (doc_lsh_store_increment /
+    # _ingest / _probe_small, ivf_store_append). Adding them would
+    # grow the suite ~35% while measuring scheduling, not
+    # throughput.
     # supplier_customer_pagerank stays out of the headline list: five
     # fixed-cost iterative rounds dominate its sf0.1 wall (4.4s) and
     # say nothing about throughput; it is oracle-certified and its
