@@ -704,9 +704,19 @@ def rebuild_ivf_store(spark, table_name: str, path: str,
     rule (Hadoop filesystems report failure by RETURNING false) is
     checked. Re-entry converges to the same result from ANY crash
     point. O(corpus) like any build; run it on the compaction
-    cadence's slower sibling (SCALE.md), not per batch. The LSH
-    store has no twin: its index derives per-row with no trained
-    state, so appends never drift it.
+    cadence's slower sibling (SCALE.md), not per batch.
+
+    SINGLE-WRITER MAINTENANCE WINDOW (r12 self-review): a rebuild
+    is NOT concurrent-safe with appends — the snapshot freezes the
+    corpus at its write time, so a batch appended to the live store
+    after the snapshot but before the swap is absent from the
+    rebuilt store (and an append landing mid-overwrite can fail or
+    write into a directory being replaced). Quiesce the ingest
+    path for the rebuild window — for the streaming loops, stop
+    the query, rebuild, restart; the checkpoint replays any batch
+    the pause cut off, and the idempotent append absorbs the
+    replay. The LSH store has no reseed twin: its index derives
+    per-row with no trained state, so appends never drift it.
     """
     import json
 
