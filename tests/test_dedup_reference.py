@@ -80,3 +80,24 @@ def test_simhash_identical_and_near(spark):
     assert out[0] == out[1]                      # identical text
     assert hamming(out[0], out[2]) < 12          # near-dup: close
     assert hamming(out[0], out[3]) > 12          # unrelated: far
+
+
+def test_minhash_miner_single_text_pass(spark):
+    """Structural pin for the r12 single-text-pass swap: the miner's
+    FINAL plan must read only the checkpointed sets blocks (RDD
+    scans) — zero parquet re-scans of the documents table means the
+    text is shingled exactly once, at the checkpoint
+    materialization. Losing the localCheckpoint (or rederiving the
+    verify sets from text) would silently reintroduce the double
+    shingle pass this swap removed."""
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import minhash_candidate_pairs
+
+    d = read_parquet_table(spark,
+                           "/root/testdata/sf0.001/documents.parquet")
+    out = minhash_candidate_pairs(d, "doc_id", "text")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Scan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
