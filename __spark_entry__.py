@@ -105,9 +105,11 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "supplier_territory_area", "suppliers_kept_waiting",
     "doc_apply_bpe",
     # -- r13 queue (sketched now the way r12's was in r11): the r8
-    #    cohort is r13's rotation load — 45 rows after doc_apply_bpe
-    #    re-certifies here (4 rounds stale at r13, the sustainable
-    #    boundary at ceil(189/50)=4). Four staged queries register
+    #    cohort is r13's rotation load — 44 rows after this round
+    #    re-certifies doc_apply_bpe (spare) and doc_bottomk_sample
+    #    (sampler swap) out of the 46 (4 rounds stale at r13, the
+    #    sustainable boundary at ceil(189/50)=4). Four staged
+    #    queries register
     #    on top, all pre-verified vs DuckDB in
     #    tests/test_r13_queue.py with oracles in plans/queued.py:
     #    `ivf_stream_matches` (IVF stream end-to-end matches-sink
@@ -120,9 +122,9 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    expected frame, VERDICT r11 #6) and
     #    `events_null_value_screen` (P29's first driver row —
     #    drop_records_with_null_in_column incl. the max-drop guard,
-    #    VERDICT r11 #6). 45 + 4 = 49, leaving ONE spare slot: the
-    #    alphabetically-first r10 row. r14's load is then the r10
-    #    cohort (45 rows, 4 rounds stale) + 5 spare.
+    #    VERDICT r11 #6). 44 + 4 = 48, leaving TWO spare slots: the
+    #    two alphabetically-first r10 rows. r14's load is then the
+    #    remaining r10 cohort (43 rows, 4 rounds stale) + 7 spare.
     #    The build_lsh_store half of the oph_banded swap (bands from
     #    the just-written sets table — the one-shot-miner half
     #    landed THIS round with zero extra slots) touches all five
