@@ -123,8 +123,32 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    `events_null_value_screen` (P29's first driver row —
     #    drop_records_with_null_in_column incl. the max-drop guard,
     #    VERDICT r11 #6). 44 + 4 = 48, leaving TWO spare slots: the
-    #    two alphabetically-first r10 rows. r14's load is then the
-    #    remaining r10 cohort (43 rows, 4 rounds stale) + 7 spare.
+    #    two alphabetically-first r10 rows (`clean_customer_names`,
+    #    `complete_year_nations`). r14's load is then the remaining
+    #    r10 cohort (43 rows, 4 rounds stale) + 7 spare. The exact
+    #    44-row r8 cohort, precomputed from CORRECTNESS_r01..r11 +
+    #    this prefix (alphabetical): doc_rendezvous_shards,
+    #    doc_token_budget, embedding_blocked_clusters,
+    #    embedding_ivf_clusters, embedding_semantic_dedup,
+    #    event_anomalous_regions, event_anomaly_flags,
+    #    event_bad_days, event_local_outliers, event_sessions_cc,
+    #    event_user_kmv_distinct, event_value_quartiles,
+    #    events_to_utc, exact_dedup_docs, fill_monthly_revenue_gaps,
+    #    harvest_report_consistency, harvest_user_profile,
+    #    jw_part_name_similarity, large_volume_customers,
+    #    media_avi_frames, media_video_frames,
+    #    monthly_orders_densified, nation_revenue_by_year,
+    #    nations_with_both_roles, order_price_screens,
+    #    order_year_fragments, pricing_summary,
+    #    rolling_monthly_revenue, rollup_revenue,
+    #    salted_event_type_totals, scale_by_ownership_suppliers,
+    #    snake_cased_part_types, supplier_address_parse,
+    #    supplier_code_cleanup, supplier_nation_codes,
+    #    supplier_overlap_union_area, table_row_counts,
+    #    top_revenue_orders, user_event_source_label,
+    #    user_latest_good_value, user_ramp_extremes,
+    #    user_stable_load_bin, weighted_avg_price,
+    #    weighted_median_quantity.
     #    The build_lsh_store half of the oph_banded swap (bands from
     #    the just-written sets table — the one-shot-miner half
     #    landed THIS round with zero extra slots) touches all five
