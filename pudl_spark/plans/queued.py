@@ -335,3 +335,58 @@ FROM events
 WHERE event_id % 13 <> 0
 GROUP BY event_type
 """
+
+
+def build_lsh_store_singlepass(spark, df, id_col, text_col,
+                               table_prefix, path,
+                               num_hashes: int = 64, bands: int = 16,
+                               shingle_k: int = 3,
+                               num_buckets: int = 8) -> None:
+    """STAGED for r15 (the build half of the oph_banded_from_sets
+    swap — the one-shot-miner half landed r12): `build_lsh_store`
+    with the corpus shingled ONCE. The live build pays two full
+    text passes (oph_banded's explode for the bands table, then
+    shingle_hash_sets for the sets table); here the SETS table
+    writes first and the bands derive from the WRITTEN table via
+    `dedup.oph_banded_from_sets` — the second corpus text pass
+    becomes a scan of stored hash arrays. Write order flips (sets
+    before bands) with unchanged crash semantics: both tables drop
+    first, the build is re-runnable from scratch, and probes/appends
+    assert against the bands table's params — written last, so a
+    half-built store fails loudly rather than serving.
+
+    Byte-identity of BOTH output tables vs the live build is pinned
+    in tests/test_r13_queue.py (the store-level tripwire; the
+    derivation-level tripwire pins two SFs). Measured same-session
+    at sf0.1 (r12): live build floor 2.36 s, single-pass **1.60 s**
+    — 32% off the index build, and the saved work is the corpus
+    text pass, so the fraction grows with document length at scale.
+    Swap deferred until the five LSH-store rows rotate through the
+    driver prefix (r15 for the r11 trio — see the r13 budget sketch
+    in __spark_entry__.py).
+    """
+    from pudl_spark.functions.dedup import (
+        _invalidate_store_bytes, oph_banded_from_sets,
+        shingle_hash_sets,
+    )
+    from pudl_spark.sources.files import (
+        set_table_build_params, write_bucketed_table,
+    )
+
+    for t in (f"{table_prefix}_bands", f"{table_prefix}_sets"):
+        _invalidate_store_bytes(spark, t)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed_table(
+        shingle_hash_sets(df, id_col, text_col, shingle_k),
+        f"{table_prefix}_sets", ["id"], num_buckets,
+        sort_cols=["id"], path=os.path.join(path, "sets"))
+    write_bucketed_table(
+        oph_banded_from_sets(spark.table(f"{table_prefix}_sets"),
+                             num_hashes, bands),
+        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
+        sort_cols=["band", "bucket", "id"],
+        path=os.path.join(path, "bands"))
+    set_table_build_params(
+        spark, f"{table_prefix}_bands",
+        {"num_hashes": num_hashes, "bands": bands,
+         "shingle_k": shingle_k, "num_buckets": num_buckets})

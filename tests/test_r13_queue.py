@@ -149,3 +149,38 @@ def test_unified_samplers_match_brute_force(spark):
     want_w = brute(wkey, 5)
     assert got_w == want_w and got_w
     assert any(r[0] is None for r in got_w)  # NULL stratum sampled
+
+
+def test_singlepass_build_store_byte_identical(spark):
+    """Store-level tripwire for the staged r15 build swap: the
+    single-text-pass build must leave BOTH bucketed tables (bands,
+    sets) byte-equal to the live two-pass build's, including the
+    persisted build params the probes/appends assert against."""
+    import os
+    import tempfile
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import build_lsh_store
+    from pudl_spark.plans.queued import build_lsh_store_singlepass
+    from pudl_spark.sources.files import get_table_build_params
+
+    d = read_parquet_table(spark, f"{SF}/documents.parquet")
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            build_lsh_store(spark, d, "doc_id", "text", "t_sp_live",
+                            os.path.join(td, "a"))
+            build_lsh_store_singlepass(spark, d, "doc_id", "text",
+                                       "t_sp_one",
+                                       os.path.join(td, "b"))
+            for suffix in ("bands", "sets"):
+                live = sorted(map(tuple, spark.table(
+                    f"t_sp_live_{suffix}").collect()))
+                one = sorted(map(tuple, spark.table(
+                    f"t_sp_one_{suffix}").collect()))
+                assert one == live and one, suffix
+            assert (get_table_build_params(spark, "t_sp_live_bands")
+                    == get_table_build_params(spark, "t_sp_one_bands"))
+        finally:
+            for t in ("t_sp_live_bands", "t_sp_live_sets",
+                      "t_sp_one_bands", "t_sp_one_sets"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
