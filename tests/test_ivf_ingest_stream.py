@@ -238,3 +238,65 @@ def test_bootstrap_crash_reentry_rebuilds_cleanly(spark, tmp_path):
     finally:
         for t in ("t_boot_ivf", "t_boot_ivf_seeds"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stop_restart_from_checkpoint_continues(spark,
+                                                tmp_path_factory):
+    """IVF twin of the LSH restart-continuity pin (r12): run 1
+    drains slices 0-1 and terminates (availableNow), slice 2 lands
+    while the query is down, run 2 restarts on the SAME checkpoint.
+    The restart must append exactly slice 2 (checkpoint offsets — no
+    duplicate appends under the frozen bootstrap seeds) and leave
+    matches sink + store byte-equal to an uninterrupted 3-batch
+    run."""
+
+    def drain(prefix, src, store_dir, matches, ckpt):
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ivf_ingest_stream(stream, prefix, store_dir, matches,
+                              ckpt, k=2)
+        q.awaitTermination()
+
+    base = tmp_path_factory.mktemp("ivfrestart")
+    e = _emb(spark).select("vec_id", "embedding")
+    slices = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    try:
+        refsrc = str(base / "refin")
+        os.makedirs(refsrc)
+        for s in slices:
+            s.coalesce(1).write.mode("append").parquet(refsrc)
+            time.sleep(1.1)
+        drain("t_ref_ivf", refsrc, str(base / "refstore"),
+              str(base / "refmatches"), str(base / "refckpt"))
+        want = sorted(map(tuple, spark.read.parquet(
+            str(base / "refmatches")).collect()))
+
+        src = str(base / "in")
+        os.makedirs(src)
+        for s in slices[:2]:
+            s.coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.1)
+        drain("t_rst_ivf", src, str(base / "store"),
+              str(base / "matches"), str(base / "ckpt"))
+        n_after_run1 = spark.table("t_rst_ivf").count()
+
+        slices[2].coalesce(1).write.mode("append").parquet(src)
+        drain("t_rst_ivf", src, str(base / "store"),
+              str(base / "matches"), str(base / "ckpt"))
+        spark.catalog.refreshTable("t_rst_ivf")
+
+        got = sorted(map(tuple, spark.read.parquet(
+            str(base / "matches")).collect()))
+        assert got == want and got
+        assert (spark.table("t_rst_ivf").count()
+                - n_after_run1) == slices[2].count()
+        ref_rows = sorted(map(tuple, spark.table("t_ref_ivf")
+                              .select("cell", "vec_id").collect()))
+        got_rows = sorted(map(tuple, spark.table("t_rst_ivf")
+                              .select("cell", "vec_id").collect()))
+        assert got_rows == ref_rows and got_rows
+    finally:
+        for t in ("t_ref_ivf", "t_ref_ivf_seeds",
+                  "t_rst_ivf", "t_rst_ivf_seeds"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
