@@ -222,3 +222,64 @@ def test_exact_quantiles_is_the_order_statistic(spark, vals, qs, nb, cap):
         k = max(1, math.ceil(float(q) * len(s)))
         want[float(q)] = (k, s[k - 1])
     assert got == want
+
+
+@st.composite
+def sampler_instances(draw):
+    """Random (stratum, id, weight) rows: strata from a tiny alphabet
+    incl. NULL (the eqNullSafe path), distinct ids, positive int
+    weights (exact brute-force arithmetic)."""
+    ids = draw(st.lists(st.integers(min_value=0, max_value=10**6),
+                        min_size=1, max_size=40, unique=True))
+    rows = []
+    for i in ids:
+        stratum = draw(st.sampled_from([None, "a", "b", "c"]))
+        w = draw(st.integers(min_value=1, max_value=1000))
+        rows.append((stratum, i, w))
+    k = draw(st.integers(min_value=1, max_value=5))
+    guard = draw(st.booleans())  # tiny safety -> shortfall path
+    return rows, k, (1e-9 if guard else 8.0)
+
+
+@SLOW
+@given(inst=sampler_instances())
+def test_unified_samplers_equal_brute_force_for_any_input(spark, inst):
+    """The r12-unified scaffold (stratified_threshold_sample) must
+    reproduce the definitional per-stratum bottom-k for BOTH race
+    keys on arbitrary inputs — any strata mix (incl. NULL), any k,
+    both the prefilter and the shortfall-guard regimes."""
+    import hashlib
+
+    from pudl_spark.functions.sampling import (
+        bottomk_sample, weighted_bottomk_sample,
+    )
+
+    rows, k, safety = inst
+    df = spark.createDataFrame(rows,
+                               "lang string, doc_id long, w long")
+
+    def brute(key_fn):
+        strata = {}
+        for lang, i, w in rows:
+            key = key_fn(i, w)
+            if key is not None:
+                strata.setdefault(lang, []).append((key, i))
+        return {(lang, i, rn + 1)
+                for lang, keyed in strata.items()
+                for rn, (_, i) in enumerate(sorted(keyed)[:k])}
+
+    got_u = set(map(tuple, bottomk_sample(
+        df, ["lang"], "doc_id", k=k, safety=safety).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    assert got_u == brute(
+        lambda i, w: hashlib.md5(f"{i}:smp".encode()).hexdigest())
+
+    def wkey(i, w):
+        hex6 = int(hashlib.md5(
+            f"{i}:wsmp".encode()).hexdigest()[:6], 16)
+        return -math.log((hex6 + 0.5) / 16 ** 6) / float(w)
+
+    got_w = set(map(tuple, weighted_bottomk_sample(
+        df, ["lang"], "doc_id", "w", k=k, safety=safety).select(
+        "lang", "doc_id", "smp_rank").collect()))
+    assert got_w == brute(wkey)
