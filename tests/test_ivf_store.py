@@ -454,3 +454,54 @@ def test_rebuild_discards_stale_committed_snapshot(spark):
         finally:
             for t in ("t_ivf_st", "t_ivf_st_seeds"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rebuild_recovers_pending_compaction_before_snapshot(spark):
+    """Pins the rebuild docstring's claim that a half-published
+    compaction swap completes BEFORE the corpus snapshot is taken —
+    reading past the pending swap would bake its transient row loss
+    into the rebuilt store permanently. Fabricates the mid-swap
+    crash state (marker + staged copies, one original already
+    deleted — a bare read loses rows), then reseeds: the rebuilt
+    store must hold the FULL corpus assignment, not the
+    half-swapped subset."""
+    import glob
+    import shutil
+
+    from pudl_spark.functions.similarity import rebuild_ivf_store
+    from pudl_spark.operators.layout import _write_compact_marker
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s")
+        try:
+            build_ivf_store(spark, emb, "t_ivf_pc", p)
+            want = sorted(map(tuple, spark.table("t_ivf_pc")
+                              .select("cell", "vec_id").collect()))
+            parts = sorted(glob.glob(os.path.join(p, "part-*")))
+            assert len(parts) >= 2
+            staging = p + "__compact_pctok"
+            os.makedirs(staging)
+            staged = []
+            for f in parts:
+                sname = os.path.basename(f).replace("part-",
+                                                    "part-9", 1)
+                staged.append(sname)
+                shutil.copy(f, os.path.join(staging, sname))
+            _write_compact_marker(
+                spark, "file:" + p, "file:" + staging, staged,
+                [os.path.basename(f) for f in parts])
+            os.remove(parts[0])  # mid-delete crash
+            spark.catalog.refreshTable("t_ivf_pc")
+            assert (spark.table("t_ivf_pc").count()
+                    < len(want))  # half-swapped: rows missing
+            rebuild_ivf_store(spark, "t_ivf_pc", p)
+            got = sorted(map(tuple, spark.table("t_ivf_pc")
+                             .select("cell", "vec_id").collect()))
+            assert got == want and got  # full corpus, reseeded
+            assert not os.path.exists(p + "__reseed_src")
+            assert not os.path.exists(p + "__reseed_pending")
+        finally:
+            for t in ("t_ivf_pc", "t_ivf_pc_seeds"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
