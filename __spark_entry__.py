@@ -52,8 +52,13 @@ _TOUCHED_THIS_ROUND = [
     # dedup.oph_banded_from_sets — byte-identical by construction,
     # tripwire-pinned; same-session A/B faster at both scales, see
     # SCALE.md r12 notes). oph_banded itself is untouched, so no
-    # LSH-store row is re-touched by this half of the swap.
+    # LSH-store row is re-touched by this half of the swap. The
+    # FULL transitive caller set is three queries (r12 review):
+    # the two direct minhash rows plus doc_leakage_safe_split,
+    # which routes through minhash_clusters ->
+    # minhash_candidate_pairs.
     "minhash_near_dup_pairs", "minhash_dedup_clusters",
+    "doc_leakage_safe_split",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -76,11 +81,11 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     # -- The 2 rows whose latest green driver row is round 6 (5
     #    rounds stale — the ledger's oldest debt, displaced from the
     #    r11 prefix by the build-param re-touches; VERDICT r11 #2
-    #    queued them first and here they are), then 40 of the 42
-    #    r7-certified rows (alphabetical; the other two are the
-    #    touched minhash pair above), then ONE spare slot for the
-    #    alphabetically-first r8 row (`doc_apply_bpe`). 7 touched +
-    #    2 + 40 + 1 = exactly the 50-slot prefix. Histogram at
+    #    queued them first and here they are), then 39 of the 42
+    #    r7-certified rows (alphabetical; the other three are the
+    #    touched minhash-family rows above), then ONE spare slot for
+    #    the alphabetically-first r8 row (`doc_apply_bpe`). 8 touched
+    #    + 2 + 39 + 1 = exactly the 50-slot prefix. Histogram at
     #    r12 start: r11=50, r10=45, r8=46, r7=42, r6=2. --
     "user_value_ramps", "xbrl_roundtrip_totals",
     "allocate_order_total", "ann_cosine_topk",
@@ -88,7 +93,7 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "correct_quantity_units", "customer_intkey_sentinel",
     "customer_parts_true_gran", "customer_phone_standardized",
     "customer_unique_priority", "date_merge_month",
-    "doc_fingerprints_fast", "doc_leakage_safe_split",
+    "doc_fingerprints_fast",
     "doc_shingle_stats", "doc_stratified_sample",
     "excel_roundtrip_nation", "fs_linkage_trained",
     "hourly_wide_melt_roundtrip", "imputation_mape_score",

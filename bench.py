@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "doc_lsh_store_ingest",
     "doc_weighted_sample",
     # The r12 registrations (doc_lsh_store_redelivery ~10s,
-    # ivf_store_redelivery ~5s, doc_lsh_stream_pairs ~18-26s at
+    # ivf_store_redelivery ~5s, doc_lsh_stream_pairs ~14-26s at
     # sf0.1) stay out: their walls are certification artifacts —
     # store builds applied twice plus, for the stream query, three
     # micro-batch bootstrap cycles — and every serving path they

@@ -789,8 +789,6 @@ def rebuild_ivf_store(spark, table_name: str, path: str,
             out.write(bytearray(src_dir, "utf-8"))
         finally:
             out.close()
-        if fs.exists(marker):
-            fs.delete(marker, False)
         if not fs.rename(tmp, marker):
             raise IOError(f"reseed marker publish failed: {tmp} -> "
                           f"{marker}")

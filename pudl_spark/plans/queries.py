@@ -8193,7 +8193,8 @@ def _lsh_cross_split_sql(mod: int, pair_pred: str | None = None,
     own arrival-order ``pair_pred`` plus a batch_id
     ``extra_select`` — with the defaults the emitted string is
     byte-identical to the pre-r11 single-arg form, so the registered
-    oracles are untouched (pinned in tests/test_r12_queue.py)."""
+    oracles are untouched (frozen-hash pin in the current queue test
+    file — tests/test_r1N_queue.py, renamed each round)."""
     pred = (pair_pred if pair_pred is not None
             else f"a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0")
     return rf"""

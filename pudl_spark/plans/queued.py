@@ -1,6 +1,6 @@
 """Queries staged for the ROUND-13 driver prefix (pre-verified
 with full differential evidence but no registration: r12's 50-slot
-prefix is exactly 5 touched/new + 45 re-certs, and a new query must
+prefix is exactly 8 touched/new + 42 re-certs, and a new query must
 sit in the prefix the round it registers — the standing rule).
 `tests/test_r13_queue.py` runs each pair through the same
 plain-session-vs-DuckDB comparison the driver uses, so r13's
@@ -332,7 +332,7 @@ def events_null_value_screen_oracle() -> str:
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
 FROM events
-WHERE event_id % 13 <> 0
+WHERE event_id % 13 <> 0 AND value IS NOT NULL
 GROUP BY event_type
 """
 
