@@ -31,34 +31,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r12: NEW queries — the three r11-staged registrations land
-    # (VERDICT r11 #1): redelivery convergence of both idempotent
-    # appends (`doc_lsh_store_redelivery`, `ivf_store_redelivery` —
-    # hash-grade evidence that re-applying an identical batch leaves
-    # a store serving byte-identically to a single append) and the
-    # streaming LSH loop's end-to-end pairs-sink certification
-    # (`doc_lsh_stream_pairs` — the r11 flagship streaming work,
-    # previously pytest-parity only).
-    "doc_lsh_store_redelivery", "ivf_store_redelivery",
-    "doc_lsh_stream_pairs",
-    # r12: both samplers re-certify — bottomk_sample and
-    # weighted_bottomk_sample now run through the ONE
-    # `stratified_threshold_sample` scaffold (VERDICT r11 #2, the
-    # r9-scheduled unification; brute-force regression pin in
-    # tests/test_r13_queue.py).
-    "doc_bottomk_sample", "doc_weighted_sample",
-    # r12: the minhash family re-certifies — minhash_candidate_pairs
-    # now shingles the corpus ONCE (sets checkpointed, band keys via
-    # dedup.oph_banded_from_sets — byte-identical by construction,
-    # tripwire-pinned; same-session A/B faster at both scales, see
-    # SCALE.md r12 notes). oph_banded itself is untouched, so no
-    # LSH-store row is re-touched by this half of the swap. The
-    # FULL transitive caller set is three queries (r12 review):
-    # the two direct minhash rows plus doc_leakage_safe_split,
-    # which routes through minhash_clusters ->
-    # minhash_candidate_pairs.
-    "minhash_near_dup_pairs", "minhash_dedup_clusters",
-    "doc_leakage_safe_split",
+    # r13: NEW queries — the four r12-staged registrations land
+    # (VERDICT r12 #1): the IVF ingest loop's end-to-end
+    # matches-sink certification (`ivf_stream_matches` — the
+    # embedding-side twin of r12's `doc_lsh_stream_pairs`), the
+    # reseed certification (`ivf_store_reseed` —
+    # rebuild-after-appends hash-equal to a one-shot full-corpus
+    # build, landing AFTER the r12 crash-safety hardening), S13's
+    # first driver row (`datapackage_descriptor`) and P29's first
+    # driver row (`events_null_value_screen`). All four were
+    # pre-verified vs DuckDB in the r12 staging queue tests.
+    "ivf_stream_matches", "ivf_store_reseed",
+    "datapackage_descriptor", "events_null_value_screen",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -68,7 +52,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 11
+_BUILT_AGAINST_ROUND = 12
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -78,89 +62,76 @@ _BUILT_AGAINST_ROUND = 11
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- The 2 rows whose latest green driver row is round 6 (5
-    #    rounds stale — the ledger's oldest debt, displaced from the
-    #    r11 prefix by the build-param re-touches; VERDICT r11 #2
-    #    queued them first and here they are), then 39 of the 42
-    #    r7-certified rows (alphabetical; the other three are the
-    #    touched minhash-family rows above), then ONE spare slot for
-    #    the alphabetically-first r8 row (`doc_apply_bpe`). 8 touched
-    #    + 2 + 39 + 1 = exactly the 50-slot prefix. Histogram at
-    #    r12 start: r11=50, r10=45, r8=46, r7=42, r6=2. --
-    "user_value_ramps", "xbrl_roundtrip_totals",
-    "allocate_order_total", "ann_cosine_topk",
-    "annual_nations_complete_months", "calc_reconcile_orders",
-    "correct_quantity_units", "customer_intkey_sentinel",
-    "customer_parts_true_gran", "customer_phone_standardized",
-    "customer_unique_priority", "date_merge_month",
-    "doc_fingerprints_fast",
-    "doc_shingle_stats", "doc_stratified_sample",
-    "excel_roundtrip_nation", "fs_linkage_trained",
-    "hourly_wide_melt_roundtrip", "imputation_mape_score",
-    "impute_event_values", "impute_latc_tubal_mape",
-    "lineitem_exact_quantiles", "lineitem_multiheader_stack",
-    "lineitem_zorder_stats", "linkage_best_match",
-    "nation_holed_zone_overlay", "nation_multipart_explode",
-    "ngram_jaccard_dup_pairs", "orders_observed_counts",
-    "orders_profile", "part_name_levenshtein_pairs",
-    "pipeline_nation_summary", "region_revenue_allocation",
-    "scan_stats_orders", "signup_conversion_funnel",
-    "simhash_near_dup_pairs", "sql_interface_nation_revenue",
-    "supplier_close_balances", "supplier_customer_pagerank",
-    "supplier_territory_area", "suppliers_kept_waiting",
-    "doc_apply_bpe",
-    # -- r13 queue (sketched now the way r12's was in r11): the r8
-    #    cohort is r13's rotation load — 44 rows after this round
-    #    re-certifies doc_apply_bpe (spare) and doc_bottomk_sample
-    #    (sampler swap) out of the 46 (4 rounds stale at r13, the
-    #    sustainable boundary at ceil(189/50)=4). Four staged
-    #    queries register
-    #    on top, all pre-verified vs DuckDB in
-    #    tests/test_r13_queue.py with oracles in plans/queued.py:
-    #    `ivf_stream_matches` (IVF stream end-to-end matches-sink
-    #    cert), `ivf_store_reseed` (rebuild-after-appends ==
-    #    one-shot build; the reseed gained a pending-marker re-entry
-    #    protocol + snapshot-carried params this round, closing both
-    #    r11 ADVICE hazards BEFORE its certification lands),
-    #    `datapackage_descriptor` (S13's first driver row — the
-    #    descriptor rendered relationally against a literal
-    #    expected frame, VERDICT r11 #6) and
-    #    `events_null_value_screen` (P29's first driver row —
-    #    drop_records_with_null_in_column incl. the max-drop guard,
-    #    VERDICT r11 #6). 44 + 4 = 48, leaving TWO spare slots: the
-    #    two alphabetically-first r10 rows (`clean_customer_names`,
-    #    `complete_year_nations`). r14's load is then the remaining
-    #    r10 cohort (43 rows, 4 rounds stale) + 7 spare. The exact
-    #    44-row r8 cohort, precomputed from CORRECTNESS_r01..r11 +
-    #    this prefix (alphabetical): doc_rendezvous_shards,
-    #    doc_token_budget, embedding_blocked_clusters,
-    #    embedding_ivf_clusters, embedding_semantic_dedup,
-    #    event_anomalous_regions, event_anomaly_flags,
-    #    event_bad_days, event_local_outliers, event_sessions_cc,
-    #    event_user_kmv_distinct, event_value_quartiles,
-    #    events_to_utc, exact_dedup_docs, fill_monthly_revenue_gaps,
-    #    harvest_report_consistency, harvest_user_profile,
-    #    jw_part_name_similarity, large_volume_customers,
-    #    media_avi_frames, media_video_frames,
-    #    monthly_orders_densified, nation_revenue_by_year,
-    #    nations_with_both_roles, order_price_screens,
-    #    order_year_fragments, pricing_summary,
-    #    rolling_monthly_revenue, rollup_revenue,
-    #    salted_event_type_totals, scale_by_ownership_suppliers,
-    #    snake_cased_part_types, supplier_address_parse,
-    #    supplier_code_cleanup, supplier_nation_codes,
-    #    supplier_overlap_union_area, table_row_counts,
-    #    top_revenue_orders, user_event_source_label,
-    #    user_latest_good_value, user_ramp_extremes,
-    #    user_stable_load_bin, weighted_avg_price,
-    #    weighted_median_quantity.
-    #    The build_lsh_store half of the oph_banded swap (bands from
-    #    the just-written sets table — the one-shot-miner half
-    #    landed THIS round with zero extra slots) touches all five
-    #    LSH-store rows (3 certified r11 + 2 r12); it stays staged
-    #    with its tripwire green until those rows rotate through the
-    #    prefix naturally (r15 for the r11 trio), rather than
-    #    displacing r13/r14 recerts. --
+    # -- The r8 cohort is r13's rotation load: all 44 rows whose
+    #    latest green driver row is round 8 (4 rounds stale at r13,
+    #    the sustainable boundary at ceil(189/50)=4 — this is the
+    #    round where the ledger's own <=4-round guarantee first
+    #    binds exactly). Alphabetical; recomputed this round from
+    #    CORRECTNESS_r01..r12 and byte-equal to the cohort
+    #    precomputed in the r12 sketch. 4 touched + 44 + 2 spares =
+    #    exactly the 50-slot prefix. Histogram at r13 start:
+    #    r12=50, r11=49, r10=45, r8=44. --
+    "doc_rendezvous_shards", "doc_token_budget",
+    "embedding_blocked_clusters", "embedding_ivf_clusters",
+    "embedding_semantic_dedup", "event_anomalous_regions",
+    "event_anomaly_flags", "event_bad_days", "event_local_outliers",
+    "event_sessions_cc", "event_user_kmv_distinct",
+    "event_value_quartiles", "events_to_utc", "exact_dedup_docs",
+    "fill_monthly_revenue_gaps", "harvest_report_consistency",
+    "harvest_user_profile", "jw_part_name_similarity",
+    "large_volume_customers", "media_avi_frames",
+    "media_video_frames", "monthly_orders_densified",
+    "nation_revenue_by_year", "nations_with_both_roles",
+    "order_price_screens", "order_year_fragments", "pricing_summary",
+    "rolling_monthly_revenue", "rollup_revenue",
+    "salted_event_type_totals", "scale_by_ownership_suppliers",
+    "snake_cased_part_types", "supplier_address_parse",
+    "supplier_code_cleanup", "supplier_nation_codes",
+    "supplier_overlap_union_area", "table_row_counts",
+    "top_revenue_orders", "user_event_source_label",
+    "user_latest_good_value", "user_ramp_extremes",
+    "user_stable_load_bin", "weighted_avg_price",
+    "weighted_median_quantity",
+    # -- TWO spare slots: the alphabetically-first r10 rows. --
+    "clean_customer_names", "complete_year_nations",
+    # -- r14 queue (sketched now the way r13's was in r12): the
+    #    load is the REMAINING r10 cohort — 43 rows after this
+    #    round's two spares re-certify clean_customer_names and
+    #    complete_year_nations out of the 45 (4 rounds stale at
+    #    r14). The exact 43-row cohort, precomputed from
+    #    CORRECTNESS_r01..r12 + this prefix (alphabetical):
+    #    declarative_transform_orders, doc_bigram_perplexity,
+    #    doc_bloom_incremental_dedup, doc_bm25_relevance,
+    #    doc_bpe_token_estimate, doc_chunk_spans_udtf,
+    #    doc_dup_spans, doc_fingerprints, doc_language_id,
+    #    doc_prefix_filter_dup_pairs, doc_quality_scores,
+    #    doc_shard_manifest, doc_top_terms,
+    #    doc_weighted_rendezvous_shards, embedding_near_dup_pairs,
+    #    encode_order_status, event_hypertable_rollup,
+    #    event_run_lengths, event_sessions_windowed,
+    #    event_sliding_windows, event_type_median_udaf,
+    #    event_value_histogram, file_provenance_counts,
+    #    fixed_width_roundtrip_nation, jsonl_sink_roundtrip,
+    #    market_share_by_year, media_feature_extract,
+    #    media_gif_features, media_jpeg_features,
+    #    media_png_features, media_thumbnail_stats,
+    #    media_wav_features, mode_segment_per_nation,
+    #    orc_sink_roundtrip, order_counts_cube, order_status_flags,
+    #    parquet_schema_evolution, parquet_sink_roundtrip,
+    #    part_copurchase_triangles, primary_priority_share,
+    #    spot_fix_regions, sum_min_count_semantics,
+    #    uncategorized_part_types. 43 + any r14 registrations
+    #    (e.g. the staged `table_quality_screens` composite) + the
+    #    alphabetically-first r11 rows as spares fill the 50:
+    #    with one registration that is SIX spares
+    #    (ann_ivf_store_probe, ann_ivf_topk, ann_lsh_bucketed,
+    #    corpus_snapshot_diff, csv_partition_extract_nation,
+    #    date_merge_year); with none, SEVEN (add
+    #    dbf_roundtrip_supplier). r15's load is then the remaining
+    #    ~42 r11 rows — which include the five LSH-store rows, so
+    #    the staged `build_lsh_store_singlepass` swap
+    #    (plans/queued.py, tripwires in tests/test_r14_queue.py)
+    #    lands THAT round as a decorator move. --
 ]
 
 

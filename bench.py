@@ -278,9 +278,15 @@ def main() -> None:
     # mid-stream "tail" and parsed=null because the line outgrew the
     # window around 60 queries). Leading with "queries" pushes the
     # headline metric/value and the sf1 growth ratios to the END of
-    # the line, where the tail window keeps them parse-recoverable;
-    # the full artifact is also written to BENCH_LATEST_FULL.json
-    # (repo root, committed per round) so nothing is lost either way.
+    # the line, where the tail window keeps them parse-recoverable.
+    #
+    # Side-effect artifact policy (VERDICT r12 #3): every run writes
+    # the full artifact to BENCH_SCRATCH.json, which is UNTRACKED
+    # (.gitignore), so driver re-runs stop dirtying the tree between
+    # rounds. The committed anchor BENCH_LATEST_FULL.json is updated
+    # DELIBERATELY: copy the scratch file over it only for a reading
+    # taken contention-free (no concurrent pytest — same-code spread
+    # up to 1.44x has been observed; see SCALE.md's floor protocol).
     out = {
         "queries": times,
         "metric": "headline_suite_wall",
@@ -291,7 +297,7 @@ def main() -> None:
     }
     print(json.dumps(out))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LATEST_FULL.json"), "w") as f:
+                           "BENCH_SCRATCH.json"), "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
 
