@@ -203,7 +203,7 @@ def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
     holds exactly the distinct xxhash64 shingle hashes oph_banded's
     explode produces, and the OPH bin/min/densify/band pipeline
     below applies the same expressions in the same order — pinned
-    per-row-equal in tests/test_r13_queue.py at two SFs (the
+    per-row-equal in tests/test_r14_queue.py at two SFs (the
     divergence tripwire).
 
     Input contract: ``sets_df`` is `shingle_hash_sets` output (or
@@ -319,6 +319,18 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     twice — once for the bands aggregate, once for the verify side —
     and text shingling (regex split + slice + hash per position) is
     the dominant map-side cost at corpus scale.
+
+    Checkpoint tradeoff (ADVICE r12): the lazy localCheckpoint
+    materializes the full sets frame as MEMORY_AND_DISK executor
+    blocks — an O(corpus-hash-arrays) block footprint for the job's
+    duration — and localCheckpoint blocks do NOT survive executor
+    loss, so on a lossy cluster a dead executor fails the job
+    instead of recomputing its partitions (same caveat as
+    oph_banded's sig_agg checkpoint). Measured faster than the
+    second text pass at both tested scales; on a long-running or
+    preemptible cluster, prefer `df.checkpoint()` with a reliable
+    checkpoint dir if job restarts are more expensive than the
+    HDFS round-trip.
     """
     # Bands shuffle WITHOUT the verify sets (ids + two longs only —
     # the explode multiplies rows by `bands`, so payload width matters

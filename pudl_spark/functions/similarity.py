@@ -676,7 +676,13 @@ def rebuild_ivf_store(spark, table_name: str, path: str,
     default to the SIDECAR'S persisted values (r11 review: a bare
     rebuild is a pure reseed — hard-coded defaults would silently
     re-geometry a non-default store); pass a value explicitly to
-    re-train under new parameters.
+    re-train under new parameters. Precedence is the same on CRASH
+    RE-ENTRY (ADVICE r12): explicit arguments win over the
+    snapshot-carried params too, so a re-entry invoked with
+    different explicit geometry rebuilds the snapshot corpus under
+    the NEW params, not the crashed run's — only a bare re-entry is
+    a pure resumption. Re-enter bare unless re-geometrying is the
+    intent.
 
     Crash-safe via a durable WRITE-AHEAD corpus snapshot (r11
     review: a localCheckpoint copy dies with the session while the

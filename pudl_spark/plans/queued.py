@@ -1,30 +1,25 @@
-"""Queries staged for the ROUND-13 driver prefix (pre-verified
-with full differential evidence but no registration: r12's 50-slot
-prefix is exactly 8 touched/new + 42 re-certs, and a new query must
-sit in the prefix the round it registers — the standing rule).
-`tests/test_r13_queue.py` runs each pair through the same
-plain-session-vs-DuckDB comparison the driver uses, so r13's
-registration is a move, not a rewrite.
+"""Work staged for FUTURE driver-prefix rounds (pre-verified but
+not yet registered: a new query must sit in the 50-slot prefix the
+round it registers, and a swap touching certified queries waits for
+the round those rotate through the prefix — the standing rules).
 
-Staged: `ivf_stream_matches` (the IVF stream's end-to-end
-matches-sink certification — the embedding-side twin of the
-r12-registered `doc_lsh_stream_pairs`) and `ivf_store_reseed`
-(rebuild-after-appends == one-shot build over the full corpus — the
-hash-grade certification of `similarity.rebuild_ivf_store`).
-The `oph_banded_from_sets` derivation itself moved to dedup.py in
-r12 (its one-shot-miner half landed — `minhash_candidate_pairs` now
-shingles once; both touched queries sat in the r12 prefix); the
-remaining half — `build_lsh_store` deriving bands from the
-just-written sets table — touches all five LSH-store rows and waits
-for the round those rotate through the prefix (r15+, see the r13
-budget sketch in __spark_entry__.py).
+The four r12-staged queries (`ivf_stream_matches`,
+`ivf_store_reseed`, `datapackage_descriptor`,
+`events_null_value_screen`) REGISTERED in r13 and now live in
+`plans/queries.py`. What remains staged here:
+
+- `build_lsh_store_singlepass` — the build half of the
+  `oph_banded_from_sets` swap (the one-shot-miner half landed r12).
+  It touches all five LSH-store rows, so it swaps in r15 when the
+  r11-certified trio rotates through the prefix (see the budget
+  sketch in __spark_entry__.py). Tripwires:
+  tests/test_r14_queue.py byte-identity at store level plus the
+  two-SF derivation pin.
 """
 
 from __future__ import annotations
 
 import os
-
-from pyspark.sql import functions as F
 
 
 def _t(spark, sf_dir, name):
@@ -32,309 +27,6 @@ def _t(spark, sf_dir, name):
 
     return read_parquet_table(spark, os.path.join(sf_dir,
                                                   f"{name}.parquet"))
-
-
-def ivf_stream_matches(spark, sf_dir):
-    """STAGED for r13 (the r12 touched/new budget is full at 5):
-    end-to-end hash-grade certification of the streaming IVF
-    probe-then-ingest loop (`streaming.ivf_ingest_stream`, r11) —
-    the embedding-side twin of `doc_lsh_stream_pairs`. Vectors
-    arrive as THREE micro-batches in vec_id % 3 order; batch 0
-    bootstraps the store (seeds FREEZE at vec_id % 3 = 0 AND
-    vec_id % 97 = 1 — the documented IVF caveat), each later batch
-    ANN-probes the store grown so far and appends. The certified
-    result is the MATCHES SINK — (query_id, neighbor_id, rank,
-    score, batch_id) — whose oracle replays the deterministic
-    two-level assignment and the probe's exact scoring/tie rules
-    (the `ann_ivf_store_probe` CTE shapes) with the seed set
-    restricted to the bootstrap slice and each batch's candidates
-    restricted to earlier slices (``cl.vec_id % 3 < q.b``), so the
-    hash certifies per-batch store contents AND batch attribution.
-    """
-    import tempfile
-
-    from pudl_spark.streaming.pipeline import ivf_ingest_stream
-
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfsm_") as td:
-        src = os.path.join(td, "in")
-        os.makedirs(src)
-        stamped, t0 = set(), 1_000_000_000  # relative order only
-        for i in range(3):
-            (e.filter(F.col("vec_id") % 3 == i).coalesce(1)
-             .write.mode("append").parquet(src))
-            for f in os.listdir(src):
-                if f not in stamped:  # stamp only this slice's files
-                    os.utime(os.path.join(src, f),
-                             (t0 + i * 60, t0 + i * 60))
-                    stamped.add(f)
-        matches_path = os.path.join(td, "matches")
-        q = ivf_ingest_stream(
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src),
-            "ivf_strm", os.path.join(td, "store"), matches_path,
-            os.path.join(td, "ckpt"))
-        try:
-            q.awaitTermination()
-            out = (spark.read.schema(
-                "query_id long, neighbor_id long, score double, "
-                "rank int, batch_id int")
-                .parquet(matches_path)
-                .select("query_id", "neighbor_id",
-                        F.col("rank").cast("int").alias("rank"),
-                        F.round("score", 6).alias("score"),
-                        F.col("batch_id").cast("long")
-                        .alias("batch_id")))
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            spark.sql("DROP TABLE IF EXISTS ivf_strm")
-            spark.sql("DROP TABLE IF EXISTS ivf_strm_seeds")
-
-
-def ivf_stream_matches_oracle() -> str:
-    from pudl_spark.plans.queries import _SEMDEDUP_COS, _hex6
-
-    cos = _SEMDEDUP_COS
-    h = _hex6("md5(CAST(seed_id AS VARCHAR) || ':cent')")
-    return f"""
-WITH base AS (
-  SELECT vec_id, embedding FROM embeddings
-), seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_vec
-  FROM base WHERE vec_id % 3 = 0 AND vec_id % 97 = 1
-), k AS (
-  SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds
-), cents AS (
-  SELECT seed_id AS cent_id, seed_vec AS cent_vec FROM seeds, k
-  WHERE {h} * sqrt(k.k) < 33554432.0
-), seed_cell AS (
-  SELECT seed_id, seed_vec, cell FROM (
-    SELECT s.seed_id, s.seed_vec, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY s.seed_id ORDER BY
-        {cos.format(a='s.seed_vec', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM seeds s CROSS JOIN cents c) WHERE rn = 1
-), probes AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {cos.format(a='e.embedding', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM base e CROSS JOIN cents c) WHERE rn <= 2
-), assigned AS (
-  SELECT vec_id, seed_id FROM (
-    SELECT e.vec_id, sc.seed_id,
-      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        {cos.format(a='e.embedding', b='sc.seed_vec')} DESC,
-        sc.seed_id ASC) AS rn
-    FROM base e JOIN probes p ON p.vec_id = e.vec_id
-    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn = 1
-), cells AS (
-  SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell,
-    e.vec_id, e.embedding
-  FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
-), q AS (
-  SELECT vec_id AS query_id, embedding AS qv, vec_id % 3 AS b
-  FROM base WHERE vec_id % 3 > 0
-), qprobe AS (
-  SELECT query_id, cell FROM (
-    SELECT q.query_id, c.cent_id AS cell,
-      row_number() OVER (PARTITION BY q.query_id ORDER BY
-        {cos.format(a='q.qv', b='c.cent_vec')} DESC,
-        c.cent_id ASC) AS rn
-    FROM q CROSS JOIN cents c) WHERE rn <= 2
-), qseeds AS (
-  SELECT query_id, seed_id FROM (
-    SELECT q.query_id, sc.seed_id,
-      row_number() OVER (PARTITION BY q.query_id ORDER BY
-        {cos.format(a='q.qv', b='sc.seed_vec')} DESC,
-        sc.seed_id ASC) AS rn
-    FROM q JOIN qprobe p ON p.query_id = q.query_id
-    JOIN seed_cell sc ON sc.cell = p.cell) WHERE rn <= 3
-), cand AS (
-  SELECT q.query_id, q.b, cl.vec_id AS neighbor_id,
-    {cos.format(a='q.qv', b='cl.embedding')} AS score
-  FROM q JOIN qseeds s2 ON s2.query_id = q.query_id
-  JOIN cells cl ON cl.cell = s2.seed_id
-  WHERE cl.vec_id % 3 < q.b
-)
-SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
-  round(score, 6) AS score, CAST(b AS BIGINT) AS batch_id
-FROM (
-  SELECT query_id, b, neighbor_id, score,
-    row_number() OVER (PARTITION BY query_id
-                       ORDER BY score DESC, neighbor_id ASC) AS rank
-  FROM cand) WHERE rank <= 3
-"""
-
-
-def ivf_store_reseed(spark, sf_dir):
-    """STAGED for r13 (with `ivf_stream_matches`): hash-grade
-    certification of `similarity.rebuild_ivf_store`, the reseed
-    remedy for IVF append drift (r11). Build on vec_id % 3 == 0,
-    append the rest under the FROZEN bootstrap seeds, then reseed —
-    the rebuilt store must equal a one-shot build over the full
-    corpus, so the oracle is exactly the standard full-base IVF
-    assignment (seeds = vec_id % 97 == 1 over ALL of embeddings —
-    the same CTEs every registered IVF query replays), certified on
-    the 1/7 vec_id residue to bound the collect. This is the
-    strongest reseed claim expressible: append drift fully absorbed,
-    byte-equal to never having drifted.
-    """
-    import tempfile
-
-    from pudl_spark.functions.similarity import (
-        append_to_ivf_store, build_ivf_store, rebuild_ivf_store,
-    )
-
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    with tempfile.TemporaryDirectory(prefix="pudl_spark_ivfrs_") as td:
-        p = os.path.join(td, "store")
-        try:
-            build_ivf_store(spark, e.filter(F.col("vec_id") % 3 == 0),
-                            "ivf_rs_store", p)
-            append_to_ivf_store(spark, "ivf_rs_store",
-                                e.filter(F.col("vec_id") % 3 != 0))
-            rebuild_ivf_store(spark, "ivf_rs_store", p)
-            out = (spark.table("ivf_rs_store")
-                   .filter(F.col("vec_id") % 7 == 0)
-                   .select("cell", "vec_id"))
-            return spark.createDataFrame(out.collect(), out.schema)
-        finally:
-            spark.sql("DROP TABLE IF EXISTS ivf_rs_store")
-            spark.sql("DROP TABLE IF EXISTS ivf_rs_store_seeds")
-
-
-def ivf_store_reseed_oracle() -> str:
-    from pudl_spark.plans.queries import (
-        _IVF_ASSIGNED_CTE, _IVF_PROBE_CTES,
-    )
-
-    return f"""
-WITH {_IVF_PROBE_CTES}, {_IVF_ASSIGNED_CTE}
-SELECT COALESCE(a.seed_id, -e.vec_id - 1) AS cell, e.vec_id
-FROM base e LEFT JOIN assigned a ON a.vec_id = e.vec_id
-WHERE e.vec_id % 7 = 0
-"""
-
-
-def datapackage_descriptor(spark, sf_dir):
-    """STAGED for r13 (VERDICT r11 #6 — S13's first driver row):
-    the frictionless-style datapackage emission
-    (`sources.datapackage.build_datapackage_descriptor`, ref:
-    src/pudl/metadata/classes.py:2311+) rendered RELATIONALLY —
-    one row per (resource, field) with type, required, primary-key
-    membership and foreign-key target — so the driver can
-    hash-certify the descriptor against a literal expected frame.
-    Declares nation/region Resources mirroring the test tables
-    (PK + FK included) and flattens the emitted descriptor dict;
-    metadata emission is driver-side by design, so the only Spark
-    work is the createDataFrame.
-    """
-    from pudl_spark.schema import Field, FieldConstraints, Resource
-    from pudl_spark.sources.datapackage import (
-        build_datapackage_descriptor,
-    )
-
-    resources = [
-        Resource(
-            name="nation",
-            fields=(
-                Field("n_nationkey", "integer",
-                      FieldConstraints(required=True)),
-                Field("n_name", "string"),
-                Field("n_regionkey", "integer",
-                      FieldConstraints(required=True)),
-                Field("n_comment", "string"),
-            ),
-            primary_key=("n_nationkey",),
-            foreign_keys=(
-                (("n_regionkey",), "region", ("r_regionkey",)),),
-        ),
-        Resource(
-            name="region",
-            fields=(
-                Field("r_regionkey", "integer",
-                      FieldConstraints(required=True)),
-                Field("r_name", "string"),
-                Field("r_comment", "string"),
-            ),
-            primary_key=("r_regionkey",),
-        ),
-    ]
-    desc = build_datapackage_descriptor(resources)
-    rows = []
-    for res in desc["resources"]:
-        schema = res["schema"]
-        pk = set(schema.get("primaryKey", ()))
-        fk_ref = {f: fk["reference"]["resource"]
-                  for fk in schema.get("foreignKeys", ())
-                  for f in fk["fields"]}
-        for pos, f in enumerate(schema["fields"]):
-            rows.append((
-                res["name"], pos, f["name"], f["type"],
-                bool(f.get("constraints", {}).get("required")),
-                f["name"] in pk, fk_ref.get(f["name"])))
-    return spark.createDataFrame(
-        rows, "resource string, field_pos int, field string, "
-              "type string, required boolean, is_pk boolean, "
-              "fk_resource string")
-
-
-def datapackage_descriptor_oracle() -> str:
-    return """
-SELECT * FROM (VALUES
-  ('nation', CAST(0 AS INTEGER), 'n_nationkey', 'integer', TRUE,
-   TRUE, CAST(NULL AS VARCHAR)),
-  ('nation', CAST(1 AS INTEGER), 'n_name', 'string', FALSE,
-   FALSE, CAST(NULL AS VARCHAR)),
-  ('nation', CAST(2 AS INTEGER), 'n_regionkey', 'integer', TRUE,
-   FALSE, 'region'),
-  ('nation', CAST(3 AS INTEGER), 'n_comment', 'string', FALSE,
-   FALSE, CAST(NULL AS VARCHAR)),
-  ('region', CAST(0 AS INTEGER), 'r_regionkey', 'integer', TRUE,
-   TRUE, CAST(NULL AS VARCHAR)),
-  ('region', CAST(1 AS INTEGER), 'r_name', 'string', FALSE,
-   FALSE, CAST(NULL AS VARCHAR)),
-  ('region', CAST(2 AS INTEGER), 'r_comment', 'string', FALSE,
-   FALSE, CAST(NULL AS VARCHAR))
-) AS t(resource, field_pos, field, type, required, is_pk,
-       fk_resource)
-"""
-
-
-def events_null_value_screen(spark, sf_dir):
-    """STAGED for r13 (VERDICT r11 #6 — P29's first driver row):
-    `operators.drop_records_with_null_in_column` (ref:
-    helpers.py:1648) exercised on a deterministically-nulled value
-    column (event_id % 13 == 0 -> NULL, ~7.7% of rows) with the
-    max-drop guard set at 20% — the guard's single aggregate runs
-    and passes, the null-keyed rows drop, and the surviving rows
-    aggregate per event type. The oracle is the equivalent
-    null-free selection; value sums route through DECIMAL(12,2)
-    per the hash-parity discipline.
-    """
-    from pudl_spark.operators import drop_records_with_null_in_column
-
-    e = _t(spark, sf_dir, "events").withColumn(
-        "value", F.when(F.col("event_id") % 13 != 0,
-                        F.col("value")))
-    kept = drop_records_with_null_in_column(
-        e, "value", max_drop_fraction=0.2)
-    return kept.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(12,2)"))
-        .cast("double").alias("sum_value"))
-
-
-def events_null_value_screen_oracle() -> str:
-    return """
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-FROM events
-WHERE event_id % 13 <> 0 AND value IS NOT NULL
-GROUP BY event_type
-"""
 
 
 def build_lsh_store_singlepass(spark, df, id_col, text_col,
@@ -356,14 +48,14 @@ def build_lsh_store_singlepass(spark, df, id_col, text_col,
     half-built store fails loudly rather than serving.
 
     Byte-identity of BOTH output tables vs the live build is pinned
-    in tests/test_r13_queue.py (the store-level tripwire; the
+    in tests/test_r14_queue.py (the store-level tripwire; the
     derivation-level tripwire pins two SFs). Measured same-session
     at sf0.1 (r12): live build floor 2.36 s, single-pass **1.60 s**
     — 32% off the index build, and the saved work is the corpus
     text pass, so the fraction grows with document length at scale.
     Swap deferred until the five LSH-store rows rotate through the
-    driver prefix (r15 for the r11 trio — see the r13 budget sketch
-    in __spark_entry__.py).
+    driver prefix (r15 for the r11 trio — see the budget sketch in
+    __spark_entry__.py).
     """
     from pudl_spark.functions.dedup import (
         _invalidate_store_bytes, oph_banded_from_sets,
@@ -390,3 +82,211 @@ def build_lsh_store_singlepass(spark, df, id_col, text_col,
         spark, f"{table_prefix}_bands",
         {"num_hashes": num_hashes, "bands": bands,
          "shingle_k": shingle_k, "num_buckets": num_buckets})
+
+
+def table_quality_screens(spark, sf_dir):
+    """STAGED for r14 (VERDICT r12 #4): composite driver row
+    exercising the six r13-ported dbt generic-test shapes
+    (validate.py — refs check_column_correlation.sql,
+    expect_column_fraction_with_condition.sql,
+    expect_includes_all_value_combinations_from.sql,
+    expect_columns_not_all_null.sql, expect_missingness_between.sql,
+    expect_date_frequency_ratio.sql) through the REAL check
+    functions, one row per check: (check_name, n_violations,
+    metric). Pass AND fail paths both appear (correlation and
+    missingness are configured to fail on the test data with wide
+    margins; fraction, combinations-coverage-modulo-the-planted-key
+    and the maturity-screened date ratio pass). Float metrics route
+    through exact decimal sums (or exact integer ratios) before any
+    double arithmetic, so the final doubles are bit-identical
+    cross-engine per the hash-parity discipline; F.corr itself is
+    used only for the 0/1 violation count, 0.497 away from its
+    threshold.
+    """
+    from pyspark.sql import functions as F
+
+    from pudl_spark.validate import (
+        check_column_correlation,
+        check_column_fraction_with_condition,
+        check_columns_not_all_null,
+        check_date_frequency_ratio,
+        check_includes_all_value_combinations_from,
+        check_missingness_between,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dec = "decimal(12,2)"
+    rows = []
+
+    # 1. correlation — quantity vs extendedprice is ~0.003 on the
+    #    synthetic data, so min_corr=0.5 FAILS with a huge margin;
+    #    the metric replays Pearson r from exact decimal sums.
+    n1 = check_column_correlation(
+        li, "l_quantity", "l_extendedprice", 0.5).count()
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy")).select(
+        F.round((F.col("n") * F.col("sxy")
+                 - F.col("sx") * F.col("sy"))
+                / (F.sqrt(F.col("n") * F.col("sxx")
+                          - F.col("sx") * F.col("sx"))
+                   * F.sqrt(F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy"))), 6)
+        .alias("r")).collect()[0]
+    rows.append(("column_correlation", int(n1), float(s["r"])))
+
+    # 2. weighted fraction — share of quantity on returned lines is
+    #    ~0.334; bounds [0.2, 0.5] PASS. Decimal-cast quantity makes
+    #    both engines' sums exact before the double division.
+    li2 = li.withColumn("l_qty_dec", x)
+    n2 = check_column_fraction_with_condition(
+        li2, "l_qty_dec", F.col("l_returnflag") == "R",
+        0.2, 0.5).count()
+    m2 = li2.agg(F.round(
+        F.sum(F.when(F.col("l_returnflag") == "R",
+                     F.col("l_qty_dec")).otherwise(F.lit(0)))
+        * F.lit(1.0) / F.sum("l_qty_dec"), 4).alias("f")
+    ).collect()[0]["f"]
+    rows.append(("column_fraction_with_condition", int(n2),
+                 float(m2)))
+
+    # 3. not-all-null — a planted all-NULL column is the one
+    #    violation; every real orders column passes.
+    n3 = check_columns_not_all_null(
+        orders.withColumn("ghost",
+                          F.lit(None).cast("string")),
+        table_name="orders").count()
+    rows.append(("columns_not_all_null", int(n3), None))
+
+    # 4. combination coverage — region keys plus a planted key 99
+    #    vs the keys nation actually references: exactly the planted
+    #    key is missing.
+    want = (region.select(F.col("r_regionkey").alias("k"))
+            .unionByName(spark.range(1).select(
+                F.lit(99).cast("long").alias("k"))))
+    n4 = check_includes_all_value_combinations_from(
+        nation.select(F.col("n_regionkey").alias("k")), want,
+        ["k"]).count()
+    rows.append(("includes_all_value_combinations", int(n4), None))
+
+    # 5. missingness — value nulled at event_id % 13 == 0 (~7.7%)
+    #    vs an upper bound of 5%: FAILS; the metric is an exact
+    #    integer ratio, bit-identical cross-engine.
+    ev = events.withColumn(
+        "value", F.when(F.col("event_id") % 13 != 0,
+                        F.col("value")))
+    n5 = check_missingness_between(ev, "value", 0.0, 0.05).count()
+    m5 = ev.agg(F.round(
+        (F.count(F.lit(1)) - F.count("value")).cast("double")
+        / F.count(F.lit(1)), 6).alias("p")).collect()[0]["p"]
+    rows.append(("missingness_between", int(n5), float(m5)))
+
+    # 6. date-frequency ratio — monthly vs annual order dates at
+    #    12:1, with the final partial year marked provisional so the
+    #    maturity screen excludes it: PASSES (the screen is what
+    #    makes it pass — without it the partial year breaks 12:1).
+    mat = F.when(F.year("o_orderdate") == 2001,
+                 F.lit("incremental_ytd")).otherwise(F.lit("final"))
+    monthly = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("report_date"),
+        mat.alias("data_maturity"))
+    annual = orders.select(
+        F.date_trunc("year", "o_orderdate").alias("report_date"),
+        mat.alias("data_maturity"))
+    n6 = check_date_frequency_ratio(monthly, annual, 12).count()
+    rows.append(("date_frequency_ratio", int(n6), None))
+
+    return spark.createDataFrame(
+        rows, "check_name string, n_violations long, metric double")
+
+
+def table_quality_screens_oracle() -> str:
+    return """
+WITH cs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      AS syy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      AS sxy
+  FROM lineitem
+), corr_row AS (
+  SELECT
+    CAST(CASE WHEN corr(l_quantity, l_extendedprice) < 0.5
+         THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+  FROM lineitem
+), frac AS (
+  SELECT round(
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END)
+    * 1.0 / sum(CAST(l_quantity AS DECIMAL(12,2))), 4) AS f
+  FROM lineitem
+), miss AS (
+  SELECT
+    CAST(count(*) - count(CASE WHEN event_id % 13 <> 0
+                          THEN value END) AS DOUBLE)
+      / count(*) AS p
+  FROM events
+), combos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missing FROM (
+    SELECT k FROM (
+      SELECT r_regionkey AS k FROM region
+      UNION SELECT CAST(99 AS BIGINT)) w
+    EXCEPT SELECT DISTINCT n_regionkey FROM nation)
+), freq AS (
+  SELECT
+    CAST(CASE WHEN sum(mc) <> sum(yc) * 12 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_violations
+  FROM (
+    SELECT m.year, m.mc, y.yc FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+        count(DISTINCT date_trunc('month', o_orderdate)) AS mc
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) <> 2001
+      GROUP BY 1) m
+    JOIN (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+        count(DISTINCT date_trunc('year', o_orderdate)) AS yc
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) <> 2001
+      GROUP BY 1) y ON m.year = y.year)
+)
+SELECT 'column_correlation' AS check_name,
+  (SELECT n_violations FROM corr_row) AS n_violations,
+  (SELECT round((n*sxy - sx*sy)
+                / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+   FROM cs) AS metric
+UNION ALL
+SELECT 'column_fraction_with_condition',
+  (SELECT CASE WHEN f < 0.2 OR f > 0.5 THEN 1 ELSE 0 END
+   FROM frac),
+  (SELECT CAST(f AS DOUBLE) FROM frac)
+UNION ALL
+SELECT 'columns_not_all_null',
+  (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END FROM orders),
+  NULL
+UNION ALL
+SELECT 'includes_all_value_combinations',
+  (SELECT n_missing FROM combos), NULL
+UNION ALL
+SELECT 'missingness_between',
+  (SELECT CASE WHEN p < 0.0 OR p > 0.05 THEN 1 ELSE 0 END
+   FROM miss),
+  (SELECT round(p, 6) FROM miss)
+UNION ALL
+SELECT 'date_frequency_ratio',
+  (SELECT n_violations FROM freq), NULL
+"""

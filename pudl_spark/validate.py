@@ -4,9 +4,14 @@ re-expressed as Spark aggregations.
 Refs: generic dbt tests in dbt/tests/data_tests/generic_tests/
 (expect_quantile_constraints.sql, expect_columns_are_close.sql,
 expect_sum_close_to_total_column.sql, expect_one2one_mapping.sql,
-foreign_key.sql, check_row_counts_per_partition.sql), the
-weighted-quantile macro dbt/macros/weighted_quantile.sql, and the
-golden row counts in dbt/seeds/etl_full_row_counts.csv enforced by
+foreign_key.sql, check_row_counts_per_partition.sql, and — r13,
+VERDICT r12 #4 — check_column_correlation.sql,
+expect_column_fraction_with_condition.sql,
+expect_includes_all_value_combinations_from.sql,
+expect_columns_not_all_null.sql, expect_missingness_between.sql,
+expect_date_frequency_ratio.sql), the weighted-quantile macro
+dbt/macros/weighted_quantile.sql, and the golden row counts in
+dbt/seeds/etl_full_row_counts.csv enforced by
 tests/validate/row_counts_test.py:20-46.
 
 Every check returns a *violations DataFrame* (empty == pass) so checks
@@ -164,3 +169,184 @@ def observed_counts(df: DataFrame, name: str,
     obs = Observation(name)
     named = [c.alias(k) for k, c in exprs.items()]
     return df.observe(obs, *named), obs
+
+
+# --- r13: the six remaining reusable dbt generic-test shapes
+#     (VERDICT r12 #4). Same contract as above: every check returns a
+#     violations DataFrame (empty == pass) and runs as one or two
+#     bounded aggregations, never a per-column table scan. ---
+
+
+def check_column_correlation(df: DataFrame, col_a: str, col_b: str,
+                             min_corr: float) -> DataFrame:
+    """Pearson correlation of two columns must reach ``min_corr``
+    (ref: check_column_correlation.sql — ``corr(c1, c2) <
+    threshold`` fails). One aggregation; the violation row carries
+    the observed coefficient. A NULL coefficient (constant or empty
+    input) passes, matching the reference's NULL-comparison
+    semantics.
+    """
+    # corr via try_divide(covar, stddev*stddev): under Spark 4's ANSI
+    # mode F.corr THROWS on a zero-variance column, where the
+    # reference's corr() yields NULL (passes); the explicit form
+    # restores the reference's NULL semantics.
+    row = df.agg(F.try_divide(
+        F.covar_samp(col_a, col_b),
+        F.stddev_samp(col_a) * F.stddev_samp(col_b))
+        .alias("correlation"))
+    return (row.select(
+        F.lit(col_a).alias("column_a"), F.lit(col_b).alias("column_b"),
+        "correlation", F.lit(float(min_corr)).alias("min_corr"))
+        .filter(F.col("correlation") < min_corr))
+
+
+def check_column_fraction_with_condition(
+        df: DataFrame, col: str, condition,
+        min_fraction: float, max_fraction: float) -> DataFrame:
+    """The ``col``-weighted fraction of rows satisfying ``condition``
+    must land in [min_fraction, max_fraction] (ref:
+    expect_column_fraction_with_condition.sql): actual_fraction =
+    SUM(CASE WHEN cond THEN col ELSE 0 END) / SUM(col). Parameter
+    validation mirrors the reference's compile-time errors
+    (raise_compiler_error -> ValueError). ``condition`` is a Column
+    predicate or SQL string. One aggregation.
+    """
+    if not 0.0 <= min_fraction <= 1.0:
+        raise ValueError(
+            f"min_fraction must be between 0.0 and 1.0, got: {min_fraction}")
+    if not 0.0 <= max_fraction <= 1.0:
+        raise ValueError(
+            f"max_fraction must be between 0.0 and 1.0, got: {max_fraction}")
+    if min_fraction > max_fraction:
+        raise ValueError(
+            f"min_fraction ({min_fraction}) cannot be greater than "
+            f"max_fraction ({max_fraction})")
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    num = F.sum(F.when(cond, F.col(col)).otherwise(F.lit(0)))
+    row = df.agg(
+        (num * F.lit(1.0) / F.sum(col)).alias("actual_fraction"),
+        num.alias("condition_sum"), F.sum(col).alias("total_sum"))
+    return (row.select(
+        F.lit(col).alias("column"),
+        F.round("actual_fraction", 4).alias("actual_fraction"),
+        F.lit(float(min_fraction)).alias("min_fraction"),
+        F.lit(float(max_fraction)).alias("max_fraction"),
+        F.round("condition_sum", 4).alias("condition_sum"),
+        F.round("total_sum", 4).alias("total_sum"))
+        .filter((F.col("actual_fraction") < min_fraction)
+                | (F.col("actual_fraction") > max_fraction)))
+
+
+def check_includes_all_value_combinations_from(
+        df: DataFrame, compare: DataFrame,
+        cols: list[str]) -> DataFrame:
+    """Every distinct ``cols`` combination present in ``compare``
+    must also appear in ``df`` (ref:
+    expect_includes_all_value_combinations_from.sql — DISTINCT
+    compare EXCEPT DISTINCT model). Violations are the missing
+    combinations. Two distinct-aggregations + a left-anti join on
+    the (already deduplicated, usually small) combination frames —
+    never a row-level EXCEPT over the full tables.
+    """
+    want = compare.select(*cols).dropDuplicates()
+    have = df.select(*cols).dropDuplicates()
+    return want.join(have, on=cols, how="left_anti")
+
+
+def check_columns_not_all_null(
+        df: DataFrame, table_name: str = "table",
+        exclude_columns: list[str] | None = None,
+        row_conditions: dict[str, object] | None = None) -> DataFrame:
+    """No column may be entirely NULL (ref:
+    expect_columns_not_all_null.sql), optionally under a per-column
+    row condition (fail if the condition matches >0 rows but the
+    column is NULL on all of them). The reference UNION-ALLs one
+    scan per column; here ALL columns check in ONE aggregation pass
+    (a conditional count pair per column), and the bounded
+    violations frame (<= n_cols rows) is assembled driver-side from
+    that single row. Violation columns mirror the reference's.
+    """
+    exclude = set(exclude_columns or ())
+    conds = {k: (F.expr(v) if isinstance(v, str) else v)
+             for k, v in (row_conditions or {}).items()}
+    cols = [c for c in df.columns if c not in exclude]
+    aggs = []
+    for i, c in enumerate(cols):
+        cond = conds.get(c, F.lit(True))
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"t{i}"))
+        aggs.append(F.count(F.when(cond, F.col(c))).alias(f"n{i}"))
+    stats = df.agg(*aggs).collect()[0] if aggs else {}
+    rows = []
+    for i, c in enumerate(cols):
+        total, nonnull = stats[f"t{i}"], stats[f"n{i}"]
+        if total > 0 and nonnull == 0:
+            if c in (row_conditions or {}):
+                reason = f"Conditional check failed: {row_conditions[c]}"
+                shown = str(row_conditions[c])
+            else:
+                reason = "Column is entirely NULL"
+                shown = "N/A (entire table)"
+            rows.append((table_name, c, reason, shown,
+                         int(total), int(nonnull)))
+    return df.sparkSession.createDataFrame(
+        rows, "table_name string, failing_column string, "
+              "failure_reason string, row_condition string, "
+              "total_rows_matching_condition long, non_null_count long")
+
+
+def check_missingness_between(df: DataFrame, col: str,
+                              lower_bound: float = 0.0,
+                              upper_bound: float = 1.0) -> DataFrame:
+    """The NULL fraction of ``col`` must land in
+    [lower_bound, upper_bound] (ref: expect_missingness_between.sql).
+    One aggregation; an empty input yields a NULL proportion, which
+    passes (the reference's NULLIF + HAVING semantics).
+    """
+    row = df.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        (F.count(F.lit(1)) - F.count(col)).alias("null_records"))
+    prop = (F.col("null_records").cast("double")
+            / F.nullif(F.col("total_records"), F.lit(0)))
+    return (row.select("total_records", "null_records",
+                       prop.alias("null_proportion"))
+            .filter((F.col("null_proportion") < lower_bound)
+                    | (F.col("null_proportion") > upper_bound)))
+
+
+def check_date_frequency_ratio(
+        df: DataFrame, compare: DataFrame, multiplier: int,
+        date_col: str = "report_date",
+        model_has_data_maturity: bool = True,
+        compare_has_data_maturity: bool = True) -> DataFrame:
+    """Across years present in BOTH frames, the model's distinct
+    ``date_col`` count must equal the compare frame's times
+    ``multiplier`` — the monthly:annual 12:1 shape (ref:
+    expect_date_frequency_ratio.sql). Mirrors the reference's
+    provisional-data screen: when the has_data_maturity flag is set,
+    rows with data_maturity IN ('incremental_ytd', 'monthly_update')
+    are excluded (NULL maturity kept). Two small per-year
+    distinct-counts joined on year, then one scalar comparison.
+    """
+    def years(frame: DataFrame, maturity: bool) -> DataFrame:
+        out = frame.filter(F.col(date_col).isNotNull())
+        if maturity:
+            out = out.filter(
+                ~F.col("data_maturity").isin(
+                    "incremental_ytd", "monthly_update")
+                | F.col("data_maturity").isNull())
+        return (out.groupBy(F.year(date_col).alias("year"))
+                .agg(F.count_distinct(date_col).alias("date_count")))
+
+    m = years(df, model_has_data_maturity)
+    c = years(compare, compare_has_data_maturity)
+    totals = (m.join(c.withColumnRenamed("date_count", "compare_count"),
+                     on="year", how="inner")
+              .agg(F.coalesce(F.sum("date_count"), F.lit(0))
+                   .alias("model_total"),
+                   F.coalesce(F.sum("compare_count"), F.lit(0))
+                   .alias("compare_total")))
+    return (totals.select(
+        "model_total", "compare_total",
+        F.lit(int(multiplier)).alias("expected_multiplier"))
+        .filter(F.col("model_total")
+                != F.col("compare_total") * multiplier))

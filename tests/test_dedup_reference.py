@@ -96,8 +96,23 @@ def test_minhash_miner_single_text_pass(spark):
     d = read_parquet_table(spark,
                            "/root/testdata/sf0.001/documents.parquet")
     out = minhash_candidate_pairs(d, "doc_id", "text")
-    plan = out._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted"))
-    assert "Scan parquet" not in plan
-    assert "Scan ExistingRDD" in plan
+
+    # Pin on optimized-logical-plan NODE CLASSES, not explain-string
+    # substrings (ADVICE r12: node display names change across Spark
+    # versions): a file source appears as LogicalRelation, the
+    # checkpointed sets as LogicalRDD — class names stable across
+    # the 3.x/4.x line, and the logical plan sidesteps AQE's
+    # physical-plan wrapping entirely.
+    def node_classes(node, acc):
+        acc.append(node.getClass().getSimpleName())
+        ch = node.children()
+        for i in range(ch.size()):
+            node_classes(ch.apply(i), acc)
+        return acc
+
+    classes = node_classes(
+        out._jdf.queryExecution().optimizedPlan(), [])
+    scans = [c for c in classes if c == "LogicalRelation"]
+    rdds = [c for c in classes if c == "LogicalRDD"]
+    assert not scans, f"parquet re-scan in the miner plan: {classes}"
+    assert rdds, f"checkpointed sets missing from plan: {classes}"

@@ -1,9 +1,10 @@
-"""Differential evidence for the r13-queued queries: the same
-plain-session-vs-DuckDB comparison tools/driver_sim.py runs, executed
-at sf0.01 BEFORE registration, so the r13 prefix move ships
-pre-verified. Also holds the byte-identity tripwire for the deferred
-`oph_banded_from_sets` swap and the brute-force regression pin for
-the r12-unified sampler scaffold."""
+"""Tripwires and regression pins for work staged beyond r13: the
+byte-identity tripwires for the deferred `oph_banded_from_sets`
+build-half swap (r15) and the brute-force regression pin for the
+r12-unified sampler scaffold. The four r12-staged queries registered
+in r13 (plans/queries.py) and are covered by test_oracle_parity's
+full registry sweep; differential tests for any r14-staged queries
+join this file as they stage."""
 
 from __future__ import annotations
 
@@ -25,27 +26,6 @@ def _driver_sim():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
-
-
-@pytest.mark.parametrize("name", ["ivf_stream_matches",
-                                  "ivf_store_reseed",
-                                  "datapackage_descriptor",
-                                  "events_null_value_screen"])
-def test_queued_query_matches_oracle(spark, name):
-    from pudl_spark.plans import queued
-
-    ds = _driver_sim()
-    fn = getattr(queued, name)
-    sql = getattr(queued, f"{name}_oracle")()
-    sdf = fn(spark, SF).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
-    odf = con.execute(sql).df()
-    assert len(sdf) > 0
-    err = ds.compare(name, sdf, odf)
-    assert err is None, err
 
 
 def test_cross_split_oracle_defaults_unchanged():
@@ -184,3 +164,27 @@ def test_singlepass_build_store_byte_identical(spark):
             for t in ("t_sp_live_bands", "t_sp_live_sets",
                       "t_sp_one_bands", "t_sp_one_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_staged_table_quality_screens_matches_oracle(spark):
+    """Differential evidence for the r14-staged composite (the same
+    plain-session-vs-DuckDB comparison the driver runs), executed at
+    sf0.01 BEFORE registration — the r14 prefix move stays a
+    decorator move."""
+    from pudl_spark.plans import queued
+
+    ds = _driver_sim()
+    sdf = queued.table_quality_screens(spark, SF).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    odf = con.execute(queued.table_quality_screens_oracle()).df()
+    assert len(sdf) == 6
+    err = ds.compare("table_quality_screens", sdf, odf)
+    assert err is None, err
+    # both paths are exercised: at least one check fails and at
+    # least one passes on the test data
+    viol = dict(zip(sdf["check_name"], sdf["n_violations"]))
+    assert viol["column_correlation"] == 1
+    assert viol["date_frequency_ratio"] == 0

@@ -98,3 +98,153 @@ def test_reconcile_calculations_two_levels(spark):
     assert not rows["total"]["is_consistent"]
     assert rows["total"]["calculated"] == 27.0
     assert rows["total"]["correction"] == pytest.approx(3.0)
+
+
+# --- r13: the six remaining dbt generic-test shapes (VERDICT r12
+#     #4). Each test mirrors the reference SQL's semantics,
+#     including its NULL/empty edge rules. ---
+
+
+def test_column_correlation(spark):
+    from pudl_spark.validate import check_column_correlation
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0)], "a double, b double")
+    # perfectly correlated: passes any threshold <= 1
+    assert check_column_correlation(df, "a", "b", 0.99).count() == 0
+    anti = spark.createDataFrame(
+        [(1.0, 4.0), (2.0, 3.0), (3.0, 2.0), (4.0, 1.0)], "a double, b double")
+    v = check_column_correlation(anti, "a", "b", 0.5).collect()
+    assert len(v) == 1 and v[0]["correlation"] < -0.99
+    # constant column -> NULL coefficient -> passes (the reference's
+    # `NULL < x` comparison yields no row)
+    const = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0)], "a double, b double")
+    assert check_column_correlation(const, "a", "b", 0.5).count() == 0
+
+
+def test_column_fraction_with_condition(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.validate import check_column_fraction_with_condition
+
+    df = spark.createDataFrame(
+        [("x", 30.0), ("y", 30.0), ("y", 40.0)], "k string, w double")
+    # fraction of w where k='x' is 0.3
+    assert check_column_fraction_with_condition(
+        df, "w", F.col("k") == "x", 0.2, 0.5).count() == 0
+    v = check_column_fraction_with_condition(
+        df, "w", "k = 'x'", 0.5, 0.9).collect()
+    assert len(v) == 1
+    assert abs(v[0]["actual_fraction"] - 0.3) < 1e-9
+    assert v[0]["condition_sum"] == 30.0 and v[0]["total_sum"] == 100.0
+    # parameter validation mirrors the reference's compile errors
+    for args in ((-0.1, 0.5), (0.2, 1.5), (0.6, 0.4)):
+        with pytest.raises(ValueError):
+            check_column_fraction_with_condition(
+                df, "w", "k = 'x'", *args)
+
+
+def test_includes_all_value_combinations_from(spark):
+    from pudl_spark.validate import (
+        check_includes_all_value_combinations_from,
+    )
+
+    model = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k int, g string")
+    compare = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c")], "k int, g string")
+    miss = check_includes_all_value_combinations_from(
+        model, compare, ["k", "g"]).collect()
+    assert [(r["k"], r["g"]) for r in miss] == [(2, "c")]
+    # superset passes
+    assert check_includes_all_value_combinations_from(
+        compare, model, ["k", "g"]).count() == 0
+
+
+def test_columns_not_all_null(spark):
+    from pudl_spark.validate import check_columns_not_all_null
+
+    df = spark.createDataFrame(
+        [(1, None, "a", None), (2, None, None, 5.0)],
+        "id int, ghost string, s string, v double")
+    v = check_columns_not_all_null(df, table_name="t").collect()
+    assert len(v) == 1
+    assert v[0]["failing_column"] == "ghost"
+    assert v[0]["failure_reason"] == "Column is entirely NULL"
+    assert v[0]["row_condition"] == "N/A (entire table)"
+    assert v[0]["total_rows_matching_condition"] == 2
+    assert v[0]["non_null_count"] == 0
+    # excluded columns are skipped entirely
+    assert check_columns_not_all_null(
+        df, exclude_columns=["ghost"]).count() == 0
+    # conditional check: v is NULL exactly where id=1 -> fails under
+    # that condition, and the failure row mirrors the reference's
+    v = check_columns_not_all_null(
+        df, table_name="t", exclude_columns=["ghost"],
+        row_conditions={"v": "id = 1"}).collect()
+    assert len(v) == 1 and v[0]["failing_column"] == "v"
+    assert v[0]["failure_reason"].startswith("Conditional check failed")
+    assert v[0]["row_condition"] == "id = 1"
+    # a condition matching ZERO rows passes (HAVING COUNT(*) > 0)
+    assert check_columns_not_all_null(
+        df, exclude_columns=["ghost"],
+        row_conditions={"v": "id = 99"}).count() == 0
+
+
+def test_missingness_between(spark):
+    from pudl_spark.validate import check_missingness_between
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id int, s string")
+    # null proportion = 0.5
+    assert check_missingness_between(df, "s", 0.4, 0.6).count() == 0
+    v = check_missingness_between(df, "s", 0.0, 0.25).collect()
+    assert len(v) == 1
+    assert v[0]["total_records"] == 4 and v[0]["null_records"] == 2
+    assert abs(v[0]["null_proportion"] - 0.5) < 1e-12
+    # empty input -> NULL proportion -> passes (NULLIF + HAVING)
+    assert check_missingness_between(
+        df.filter("id > 99"), "s", 0.4, 0.6).count() == 0
+
+
+def test_date_frequency_ratio(spark):
+    import datetime as dt
+
+    from pudl_spark.validate import check_date_frequency_ratio
+
+    def frame(dates, maturity="final"):
+        return spark.createDataFrame(
+            [(d, maturity) for d in dates],
+            "report_date date, data_maturity string")
+
+    months = [dt.date(2020, m, 1) for m in range(1, 13)] + \
+             [dt.date(2021, m, 1) for m in range(1, 13)]
+    years = [dt.date(2020, 1, 1), dt.date(2021, 1, 1)]
+    # clean 12:1 passes
+    assert check_date_frequency_ratio(
+        frame(months), frame(years), 12).count() == 0
+    # a missing month breaks the ratio
+    v = check_date_frequency_ratio(
+        frame(months[:-1]), frame(years), 12).collect()
+    assert len(v) == 1
+    assert v[0]["model_total"] == 23 and v[0]["compare_total"] == 2
+    assert v[0]["expected_multiplier"] == 12
+    # non-overlapping years are ignored (INNER JOIN): an extra
+    # model-only year does not affect the check
+    extra = months + [dt.date(2022, 1, 1)]
+    assert check_date_frequency_ratio(
+        frame(extra), frame(years), 12).count() == 0
+    # the provisional-maturity screen excludes incremental_ytd rows;
+    # without the screen the same data fails
+    partial = frame([dt.date(2022, m, 1) for m in (1, 2, 3)],
+                    maturity="incremental_ytd")
+    model = frame(months).unionByName(partial)
+    comp = frame(years).unionByName(
+        frame([dt.date(2022, 1, 1)], maturity="incremental_ytd"))
+    assert check_date_frequency_ratio(model, comp, 12).count() == 0
+    assert check_date_frequency_ratio(
+        model, comp, 12, model_has_data_maturity=False,
+        compare_has_data_maturity=False).count() == 1

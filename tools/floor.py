@@ -12,9 +12,18 @@ Usage:
   python tools/floor.py QUERY [QUERY ...]        # sf0.1 floors
   python tools/floor.py --sf1 QUERY [...]        # + 10x scaled copy
   python tools/floor.py --runs 5 QUERY
+  python tools/floor.py --all-watched [OLD NEW]  # auto-adjudicate
 Prints one JSON line per query:
   {"query": ..., "sf0.1": {"runs": [...], "floor": ...},
    "sf1": {...}, "floor_ratio": ...}
+
+--all-watched (VERDICT r12 #8): compares the sf1 growth ratios of
+two bench artifacts (default: the committed anchor
+BENCH_LATEST_FULL.json vs the latest run's BENCH_SCRATCH.json) and
+re-floors — at both scales, same-session — every query whose suite
+ratio moved by more than 1.5x round-over-round, turning the
+recurring per-round adjudication asks into one command. Queries in
+only one artifact's sf1 section are flooded too (new watches).
 """
 
 from __future__ import annotations
@@ -29,16 +38,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def watched_movers(old_path: str, new_path: str,
+                   threshold: float = 1.5) -> list[str]:
+    """Queries whose sf1 suite growth ratio moved > threshold (either
+    direction) between two bench artifacts, plus queries tracked in
+    only one of them. Pure artifact comparison — no Spark."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def ratios(p: str) -> dict[str, float]:
+        with open(os.path.join(repo, p) if not os.path.isabs(p)
+                  else p) as f:
+            d = json.load(f)
+        sf1 = d.get("sf1") or {}
+        return {q: v["ratio_vs_base"] for q, v in sf1.items()
+                if isinstance(v, dict) and "ratio_vs_base" in v}
+
+    old, new = ratios(old_path), ratios(new_path)
+    movers = sorted(set(old) ^ set(new))
+    for q in sorted(set(old) & set(new)):
+        lo, hi = sorted((old[q], new[q]))
+        if lo > 0 and hi / lo > threshold:
+            movers.append(q)
+    return sorted(set(movers))
+
+
 def main() -> int:
     args = sys.argv[1:]
-    runs_n, with_sf1 = 3, False
+    runs_n, with_sf1, all_watched = 3, False, False
     while args and args[0].startswith("--"):
         if args[0] == "--sf1":
             with_sf1 = True; args = args[1:]
         elif args[0] == "--runs":
             runs_n = int(args[1]); args = args[2:]
+        elif args[0] == "--all-watched":
+            all_watched = True; args = args[1:]
         else:
             raise SystemExit(f"unknown flag {args[0]}")
+    if all_watched:
+        old_p, new_p = (args + ["BENCH_LATEST_FULL.json",
+                                "BENCH_SCRATCH.json"][len(args):])[:2]
+        args = watched_movers(old_p, new_p)
+        with_sf1 = True
+        print(f"re-flooring {len(args)} moved watches: {args}",
+              file=sys.stderr)
+        if not args:
+            return 0
     if not args:
         raise SystemExit("usage: floor.py [--sf1] [--runs N] QUERY...")
 
