@@ -43,6 +43,12 @@ _TOUCHED_THIS_ROUND = [
     # pre-verified vs DuckDB in the r12 staging queue tests.
     "ivf_stream_matches", "ivf_store_reseed",
     "datapackage_descriptor", "events_null_value_screen",
+    # r13: the BPE trainer's oracle UPGRADES from rows-only to a
+    # hash-grade recursive-CTE replay (VERDICT r12 #7) — an oracle
+    # change, so the row re-certifies this round; it takes the
+    # second spare slot (complete_year_nations returns to the r14
+    # cohort).
+    "bpe_merges_docs",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -64,13 +70,13 @@ _BUILT_AGAINST_ROUND = 12
 _PRIORITY = _TOUCHED_THIS_ROUND + [
     # -- The r8 cohort is r13's rotation load: all 44 rows whose
     #    latest green driver row is round 8 (4 rounds stale at r13,
-    #    the sustainable boundary at ceil(189/50)=4 — this is the
+    #    the sustainable boundary at ceil(193/50)=4 — this is the
     #    round where the ledger's own <=4-round guarantee first
     #    binds exactly). Alphabetical; recomputed this round from
     #    CORRECTNESS_r01..r12 and byte-equal to the cohort
-    #    precomputed in the r12 sketch. 4 touched + 44 + 2 spares =
-    #    exactly the 50-slot prefix. Histogram at r13 start:
-    #    r12=50, r11=49, r10=45, r8=44. --
+    #    precomputed in the r12 sketch. 5 touched/new + 44 + 1
+    #    spare = exactly the 50-slot prefix. Histogram at r13
+    #    start: r12=50, r11=49, r10=45, r8=44. --
     "doc_rendezvous_shards", "doc_token_budget",
     "embedding_blocked_clusters", "embedding_ivf_clusters",
     "embedding_semantic_dedup", "event_anomalous_regions",
@@ -92,14 +98,14 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "user_latest_good_value", "user_ramp_extremes",
     "user_stable_load_bin", "weighted_avg_price",
     "weighted_median_quantity",
-    # -- TWO spare slots: the alphabetically-first r10 rows. --
-    "clean_customer_names", "complete_year_nations",
+    # -- ONE spare slot: the alphabetically-first r10 row. --
+    "clean_customer_names",
     # -- r14 queue (sketched now the way r13's was in r12): the
-    #    load is the REMAINING r10 cohort — 43 rows after this
-    #    round's two spares re-certify clean_customer_names and
-    #    complete_year_nations out of the 45 (4 rounds stale at
-    #    r14). The exact 43-row cohort, precomputed from
-    #    CORRECTNESS_r01..r12 + this prefix (alphabetical):
+    #    load is the REMAINING r10 cohort — 44 rows after this
+    #    round's spare re-certifies clean_customer_names out of
+    #    the 45 (4 rounds stale at r14). The exact 44-row cohort,
+    #    precomputed from CORRECTNESS_r01..r12 + this prefix
+    #    (alphabetical): complete_year_nations,
     #    declarative_transform_orders, doc_bigram_perplexity,
     #    doc_bloom_incremental_dedup, doc_bm25_relevance,
     #    doc_bpe_token_estimate, doc_chunk_spans_udtf,
@@ -120,14 +126,14 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    parquet_schema_evolution, parquet_sink_roundtrip,
     #    part_copurchase_triangles, primary_priority_share,
     #    spot_fix_regions, sum_min_count_semantics,
-    #    uncategorized_part_types. 43 + any r14 registrations
+    #    uncategorized_part_types. 44 + any r14 registrations
     #    (e.g. the staged `table_quality_screens` composite) + the
     #    alphabetically-first r11 rows as spares fill the 50:
-    #    with one registration that is SIX spares
+    #    with one registration that is FIVE spares
     #    (ann_ivf_store_probe, ann_ivf_topk, ann_lsh_bucketed,
-    #    corpus_snapshot_diff, csv_partition_extract_nation,
-    #    date_merge_year); with none, SEVEN (add
-    #    dbf_roundtrip_supplier). r15's load is then the remaining
+    #    corpus_snapshot_diff, csv_partition_extract_nation);
+    #    with none, SIX (add date_merge_year). r15's load is then
+    #    the remaining
     #    ~42 r11 rows — which include the five LSH-store rows, so
     #    the staged `build_lsh_store_singlepass` swap
     #    (plans/queued.py, tripwires in tests/test_r14_queue.py)

@@ -5869,7 +5869,76 @@ def media_gif_features(spark, sf_dir):
     return image_pixel_stats(media)
 
 
-@query("bpe_merges_docs")
+# The BPE trainer's argmax recursion replays in DuckDB as a
+# RECURSIVE CTE (r13, VERDICT r12 #7 — retiring the ledger's last
+# rows-only row): state = one encoded-symbol string per word
+# (symbols wrapped \x02 sym \x03, so multi-char symbols can never
+# false-match across boundaries and replace()'s non-overlapping
+# left-to-right semantics IS the paper's greedy merge), each
+# recursion step applies the argmax pair (count desc, then (l, r)
+# lexicographic — the trainer's exact tie-break) to the previous
+# step's rows, and the merge table re-derives per step from the
+# retained state history. The argmax subquery appears twice
+# (pattern + replacement) because a recursive term can reference
+# the working table but not a derived alias of it.
+_BPE_ARGMAX = """
+        SELECT p[1] AS l, p[2] AS r, sum(n) AS cnt
+        FROM (
+          SELECT n, unnest(list_zip(
+            syms[1:length(syms) - 1], syms[2:length(syms)])) AS p
+          FROM (
+            SELECT n, regexp_extract_all(
+              s, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1)
+              AS syms
+            FROM it)
+        )
+        GROUP BY l, r
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1"""
+
+
+@query("bpe_merges_docs", sql=r"""
+WITH RECURSIVE words AS (
+  SELECT w AS word, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents)
+  WHERE w <> '' GROUP BY w
+), enc0 AS (
+  SELECT regexp_replace(word, '(.)', chr(2) || '\1' || chr(3), 'g')
+         || chr(2) || '</w>' || chr(3) AS s,
+         n
+  FROM words
+), it AS (
+  SELECT 0 AS step, s, n FROM enc0
+  UNION ALL
+  SELECT step + 1,
+    replace(s,
+      (SELECT chr(2) || l || chr(3) || chr(2) || r || chr(3)
+       FROM (%ARG%)),
+      (SELECT chr(2) || l || r || chr(3) FROM (%ARG%))),
+    n
+  FROM it
+  WHERE step < 24
+)
+SELECT CAST(step AS INTEGER) AS rank, l AS "left", r AS "right",
+  l || r AS merged, CAST(cnt AS BIGINT) AS pair_count
+FROM (
+  SELECT step, l, r, cnt, row_number() OVER (
+    PARTITION BY step ORDER BY cnt DESC, l ASC, r ASC) AS rn
+  FROM (
+    SELECT step, p[1] AS l, p[2] AS r, sum(n) AS cnt
+    FROM (
+      SELECT step, n, unnest(list_zip(
+        syms[1:length(syms) - 1], syms[2:length(syms)])) AS p
+      FROM (
+        SELECT step, n, regexp_extract_all(
+          s, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS syms
+        FROM it)
+    )
+    GROUP BY step, l, r
+  )
+) WHERE rn = 1
+ORDER BY rank
+""".replace("%ARG%", _BPE_ARGMAX))
 def bpe_merges_docs(spark, sf_dir):
     """Distributed BPE tokenizer training over the documents corpus
     (Sennrich et al. 2016): ONE corpus scan builds the vocabulary
@@ -5878,10 +5947,11 @@ def bpe_merges_docs(spark, sf_dir):
     never re-reading the corpus. Deterministic (count-desc,
     lexicographic tie-break), so the merge table is a pure function
     of the corpus; `tests/test_bpe.py` pins it against a
-    first-principles pure-Python reference. Registered WITHOUT a SQL
-    oracle — an iterative argmax recursion has no closed form; the
-    driver records the rows-only check the contract defines for
-    iterative algorithms.
+    first-principles pure-Python reference, and since r13 the
+    DuckDB oracle replays the full recursion (recursive CTE over
+    the word-count frame, see _BPE_ARGMAX above), upgrading the
+    ledger's last rows-only row to hash grade. Only integers and
+    symbol strings cross the hash check — no floats anywhere.
 
     Scale shape: corpus text collapses to (word, n) before any
     iteration; per-merge cost is vocabulary-sized, and the final
