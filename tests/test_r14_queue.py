@@ -188,3 +188,35 @@ def test_staged_table_quality_screens_matches_oracle(spark):
     viol = dict(zip(sdf["check_name"], sdf["n_violations"]))
     assert viol["column_correlation"] == 1
     assert viol["date_frequency_ratio"] == 0
+
+
+def test_floor_watched_movers_selection():
+    """Pin for the r13 `floor.py --all-watched` selection rule: a
+    query moves when its sf1 suite ratio changes by >1.5x in either
+    direction, and queries tracked in only one artifact are always
+    selected (new or dropped watches need a fresh floor)."""
+    import json
+    import tempfile
+
+    spec = importlib.util.spec_from_file_location(
+        "floor", os.path.join(REPO, "tools", "floor.py"))
+    fl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fl)
+
+    with tempfile.TemporaryDirectory() as td:
+        a, b = os.path.join(td, "a.json"), os.path.join(td, "b.json")
+        with open(a, "w") as f:
+            json.dump({"sf1": {
+                "steady": {"ratio_vs_base": 2.0},
+                "mover_up": {"ratio_vs_base": 2.0},
+                "mover_down": {"ratio_vs_base": 4.5},
+                "dropped": {"ratio_vs_base": 3.0}}}, f)
+        with open(b, "w") as f:
+            json.dump({"sf1": {
+                "steady": {"ratio_vs_base": 2.4},
+                "mover_up": {"ratio_vs_base": 3.5},
+                "mover_down": {"ratio_vs_base": 2.0},
+                "added": {"ratio_vs_base": 1.0},
+                "error": "not a dict"}}, f)
+        got = fl.watched_movers(a, b)
+    assert got == ["added", "dropped", "mover_down", "mover_up"]
