@@ -49,6 +49,14 @@ _TOUCHED_THIS_ROUND = [
     # second spare slot (complete_year_nations returns to the r14
     # cohort).
     "bpe_merges_docs",
+    # r13: prefix_filter_pairs gains the same single-text-pass cure
+    # the r12 minhash swap applied (checkpointed sets frame; output
+    # byte-identical, plan pinned in tests/test_prefix_filter.py) —
+    # same-session A/B floors: sf0.1 5.19 -> 2.41 s, 10x 20.06 ->
+    # 13.33 s. Its one registered caller re-certifies here, taking
+    # the last spare slot (clean_customer_names returns to the r14
+    # cohort).
+    "doc_prefix_filter_dup_pairs",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -74,9 +82,10 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    round where the ledger's own <=4-round guarantee first
     #    binds exactly). Alphabetical; recomputed this round from
     #    CORRECTNESS_r01..r12 and byte-equal to the cohort
-    #    precomputed in the r12 sketch. 5 touched/new + 44 + 1
-    #    spare = exactly the 50-slot prefix. Histogram at r13
-    #    start: r12=50, r11=49, r10=45, r8=44. --
+    #    precomputed in the r12 sketch. 6 touched/new + 44 =
+    #    exactly the 50-slot prefix (both spare slots went to the
+    #    BPE oracle upgrade and the prefix-filter swap's caller).
+    #    Histogram at r13 start: r12=50, r11=49, r10=45, r8=44. --
     "doc_rendezvous_shards", "doc_token_budget",
     "embedding_blocked_clusters", "embedding_ivf_clusters",
     "embedding_semantic_dedup", "event_anomalous_regions",
@@ -98,19 +107,18 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     "user_latest_good_value", "user_ramp_extremes",
     "user_stable_load_bin", "weighted_avg_price",
     "weighted_median_quantity",
-    # -- ONE spare slot: the alphabetically-first r10 row. --
-    "clean_customer_names",
     # -- r14 queue (sketched now the way r13's was in r12): the
-    #    load is the REMAINING r10 cohort — 44 rows after this
-    #    round's spare re-certifies clean_customer_names out of
-    #    the 45 (4 rounds stale at r14). The exact 44-row cohort,
-    #    precomputed from CORRECTNESS_r01..r12 + this prefix
-    #    (alphabetical): complete_year_nations,
+    #    load is the FULL remaining r10 cohort — 44 rows, 4 rounds
+    #    stale at r14 (doc_prefix_filter_dup_pairs re-certifies
+    #    THIS round with the single-pass swap, leaving 44 of 45).
+    #    The exact cohort, precomputed from CORRECTNESS_r01..r12 +
+    #    this prefix (alphabetical): clean_customer_names,
+    #    complete_year_nations,
     #    declarative_transform_orders, doc_bigram_perplexity,
     #    doc_bloom_incremental_dedup, doc_bm25_relevance,
     #    doc_bpe_token_estimate, doc_chunk_spans_udtf,
     #    doc_dup_spans, doc_fingerprints, doc_language_id,
-    #    doc_prefix_filter_dup_pairs, doc_quality_scores,
+    #    doc_quality_scores,
     #    doc_shard_manifest, doc_top_terms,
     #    doc_weighted_rendezvous_shards, embedding_near_dup_pairs,
     #    encode_order_status, event_hypertable_rollup,

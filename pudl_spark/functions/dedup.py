@@ -355,7 +355,8 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
                         shingle_k: int = 3,
                         jaccard_threshold: float = 0.7,
                         suffix_filter: bool = False,
-                        broadcast_freq: bool = False) -> DataFrame:
+                        broadcast_freq: bool = False,
+                        checkpoint_sets: bool = True) -> DataFrame:
     """DETERMINISTICALLY COMPLETE near-dup pairs via prefix filtering
     (SSJoin, Chaudhuri/Ganti/Kaushik ICDE 2006; All-Pairs, Bayardo et
     al. WWW 2007; PPJoin, Xiao et al. WWW 2008) — the exact
@@ -411,6 +412,19 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
     the hot partitions; when the vocabulary is known to be bounded
     (e.g. fixed shingle space), ``broadcast_freq=True`` skips that
     shuffle entirely.
+
+    SINGLE TEXT PASS (r13, the same cure the r12 minhash-miner swap
+    applied): the sets frame feeds the token explode (twice — freq
+    build and the prefix join's probe side) AND both verify sides,
+    so un-checkpointed the corpus re-shingles at every appearance
+    (regex split + slice + hash per position — the dominant map-side
+    cost). ``checkpoint_sets=True`` (default, measured faster at
+    sf0.1 and 10x) lazily localCheckpoints the sets frame so every
+    consumer reads the stored hash arrays instead. Same tradeoff as
+    the minhash miner: O(corpus) MEMORY_AND_DISK executor blocks for
+    the job's duration, and localCheckpoint blocks do not survive
+    executor loss — pass False on a lossy/preemptible cluster to
+    trade recompute cost for fault tolerance.
     """
     t = jaccard_threshold
 
@@ -425,6 +439,8 @@ def prefix_filter_pairs(df: DataFrame, id_col: str, text_col: str,
         return F.ceil(x - F.lit(1e-9))
 
     sets = shingle_hash_sets(df, id_col, text_col, shingle_k)
+    if checkpoint_sets:
+        sets = sets.localCheckpoint(eager=False)
     tok = sets.select("id", F.size("__set").alias("__n"),
                       F.explode("__set").alias("__tok"))
     freq = tok.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))

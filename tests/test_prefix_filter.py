@@ -240,3 +240,43 @@ def test_broadcast_freq_same_output_and_broadcast_plan(spark):
     want = sorted(map(tuple, prefix_filter_pairs(
         df, "doc_id", "text", jaccard_threshold=0.5).collect()))
     assert got == want and got
+
+
+def test_prefix_filter_single_text_pass(spark):
+    """Structural pin for the r13 single-text-pass swap (the same
+    cure the r12 minhash-miner swap applied): with the default
+    checkpoint_sets=True, the FINAL plan must read only the
+    checkpointed sets blocks — no parquet/file relation means the
+    text shingles exactly once, at the checkpoint materialization.
+    Pinned on optimized-logical-plan NODE CLASSES (LogicalRelation /
+    LogicalRDD), not explain-string substrings (ADVICE r12), and
+    the checkpoint-free fallback must keep the file scan."""
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import prefix_filter_pairs
+
+    d = read_parquet_table(spark,
+                           "/root/testdata/sf0.001/documents.parquet")
+
+    def node_classes(node, acc):
+        acc.append(node.getClass().getSimpleName())
+        ch = node.children()
+        for i in range(ch.size()):
+            node_classes(ch.apply(i), acc)
+        return acc
+
+    out = prefix_filter_pairs(d, "doc_id", "text",
+                              jaccard_threshold=0.5)
+    classes = node_classes(out._jdf.queryExecution().optimizedPlan(),
+                           [])
+    assert "LogicalRelation" not in classes, classes
+    assert "LogicalRDD" in classes, classes
+
+    live = prefix_filter_pairs(d, "doc_id", "text",
+                               jaccard_threshold=0.5,
+                               checkpoint_sets=False)
+    classes = node_classes(
+        live._jdf.queryExecution().optimizedPlan(), [])
+    assert "LogicalRelation" in classes, classes
+    # and the two paths agree row-for-row
+    assert (sorted(map(tuple, out.collect()))
+            == sorted(map(tuple, live.collect())))
