@@ -57,6 +57,13 @@ _TOUCHED_THIS_ROUND = [
     # the last spare slot (clean_customer_names returns to the r14
     # cohort).
     "doc_prefix_filter_dup_pairs",
+    # r13: embedding_semantic_dedup's assigned frame (feeds both
+    # self-join sides + the final projection) now localCheckpoints —
+    # A/B floors sf0.1 3.68 -> 2.86 s, 10x 7.32 -> 6.55 s, output
+    # byte-identical. The row was ALREADY in this prefix as an r8
+    # cohort member; it moves up here only to declare the touch
+    # (same 50 names).
+    "embedding_semantic_dedup",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -82,13 +89,16 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    round where the ledger's own <=4-round guarantee first
     #    binds exactly). Alphabetical; recomputed this round from
     #    CORRECTNESS_r01..r12 and byte-equal to the cohort
-    #    precomputed in the r12 sketch. 6 touched/new + 44 =
+    #    precomputed in the r12 sketch. 7 touched/new + 43 =
     #    exactly the 50-slot prefix (both spare slots went to the
-    #    BPE oracle upgrade and the prefix-filter swap's caller).
-    #    Histogram at r13 start: r12=50, r11=49, r10=45, r8=44. --
+    #    BPE oracle upgrade and the prefix-filter swap's caller;
+    #    embedding_semantic_dedup is the 44th cohort row, listed
+    #    in the touched block above because its assigned-frame
+    #    checkpoint landed this round). Histogram at r13 start:
+    #    r12=50, r11=49, r10=45, r8=44. --
     "doc_rendezvous_shards", "doc_token_budget",
     "embedding_blocked_clusters", "embedding_ivf_clusters",
-    "embedding_semantic_dedup", "event_anomalous_regions",
+    "event_anomalous_regions",
     "event_anomaly_flags", "event_bad_days", "event_local_outliers",
     "event_sessions_cc", "event_user_kmv_distinct",
     "event_value_quartiles", "events_to_utc", "exact_dedup_docs",

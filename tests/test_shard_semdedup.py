@@ -151,8 +151,28 @@ def test_ivf_argmax_total_and_centroids_bounded(spark):
 def test_semantic_dedup_broadcasts_seeds(spark):
     # Seed scoring must be a broadcast product (seeds << corpus) and
     # the pair check an equi-join keyed on cluster_seed — never an
-    # unkeyed corpus x corpus product.
+    # unkeyed corpus x corpus product. Since the r13 assigned-frame
+    # checkpoint, the registered query's FINAL plan reads the
+    # checkpointed blocks (the centroid broadcast runs inside the
+    # checkpoint's own materialization job), so the broadcast shape
+    # pins on the assignment subplan and the final plan pins the
+    # checkpoint scan + the absence of any unkeyed product.
+    from pudl_spark.catalog import read_parquet_table, \
+        spread_small_input
+    from pudl_spark.functions.similarity import (
+        ivf_partitioned_argmax, l2_norm_expr, sample_seeds)
+
+    emb = spread_small_input(
+        read_parquet_table(spark, f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding"),
+        "vec_id").withColumn("nrm", l2_norm_expr(F.col("embedding")))
+    best = ivf_partitioned_argmax(emb, sample_seeds(emb, 97),
+                                  nprobe=2, centroid_factor=2.0)
+    sub = best._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in sub
+    assert sub.count("CartesianProduct") == 0
+
     df = QUERIES["embedding_semantic_dedup"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed assigned
     assert plan.count("CartesianProduct") == 0
