@@ -5874,7 +5874,8 @@ def media_gif_features(spark, sf_dir):
 # rows-only row): state = one encoded-symbol string per word
 # (symbols wrapped \x02 sym \x03, so multi-char symbols can never
 # false-match across boundaries and replace()'s non-overlapping
-# left-to-right semantics IS the paper's greedy merge), each
+# left-to-right semantics IS the paper's greedy merge; \x02/\x03
+# are verified absent from the corpus text at every test SF), each
 # recursion step applies the argmax pair (count desc, then (l, r)
 # lexicographic — the trainer's exact tie-break) to the previous
 # step's rows, and the merge table re-derives per step from the

@@ -246,11 +246,19 @@ def check_includes_all_value_combinations_from(
     compare EXCEPT DISTINCT model). Violations are the missing
     combinations. Two distinct-aggregations + a left-anti join on
     the (already deduplicated, usually small) combination frames —
-    never a row-level EXCEPT over the full tables.
+    never a row-level EXCEPT over the full tables. The join is
+    NULL-SAFE on every column: SQL's EXCEPT treats NULLs as equal,
+    so a combination with a NULL member that exists on both sides
+    must NOT be reported missing (a plain equi-anti-join would).
     """
     want = compare.select(*cols).dropDuplicates()
-    have = df.select(*cols).dropDuplicates()
-    return want.join(have, on=cols, how="left_anti")
+    have = df.select(
+        *[F.col(c).alias(f"__h_{c}") for c in cols]).dropDuplicates()
+    pred = None
+    for c in cols:
+        cond = F.col(c).eqNullSafe(F.col(f"__h_{c}"))
+        pred = cond if pred is None else (pred & cond)
+    return want.join(have, on=pred, how="left_anti")
 
 
 def check_columns_not_all_null(

@@ -162,6 +162,15 @@ def test_includes_all_value_combinations_from(spark):
     # superset passes
     assert check_includes_all_value_combinations_from(
         compare, model, ["k", "g"]).count() == 0
+    # EXCEPT's NULL semantics: a combination with a NULL member
+    # present on BOTH sides is not missing; one present only in
+    # compare is.
+    m2 = spark.createDataFrame([(1, None)], "k int, g string")
+    c2 = spark.createDataFrame(
+        [(1, None), (None, "z")], "k int, g string")
+    miss = check_includes_all_value_combinations_from(
+        m2, c2, ["k", "g"]).collect()
+    assert [(r["k"], r["g"]) for r in miss] == [(None, "z")]
 
 
 def test_columns_not_all_null(spark):
