@@ -223,8 +223,14 @@ def check_column_fraction_with_condition(
             f"max_fraction ({max_fraction})")
     cond = F.expr(condition) if isinstance(condition, str) else condition
     num = F.sum(F.when(cond, F.col(col)).otherwise(F.lit(0)))
+    # try_divide: a zero/empty total yields NULL -> passes (both
+    # bound comparisons are false on NULL), matching the
+    # NULLIF-style semantics check_missingness_between uses. A plain
+    # division would produce NaN here, which Spark orders ABOVE
+    # every number — a spurious "violation" at any bounds.
     row = df.agg(
-        (num * F.lit(1.0) / F.sum(col)).alias("actual_fraction"),
+        F.try_divide(num * F.lit(1.0), F.sum(col))
+        .alias("actual_fraction"),
         num.alias("condition_sum"), F.sum(col).alias("total_sum"))
     return (row.select(
         F.lit(col).alias("column"),

@@ -31,3 +31,4 @@ def tables(spark, sf_dir):
     from pudl_spark.catalog import load_tables
 
     return load_tables(spark, sf_dir)
+

@@ -103,15 +103,9 @@ def test_minhash_miner_single_text_pass(spark):
     # checkpointed sets as LogicalRDD — class names stable across
     # the 3.x/4.x line, and the logical plan sidesteps AQE's
     # physical-plan wrapping entirely.
-    def node_classes(node, acc):
-        acc.append(node.getClass().getSimpleName())
-        ch = node.children()
-        for i in range(ch.size()):
-            node_classes(ch.apply(i), acc)
-        return acc
+    from plan_utils import optimized_plan_classes
 
-    classes = node_classes(
-        out._jdf.queryExecution().optimizedPlan(), [])
+    classes = optimized_plan_classes(out)
     scans = [c for c in classes if c == "LogicalRelation"]
     rdds = [c for c in classes if c == "LogicalRDD"]
     assert not scans, f"parquet re-scan in the miner plan: {classes}"

@@ -254,28 +254,21 @@ def test_prefix_filter_single_text_pass(spark):
     from pudl_spark.catalog import read_parquet_table
     from pudl_spark.functions.dedup import prefix_filter_pairs
 
+    from plan_utils import optimized_plan_classes
+
     d = read_parquet_table(spark,
                            "/root/testdata/sf0.001/documents.parquet")
 
-    def node_classes(node, acc):
-        acc.append(node.getClass().getSimpleName())
-        ch = node.children()
-        for i in range(ch.size()):
-            node_classes(ch.apply(i), acc)
-        return acc
-
     out = prefix_filter_pairs(d, "doc_id", "text",
                               jaccard_threshold=0.5)
-    classes = node_classes(out._jdf.queryExecution().optimizedPlan(),
-                           [])
+    classes = optimized_plan_classes(out)
     assert "LogicalRelation" not in classes, classes
     assert "LogicalRDD" in classes, classes
 
     live = prefix_filter_pairs(d, "doc_id", "text",
                                jaccard_threshold=0.5,
                                checkpoint_sets=False)
-    classes = node_classes(
-        live._jdf.queryExecution().optimizedPlan(), [])
+    classes = optimized_plan_classes(live)
     assert "LogicalRelation" in classes, classes
     # and the two paths agree row-for-row
     assert (sorted(map(tuple, out.collect()))

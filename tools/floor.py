@@ -75,6 +75,10 @@ def main() -> int:
         else:
             raise SystemExit(f"unknown flag {args[0]}")
     if all_watched:
+        if len(args) > 2:
+            raise SystemExit(
+                "--all-watched takes at most two operands "
+                "(OLD_ARTIFACT NEW_ARTIFACT), got: " + " ".join(args))
         old_p, new_p = (args + ["BENCH_LATEST_FULL.json",
                                 "BENCH_SCRATCH.json"][len(args):])[:2]
         args = watched_movers(old_p, new_p)
@@ -100,6 +104,13 @@ def main() -> int:
         build_scaled(spark, 10)
         scales.append(("sf1", SCALED))
     for name in args:
+        if name not in QUERIES:
+            # --all-watched can select a watch whose query was
+            # renamed/retired since the old artifact; skip it rather
+            # than dying after the (expensive) scaled-copy build.
+            print(f"skipping {name}: not in the query registry",
+                  file=sys.stderr)
+            continue
         fn = QUERIES[name]
         out: dict = {"query": name}
         for label, sf in scales:
