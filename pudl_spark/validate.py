@@ -9,7 +9,9 @@ VERDICT r12 #4 — check_column_correlation.sql,
 expect_column_fraction_with_condition.sql,
 expect_includes_all_value_combinations_from.sql,
 expect_columns_not_all_null.sql, expect_missingness_between.sql,
-expect_date_frequency_ratio.sql), the weighted-quantile macro
+expect_date_frequency_ratio.sql,
+expect_column_weighted_quantile_values_to_be_between.sql), the
+weighted-quantile macro
 dbt/macros/weighted_quantile.sql, and the golden row counts in
 dbt/seeds/etl_full_row_counts.csv enforced by
 tests/validate/row_counts_test.py:20-46.
@@ -364,3 +366,47 @@ def check_date_frequency_ratio(
         F.lit(int(multiplier)).alias("expected_multiplier"))
         .filter(F.col("model_total")
                 != F.col("compare_total") * multiplier))
+
+
+def check_weighted_quantile_constraints(
+        df: DataFrame, col: str, weight_col: str,
+        constraints: list[tuple[float, float, float]],
+        by: list[str] | None = None,
+        row_condition=None, strictly: bool = False) -> DataFrame:
+    """Weighted quantiles of ``col`` must land inside [lo, hi] (ref:
+    expect_column_weighted_quantile_values_to_be_between.sql — the
+    weighted_quantile macro piped through expression_between). The
+    weighted twin of check_quantile_constraints, same
+    list-of-(quantile, lo, hi) shape; computes through the
+    engine's interpolated pooled-ties weighted_quantile
+    (operators/aggregate.py — the dbt macro's Spark twin), one
+    window pass per constraint over the pooled (value, weight)
+    frame. ``strictly`` mirrors the reference: bounds become
+    exclusive. ``row_condition`` (Column or SQL string) filters
+    before pooling, and ``by`` yields one violation row per
+    offending group.
+    """
+    from pudl_spark.operators.aggregate import weighted_quantile
+
+    if row_condition is not None:
+        pred = (F.expr(row_condition)
+                if isinstance(row_condition, str) else row_condition)
+        df = df.filter(pred)
+    by = by or []
+    checks = []
+    for q, lo, hi in constraints:
+        wq = weighted_quantile(df, col, weight_col, q, by=by,
+                               out_col="value")
+        bad_lo = (F.col("value") <= lo) if strictly \
+            else (F.col("value") < lo)
+        bad_hi = (F.col("value") >= hi) if strictly \
+            else (F.col("value") > hi)
+        checks.append(wq.select(
+            *by, F.lit(col).alias("column"),
+            F.lit(float(q)).alias("quantile"), "value",
+            F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"))
+            .filter(bad_lo | bad_hi))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

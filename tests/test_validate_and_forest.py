@@ -257,3 +257,48 @@ def test_date_frequency_ratio(spark):
     assert check_date_frequency_ratio(
         model, comp, 12, model_has_data_maturity=False,
         compare_has_data_maturity=False).count() == 1
+
+
+def test_weighted_quantile_constraints(spark):
+    """The weighted twin of the quantile-bounds check (ref:
+    expect_column_weighted_quantile_values_to_be_between.sql):
+    weighted quantiles computed through the engine's interpolated
+    pooled-ties weighted_quantile, checked against bounds, with
+    strictly / row_condition / group_by mirroring the reference."""
+    from pudl_spark.validate import check_weighted_quantile_constraints
+
+    # weights concentrate mass on value 10: the weighted median is
+    # 10 by any convention that pools ties.
+    df = spark.createDataFrame(
+        [("g1", 1.0, 1.0), ("g1", 10.0, 8.0), ("g1", 100.0, 1.0),
+         ("g2", 1.0, 1.0), ("g2", 2.0, 1.0)],
+        "g string, v double, w double")
+    # in-bounds passes
+    assert check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w", [(0.5, 5.0, 20.0)]).count() == 0
+    # out-of-bounds yields the violation row with the quantile value
+    v = check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w", [(0.5, 20.0, 50.0)]).collect()
+    assert len(v) == 1 and v[0]["value"] == 10.0
+    assert v[0]["quantile"] == 0.5 and v[0]["lo"] == 20.0
+    # strictly: a value AT the bound violates
+    assert check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w", [(0.5, 10.0, 20.0)],
+        strictly=True).count() == 1
+    assert check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w", [(0.5, 10.0, 20.0)],
+        strictly=False).count() == 0
+    # group_by: only the offending group appears
+    v = check_weighted_quantile_constraints(
+        df, "v", "w", [(0.5, 5.0, 20.0)], by=["g"]).collect()
+    assert len(v) == 1 and v[0]["g"] == "g2"
+    # row_condition filters before pooling: excluding the outlier
+    # rows moves g1's weighted median nowhere (mass already at 10)
+    # but dropping the v=10 rows moves it out of bounds
+    assert check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w", [(0.5, 5.0, 20.0)],
+        row_condition="v <> 10.0").count() == 1
+    # multiple constraints union violations
+    assert check_weighted_quantile_constraints(
+        df.filter("g = 'g1'"), "v", "w",
+        [(0.5, 20.0, 50.0), (0.5, 0.0, 5.0)]).count() == 2
