@@ -86,12 +86,14 @@ def build_lsh_store_singlepass(spark, df, id_col, text_col,
 
 def table_quality_screens(spark, sf_dir):
     """STAGED for r14 (VERDICT r12 #4): composite driver row
-    exercising the six r13-ported dbt generic-test shapes
+    exercising the seven r13-ported dbt generic-test shapes
     (validate.py — refs check_column_correlation.sql,
     expect_column_fraction_with_condition.sql,
     expect_includes_all_value_combinations_from.sql,
     expect_columns_not_all_null.sql, expect_missingness_between.sql,
-    expect_date_frequency_ratio.sql) through the REAL check
+    expect_date_frequency_ratio.sql,
+    expect_column_weighted_quantile_values_to_be_between.sql)
+    through the REAL check
     functions, one row per check: (check_name, n_violations,
     metric). Pass AND fail paths both appear (correlation and
     missingness are configured to fail on the test data with wide
@@ -206,6 +208,22 @@ def table_quality_screens(spark, sf_dir):
     n6 = check_date_frequency_ratio(monthly, annual, 12).count()
     rows.append(("date_frequency_ratio", int(n6), None))
 
+    # 7. weighted-quantile bounds — the quantity-weighted median of
+    #    extendedprice (~53k at every test SF) against [20k, 80k]:
+    #    PASSES with a huge margin. Count-only (metric NULL): the
+    #    check's quantile routes through the operator's double-path
+    #    cumulative windows, deterministic per engine but not
+    #    bit-pinned cross-engine, so only the wide-margin 0/1
+    #    verdict crosses the hash (the value itself is hash-pinned
+    #    by the registered weighted_median_quantity row, which keeps
+    #    DECIMAL discipline end-to-end).
+    from pudl_spark.validate import check_weighted_quantile_constraints
+
+    n7 = check_weighted_quantile_constraints(
+        li, "l_extendedprice", "l_quantity",
+        [(0.5, 20000.0, 80000.0)]).count()
+    rows.append(("weighted_quantile_constraints", int(n7), None))
+
     return spark.createDataFrame(
         rows, "check_name string, n_violations long, metric double")
 
@@ -248,6 +266,37 @@ WITH cs AS (
       SELECT r_regionkey AS k FROM region
       UNION SELECT CAST(99 AS BIGINT)) w
     EXCEPT SELECT DISTINCT n_regionkey FROM nation)
+), wq AS (
+  SELECT
+    CAST(CASE WHEN wm < 20000.0 OR wm > 80000.0 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_violations
+  FROM (
+    SELECT MIN(val) AS wm FROM (
+      SELECT CASE
+        WHEN rn = 1 AND 0.5 <= c THEN x
+        WHEN rn = n AND 0.5 >= c THEN x
+        WHEN prev_c < 0.5 AND 0.5 <= c
+          THEN prev_x + (x - prev_x) * ((0.5 - prev_c) / (c - prev_c))
+      END AS val FROM (
+        SELECT x, rn, n,
+          (CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2)
+            / CAST(tw AS DOUBLE) AS c,
+          LAG((CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2)
+              / CAST(tw AS DOUBLE)) OVER (ORDER BY x) AS prev_c,
+          LAG(x) OVER (ORDER BY x) AS prev_x
+        FROM (
+          SELECT x, w, SUM(w) OVER (ORDER BY x) AS cw,
+            SUM(w) OVER () AS tw,
+            ROW_NUMBER() OVER (ORDER BY x) AS rn,
+            COUNT(*) OVER () AS n
+          FROM (
+            SELECT l_extendedprice AS x,
+              SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_quantity > 0
+            GROUP BY 1)))
+    ) WHERE val IS NOT NULL)
 ), freq AS (
   SELECT
     CAST(CASE WHEN sum(mc) <> sum(yc) * 12 THEN 1 ELSE 0 END
@@ -289,4 +338,7 @@ SELECT 'missingness_between',
 UNION ALL
 SELECT 'date_frequency_ratio',
   (SELECT n_violations FROM freq), NULL
+UNION ALL
+SELECT 'weighted_quantile_constraints',
+  (SELECT n_violations FROM wq), NULL
 """
