@@ -11,8 +11,11 @@ expect_includes_all_value_combinations_from.sql,
 expect_columns_not_all_null.sql, expect_missingness_between.sql,
 expect_date_frequency_ratio.sql,
 expect_column_weighted_quantile_values_to_be_between.sql), the
-weighted-quantile macro
-dbt/macros/weighted_quantile.sql, and the golden row counts in
+standalone test macros under dbt/macros/ (weighted_quantile.sql,
+one_value_per_key.sql, expect_column_change_within_ratio.sql,
+expect_columns_ratio.sql,
+expect_summed_columns_not_exceed_threshold.sql,
+expect_subcomponents_sum_to_total.sql), and the golden row counts in
 dbt/seeds/etl_full_row_counts.csv enforced by
 tests/validate/row_counts_test.py:20-46.
 
@@ -410,3 +413,149 @@ def check_weighted_quantile_constraints(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- r13 (second pass): the four reusable shapes living in
+#     dbt/macros/ proper (the generic_tests/ port above covered the
+#     test library; these are the standalone test macros). Same
+#     violations-frame contract. ---
+
+
+def check_one_value_per_key(df: DataFrame, key_col: str,
+                            value_col: str) -> DataFrame:
+    """Each non-NULL key maps to at most one distinct value (ref:
+    one_value_per_key.sql — the ONE-directional half of
+    check_one2one_mapping, NULL keys excluded). One distinct-agg.
+    """
+    return (df.filter(F.col(key_col).isNotNull())
+            .groupBy(F.col(key_col).alias("key_value"))
+            .agg(F.count_distinct(value_col).alias("distinct_count"))
+            .filter(F.col("distinct_count") > 1))
+
+
+def check_column_change_within_ratio(
+        df: DataFrame, col: str, group_by: str, order_by: str,
+        max_pct_change: float, row_condition=None) -> DataFrame:
+    """Consecutive values of ``col`` per group (ordered by
+    ``order_by``) may not change by more than ``max_pct_change``
+    relative to the previous value (ref:
+    expect_column_change_within_ratio.sql). A zero previous value
+    yields a NULL pct_change and passes, as in the reference. One
+    lag window per group — the partition is the group key, so no
+    global ordering bottleneck.
+    """
+    from pyspark.sql import Window
+
+    out = df
+    if row_condition is not None:
+        pred = (F.expr(row_condition)
+                if isinstance(row_condition, str) else row_condition)
+        out = out.filter(pred)
+    w = Window.partitionBy(group_by).orderBy(order_by)
+    prev = F.lag(col).over(w)
+    pct = F.when(prev != 0, F.abs((F.col(col) - prev) / prev))
+    return (out.select(F.col(group_by).alias("grp"),
+                       F.col(order_by).alias("ts"),
+                       F.col(col).alias("val"),
+                       prev.alias("prev_val"), pct.alias("pct_change"))
+            .filter(F.col("prev_val").isNotNull())
+            .filter(F.col("pct_change") > max_pct_change))
+
+
+def check_columns_ratio(df: DataFrame, numerator_col: str,
+                        denominator_col: str,
+                        min_ratio: float | None = None,
+                        max_ratio: float | None = None,
+                        error_threshold: int = 0) -> DataFrame:
+    """Row-level ratio bounds (ref: expect_columns_ratio.sql): each
+    row's numerator/denominator must land in [min_ratio, max_ratio];
+    NULL or zero denominators yield a NULL ratio and pass. The check
+    only FAILS when more than ``error_threshold`` rows violate —
+    mirrored with a windowless count join, no driver collect.
+    Parameter validation mirrors the reference's compile error.
+    """
+    if min_ratio is None and max_ratio is None:
+        raise ValueError("check_columns_ratio: must provide at least "
+                         "one of min_ratio or max_ratio")
+    den = F.col(denominator_col)
+    ratio = F.when(den.isNotNull() & (den != 0),
+                   F.col(numerator_col) / den)
+    bad = F.lit(False)
+    if min_ratio is not None:
+        bad = bad | (F.col("calculated_ratio") < min_ratio)
+    if max_ratio is not None:
+        bad = bad | (F.col("calculated_ratio") > max_ratio)
+    failures = (df.withColumn("calculated_ratio", ratio)
+                .filter(F.col("calculated_ratio").isNotNull())
+                .filter(bad))
+    summary = failures.agg(
+        F.count(F.lit(1)).alias("num_failures"))
+    return (failures.crossJoin(F.broadcast(summary))
+            .filter(F.col("num_failures") > error_threshold))
+
+
+def check_summed_columns_not_exceed_threshold(
+        df: DataFrame, col_a: str, col_b: str, threshold_col: str,
+        multiplier: float = 1.0,
+        error_threshold: int = 0) -> DataFrame:
+    """Row-level budget check (ref:
+    expect_summed_columns_not_exceed_threshold.sql): a + b must not
+    exceed threshold * multiplier; NULL sums or thresholds pass.
+    Fails only past ``error_threshold`` violating rows, same
+    count-join shape as check_columns_ratio.
+    """
+    col_sum = (F.col(col_a) + F.col(col_b)).alias("column_sum")
+    thr = (F.col(threshold_col) * F.lit(multiplier)).alias(
+        "max_threshold")
+    failures = (df.select("*", col_sum, thr)
+                .filter(F.col("column_sum").isNotNull()
+                        & F.col("max_threshold").isNotNull()
+                        & (F.col("column_sum")
+                           > F.col("max_threshold"))))
+    summary = failures.agg(F.count(F.lit(1)).alias("num_failures"))
+    return (failures.crossJoin(F.broadcast(summary))
+            .filter(F.col("num_failures") > error_threshold))
+
+
+def check_subcomponents_sum_to_total(
+        df: DataFrame, group_cols: list[str], categorical_col: str,
+        value_col: str, total_label: str, tolerance: float = 0.01,
+        row_condition=None,
+        subcomponents: list[str] | None = None,
+        negative_subcomponents: list[str] | None = None) -> DataFrame:
+    """Within each group, the subcomponent categories' value sum must
+    match the ``total_label`` category's value within ``tolerance``
+    (ref: expect_subcomponents_sum_to_total.sql — the stacked-
+    categorical twin of check_sum_close_to_total). With no explicit
+    ``subcomponents`` list, every non-total category counts
+    positively; ``negative_subcomponents`` subtract (and, as in the
+    reference's CASE order, an explicit positive listing wins when a
+    category appears in both). Groups with no total row yield a NULL
+    comparison and pass. Two grouped aggregations, no window.
+    """
+    out = df
+    if row_condition is not None:
+        pred = (F.expr(row_condition)
+                if isinstance(row_condition, str) else row_condition)
+        out = out.filter(pred)
+    cat = F.col(categorical_col)
+    grouped = out.groupBy(*group_cols, categorical_col).agg(
+        F.sum(value_col).alias("total"))
+    if subcomponents:
+        signed = F.when(cat.isin(*subcomponents), F.col("total"))
+    else:
+        signed = F.when(cat != total_label, F.col("total"))
+    if negative_subcomponents:
+        signed = signed.when(cat.isin(*negative_subcomponents),
+                             -F.col("total"))
+    summary = grouped.groupBy(*group_cols).agg(
+        F.sum(signed).alias("subcomponents_sum"),
+        F.max(F.when(cat == total_label, F.col("total")))
+        .alias("grand_total"))
+    diff = F.abs(F.col("subcomponents_sum") - F.col("grand_total"))
+    return (summary
+            .withColumn("absolute_diff", diff)
+            .withColumn("pct_diff",
+                        F.round(diff / F.nullif(F.col("grand_total"),
+                                                F.lit(0)) * 100, 2))
+            .filter(F.col("absolute_diff") > tolerance))

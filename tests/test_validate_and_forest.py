@@ -302,3 +302,125 @@ def test_weighted_quantile_constraints(spark):
     assert check_weighted_quantile_constraints(
         df.filter("g = 'g1'"), "v", "w",
         [(0.5, 20.0, 50.0), (0.5, 0.0, 5.0)]).count() == 2
+
+
+# --- r13 (second pass): the four standalone dbt/macros/ shapes. ---
+
+
+def test_one_value_per_key(spark):
+    from pudl_spark.validate import check_one_value_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 3), (None, 4), (None, 5)],
+        "k string, v int")
+    v = check_one_value_per_key(df, "k", "v").collect()
+    # NULL keys excluded (the reference's WHERE key IS NOT NULL)
+    assert [(r["key_value"], r["distinct_count"]) for r in v] == [("b", 2)]
+    # one-directional: v->k multi-mapping is NOT this check's concern
+    assert check_one_value_per_key(
+        df.filter("v = 1"), "k", "v").count() == 0
+
+
+def test_column_change_within_ratio(spark):
+    from pudl_spark.validate import check_column_change_within_ratio
+
+    df = spark.createDataFrame(
+        [("g", 1, 100.0), ("g", 2, 110.0), ("g", 3, 300.0),
+         ("g", 4, 0.0), ("g", 5, 50.0),
+         ("h", 1, 10.0), ("h", 2, 10.5)],
+        "grp string, t int, val double")
+    v = sorted(check_column_change_within_ratio(
+        df, "val", "grp", "t", max_pct_change=0.5).collect(),
+        key=lambda r: r["ts"])
+    # 110->300 (+173%) and 300->0 (-100%) violate; 0->50 has prev=0
+    # -> NULL pct -> passes (reference CASE); first rows have no prev.
+    assert [(r["grp"], r["ts"]) for r in v] == [("g", 3), ("g", 4)]
+    assert abs(v[0]["pct_change"] - (190.0 / 110.0)) < 1e-12
+    assert v[1]["pct_change"] == 1.0
+    # row_condition filters before lagging: dropping t=3 re-pairs
+    # t=2 (110) with t=4 (0) — still -100%, one violation; t=4's
+    # zero then shields t=5 as before.
+    v = check_column_change_within_ratio(
+        df, "val", "grp", "t", 0.5, row_condition="t <> 3").collect()
+    assert [(r["grp"], r["ts"]) for r in v] == [("g", 4)]
+    assert v[0]["prev_val"] == 110.0
+
+
+def test_columns_ratio(spark):
+    import pytest
+
+    from pudl_spark.validate import check_columns_ratio
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100.0), (2, 80.0, 100.0), (3, 10.0, 0.0),
+         (4, 10.0, None)],
+        "id int, num double, den double")
+    # zero/NULL denominators pass; 80/100=0.8 breaks max 0.5
+    v = check_columns_ratio(df, "num", "den", max_ratio=0.5).collect()
+    assert len(v) == 1 and v[0]["id"] == 2
+    assert v[0]["num_failures"] == 1
+    # error_threshold: one failure tolerated -> empty
+    assert check_columns_ratio(
+        df, "num", "den", max_ratio=0.5, error_threshold=1).count() == 0
+    assert check_columns_ratio(
+        df, "num", "den", min_ratio=0.05, max_ratio=0.9).count() == 0
+    with pytest.raises(ValueError, match="at least"):
+        check_columns_ratio(df, "num", "den")
+
+
+def test_summed_columns_not_exceed_threshold(spark):
+    from pudl_spark.validate import (
+        check_summed_columns_not_exceed_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 40.0, 50.0, 100.0), (2, 80.0, 50.0, 100.0),
+         (3, None, 50.0, 100.0), (4, 40.0, 50.0, None)],
+        "id int, a double, b double, cap double")
+    v = check_summed_columns_not_exceed_threshold(
+        df, "a", "b", "cap").collect()
+    # only 80+50 > 100; NULL sums and NULL thresholds pass
+    assert len(v) == 1 and v[0]["id"] == 2
+    assert v[0]["column_sum"] == 130.0 and v[0]["max_threshold"] == 100.0
+    # multiplier loosens the cap; threshold tolerates
+    assert check_summed_columns_not_exceed_threshold(
+        df, "a", "b", "cap", multiplier=1.5).count() == 0
+    assert check_summed_columns_not_exceed_threshold(
+        df, "a", "b", "cap", error_threshold=1).count() == 0
+
+
+def test_subcomponents_sum_to_total(spark):
+    from pudl_spark.validate import check_subcomponents_sum_to_total
+
+    rows = [
+        # e1: fuel 10 + labor 5 == total 15: consistent
+        ("e1", "fuel", 10.0), ("e1", "labor", 5.0), ("e1", "total", 15.0),
+        # e2: 10 + 5 != 20
+        ("e2", "fuel", 10.0), ("e2", "labor", 5.0), ("e2", "total", 20.0),
+        # e3: no total row -> NULL comparison -> passes
+        ("e3", "fuel", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "entity string, cat string, v double")
+    v = check_subcomponents_sum_to_total(
+        df, ["entity"], "cat", "v", "total").collect()
+    assert len(v) == 1 and v[0]["entity"] == "e2"
+    assert v[0]["subcomponents_sum"] == 15.0
+    assert v[0]["grand_total"] == 20.0 and v[0]["absolute_diff"] == 5.0
+    assert v[0]["pct_diff"] == 25.0
+    # explicit subcomponents list: only the listed categories count
+    # (e2 becomes consistent when only fuel+labor... still 15 != 20;
+    # list excluding labor makes it 10 != 20, still failing; listing
+    # a rebate as NEGATIVE fixes e4)
+    rows4 = [("e4", "fuel", 25.0), ("e4", "rebate", 5.0),
+             ("e4", "total", 20.0)]
+    df4 = spark.createDataFrame(rows4, "entity string, cat string, v double")
+    assert check_subcomponents_sum_to_total(
+        df4, ["entity"], "cat", "v", "total").count() == 1
+    assert check_subcomponents_sum_to_total(
+        df4, ["entity"], "cat", "v", "total",
+        subcomponents=["fuel"],
+        negative_subcomponents=["rebate"]).count() == 0
+    # row_condition pre-filters
+    assert check_subcomponents_sum_to_total(
+        df, ["entity"], "cat", "v", "total",
+        row_condition="entity <> 'e2'").count() == 0
