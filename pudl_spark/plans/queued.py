@@ -86,13 +86,16 @@ def build_lsh_store_singlepass(spark, df, id_col, text_col,
 
 def table_quality_screens(spark, sf_dir):
     """STAGED for r14 (VERDICT r12 #4): composite driver row
-    exercising the seven r13-ported dbt generic-test shapes
+    exercising the eleven r13-ported dbt validation shapes
     (validate.py — refs check_column_correlation.sql,
     expect_column_fraction_with_condition.sql,
     expect_includes_all_value_combinations_from.sql,
     expect_columns_not_all_null.sql, expect_missingness_between.sql,
     expect_date_frequency_ratio.sql,
-    expect_column_weighted_quantile_values_to_be_between.sql)
+    expect_column_weighted_quantile_values_to_be_between.sql, and
+    the dbt/macros/ shapes one_value_per_key.sql,
+    expect_column_change_within_ratio.sql, expect_columns_ratio.sql,
+    expect_summed_columns_not_exceed_threshold.sql)
     through the REAL check
     functions, one row per check: (check_name, n_violations,
     metric). Pass AND fail paths both appear (correlation and
@@ -224,6 +227,45 @@ def table_quality_screens(spark, sf_dir):
         [(0.5, 20000.0, 80000.0)]).count()
     rows.append(("weighted_quantile_constraints", int(n7), None))
 
+    # 8-11. the four standalone dbt/macros/ shapes (r13 second
+    #    pass), each count-only and data-derived: customers holding
+    #    orders at more than one priority (one_value_per_key — a
+    #    deliberately violation-rich configuration), per-priority
+    #    yearly order counts moving >50% year-over-year
+    #    (change_within_ratio — the partial final year trips it),
+    #    discount/tax row ratios past 2.0 with the zero/NULL
+    #    denominator pass rule, and discount+tax budgets over a 0.12
+    #    cap. All integer counts; ratios compare exact-int-derived
+    #    doubles, so the 0/N verdicts are engine-stable.
+    from pudl_spark.validate import (
+        check_column_change_within_ratio, check_columns_ratio,
+        check_one_value_per_key,
+        check_summed_columns_not_exceed_threshold,
+    )
+
+    n8 = check_one_value_per_key(
+        orders, "o_custkey", "o_orderpriority").count()
+    rows.append(("one_value_per_key", int(n8), None))
+
+    yearly = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    n9 = check_column_change_within_ratio(
+        yearly, "n", "o_orderpriority", "y",
+        max_pct_change=0.5).count()
+    rows.append(("column_change_within_ratio", int(n9), None))
+
+    n10 = check_columns_ratio(li, "l_discount", "l_tax",
+                              max_ratio=2.0).count()
+    rows.append(("columns_ratio", int(n10), None))
+
+    n11 = check_summed_columns_not_exceed_threshold(
+        li.withColumn("cap", F.lit(0.12)), "l_discount", "l_tax",
+        "cap").count()
+    rows.append(("summed_columns_not_exceed_threshold",
+                 int(n11), None))
+
     return spark.createDataFrame(
         rows, "check_name string, n_violations long, metric double")
 
@@ -341,4 +383,35 @@ SELECT 'date_frequency_ratio',
 UNION ALL
 SELECT 'weighted_quantile_constraints',
   (SELECT n_violations FROM wq), NULL
+UNION ALL
+SELECT 'one_value_per_key',
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+    SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) > 1)), NULL
+UNION ALL
+SELECT 'column_change_within_ratio',
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+    SELECT * FROM (
+      SELECT CASE WHEN prev <> 0 THEN abs((n - prev) / prev) END
+        AS pc, prev
+      FROM (
+        SELECT CAST(n AS DOUBLE) AS n,
+          LAG(CAST(n AS DOUBLE)) OVER (
+            PARTITION BY o_orderpriority ORDER BY y) AS prev
+        FROM (
+          SELECT o_orderpriority,
+            EXTRACT(year FROM o_orderdate) AS y, count(*) AS n
+          FROM orders GROUP BY 1, 2)))
+    WHERE prev IS NOT NULL AND pc > 0.5)), NULL
+UNION ALL
+SELECT 'columns_ratio',
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_tax IS NOT NULL AND l_tax <> 0
+     AND l_discount / l_tax > 2.0), NULL
+UNION ALL
+SELECT 'summed_columns_not_exceed_threshold',
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_discount + l_tax IS NOT NULL
+     AND l_discount + l_tax > 0.12), NULL
 """

@@ -180,7 +180,7 @@ def test_staged_table_quality_screens_matches_oracle(spark):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     odf = con.execute(queued.table_quality_screens_oracle()).df()
-    assert len(sdf) == 7
+    assert len(sdf) == 11
     err = ds.compare("table_quality_screens", sdf, odf)
     assert err is None, err
     # both paths are exercised: at least one check fails and at
