@@ -166,19 +166,23 @@ def test_singlepass_build_store_byte_identical(spark):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_staged_table_quality_screens_matches_oracle(spark):
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
+def test_staged_table_quality_screens_matches_oracle(spark, sf):
     """Differential evidence for the r14-staged composite (the same
     plain-session-vs-DuckDB comparison the driver runs), executed at
-    sf0.01 BEFORE registration — the r14 prefix move stays a
-    decorator move."""
+    TWO SFs before registration — the r14 prefix move stays a
+    decorator move, and the composite's data assumptions (orders
+    span 1995-2001 with 2001 partial, corr(qty, price) ~ 0, returned
+    quantity share ~ 1/3, weighted median price ~ 53k — re-probed at
+    every SF this round) hold beyond the certification SF."""
     from pudl_spark.plans import queued
 
     ds = _driver_sim()
-    sdf = queued.table_quality_screens(spark, SF).toPandas()
+    sdf = queued.table_quality_screens(spark, sf).toPandas()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF}/{t}.parquet')")
+                    f"read_parquet('{sf}/{t}.parquet')")
     odf = con.execute(queued.table_quality_screens_oracle()).df()
     assert len(sdf) == 11
     err = ds.compare("table_quality_screens", sdf, odf)
@@ -188,6 +192,7 @@ def test_staged_table_quality_screens_matches_oracle(spark):
     viol = dict(zip(sdf["check_name"], sdf["n_violations"]))
     assert viol["column_correlation"] == 1
     assert viol["date_frequency_ratio"] == 0
+    assert viol["weighted_quantile_constraints"] == 0
 
 
 def test_floor_watched_movers_selection():
