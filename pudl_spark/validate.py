@@ -237,15 +237,20 @@ def check_column_fraction_with_condition(
         F.try_divide(num * F.lit(1.0), F.sum(col))
         .alias("actual_fraction"),
         num.alias("condition_sum"), F.sum(col).alias("total_sum"))
-    return (row.select(
+    # The bounds evaluate against the UNROUNDED fraction: the
+    # reference's WHERE clause reads the raw CTE value — round() in
+    # its SELECT is display-only (ADVICE r13). Filtering the rounded
+    # value would pass a true fraction within ~5e-5 of a bound
+    # (0.50004 vs max_fraction=0.5 rounds to exactly 0.5).
+    return (row.filter((F.col("actual_fraction") < min_fraction)
+                       | (F.col("actual_fraction") > max_fraction))
+            .select(
         F.lit(col).alias("column"),
         F.round("actual_fraction", 4).alias("actual_fraction"),
         F.lit(float(min_fraction)).alias("min_fraction"),
         F.lit(float(max_fraction)).alias("max_fraction"),
         F.round("condition_sum", 4).alias("condition_sum"),
-        F.round("total_sum", 4).alias("total_sum"))
-        .filter((F.col("actual_fraction") < min_fraction)
-                | (F.col("actual_fraction") > max_fraction)))
+        F.round("total_sum", 4).alias("total_sum")))
 
 
 def check_includes_all_value_combinations_from(
@@ -526,13 +531,25 @@ def check_subcomponents_sum_to_total(
     """Within each group, the subcomponent categories' value sum must
     match the ``total_label`` category's value within ``tolerance``
     (ref: expect_subcomponents_sum_to_total.sql — the stacked-
-    categorical twin of check_sum_close_to_total). With no explicit
-    ``subcomponents`` list, every non-total category counts
-    positively; ``negative_subcomponents`` subtract (and, as in the
-    reference's CASE order, an explicit positive listing wins when a
-    category appears in both). Groups with no total row yield a NULL
-    comparison and pass. Two grouped aggregations, no window.
+    categorical twin of check_sum_close_to_total).
+    ``negative_subcomponents`` subtract ONLY when an explicit
+    ``subcomponents`` list is also given: with the default
+    ``subcomponents=None`` the first CASE branch already captures
+    every non-total category, so — exactly as in the reference's
+    CASE order, mirrored here — the negative branch is unreachable
+    and the call warns (ADVICE r13). When a category appears in both
+    lists, the explicit positive listing wins (same CASE order).
+    Groups with no total row yield a NULL comparison and pass. Two
+    grouped aggregations, no window.
     """
+    if negative_subcomponents and not subcomponents:
+        import warnings
+
+        warnings.warn(
+            "negative_subcomponents has no effect without an explicit "
+            "subcomponents list: the default branch already captures "
+            "every non-total category (reference CASE order), so the "
+            "negative branch is unreachable", stacklevel=2)
     out = df
     if row_condition is not None:
         pred = (F.expr(row_condition)

@@ -145,6 +145,17 @@ def test_column_fraction_with_condition(spark):
         with pytest.raises(ValueError):
             check_column_fraction_with_condition(
                 df, "w", "k = 'x'", *args)
+    # ADVICE r13 pin: bounds evaluate the UNROUNDED fraction (the
+    # reference's WHERE reads the raw CTE value; round() is
+    # display-only). 50004/100000 = 0.50004 rounds to exactly 0.5000,
+    # yet must still violate max_fraction=0.5.
+    edge = spark.createDataFrame(
+        [("x", 50004.0), ("y", 49996.0)], "k string, w double")
+    v = check_column_fraction_with_condition(
+        edge, "w", "k = 'x'", 0.0, 0.5).collect()
+    assert len(v) == 1
+    # ...while the displayed column still shows the rounded value
+    assert v[0]["actual_fraction"] == 0.5
 
 
 def test_includes_all_value_combinations_from(spark):
@@ -424,3 +435,20 @@ def test_subcomponents_sum_to_total(spark):
     assert check_subcomponents_sum_to_total(
         df, ["entity"], "cat", "v", "total",
         row_condition="entity <> 'e2'").count() == 0
+    # ADVICE r13 pin: with the default subcomponents=None the first
+    # CASE branch captures every non-total category, so negatives are
+    # unreachable (the reference's CASE order) — the call warns and
+    # the result is identical to not passing negatives at all.
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        got = check_subcomponents_sum_to_total(
+            df4, ["entity"], "cat", "v", "total",
+            negative_subcomponents=["rebate"]).collect()
+    assert any("negative_subcomponents has no effect" in str(c.message)
+               for c in caught)
+    want = check_subcomponents_sum_to_total(
+        df4, ["entity"], "cat", "v", "total").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 1  # e4 still fails: rebate did NOT subtract
