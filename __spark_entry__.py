@@ -31,39 +31,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r13: NEW queries — the four r12-staged registrations land
-    # (VERDICT r12 #1): the IVF ingest loop's end-to-end
-    # matches-sink certification (`ivf_stream_matches` — the
-    # embedding-side twin of r12's `doc_lsh_stream_pairs`), the
-    # reseed certification (`ivf_store_reseed` —
-    # rebuild-after-appends hash-equal to a one-shot full-corpus
-    # build, landing AFTER the r12 crash-safety hardening), S13's
-    # first driver row (`datapackage_descriptor`) and P29's first
-    # driver row (`events_null_value_screen`). All four were
-    # pre-verified vs DuckDB in the r12 staging queue tests.
-    "ivf_stream_matches", "ivf_store_reseed",
-    "datapackage_descriptor", "events_null_value_screen",
-    # r13: the BPE trainer's oracle UPGRADES from rows-only to a
-    # hash-grade recursive-CTE replay (VERDICT r12 #7) — an oracle
-    # change, so the row re-certifies this round; it takes the
-    # second spare slot (complete_year_nations returns to the r14
-    # cohort).
-    "bpe_merges_docs",
-    # r13: prefix_filter_pairs gains the same single-text-pass cure
-    # the r12 minhash swap applied (checkpointed sets frame; output
-    # byte-identical, plan pinned in tests/test_prefix_filter.py) —
-    # same-session A/B floors: sf0.1 5.19 -> 2.41 s, 10x 20.06 ->
-    # 13.33 s. Its one registered caller re-certifies here, taking
-    # the last spare slot (clean_customer_names returns to the r14
-    # cohort).
-    "doc_prefix_filter_dup_pairs",
-    # r13: embedding_semantic_dedup's assigned frame (feeds both
-    # self-join sides + the final projection) now localCheckpoints —
-    # A/B floors sf0.1 3.68 -> 2.86 s, 10x 7.32 -> 6.55 s, output
-    # byte-identical. The row was ALREADY in this prefix as an r8
-    # cohort member; it moves up here only to declare the touch
-    # (same 50 names).
-    "embedding_semantic_dedup",
+    # r14: ONE new registration — the r13-staged
+    # `table_quality_screens` composite (VERDICT r13 #1): the
+    # driver-ledger landing for the eleven dbt validation shapes
+    # ported in r13 (validate.py), pre-verified vs DuckDB at two SFs
+    # in the r13 staging queue tests. Before registering it was
+    # collapsed from ~20 sequential driver actions to a single
+    # unioned plan (VERDICT r13 #2: one collect + the not-all-null
+    # check's internal stats row = 2 driver actions), and
+    # check_column_fraction_with_condition now evaluates its bounds
+    # on the UNROUNDED fraction (ADVICE r13; rounding is
+    # display-only, mirroring the reference's WHERE clause) — both
+    # changes re-verified against the oracle at two SFs before the
+    # prefix move.
+    "table_quality_screens",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -73,7 +54,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 12
+_BUILT_AGAINST_ROUND = 13
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -83,79 +64,76 @@ _BUILT_AGAINST_ROUND = 12
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- The r8 cohort is r13's rotation load: all 44 rows whose
-    #    latest green driver row is round 8 (4 rounds stale at r13,
-    #    the sustainable boundary at ceil(193/50)=4 — this is the
-    #    round where the ledger's own <=4-round guarantee first
-    #    binds exactly). Alphabetical; recomputed this round from
-    #    CORRECTNESS_r01..r12 and byte-equal to the cohort
-    #    precomputed in the r12 sketch. 7 touched/new + 43 =
-    #    exactly the 50-slot prefix (both spare slots went to the
-    #    BPE oracle upgrade and the prefix-filter swap's caller;
-    #    embedding_semantic_dedup is the 44th cohort row, listed
-    #    in the touched block above because its assigned-frame
-    #    checkpoint landed this round). Histogram at r13 start:
-    #    r12=50, r11=49, r10=45, r8=44. --
-    "doc_rendezvous_shards", "doc_token_budget",
-    "embedding_blocked_clusters", "embedding_ivf_clusters",
-    "event_anomalous_regions",
-    "event_anomaly_flags", "event_bad_days", "event_local_outliers",
-    "event_sessions_cc", "event_user_kmv_distinct",
-    "event_value_quartiles", "events_to_utc", "exact_dedup_docs",
-    "fill_monthly_revenue_gaps", "harvest_report_consistency",
-    "harvest_user_profile", "jw_part_name_similarity",
-    "large_volume_customers", "media_avi_frames",
-    "media_video_frames", "monthly_orders_densified",
-    "nation_revenue_by_year", "nations_with_both_roles",
-    "order_price_screens", "order_year_fragments", "pricing_summary",
-    "rolling_monthly_revenue", "rollup_revenue",
-    "salted_event_type_totals", "scale_by_ownership_suppliers",
-    "snake_cased_part_types", "supplier_address_parse",
-    "supplier_code_cleanup", "supplier_nation_codes",
-    "supplier_overlap_union_area", "table_row_counts",
-    "top_revenue_orders", "user_event_source_label",
-    "user_latest_good_value", "user_ramp_extremes",
-    "user_stable_load_bin", "weighted_avg_price",
-    "weighted_median_quantity",
-    # -- r14 queue (sketched now the way r13's was in r12): the
-    #    load is the FULL remaining r10 cohort — 44 rows, 4 rounds
-    #    stale at r14 (doc_prefix_filter_dup_pairs re-certifies
-    #    THIS round with the single-pass swap, leaving 44 of 45).
-    #    The exact cohort, precomputed from CORRECTNESS_r01..r12 +
-    #    this prefix (alphabetical): clean_customer_names,
-    #    complete_year_nations,
-    #    declarative_transform_orders, doc_bigram_perplexity,
-    #    doc_bloom_incremental_dedup, doc_bm25_relevance,
-    #    doc_bpe_token_estimate, doc_chunk_spans_udtf,
-    #    doc_dup_spans, doc_fingerprints, doc_language_id,
-    #    doc_quality_scores,
-    #    doc_shard_manifest, doc_top_terms,
-    #    doc_weighted_rendezvous_shards, embedding_near_dup_pairs,
-    #    encode_order_status, event_hypertable_rollup,
-    #    event_run_lengths, event_sessions_windowed,
-    #    event_sliding_windows, event_type_median_udaf,
-    #    event_value_histogram, file_provenance_counts,
-    #    fixed_width_roundtrip_nation, jsonl_sink_roundtrip,
-    #    market_share_by_year, media_feature_extract,
-    #    media_gif_features, media_jpeg_features,
-    #    media_png_features, media_thumbnail_stats,
-    #    media_wav_features, mode_segment_per_nation,
-    #    orc_sink_roundtrip, order_counts_cube, order_status_flags,
-    #    parquet_schema_evolution, parquet_sink_roundtrip,
-    #    part_copurchase_triangles, primary_priority_share,
-    #    spot_fix_regions, sum_min_count_semantics,
-    #    uncategorized_part_types. 44 + any r14 registrations
-    #    (e.g. the staged `table_quality_screens` composite) + the
-    #    alphabetically-first r11 rows as spares fill the 50:
-    #    with one registration that is FIVE spares
-    #    (ann_ivf_store_probe, ann_ivf_topk, ann_lsh_bucketed,
-    #    corpus_snapshot_diff, csv_partition_extract_nation);
-    #    with none, SIX (add date_merge_year). r15's load is then
-    #    the remaining
-    #    ~42 r11 rows — which include the five LSH-store rows, so
-    #    the staged `build_lsh_store_singlepass` swap
-    #    (plans/queued.py, tripwires in tests/test_r14_queue.py)
-    #    lands THAT round as a decorator move. --
+    # -- The r10 cohort is r14's rotation load: all 44 rows whose
+    #    latest green driver row is round 10 (4 rounds stale at
+    #    r14, the ceil(193/50)=4 staleness boundary). Alphabetical;
+    #    recomputed this round from CORRECTNESS_r01..r13 and
+    #    byte-equal to the cohort precomputed in the r13 sketch.
+    #    1 registration + 44 cohort + 5 spares = exactly the
+    #    50-slot prefix. Histogram at r14 start: r13=50, r12=50,
+    #    r11=49, r10=44. --
+    "clean_customer_names", "complete_year_nations",
+    "declarative_transform_orders", "doc_bigram_perplexity",
+    "doc_bloom_incremental_dedup", "doc_bm25_relevance",
+    "doc_bpe_token_estimate", "doc_chunk_spans_udtf",
+    "doc_dup_spans", "doc_fingerprints", "doc_language_id",
+    "doc_quality_scores", "doc_shard_manifest", "doc_top_terms",
+    "doc_weighted_rendezvous_shards", "embedding_near_dup_pairs",
+    "encode_order_status", "event_hypertable_rollup",
+    "event_run_lengths", "event_sessions_windowed",
+    "event_sliding_windows", "event_type_median_udaf",
+    "event_value_histogram", "file_provenance_counts",
+    "fixed_width_roundtrip_nation", "jsonl_sink_roundtrip",
+    "market_share_by_year", "media_feature_extract",
+    "media_gif_features", "media_jpeg_features",
+    "media_png_features", "media_thumbnail_stats",
+    "media_wav_features", "mode_segment_per_nation",
+    "orc_sink_roundtrip", "order_counts_cube", "order_status_flags",
+    "parquet_schema_evolution", "parquet_sink_roundtrip",
+    "part_copurchase_triangles", "primary_priority_share",
+    "spot_fix_regions", "sum_min_count_semantics",
+    "uncategorized_part_types",
+    # -- spares: the 5 alphabetically-first r11 rows (precomputed
+    #    in the r13 sketch; the other 44 r11 rows are r15's load) --
+    "ann_ivf_store_probe", "ann_ivf_topk", "ann_lsh_bucketed",
+    "corpus_snapshot_diff", "csv_partition_extract_nation",
+    # -- r15 queue (sketched now, the discipline that has kept the
+    #    rotation exact five rounds running): the load is the FULL
+    #    remaining r11 cohort — 44 rows, 4 rounds stale at r15.
+    #    The exact cohort, precomputed from CORRECTNESS_r01..r13 +
+    #    this prefix (alphabetical): date_merge_year,
+    #    dbf_roundtrip_supplier, dedupe_on_category_priority,
+    #    doc_chunk_windows, doc_curation_decisions,
+    #    doc_decontaminate, doc_gopher_repetition,
+    #    doc_lsh_store_increment, doc_lsh_store_ingest,
+    #    doc_lsh_store_probe_small, doc_pack_sequences,
+    #    doc_pii_scrub, doc_quality_classifier, doc_source_mixture,
+    #    doc_tfidf_topk, doc_token_stats, dominant_event_type,
+    #    embedding_quantization, embedding_random_projection,
+    #    event_props_extract, event_seasonal_decompose,
+    #    event_type_changelog, event_user_pseudonymize,
+    #    event_zone_assignment, fk_orphan_counts,
+    #    freshest_event_per_user, fs_linkage_parts,
+    #    hourly_event_windows, impute_latc_mape,
+    #    incremental_rebuild_counts, ivf_store_append,
+    #    ivf_store_cell_stats, jw_linkage_parts,
+    #    nation_zone_overlay, orders_above_customer_avg,
+    #    parse_address_tagged_suppliers, pivot_event_values,
+    #    purchase_asof_signup, purchases_per_signup_interval,
+    #    sqlite_roundtrip_orders, supplier_month_utilization,
+    #    union_balances_by_nation, unpivot_lineitem_measures,
+    #    user_running_stats. The cohort contains the three
+    #    r11-certified LSH-store rows (doc_lsh_store_increment,
+    #    doc_lsh_store_ingest, doc_lsh_store_probe_small), so the
+    #    staged `build_lsh_store_singlepass` swap (plans/queued.py,
+    #    tripwires in tests/test_r15_queue.py, measured 32% faster
+    #    build) lands THAT round as a decorator move and those rows
+    #    double as its touched re-certifications. 44 + any r15
+    #    registrations + the alphabetically-first r12 rows as
+    #    spares fill the 50: with no registration that is SIX
+    #    spares (allocate_order_total, ann_cosine_topk,
+    #    annual_nations_complete_months, calc_reconcile_orders,
+    #    correct_quantity_units, customer_intkey_sentinel). --
 ]
 
 

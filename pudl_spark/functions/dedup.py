@@ -203,7 +203,7 @@ def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
     holds exactly the distinct xxhash64 shingle hashes oph_banded's
     explode produces, and the OPH bin/min/densify/band pipeline
     below applies the same expressions in the same order — pinned
-    per-row-equal in tests/test_r14_queue.py at two SFs (the
+    per-row-equal in tests/test_r15_queue.py at two SFs (the
     divergence tripwire).
 
     Input contract: ``sets_df`` is `shingle_hash_sets` output (or

@@ -9384,3 +9384,367 @@ def events_null_value_screen(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)"))
         .cast("double").alias("sum_value"))
+
+
+@query("table_quality_screens", sql="""
+WITH cs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      AS syy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      AS sxy
+  FROM lineitem
+), corr_row AS (
+  SELECT
+    CAST(CASE WHEN corr(l_quantity, l_extendedprice) < 0.5
+         THEN 1 ELSE 0 END AS BIGINT) AS n_violations
+  FROM lineitem
+), frac AS (
+  -- the bounds CASE reads the UNROUNDED fraction (the reference's
+  -- WHERE clause semantics; rounding is display-only — ADVICE r13)
+  SELECT
+    sum(CASE WHEN l_returnflag = 'R'
+        THEN CAST(l_quantity AS DECIMAL(12,2)) ELSE 0 END)
+    * 1.0 / sum(CAST(l_quantity AS DECIMAL(12,2))) AS fr
+  FROM lineitem
+), miss AS (
+  SELECT
+    CAST(count(*) - count(CASE WHEN event_id % 13 <> 0
+                          THEN value END) AS DOUBLE)
+      / count(*) AS p
+  FROM events
+), combos AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_missing FROM (
+    SELECT k FROM (
+      SELECT r_regionkey AS k FROM region
+      UNION SELECT CAST(99 AS BIGINT)) w
+    EXCEPT SELECT DISTINCT n_regionkey FROM nation)
+), wq AS (
+  SELECT
+    CAST(CASE WHEN wm < 20000.0 OR wm > 80000.0 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_violations
+  FROM (
+    SELECT MIN(val) AS wm FROM (
+      SELECT CASE
+        WHEN rn = 1 AND 0.5 <= c THEN x
+        WHEN rn = n AND 0.5 >= c THEN x
+        WHEN prev_c < 0.5 AND 0.5 <= c
+          THEN prev_x + (x - prev_x) * ((0.5 - prev_c) / (c - prev_c))
+      END AS val FROM (
+        SELECT x, rn, n,
+          (CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2)
+            / CAST(tw AS DOUBLE) AS c,
+          LAG((CAST(cw AS DOUBLE) - CAST(w AS DOUBLE) / 2)
+              / CAST(tw AS DOUBLE)) OVER (ORDER BY x) AS prev_c,
+          LAG(x) OVER (ORDER BY x) AS prev_x
+        FROM (
+          SELECT x, w, SUM(w) OVER (ORDER BY x) AS cw,
+            SUM(w) OVER () AS tw,
+            ROW_NUMBER() OVER (ORDER BY x) AS rn,
+            COUNT(*) OVER () AS n
+          FROM (
+            SELECT l_extendedprice AS x,
+              SUM(CAST(l_quantity AS DECIMAL(12,2))) AS w
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_quantity > 0
+            GROUP BY 1)))
+    ) WHERE val IS NOT NULL)
+), freq AS (
+  SELECT
+    CAST(CASE WHEN sum(mc) <> sum(yc) * 12 THEN 1 ELSE 0 END
+         AS BIGINT) AS n_violations
+  FROM (
+    SELECT m.year, m.mc, y.yc FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+        count(DISTINCT date_trunc('month', o_orderdate)) AS mc
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) <> 2001
+      GROUP BY 1) m
+    JOIN (
+      SELECT EXTRACT(year FROM o_orderdate) AS year,
+        count(DISTINCT date_trunc('year', o_orderdate)) AS yc
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) <> 2001
+      GROUP BY 1) y ON m.year = y.year)
+)
+SELECT 'column_correlation' AS check_name,
+  (SELECT n_violations FROM corr_row) AS n_violations,
+  (SELECT round((n*sxy - sx*sy)
+                / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+   FROM cs) AS metric
+UNION ALL
+SELECT 'column_fraction_with_condition',
+  (SELECT CASE WHEN fr < 0.2 OR fr > 0.5 THEN 1 ELSE 0 END
+   FROM frac),
+  (SELECT CAST(round(fr, 4) AS DOUBLE) FROM frac)
+UNION ALL
+SELECT 'columns_not_all_null',
+  (SELECT CASE WHEN count(*) > 0 THEN 1 ELSE 0 END FROM orders),
+  NULL
+UNION ALL
+SELECT 'includes_all_value_combinations',
+  (SELECT n_missing FROM combos), NULL
+UNION ALL
+SELECT 'missingness_between',
+  (SELECT CASE WHEN p < 0.0 OR p > 0.05 THEN 1 ELSE 0 END
+   FROM miss),
+  (SELECT round(p, 6) FROM miss)
+UNION ALL
+SELECT 'date_frequency_ratio',
+  (SELECT n_violations FROM freq), NULL
+UNION ALL
+SELECT 'weighted_quantile_constraints',
+  (SELECT n_violations FROM wq), NULL
+UNION ALL
+SELECT 'one_value_per_key',
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+    SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) > 1)), NULL
+UNION ALL
+SELECT 'column_change_within_ratio',
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+    SELECT * FROM (
+      SELECT CASE WHEN prev <> 0 THEN abs((n - prev) / prev) END
+        AS pc, prev
+      FROM (
+        SELECT CAST(n AS DOUBLE) AS n,
+          LAG(CAST(n AS DOUBLE)) OVER (
+            PARTITION BY o_orderpriority ORDER BY y) AS prev
+        FROM (
+          SELECT o_orderpriority,
+            EXTRACT(year FROM o_orderdate) AS y, count(*) AS n
+          FROM orders GROUP BY 1, 2)))
+    WHERE prev IS NOT NULL AND pc > 0.5)), NULL
+UNION ALL
+SELECT 'columns_ratio',
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_tax IS NOT NULL AND l_tax <> 0
+     AND l_discount / l_tax > 2.0), NULL
+UNION ALL
+SELECT 'summed_columns_not_exceed_threshold',
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+   WHERE l_discount + l_tax IS NOT NULL
+     AND l_discount + l_tax > 0.12), NULL
+""")
+def table_quality_screens(spark, sf_dir):
+    """The r13-ported dbt validation layer's driver row (VERDICT r12
+    #4, staged r13, registered r14): the eleven generic dbt test /
+    macro shapes in `pudl_spark.validate` (refs:
+    dbt/tests/data_tests/generic_tests/check_column_correlation.sql,
+    expect_column_fraction_with_condition.sql,
+    expect_includes_all_value_combinations_from.sql,
+    expect_columns_not_all_null.sql, expect_missingness_between.sql,
+    expect_date_frequency_ratio.sql,
+    expect_column_weighted_quantile_values_to_be_between.sql, and
+    dbt/macros/ one_value_per_key.sql,
+    expect_column_change_within_ratio.sql, expect_columns_ratio.sql,
+    expect_summed_columns_not_exceed_threshold.sql) exercised
+    through the REAL check functions, one row per check:
+    (check_name, n_violations, metric). Pass AND fail paths both
+    appear (correlation and missingness fail on the test data with
+    wide margins; fraction, combinations-coverage-modulo-the-
+    planted-key and the maturity-screened date ratio pass). Float
+    metrics route through exact decimal sums (or exact integer
+    ratios) before any double arithmetic, so the final doubles are
+    bit-identical cross-engine per the hash-parity discipline;
+    F.corr itself is used only for the 0/1 violation count, 0.497
+    away from its threshold.
+
+    ONE ACTION (VERDICT r13 #2, collapsed before registration):
+    every check contributes a lazy 1-row (check_name, n_violations,
+    metric) aggregate and the eleven union into a single returned
+    plan — the driver's one collect runs all independent
+    aggregation stages concurrently instead of ~20 sequential
+    driver round trips. The only eager step left is
+    check_columns_not_all_null's internal single-scan stats row
+    (that check materializes its bounded violations frame by
+    design), so a full run is 2 driver actions.
+    """
+    from pudl_spark.validate import (
+        check_column_change_within_ratio,
+        check_column_correlation,
+        check_column_fraction_with_condition,
+        check_columns_not_all_null,
+        check_columns_ratio,
+        check_date_frequency_ratio,
+        check_includes_all_value_combinations_from,
+        check_missingness_between,
+        check_one_value_per_key,
+        check_summed_columns_not_exceed_threshold,
+        check_weighted_quantile_constraints,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dec = "decimal(12,2)"
+
+    def screen(name, viol, metric=None):
+        # one lazy result row: COUNT(*) over the check's violations
+        # frame, plus an optional 1-row metric aggregate joined in
+        row = viol.agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"))
+        if metric is None:
+            row = row.withColumn("metric",
+                                 F.lit(None).cast("double"))
+        else:
+            row = row.crossJoin(F.broadcast(metric))
+        return row.select(
+            F.lit(name).alias("check_name"), "n_violations",
+            F.col("metric").cast("double").alias("metric"))
+
+    frames = []
+
+    # 1. correlation — quantity vs extendedprice is ~0.003 on the
+    #    synthetic data, so min_corr=0.5 FAILS with a huge margin;
+    #    the metric replays Pearson r from exact decimal sums.
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    corr_metric = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy")).select(
+        F.round((F.col("n") * F.col("sxy")
+                 - F.col("sx") * F.col("sy"))
+                / (F.sqrt(F.col("n") * F.col("sxx")
+                          - F.col("sx") * F.col("sx"))
+                   * F.sqrt(F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy"))), 6)
+        .alias("metric"))
+    frames.append(screen(
+        "column_correlation",
+        check_column_correlation(li, "l_quantity",
+                                 "l_extendedprice", 0.5),
+        corr_metric))
+
+    # 2. weighted fraction — share of quantity on returned lines is
+    #    ~0.334; bounds [0.2, 0.5] PASS. Decimal-cast quantity makes
+    #    both engines' sums exact before the double division.
+    li2 = li.withColumn("l_qty_dec", x)
+    frac_metric = li2.agg(F.round(
+        F.sum(F.when(F.col("l_returnflag") == "R",
+                     F.col("l_qty_dec")).otherwise(F.lit(0)))
+        * F.lit(1.0) / F.sum("l_qty_dec"), 4).alias("metric"))
+    frames.append(screen(
+        "column_fraction_with_condition",
+        check_column_fraction_with_condition(
+            li2, "l_qty_dec", F.col("l_returnflag") == "R",
+            0.2, 0.5),
+        frac_metric))
+
+    # 3. not-all-null — a planted all-NULL column is the one
+    #    violation; every real orders column passes.
+    frames.append(screen(
+        "columns_not_all_null",
+        check_columns_not_all_null(
+            orders.withColumn("ghost", F.lit(None).cast("string")),
+            table_name="orders")))
+
+    # 4. combination coverage — region keys plus a planted key 99
+    #    vs the keys nation actually references: exactly the planted
+    #    key is missing.
+    want = (region.select(F.col("r_regionkey").alias("k"))
+            .unionByName(spark.range(1).select(
+                F.lit(99).cast("long").alias("k"))))
+    frames.append(screen(
+        "includes_all_value_combinations",
+        check_includes_all_value_combinations_from(
+            nation.select(F.col("n_regionkey").alias("k")), want,
+            ["k"])))
+
+    # 5. missingness — value nulled at event_id % 13 == 0 (~7.7%)
+    #    vs an upper bound of 5%: FAILS; the metric is an exact
+    #    integer ratio, bit-identical cross-engine.
+    ev = events.withColumn(
+        "value", F.when(F.col("event_id") % 13 != 0,
+                        F.col("value")))
+    miss_metric = ev.agg(F.round(
+        (F.count(F.lit(1)) - F.count("value")).cast("double")
+        / F.count(F.lit(1)), 6).alias("metric"))
+    frames.append(screen(
+        "missingness_between",
+        check_missingness_between(ev, "value", 0.0, 0.05),
+        miss_metric))
+
+    # 6. date-frequency ratio — monthly vs annual order dates at
+    #    12:1, with the final partial year marked provisional so the
+    #    maturity screen excludes it: PASSES (the screen is what
+    #    makes it pass — without it the partial year breaks 12:1).
+    mat = F.when(F.year("o_orderdate") == 2001,
+                 F.lit("incremental_ytd")).otherwise(F.lit("final"))
+    monthly = orders.select(
+        F.date_trunc("month", "o_orderdate").alias("report_date"),
+        mat.alias("data_maturity"))
+    annual = orders.select(
+        F.date_trunc("year", "o_orderdate").alias("report_date"),
+        mat.alias("data_maturity"))
+    frames.append(screen(
+        "date_frequency_ratio",
+        check_date_frequency_ratio(monthly, annual, 12)))
+
+    # 7. weighted-quantile bounds — the quantity-weighted median of
+    #    extendedprice (~53k at every test SF) against [20k, 80k]:
+    #    PASSES with a huge margin. Count-only (metric NULL): the
+    #    check's quantile routes through the operator's double-path
+    #    cumulative windows, deterministic per engine but not
+    #    bit-pinned cross-engine, so only the wide-margin 0/1
+    #    verdict crosses the hash (the value itself is hash-pinned
+    #    by the registered weighted_median_quantity row, which keeps
+    #    DECIMAL discipline end-to-end).
+    frames.append(screen(
+        "weighted_quantile_constraints",
+        check_weighted_quantile_constraints(
+            li, "l_extendedprice", "l_quantity",
+            [(0.5, 20000.0, 80000.0)])))
+
+    # 8-11. the four standalone dbt/macros/ shapes, each count-only
+    #    and data-derived: customers holding orders at more than one
+    #    priority (one_value_per_key — a deliberately violation-rich
+    #    configuration), per-priority yearly order counts moving
+    #    >50% year-over-year (change_within_ratio — the partial
+    #    final year trips it), discount/tax row ratios past 2.0 with
+    #    the zero/NULL denominator pass rule, and discount+tax
+    #    budgets over a 0.12 cap. All integer counts; ratios compare
+    #    exact-int-derived doubles, so the 0/N verdicts are
+    #    engine-stable.
+    frames.append(screen(
+        "one_value_per_key",
+        check_one_value_per_key(orders, "o_custkey",
+                                "o_orderpriority")))
+
+    yearly = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"))
+    frames.append(screen(
+        "column_change_within_ratio",
+        check_column_change_within_ratio(
+            yearly, "n", "o_orderpriority", "y",
+            max_pct_change=0.5)))
+
+    frames.append(screen(
+        "columns_ratio",
+        check_columns_ratio(li, "l_discount", "l_tax",
+                            max_ratio=2.0)))
+
+    frames.append(screen(
+        "summed_columns_not_exceed_threshold",
+        check_summed_columns_not_exceed_threshold(
+            li.withColumn("cap", F.lit(0.12)), "l_discount",
+            "l_tax", "cap")))
+
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

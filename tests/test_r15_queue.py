@@ -1,33 +1,21 @@
-"""Tripwires and regression pins for work staged beyond r13: the
-byte-identity tripwires for the deferred `oph_banded_from_sets`
-build-half swap (r15) and the brute-force regression pin for the
-r12-unified sampler scaffold. The four r12-staged queries registered
-in r13 (plans/queries.py) and are covered by test_oracle_parity's
-full registry sweep; differential tests for any r14-staged queries
-join this file as they stage."""
+"""Tripwires and regression pins for work staged beyond r14: the
+byte-identity tripwires for the `oph_banded_from_sets` build-half
+swap (lands r15 when the LSH-store rows rotate through the prefix)
+and the brute-force regression pin for the r12-unified sampler
+scaffold. The r13-staged `table_quality_screens` composite
+registered in r14 (plans/queries.py) and is covered by
+test_oracle_parity's full registry sweep; differential tests for
+any r15-staged queries join this file as they stage."""
 
 from __future__ import annotations
 
 import importlib.util
 import os
 
-import duckdb
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.01"
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
-
-
-def _driver_sim():
-    spec = importlib.util.spec_from_file_location(
-        "driver_sim", os.path.join(REPO, "tools", "driver_sim.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def test_cross_split_oracle_defaults_unchanged():
     """The r11 `_lsh_cross_split_sql` generalization (pair_pred /
     extra_select for the streaming certification) must leave the
@@ -164,35 +152,6 @@ def test_singlepass_build_store_byte_identical(spark):
             for t in ("t_sp_live_bands", "t_sp_live_sets",
                       "t_sp_one_bands", "t_sp_one_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
-
-
-@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", SF])
-def test_staged_table_quality_screens_matches_oracle(spark, sf):
-    """Differential evidence for the r14-staged composite (the same
-    plain-session-vs-DuckDB comparison the driver runs), executed at
-    TWO SFs before registration — the r14 prefix move stays a
-    decorator move, and the composite's data assumptions (orders
-    span 1995-2001 with 2001 partial, corr(qty, price) ~ 0, returned
-    quantity share ~ 1/3, weighted median price ~ 53k — re-probed at
-    every SF this round) hold beyond the certification SF."""
-    from pudl_spark.plans import queued
-
-    ds = _driver_sim()
-    sdf = queued.table_quality_screens(spark, sf).toPandas()
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf}/{t}.parquet')")
-    odf = con.execute(queued.table_quality_screens_oracle()).df()
-    assert len(sdf) == 11
-    err = ds.compare("table_quality_screens", sdf, odf)
-    assert err is None, err
-    # both paths are exercised: at least one check fails and at
-    # least one passes on the test data
-    viol = dict(zip(sdf["check_name"], sdf["n_violations"]))
-    assert viol["column_correlation"] == 1
-    assert viol["date_frequency_ratio"] == 0
-    assert viol["weighted_quantile_constraints"] == 0
 
 
 def test_floor_watched_movers_selection():
