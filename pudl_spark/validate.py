@@ -420,6 +420,60 @@ def check_weighted_quantile_constraints(
     return out
 
 
+def debug_quantile_constraints(
+        df: DataFrame, col: str,
+        constraints: list[tuple[float, float | None, float | None]],
+        weight_col: str | None = None,
+        row_condition=None) -> DataFrame:
+    """The interactive debug twin of the quantile checks (ref:
+    dbt/macros/debug_quantile_constraints.sql): one row per
+    constraint — (quantile, value, min_value, max_value) — WITHOUT
+    the violations filter, so a failing bound can be eyeballed next
+    to the computed value. The reference walks the dbt graph and
+    log()s a table driver-side; here the returned DataFrame IS the
+    debug view (`.show()` reproduces the macro's table). Bounds may
+    be None (the macro's `default("NULL")`). Routes through the
+    same computation paths as the checks: one percentile aggregation
+    for the unweighted form, the pooled-ties weighted_quantile per
+    constraint for the weighted form.
+    """
+    from pudl_spark.operators.aggregate import weighted_quantile
+
+    if row_condition is not None:
+        pred = (F.expr(row_condition)
+                if isinstance(row_condition, str) else row_condition)
+        df = df.filter(pred)
+
+    def bound(v):
+        return (F.lit(None).cast("double") if v is None
+                else F.lit(float(v)))
+
+    rows = []
+    if weight_col is None:
+        agg = df.agg(*[
+            F.expr(f"percentile({col}, {q})").alias(f"q{i}")
+            for i, (q, _, _) in enumerate(constraints)])
+        for i, (q, lo, hi) in enumerate(constraints):
+            rows.append(agg.select(
+                F.lit(float(q)).alias("quantile"),
+                F.col(f"q{i}").cast("double").alias("value"),
+                bound(lo).alias("min_value"),
+                bound(hi).alias("max_value")))
+    else:
+        for q, lo, hi in constraints:
+            wq = weighted_quantile(df, col, weight_col, q,
+                                   out_col="value")
+            rows.append(wq.select(
+                F.lit(float(q)).alias("quantile"),
+                F.col("value").cast("double").alias("value"),
+                bound(lo).alias("min_value"),
+                bound(hi).alias("max_value")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # --- r13 (second pass): the four reusable shapes living in
 #     dbt/macros/ proper (the generic_tests/ port above covered the
 #     test library; these are the standalone test macros). Same

@@ -400,6 +400,41 @@ def test_summed_columns_not_exceed_threshold(spark):
         df, "a", "b", "cap", error_threshold=1).count() == 0
 
 
+def test_debug_quantile_constraints(spark):
+    """The debug twin (ref: dbt/macros/debug_quantile_constraints.sql)
+    reports EVERY constraint row unfiltered — value next to bounds,
+    NULL-able bounds — and agrees with the filtered checks on which
+    rows violate."""
+    from pudl_spark.validate import (
+        check_quantile_constraints, debug_quantile_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v), 1.0) for v in range(1, 101)], "x double, w double")
+    cons = [(0.5, 40.0, 60.0),   # median 50.5: in bounds
+            (0.9, None, 80.0),   # p90 ~90: violates, open lower bound
+            (0.1, 0.0, None)]    # p10 ~10: in bounds, open upper
+    dbg = {r["quantile"]: r for r in debug_quantile_constraints(
+        df, "x", cons).collect()}
+    assert len(dbg) == 3
+    assert abs(dbg[0.5]["value"] - 50.5) < 1e-9
+    assert dbg[0.9]["min_value"] is None
+    assert dbg[0.1]["max_value"] is None
+    # the debug view shows all rows; the check filters to violations
+    viol = check_quantile_constraints(
+        df, "x", [(0.5, 40.0, 60.0), (0.9, 0.0, 80.0)]).collect()
+    assert len(viol) == 1 and viol[0]["quantile"] == 0.9
+    assert abs(viol[0]["value"] - dbg[0.9]["value"]) < 1e-9
+    # weighted form routes through the pooled-ties weighted_quantile
+    wdbg = debug_quantile_constraints(
+        df, "x", [(0.5, None, None)], weight_col="w").collect()
+    assert len(wdbg) == 1 and abs(wdbg[0]["value"] - 50.5) < 1e-9
+    # row_condition pre-filters like the macro's where subquery
+    cdbg = debug_quantile_constraints(
+        df, "x", [(0.5, None, None)], row_condition="x <= 50").collect()
+    assert abs(cdbg[0]["value"] - 25.5) < 1e-9
+
+
 def test_subcomponents_sum_to_total(spark):
     from pudl_spark.validate import check_subcomponents_sum_to_total
 
