@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     "doc_weighted_rendezvous_shards",
     "doc_lsh_store_ingest",
     "doc_weighted_sample",
+    # r14 registration: the eleven-check dbt validation composite —
+    # a real nightly-validation workload (eleven concurrent
+    # aggregation families over four tables in one action), not a
+    # certification artifact, so it joins the suite.
+    "table_quality_screens",
     # The r12 registrations (doc_lsh_store_redelivery ~10s,
     # ivf_store_redelivery ~5s, doc_lsh_stream_pairs ~14-26s at
     # sf0.1) stay out: their walls are certification artifacts —

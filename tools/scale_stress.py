@@ -101,7 +101,7 @@ DEDUP_QUERIES = [
 
 
 def build_mutated(spark, mult: int, base: str = BASE,
-                  out_dir: str = MUT_SCALED) -> None:
+                  out_dir: str = MUT_SCALED, rate: int = 60) -> None:
     """Mutation-based corpus scaler for the DEDUP family (VERDICT r13
     #4). Verbatim copy-scaling is confounded for near-dup queries:
     every copy of a doc is a jaccard-1.0 partner of every other copy,
@@ -114,16 +114,22 @@ def build_mutated(spark, mult: int, base: str = BASE,
     100 TB crawl looks like:
 
     - documents: per-copy deterministic word substitution. Each
-      whitespace token w is replaced, with ~45% probability keyed on
-      xxhash64(w || ':' || i), by a same-length md5-derived token.
-      The substitution is a pure function of (token, copy), so two
-      docs in the SAME copy that shared a token still share its
-      mutated form — intra-copy shingle jaccard is ~preserved and
-      every base near-dup pair recurs once per copy. Cross-copy, a
-      doc vs its own mutant shares only the ~55% unmutated tokens:
-      with c ~= 0.45 of 3-char shingles changed, jaccard ~=
-      (1-c)/(1+c) ~= 0.38 — safely under the 0.5 registered
-      threshold (the corpus' qualifying pairs sit at J >= 0.8).
+      whitespace token w is replaced, with probability rate% keyed
+      on xxhash64(w || ':' || i), by a same-length md5-derived
+      token. The substitution is a pure function of (token, copy),
+      so two docs in the SAME copy that shared a token still share
+      its mutated form — intra-copy shingle jaccard is ~preserved
+      and every base near-dup pair recurs once per copy (pinned
+      exactly in tests/test_scale_stress_mutation.py). Cross-copy,
+      a doc vs its own mutant keeps a 3-WORD shingle only when all
+      three words escape: with p = rate/100, expected jaccard ~=
+      (1-p)^3 / (2 - (1-p)^3) — 0.034 at the default rate 60, far
+      under the 0.5 registered threshold. Residual leakage comes
+      from SHORT docs whose every word escapes (P = (1-p)^n_words):
+      measured at sf0.001, rate 45 leaves 3/500 docs at J >= 0.5
+      (max 0.64) while rate 60 leaves none (max 0.33), and at
+      sf0.1 x100 the output-row linearity is 1.25 at rate 45 vs
+      1.008 at rate 60 — hence the default.
     - embeddings: per-copy SIGNED PERMUTATION of the dims — a
       bit-exact orthogonal transform (permuting float32 lanes and
       flipping sign bits loses no precision), so intra-copy cosines
@@ -161,7 +167,7 @@ def build_mutated(spark, mult: int, base: str = BASE,
             c = c.withColumn("text", F.expr(f"""
                 array_join(transform(split(text, ' '), w ->
                   CASE WHEN length(w) > 0
-                        AND pmod(xxhash64(concat(w, ':{i}')), 100) < 45
+                        AND pmod(xxhash64(concat(w, ':{i}')), 100) < {rate}
                        THEN substring(
                               repeat(md5(concat(w, ':{i}')),
                                      1 + CAST(length(w) / 32 AS INT)),
@@ -468,6 +474,7 @@ def main() -> int:
     # --append-stress used to fall through into the query names).
     reseed_stress = False
     dedup_stress = False
+    mutate_rate = 60
     while args and args[0].startswith("--"):
         if args[0] == "--append-stress":
             append_stress = True; args = args[1:]
@@ -475,6 +482,8 @@ def main() -> int:
             reseed_stress = True; args = args[1:]
         elif args[0] == "--dedup-stress":
             dedup_stress = True; args = args[1:]
+        elif args[0] == "--mutate-rate":
+            mutate_rate = int(args[1]); args = args[2:]
         elif args[0] == "--mult":
             mult = int(args[1]); args = args[2:]
         else:
@@ -489,14 +498,15 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     if dedup_stress:
-        print(f"building mutated {mult}x corpus under {MUT_SCALED} ...",
-              file=sys.stderr)
+        print(f"building mutated {mult}x corpus (rate {mutate_rate}) "
+              f"under {MUT_SCALED} ...", file=sys.stderr)
         t0 = time.perf_counter()
-        build_mutated(spark, mult)
+        build_mutated(spark, mult, rate=mutate_rate)
         print(f"built in {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         res = stress_dedup(spark, mult, args or None)
-        print(json.dumps({"mult": mult, "dedup_stress": res}))
+        print(json.dumps({"mult": mult, "mutate_rate": mutate_rate,
+                          "dedup_stress": res}))
         spark.stop()
         return 0
 
