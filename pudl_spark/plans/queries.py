@@ -9561,10 +9561,10 @@ def table_quality_screens(spark, sf_dir):
     metric) aggregate and the eleven union into a single returned
     plan — the driver's one collect runs all independent
     aggregation stages concurrently instead of ~20 sequential
-    driver round trips. The only eager step left is
-    check_columns_not_all_null's internal single-scan stats row
-    (that check materializes its bounded violations frame by
-    design), so a full run is 2 driver actions.
+    driver round trips. Since the r14 stack()-unpivot rewrite of
+    check_columns_not_all_null (its stats row used to collect
+    driver-side) every check is fully lazy, so a full run is
+    exactly 1 driver action.
     """
     from pudl_spark.validate import (
         check_column_change_within_ratio,

@@ -286,36 +286,56 @@ def check_columns_not_all_null(
     row condition (fail if the condition matches >0 rows but the
     column is NULL on all of them). The reference UNION-ALLs one
     scan per column; here ALL columns check in ONE aggregation pass
-    (a conditional count pair per column), and the bounded
-    violations frame (<= n_cols rows) is assembled driver-side from
-    that single row. Violation columns mirror the reference's.
+    (a conditional count pair per column) whose single row unpivots
+    to one row per column via stack() — fully LAZY (r14; the
+    earlier form collected the stats row driver-side, which made
+    every composite embedding this check pay an extra driver
+    action). Violation columns mirror the reference's.
     """
     exclude = set(exclude_columns or ())
     conds = {k: (F.expr(v) if isinstance(v, str) else v)
              for k, v in (row_conditions or {}).items()}
     cols = [c for c in df.columns if c not in exclude]
+    schema = ("table_name string, failing_column string, "
+              "failure_reason string, row_condition string, "
+              "total_rows_matching_condition long, non_null_count long")
+    if not cols:
+        return df.sparkSession.createDataFrame([], schema)
     aggs = []
     for i, c in enumerate(cols):
         cond = conds.get(c, F.lit(True))
         aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"t{i}"))
         aggs.append(F.count(F.when(cond, F.col(c))).alias(f"n{i}"))
-    stats = df.agg(*aggs).collect()[0] if aggs else {}
-    rows = []
-    for i, c in enumerate(cols):
-        total, nonnull = stats[f"t{i}"], stats[f"n{i}"]
-        if total > 0 and nonnull == 0:
-            if c in (row_conditions or {}):
-                reason = f"Conditional check failed: {row_conditions[c]}"
-                shown = str(row_conditions[c])
-            else:
-                reason = "Column is entirely NULL"
-                shown = "N/A (entire table)"
-            rows.append((table_name, c, reason, shown,
-                         int(total), int(nonnull)))
-    return df.sparkSession.createDataFrame(
-        rows, "table_name string, failing_column string, "
-              "failure_reason string, row_condition string, "
-              "total_rows_matching_condition long, non_null_count long")
+    stats = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c.replace(chr(39), chr(39) * 2)}', t{i}, n{i}"
+        for i, c in enumerate(cols))
+    unpivoted = stats.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) as "
+        f"(failing_column, total_rows_matching_condition, "
+        f"non_null_count)"))
+    reason = F.lit("Column is entirely NULL")
+    shown = F.lit("N/A (entire table)")
+    for c in (row_conditions or {}):
+        match = F.col("failing_column") == c
+        reason = F.when(
+            match,
+            F.lit(f"Conditional check failed: {row_conditions[c]}")
+        ).otherwise(reason)
+        shown = F.when(match, F.lit(str(row_conditions[c]))) \
+            .otherwise(shown)
+    return (unpivoted
+            .filter((F.col("total_rows_matching_condition") > 0)
+                    & (F.col("non_null_count") == 0))
+            .select(F.lit(table_name).alias("table_name"),
+                    "failing_column",
+                    reason.alias("failure_reason"),
+                    shown.alias("row_condition"),
+                    F.col("total_rows_matching_condition")
+                    .cast("long")
+                    .alias("total_rows_matching_condition"),
+                    F.col("non_null_count").cast("long")
+                    .alias("non_null_count")))
 
 
 def check_missingness_between(df: DataFrame, col: str,
