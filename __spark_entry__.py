@@ -37,8 +37,8 @@ _TOUCHED_THIS_ROUND = [
     # ported in r13 (validate.py), pre-verified vs DuckDB at two SFs
     # in the r13 staging queue tests. Before registering it was
     # collapsed from ~20 sequential driver actions to a single
-    # unioned plan (VERDICT r13 #2: one collect + the not-all-null
-    # check's internal stats row = 2 driver actions), and
+    # unioned plan (VERDICT r13 #2: one collect — the not-all-null
+    # check's stats row went lazy via stack() the same round), and
     # check_column_fraction_with_condition now evaluates its bounds
     # on the UNROUNDED fraction (ADVICE r13; rounding is
     # display-only, mirroring the reference's WHERE clause) — both
