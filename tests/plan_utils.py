@@ -18,3 +18,25 @@ def optimized_plan_classes(df) -> list[str]:
         return acc
 
     return walk(df._jdf.queryExecution().optimizedPlan(), [])
+
+
+def file_scan_schemas(df) -> list[tuple[str, list[str]]]:
+    """(table file name, pruned column list) for every parquet
+    FileSourceScan in the PRE-AQE physical plan (sparkPlan — the
+    adaptive wrapper hides children until execution). The
+    column-pruning pins assert on these instead of grepping
+    ReadSchema out of explain text."""
+    def walk(node, acc):
+        acc.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    out = []
+    for n in walk(df._jdf.queryExecution().sparkPlan(), []):
+        if "FileSourceScan" in n.getClass().getSimpleName():
+            cols = [f.name() for f in n.requiredSchema().fields()]
+            loc = n.relation().location().rootPaths().head().toString()
+            out.append((loc.rstrip("/").rsplit("/", 1)[-1], cols))
+    return out

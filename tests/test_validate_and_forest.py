@@ -487,3 +487,30 @@ def test_subcomponents_sum_to_total(spark):
         df4, ["entity"], "cat", "v", "total").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(got) == 1  # e4 still fails: rebate did NOT subtract
+
+
+def test_table_quality_screens_plan_pruning(spark):
+    """Column-pruning pin for the registered composite (r14): at
+    100 TB the composite's cost is scan bytes, so every lineitem /
+    events scan must prune to exactly the 2 columns its check
+    reads, and the ONLY full-width scan allowed is the not-all-null
+    check's orders pass (which must examine every column by
+    definition). Node-level assertion (plan_utils.file_scan_schemas),
+    not explain-string grepping."""
+    from plan_utils import file_scan_schemas
+
+    from pudl_spark.plans.queries import QUERIES
+
+    df = QUERIES["table_quality_screens"](spark,
+                                          "/root/testdata/sf0.001")
+    scans = file_scan_schemas(df)
+    assert scans, "no parquet scans found in the physical plan"
+    wide = []
+    for table, cols in scans:
+        if table.startswith(("lineitem", "events")):
+            assert len(cols) <= 2, (table, cols)
+        elif len(cols) > 2:
+            wide.append((table, cols))
+    # exactly one full-width scan: not-all-null over orders
+    assert len(wide) == 1 and wide[0][0].startswith("orders"), wide
+    assert "o_orderkey" in wide[0][1] and "o_comment" not in wide[0][1]
