@@ -242,7 +242,13 @@ def main() -> None:
                          # ratio certifies that build+probe stays
                          # linear-ish in the corpus (the build IS
                          # O(corpus); the probe is O(batch)).
-                         "doc_lsh_store_increment"):
+                         "doc_lsh_store_increment",
+                         # r14: the validation composite — eleven
+                         # concurrent aggregates over one action; its
+                         # sf1 ratio certifies the union of small
+                         # aggs stays scan-bound (no stage-scheduling
+                         # pathology as the table grows).
+                         "table_quality_screens"):
                 fn = QUERIES.get(name)
                 if fn is None or name not in times:
                     continue
