@@ -307,9 +307,14 @@ def check_columns_not_all_null(
         aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"t{i}"))
         aggs.append(F.count(F.when(cond, F.col(c))).alias(f"n{i}"))
     stats = df.agg(*aggs)
+    # Spark SQL string literals interpret backslash escapes, so both
+    # the backslash and the quote need escaping or a column named
+    # "a\b" round-trips as "a<backspace>" (probed r14).
+    def lit_esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     stack_args = ", ".join(
-        f"'{c.replace(chr(39), chr(39) * 2)}', t{i}, n{i}"
-        for i, c in enumerate(cols))
+        f"'{lit_esc(c)}', t{i}, n{i}" for i, c in enumerate(cols))
     unpivoted = stats.select(F.expr(
         f"stack({len(cols)}, {stack_args}) as "
         f"(failing_column, total_rows_matching_condition, "

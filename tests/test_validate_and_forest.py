@@ -212,6 +212,20 @@ def test_columns_not_all_null(spark):
     assert check_columns_not_all_null(
         df, exclude_columns=["ghost"],
         row_conditions={"v": "id = 99"}).count() == 0
+    # the lazy stack() rewrite (r14) builds with ZERO jobs...
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup("nan_lazy", "")
+    check_columns_not_all_null(df, table_name="t")
+    assert not tracker.getJobIdsForGroup("nan_lazy")
+    # ...and its string literals escape quotes AND backslashes (a
+    # column named "a\\b" used to round-trip as "a<backspace>")
+    nasty = spark.range(2).select(
+        F.lit(None).cast("string").alias("a'b"),
+        F.lit(None).cast("string").alias("a\\b"),
+        F.lit(1).alias("ok"))
+    got = sorted(r["failing_column"] for r in
+                 check_columns_not_all_null(nasty).collect())
+    assert got == ["a'b", "a\\b"]
 
 
 def test_missingness_between(spark):
