@@ -76,7 +76,9 @@ def check_quantile_constraints(
     """
     aggs, bounds = [], []
     for i, (q, lo, hi) in enumerate(constraints):
-        aggs.append(F.expr(f"percentile({col}, {q})").alias(f"q{i}"))
+        aggs.append(F.expr(
+            f"percentile(`{col.replace(chr(96), chr(96) * 2)}`, {q})"
+        ).alias(f"q{i}"))
         bounds.append((i, q, lo, hi))
     row = df.agg(*aggs)
     checks = []
@@ -476,7 +478,8 @@ def debug_quantile_constraints(
     rows = []
     if weight_col is None:
         agg = df.agg(*[
-            F.expr(f"percentile({col}, {q})").alias(f"q{i}")
+            F.expr(f"percentile(`{col.replace(chr(96), chr(96) * 2)}`,"
+                   f" {q})").alias(f"q{i}")
             for i, (q, _, _) in enumerate(constraints)])
         for i, (q, lo, hi) in enumerate(constraints):
             rows.append(agg.select(
