@@ -1,0 +1,158 @@
+"""Property-based differential fuzzing of the dbt-validation layer
+(r14): hypothesis generates small random frames — NULL-heavy keys,
+integer-valued measures so every sum is exact in any execution order —
+and each check runs against a literal SQL twin of its reference macro
+in DuckDB. Exact equality, same discipline as test_differential_fuzz.
+This closes the gap the composite's fixed configuration can't: the
+checks' NULL/zero/empty edge rules under arbitrary data shapes.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+KEYS = ["a", "b", "c", None]
+VALS = [0, 1, 2, 5, None]
+
+
+def _frame(rows):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "x", "y"])
+    # nullable ints keep NULLs distinct from NaN for duckdb
+    for c in ("v", "x", "y"):
+        pdf[c] = pdf[c].astype("Int64")
+    return pdf
+
+
+def _spark_frame(spark, pdf):
+    rows = [tuple(None if pd.isna(v) else (int(v) if c != "k" else v)
+                  for c, v in zip(pdf.columns, r))
+            for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(
+        rows, "k string, v long, x long, y long")
+
+
+row_st = st.tuples(st.sampled_from(KEYS), st.sampled_from(VALS),
+                   st.sampled_from(VALS), st.sampled_from(VALS))
+rows_st = st.lists(row_st, min_size=0, max_size=12)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st)
+def test_one_value_per_key_matches_sql(spark, rows):
+    from pudl_spark.validate import check_one_value_per_key
+
+    pdf = _frame(rows)
+    got = sorted((r["key_value"], r["distinct_count"]) for r in
+                 check_one_value_per_key(
+                     _spark_frame(spark, pdf), "k", "v").collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute(
+        "SELECT k, count(DISTINCT v) FROM t WHERE k IS NOT NULL "
+        "GROUP BY k HAVING count(DISTINCT v) > 1").fetchall()))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st,
+       hi=st.sampled_from([0.0, 0.25, 0.5, 0.75, 1.0]))
+def test_missingness_between_matches_sql(spark, rows, hi):
+    from pudl_spark.validate import check_missingness_between
+
+    pdf = _frame(rows)
+    got = check_missingness_between(
+        _spark_frame(spark, pdf), "v", 0.0, hi).count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # the reference computes the exact ratio and passes empty input
+    # (NULLIF denominator); both engines evaluate the identical
+    # double expression
+    want = con.execute(
+        "SELECT count(*) FROM ("
+        "  SELECT CAST(count(*) - count(v) AS DOUBLE)"
+        "         / NULLIF(count(*), 0) AS p FROM t)"
+        f" WHERE p < 0.0 OR p > {hi}").fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st,
+       ratio=st.sampled_from([0.5, 1.0, 2.0]))
+def test_columns_ratio_matches_sql(spark, rows, ratio):
+    from pudl_spark.validate import check_columns_ratio
+
+    pdf = _frame(rows)
+    got = check_columns_ratio(
+        _spark_frame(spark, pdf), "x", "y", max_ratio=ratio).count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # zero/NULL denominators pass (the macro's explicit rule);
+    # integer division exactness: x/y on small ints is the same
+    # double in both engines
+    want = con.execute(
+        "SELECT count(*) FROM t WHERE y IS NOT NULL AND y <> 0 "
+        f"AND CAST(x AS DOUBLE) / y > {ratio}").fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st,
+       cap=st.sampled_from([0, 2, 4, 7]))
+def test_summed_columns_threshold_matches_sql(spark, rows, cap):
+    from pudl_spark.validate import (
+        check_summed_columns_not_exceed_threshold,
+    )
+
+    pdf = _frame(rows)
+    df = _spark_frame(spark, pdf).withColumn(
+        "cap", F.lit(cap).cast("long"))
+    got = check_summed_columns_not_exceed_threshold(
+        df, "x", "y", "cap").count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # NULL sums pass (x + y IS NULL when either is)
+    want = con.execute(
+        "SELECT count(*) FROM t WHERE x + y IS NOT NULL "
+        f"AND x + y > {cap}").fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st, rows2=rows_st)
+def test_combination_coverage_matches_except(spark, rows, rows2):
+    """The NULL-safe anti-join must replay SQL EXCEPT's NULL
+    semantics exactly — the adversarial case the r13 NULL-safety fix
+    exists for (NULL-keyed combinations present on both sides are
+    NOT missing)."""
+    from pudl_spark.validate import (
+        check_includes_all_value_combinations_from,
+    )
+
+    def key(p):
+        return ((p[0] is None, p[0] or ""), (p[1] is None, p[1] or 0))
+
+    model, compare = _frame(rows), _frame(rows2)
+    got = sorted(
+        (((None if r["k"] is None else r["k"]),
+          (None if r["v"] is None else r["v"])) for r in
+         check_includes_all_value_combinations_from(
+             _spark_frame(spark, model), _spark_frame(spark, compare),
+             ["k", "v"]).collect()), key=key)
+    con = duckdb.connect()
+    con.register("m", model)
+    con.register("c", compare)
+    want = sorted(
+        ((k, None if pd.isna(v) else int(v)) for k, v in con.execute(
+            "SELECT DISTINCT k, v FROM c "
+            "EXCEPT SELECT DISTINCT k, v FROM m").fetchall()),
+        key=key)
+    assert got == want
