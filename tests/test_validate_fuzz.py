@@ -156,3 +156,87 @@ def test_combination_coverage_matches_except(spark, rows, rows2):
             "EXCEPT SELECT DISTINCT k, v FROM m").fetchall()),
         key=key)
     assert got == want
+
+
+CATS = ["fuel", "labor", "rebate", "total", None]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["e1", "e2"]), st.sampled_from(CATS),
+              st.sampled_from(VALS)), min_size=0, max_size=12))
+def test_subcomponents_case_order_matches_sql(spark, rows):
+    """The reference's CASE order — explicit positives win over
+    negatives, negatives subtract, everything else ignored — replayed
+    literally in DuckDB. Integer values keep every sum exact."""
+    from pudl_spark.validate import check_subcomponents_sum_to_total
+
+    pdf = pd.DataFrame(rows, columns=["e", "cat", "v"])
+    pdf["v"] = pdf["v"].astype("Int64")
+    sdf = spark.createDataFrame(
+        [tuple(None if pd.isna(x) else
+               (int(x) if i == 2 else x) for i, x in enumerate(r))
+         for r in pdf.itertuples(index=False)],
+        "e string, cat string, v long")
+    got = sorted(
+        (r["e"], r["subcomponents_sum"], r["grand_total"]) for r in
+        check_subcomponents_sum_to_total(
+            sdf, ["e"], "cat", "v", "total", tolerance=0,
+            subcomponents=["fuel", "labor", "rebate"],
+            negative_subcomponents=["rebate", "labor"]).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    # CASE order exactly as the reference macro writes it: the
+    # positive listing is the FIRST branch, so rebate/labor in both
+    # lists count POSITIVE
+    want = sorted(map(tuple, con.execute("""
+        WITH g AS (
+          SELECT e, cat, sum(v) AS total FROM t GROUP BY e, cat
+        ), s AS (
+          SELECT e,
+            sum(CASE
+              WHEN cat IN ('fuel', 'labor', 'rebate') THEN total
+              WHEN cat IN ('rebate', 'labor') THEN -total
+            END) AS subcomponents_sum,
+            max(CASE WHEN cat = 'total' THEN total END) AS grand_total
+          FROM g GROUP BY e)
+        SELECT e, CAST(subcomponents_sum AS BIGINT),
+               CAST(grand_total AS BIGINT)
+        FROM s WHERE abs(subcomponents_sum - grand_total) > 0
+        """).fetchall()))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]),
+              st.sampled_from([2020, 2021, 2022, 2023]),
+              st.sampled_from([0, 1, 2, 4, 9])),
+    min_size=0, max_size=10, unique_by=lambda r: (r[0], r[1])))
+def test_change_within_ratio_matches_sql(spark, rows):
+    """Lag-window pct-change with the reference's zero-previous rule
+    (NULL pct_change passes) against the literal SQL twin."""
+    from pudl_spark.validate import check_column_change_within_ratio
+
+    pdf = pd.DataFrame(rows, columns=["g", "yr", "n"])
+    sdf = spark.createDataFrame(
+        [(r.g, int(r.yr), float(r.n))
+         for r in pdf.itertuples(index=False)],
+        "g string, yr int, n double")
+    got = check_column_change_within_ratio(
+        sdf, "n", "g", "yr", max_pct_change=0.5).count()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute("""
+        SELECT count(*) FROM (
+          SELECT CASE WHEN prev <> 0
+                      THEN abs((n - prev) / prev) END AS pc, prev
+          FROM (
+            SELECT CAST(n AS DOUBLE) AS n,
+              LAG(CAST(n AS DOUBLE)) OVER (
+                PARTITION BY g ORDER BY yr) AS prev
+            FROM t))
+        WHERE prev IS NOT NULL AND pc > 0.5""").fetchone()[0]
+    assert got == want
