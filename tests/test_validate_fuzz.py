@@ -240,3 +240,57 @@ def test_change_within_ratio_matches_sql(spark, rows):
             FROM t))
         WHERE prev IS NOT NULL AND pc > 0.5""").fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]),
+              st.sampled_from([1.0, 2.0, 2.0, 5.0, 7.5, 10.0, None]),
+              st.sampled_from([0.0, 0.5, 1.0, 3.0, -1.0, None])),
+    min_size=1, max_size=14),
+    q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]))
+def test_weighted_quantile_matches_bruteforce(spark, rows, q):
+    """The pooled-tie interpolated weighted quantile — the single
+    most numerically subtle operator in the validation layer
+    (dbt/macros/weighted_quantile.sql twin) — against a literal
+    Python transcription of its definition: pool ties, cum =
+    (cumsum(w) - w/2)/total over value order, clamp to the first/
+    last value outside the cum range, interpolate between brackets.
+    Random ties, zero/negative/NULL weights (all dropped), NULL
+    values, per-group frames, boundary quantiles 0 and 1."""
+    from pudl_spark.operators.aggregate import weighted_quantile
+
+    def brute(pairs):
+        agg = {}
+        for x, w in pairs:
+            if x is None or w is None or w <= 0:
+                continue
+            agg[x] = agg.get(x, 0.0) + w
+        if not agg:
+            return None
+        xs = sorted(agg)
+        total = sum(agg[x] for x in xs)
+        cums, run = [], 0.0
+        for x in xs:
+            run += agg[x]
+            cums.append((run - agg[x] / 2) / total)
+        if q <= cums[0]:
+            return xs[0]
+        if q >= cums[-1]:
+            return xs[-1]
+        for i in range(1, len(xs)):
+            if cums[i - 1] < q <= cums[i]:
+                return (xs[i - 1] + (xs[i] - xs[i - 1])
+                        * (q - cums[i - 1]) / (cums[i] - cums[i - 1]))
+
+    df = spark.createDataFrame(rows, "g string, x double, w double")
+    got = {r["g"]: r["wq"] for r in weighted_quantile(
+        df, "x", "w", q, by=["g"], out_col="wq").collect()}
+    for g in ("g1", "g2"):
+        want = brute([(x, w) for gg, x, w in rows if gg == g])
+        if want is None:
+            assert g not in got
+        else:
+            assert g in got, (g, rows)
+            assert abs(got[g] - want) < 1e-9, (g, got[g], want)
