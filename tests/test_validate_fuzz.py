@@ -294,3 +294,39 @@ def test_weighted_quantile_matches_bruteforce(spark, rows, q):
         else:
             assert g in got, (g, rows)
             assert abs(got[g] - want) < 1e-9, (g, got[g], want)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1, max_size=24))
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping CC against a literal union-find on random
+    graphs: self-loops, parallel/reversed edges, long chains, cycles
+    and multi-component shapes all arise in the strategy. Component
+    label must be the MIN node id of the component — exactly the
+    operator's contract — and every endpoint must be labeled."""
+    from pudl_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # min-id labeling: union-find roots here are already the min id
+    # of their set because unions always point the larger root at
+    # the smaller one
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in
+           connected_components(df).collect()}
+    assert got == want
