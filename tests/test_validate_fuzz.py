@@ -330,3 +330,39 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["node"]: r["component"] for r in
            connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 15),
+              st.sampled_from(["a", "b", None])),
+    min_size=1, max_size=14,
+    unique_by=lambda r: (r[0], r[1])))
+def test_make_changelog_matches_bruteforce(spark, rows):
+    """SCD2 changelog against a literal Python scan: keep the first
+    row of each value-change run (NULL-safe comparison — a None->None
+    step is NOT a change), valid_until = next kept row's date.
+    Random keys, dates and NULL-bearing values."""
+    from pudl_spark.operators.windows import make_changelog
+
+    def brute(seq):
+        kept, prev = [], object()
+        for d, v in sorted(seq):
+            if not kept or not (v == prev
+                                or (v is None and prev is None)):
+                kept.append([d, v, None])
+            prev = v
+        for i in range(len(kept) - 1):
+            kept[i][2] = kept[i + 1][0]
+        return {(k[0], k[1], k[2]) for k in kept}
+
+    df = spark.createDataFrame(rows, "k string, d long, v string")
+    got = {}
+    for r in make_changelog(df, ["k"], "d", ["v"]).collect():
+        got.setdefault(r["k"], set()).add(
+            (r["d"], r["v"], r["valid_until_date"]))
+    for k in ("k1", "k2"):
+        seq = [(d, v) for kk, d, v in rows if kk == k]
+        want = brute(seq)
+        assert got.get(k, set()) == want, (k, got.get(k), want)
