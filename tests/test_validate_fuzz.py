@@ -366,3 +366,52 @@ def test_make_changelog_matches_bruteforce(spark, rows):
         seq = [(d, v) for kk, d, v in rows if kk == k]
         want = brute(seq)
         assert got.get(k, set()) == want, (k, got.get(k), want)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(src1=st.lists(st.tuples(st.integers(1, 3),
+                               st.sampled_from(["x", "y", None]),
+                               st.sampled_from([1, 2, None])),
+                     min_size=0, max_size=8),
+       src2=st.lists(st.tuples(st.integers(1, 3),
+                               st.sampled_from(["x", "y", "z", None]),
+                               st.sampled_from([1, 5, None])),
+                     min_size=0, max_size=8))
+def test_harvest_voting_matches_bruteforce(spark, src1, src2):
+    """The harvesting vote — PUDL's most distinctive semantics —
+    against a literal tally: per (pk, column), NULLs abstain, top-1
+    by count with smallest-value tie-break, `most_frequent` always
+    keeps, `most_and_more_frequent` needs consistency >= 0.7,
+    `unique` needs unanimity; `sum` ignores NULLs. Two random
+    sources with overlapping keys."""
+    from pudl_spark.operators.harvest import harvest
+
+    schema = "k long, a string, m long"
+    sources = {
+        "s1": spark.createDataFrame(src1, schema),
+        "s2": spark.createDataFrame(src2, schema),
+    }
+    res = harvest(sources, ["k"],
+                  {"a": "most_and_more_frequent", "m": "sum"},
+                  min_frequency=0.7)
+    got = {r["k"]: (r["a"], r["m"]) for r in res.entity.collect()}
+
+    rows = src1 + src2
+    keys = {r[0] for r in rows}
+    want = {}
+    for k in keys:
+        votes = {}
+        for kk, a, _ in rows:
+            if kk == k and a is not None:
+                votes[a] = votes.get(a, 0) + 1
+        a_out = None
+        if votes:
+            total = sum(votes.values())
+            top = sorted(votes.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[0]
+            if top[1] / total >= 0.7:
+                a_out = top[0]
+        ms = [m for kk, _, m in rows if kk == k and m is not None]
+        want[k] = (a_out, sum(ms) if ms else None)
+    assert got == want
