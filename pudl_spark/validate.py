@@ -43,22 +43,39 @@ def assert_empty(violations: DataFrame, check: str,
         raise ValidationError(f"{check}: violations, e.g. {shown}")
 
 
-def check_row_counts_per_partition(df: DataFrame, partition_col: str,
+def check_row_counts_per_partition(df: DataFrame,
+                                   partition_col: str | None,
                                    expected: dict) -> DataFrame:
     """Golden per-partition row counts (ref: row_counts_per_partition
-    macro + etl_full_row_counts.csv seed). ``expected`` maps partition
-    value -> exact count. One aggregation; the expected side joins as
-    a broadcast literal table.
+    macro + etl_full_row_counts.csv seed; unit fixtures
+    dbt/tests/unit_tests/test_row_counts_*.sql). ``expected`` maps
+    partition value -> exact count. One aggregation; the expected
+    side joins as a broadcast literal table. Reference parity (r14):
+    NULL partition values COALESCE to '' before the join (the
+    macro's ``COALESCE(CAST(partition AS VARCHAR), '')`` — a NULL
+    key must match an expected '' row, not dangle through the full
+    outer join), a None key in ``expected`` likewise maps to '',
+    and ``partition_col=None`` selects the macro's whole-table mode
+    (one count keyed ''). Extra observed partitions, missing
+    expected partitions and count mismatches all violate, exactly
+    the macro's WHERE.
     """
     spark = df.sparkSession
+    col_name = partition_col or "partition"
     exp = spark.createDataFrame(
-        [(str(k), int(v)) for k, v in expected.items()],
-        f"{partition_col} string, expected_count long")
-    got = (df.groupBy(F.col(partition_col).cast("string")
-                      .alias(partition_col))
-           .agg(F.count(F.lit(1)).alias("actual_count")))
+        [("" if k is None else str(k), int(v))
+         for k, v in expected.items()],
+        f"{col_name} string, expected_count long")
+    if partition_col is None:
+        got = df.agg(F.count(F.lit(1)).alias("actual_count")) \
+            .select(F.lit("").alias(col_name), "actual_count")
+    else:
+        got = (df.groupBy(
+            F.coalesce(F.col(partition_col).cast("string"),
+                       F.lit("")).alias(col_name))
+            .agg(F.count(F.lit(1)).alias("actual_count")))
     return (
-        got.join(F.broadcast(exp), on=partition_col, how="full_outer")
+        got.join(F.broadcast(exp), on=col_name, how="full_outer")
         .filter(
             F.col("actual_count").isNull() | F.col("expected_count").isNull()
             | (F.col("actual_count") != F.col("expected_count")))

@@ -29,6 +29,30 @@ def test_row_counts_per_partition(spark):
     assert rows == {"2021", "2022"}
     with pytest.raises(ValidationError, match="row_counts"):
         assert_empty(bad, "row_counts")
+    # the five reference unit fixtures (dbt/tests/unit_tests/
+    # test_row_counts_*.sql), r14 parity:
+    # extra observed partition -> exactly one violation
+    extra = check_row_counts_per_partition(
+        spark.createDataFrame([(2022, "x"), (2023, "x")],
+                              "report_year int, dummy string"),
+        "report_year", {"2022": 1}).collect()
+    assert len(extra) == 1 and extra[0]["report_year"] == "2023"
+    # NULL partition values coalesce to '' and match an expected ''
+    # row (the macro's COALESCE), instead of dangling
+    nulls = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (2020, "c")],
+        "year int, dummy string")
+    assert check_row_counts_per_partition(
+        nulls, "year", {None: 2, "2020": 1}).count() == 0
+    assert check_row_counts_per_partition(
+        nulls, "year", {"": 2, "2020": 1}).count() == 0
+    assert check_row_counts_per_partition(
+        nulls, "year", {"": 1, "2020": 1}).count() == 1
+    # whole-table mode: partition_col=None counts everything under ''
+    assert check_row_counts_per_partition(
+        nulls, None, {"": 3}).count() == 0
+    assert check_row_counts_per_partition(
+        nulls, None, {"": 4}).count() == 1
 
 
 def test_quantile_constraints(spark):
