@@ -464,6 +464,48 @@ def check_weighted_quantile_constraints(
     return out
 
 
+def check_consistent_years(df: DataFrame, datetime_col: str,
+                           date_col: str,
+                           max_mismatch_ratio: float = 0.001
+                           ) -> DataFrame:
+    """Years extracted from a high-frequency datetime column and its
+    reporting-period date column must agree for all but a small
+    fraction of rows (ref: expect_consistent_years.sql — timezone
+    adjustments legitimately push a few records across New Year, so
+    the test bounds the MISMATCH RATIO instead of demanding
+    equality). Rows with a NULL on either side are excluded before
+    the ratio, empty input passes (ratio 0), and the violation row
+    mirrors the reference's single stats row (total, mismatched,
+    ratio, threshold, failure_reason). One aggregation.
+    """
+    yd, yr = F.year(datetime_col), F.year(date_col)
+    stats = (df.filter(F.col(datetime_col).isNotNull()
+                       & F.col(date_col).isNotNull())
+             .agg(F.count(F.lit(1)).alias("total_records"),
+                  F.sum(F.when(yd != yr, F.lit(1)).otherwise(F.lit(0)))
+                  .alias("mismatched_records")))
+    ratio = F.when(
+        F.col("total_records") > 0,
+        F.col("mismatched_records").cast("double")
+        / F.col("total_records")).otherwise(F.lit(0.0))
+    return (stats
+            .select("total_records",
+                    F.coalesce("mismatched_records", F.lit(0))
+                    .alias("mismatched_records"),
+                    ratio.alias("mismatch_ratio"),
+                    F.lit(float(max_mismatch_ratio))
+                    .alias("max_allowed_ratio"),
+                    F.concat(
+                        F.lit("Found "),
+                        F.round(ratio * 100, 5).cast("string"),
+                        F.lit(f"% mismatched years between "
+                              f"{datetime_col} and {date_col}, "
+                              f"exceeds threshold of "
+                              f"{max_mismatch_ratio}"))
+                    .alias("failure_reason"))
+            .filter(F.col("mismatch_ratio") > max_mismatch_ratio))
+
+
 def debug_quantile_constraints(
         df: DataFrame, col: str,
         constraints: list[tuple[float, float | None, float | None]],

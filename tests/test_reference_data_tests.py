@@ -1,10 +1,10 @@
 """Content/machinery boundary demonstrations (VERDICT r13 #7).
 
-The reference's remaining dbt validation surface is ~12 TABLE-SPECIFIC
+The reference's remaining dbt validation surface is ~11 TABLE-SPECIFIC
 data tests (dbt/tests/data_tests/generic_tests/: expect_valid_hour_of_year.sql,
 expect_unique_utility_id_eia.sql, expect_consistent_generator_ids.sql,
 expect_complete_valid_ownership.sql, expect_nuclear_units_are_generators.sql,
-expect_consistent_years.sql, expect_valid_plantparts_ownership_fraction.sql,
+expect_valid_plantparts_ownership_fraction.sql,
 expect_matching_primary_fuel_by_cost_and_mmbtu.sql,
 expect_fgd_cost_totals_to_agree.sql,
 expect_bgas_show_low_differing_primary_fuels.sql, test_idle_capacity.sql).

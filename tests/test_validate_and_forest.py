@@ -552,3 +552,31 @@ def test_table_quality_screens_plan_pruning(spark):
     # exactly one full-width scan: not-all-null over orders
     assert len(wide) == 1 and wide[0][0].startswith("orders"), wide
     assert "o_orderkey" in wide[0][1] and "o_comment" not in wide[0][1]
+
+
+def test_consistent_years(spark):
+    """expect_consistent_years.sql parity (r14): mismatch RATIO
+    bounded, NULLs excluded, empty input passes, violation row
+    mirrors the reference's stats shape."""
+    from pudl_spark.validate import check_consistent_years
+
+    df = spark.createDataFrame(
+        [("2020-12-31 23:30:00", "2020-12-01"),   # same year
+         ("2021-01-01 00:30:00", "2020-12-31"),   # tz straddle
+         ("2021-06-01 12:00:00", "2021-06-01"),
+         (None, "2021-01-01"),                    # NULL excluded
+         ("2021-07-01 00:00:00", None)],
+        "dt string, d string").selectExpr(
+        "to_timestamp(dt) AS dt", "CAST(d AS DATE) AS d")
+    # 1 of 3 non-null rows mismatches: fails a 0.1% default bound...
+    v = check_consistent_years(df, "dt", "d").collect()
+    assert len(v) == 1
+    assert v[0]["total_records"] == 3
+    assert v[0]["mismatched_records"] == 1
+    assert abs(v[0]["mismatch_ratio"] - 1 / 3) < 1e-12
+    assert "exceeds threshold" in v[0]["failure_reason"]
+    # ...and passes a 50% bound
+    assert check_consistent_years(df, "dt", "d", 0.5).count() == 0
+    # empty input: ratio 0, passes even a 0 threshold is not exceeded
+    assert check_consistent_years(
+        df.filter("dt IS NULL AND d IS NULL"), "dt", "d").count() == 0
