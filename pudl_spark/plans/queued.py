@@ -15,6 +15,27 @@ single-action union first, per VERDICT r13 #2); all now live in
   sketch in __spark_entry__.py). Tripwires:
   tests/test_r15_queue.py byte-identity at store level plus the
   two-SF derivation pin.
+
+  r15 LANDING CHECKLIST (a decorator move, budgeted at zero extra
+  prefix slots — the three r11 store rows are already cohort rows):
+  1. replace `functions/dedup.py::build_lsh_store`'s body with this
+     function's (sets table first, bands derived via
+     `oph_banded_from_sets`, params written last) and delete the
+     staged copy here;
+  2. declare doc_lsh_store_increment / doc_lsh_store_ingest /
+     doc_lsh_store_probe_small in _TOUCHED_THIS_ROUND (they sit in
+     the r15 cohort anyway); doc_lsh_store_redelivery and
+     doc_lsh_stream_pairs also build stores — check their latest
+     green round and pull them forward if the rotation leaves them
+     >1 round from re-certification after the swap;
+  3. keep test_singlepass_build_store_byte_identical but flip it to
+     compare the NEW live build against a frozen pre-swap store
+     fingerprint (or simply drop the staged copy and let
+     test_oph_banded_from_sets_byte_identical carry the derivation
+     pin);
+  4. re-floor the three store rows same-session (expect ~30% off
+     the build-dominated walls: r12 measured 2.36 -> 1.60 s on the
+     isolated build).
 """
 
 from __future__ import annotations
