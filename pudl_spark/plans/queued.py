@@ -22,12 +22,14 @@ single-action union first, per VERDICT r13 #2); all now live in
      function's (sets table first, bands derived via
      `oph_banded_from_sets`, params written last) and delete the
      staged copy here;
-  2. declare doc_lsh_store_increment / doc_lsh_store_ingest /
-     doc_lsh_store_probe_small in _TOUCHED_THIS_ROUND (they sit in
-     the r15 cohort anyway); doc_lsh_store_redelivery and
-     doc_lsh_stream_pairs also build stores — check their latest
-     green round and pull them forward if the rotation leaves them
-     >1 round from re-certification after the swap;
+  2. declare ALL FIVE store-building rows in _TOUCHED_THIS_ROUND:
+     doc_lsh_store_increment / doc_lsh_store_ingest /
+     doc_lsh_store_probe_small (r11-green — they sit in the r15
+     cohort anyway, zero extra slots) PLUS doc_lsh_store_redelivery
+     and doc_lsh_stream_pairs (r12-green as of r14; the touched
+     rule binds regardless of cohort membership, so these two COST
+     two r15 slots — the entry sketch's six no-registration spares
+     become four);
   3. keep test_singlepass_build_store_byte_identical but flip it to
      compare the NEW live build against a frozen pre-swap store
      fingerprint (or simply drop the staged copy and let
