@@ -125,15 +125,20 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    user_running_stats. The cohort contains the three
     #    r11-certified LSH-store rows (doc_lsh_store_increment,
     #    doc_lsh_store_ingest, doc_lsh_store_probe_small), so the
-    #    staged `build_lsh_store_singlepass` swap (plans/queued.py,
-    #    tripwires in tests/test_r15_queue.py, measured 32% faster
-    #    build) lands THAT round as a decorator move and those rows
-    #    double as its touched re-certifications. 44 + any r15
-    #    registrations + the alphabetically-first r12 rows as
-    #    spares fill the 50: with no registration that is SIX
-    #    spares (allocate_order_total, ann_cosine_topk,
-    #    annual_nations_complete_months, calc_reconcile_orders,
-    #    correct_quantity_units, customer_intkey_sentinel). --
+    #    staged `build_lsh_store_singlepass` swap (plans/queued.py
+    #    — see its r15 LANDING CHECKLIST; tripwires in
+    #    tests/test_r15_queue.py, measured 32% faster build) lands
+    #    THAT round as a decorator move; those rows double as its
+    #    touched re-certifications, and the swap's two OTHER
+    #    store-building rows (doc_lsh_store_redelivery,
+    #    doc_lsh_stream_pairs — r12-green) must ALSO be declared
+    #    touched, costing two slots. 44 + any r15 registrations +
+    #    the alphabetically-first r12 rows as spares fill the 50:
+    #    with the swap and no registration that is FOUR spares
+    #    (allocate_order_total, ann_cosine_topk,
+    #    annual_nations_complete_months, calc_reconcile_orders);
+    #    without the swap, SIX (add correct_quantity_units,
+    #    customer_intkey_sentinel). --
 ]
 
 
