@@ -31,20 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # import-time check (and tests/test_entry.py) enforces that every one
 # of them sits inside the 50-slot driver prefix.
 _TOUCHED_THIS_ROUND = [
-    # r14: ONE new registration — the r13-staged
-    # `table_quality_screens` composite (VERDICT r13 #1): the
-    # driver-ledger landing for the eleven dbt validation shapes
-    # ported in r13 (validate.py), pre-verified vs DuckDB at two SFs
-    # in the r13 staging queue tests. Before registering it was
-    # collapsed from ~20 sequential driver actions to a single
-    # unioned plan (VERDICT r13 #2: one collect — the not-all-null
-    # check's stats row went lazy via stack() the same round), and
-    # check_column_fraction_with_condition now evaluates its bounds
-    # on the UNROUNDED fraction (ADVICE r13; rounding is
-    # display-only, mirroring the reference's WHERE clause) — both
-    # changes re-verified against the oracle at two SFs before the
-    # prefix move.
-    "table_quality_screens",
+    # r15: NO new registrations — the round's substantive work is
+    # the r12-staged `build_lsh_store_singlepass` swap landing as
+    # `functions/dedup.py::build_lsh_store`'s live body (sets table
+    # written first, bands derived from the WRITTEN sets table via
+    # `oph_banded_from_sets` — one corpus text pass instead of two,
+    # measured 32% faster build; params still written last so a
+    # half-built store fails loudly). The swap touches every query
+    # that BUILDS an LSH store, so all five are declared here: the
+    # three r11-green rows (in the r15 rotation cohort anyway —
+    # zero extra slots) plus the two r12-green rows (costing two
+    # slots per the precomputed budget). Byte-identity of both
+    # store tables vs the pre-swap two-pass build is pinned against
+    # frozen fingerprints at two SFs (tests/test_r16_queue.py), and
+    # the three bench-suite store rows were re-floored same-session
+    # (SCALE.md r15).
+    "doc_lsh_store_increment", "doc_lsh_store_ingest",
+    "doc_lsh_store_probe_small", "doc_lsh_store_redelivery",
+    "doc_lsh_stream_pairs",
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -54,7 +58,7 @@ _TOUCHED_THIS_ROUND = [
 # prefix) lands post-commit and flips every re-certified row
 # "green-in-latest" (VERDICT r5 "What's wrong" #1). Bump when
 # rebuilding the prefix for a new round.
-_BUILT_AGAINST_ROUND = 13
+_BUILT_AGAINST_ROUND = 14
 
 # Evidence-dense ordering: the driver checks only the FIRST 50
 # entries of queries() (CORRECTNESS_r0N keys == insertion-order
@@ -64,81 +68,76 @@ _BUILT_AGAINST_ROUND = 13
 # queries whose latest green driver row is OLDEST, so certification
 # age stays bounded across rounds.
 _PRIORITY = _TOUCHED_THIS_ROUND + [
-    # -- The r10 cohort is r14's rotation load: all 44 rows whose
-    #    latest green driver row is round 10 (4 rounds stale at
-    #    r14, the ceil(193/50)=4 staleness boundary). Alphabetical;
-    #    recomputed this round from CORRECTNESS_r01..r13 and
-    #    byte-equal to the cohort precomputed in the r13 sketch.
-    #    1 registration + 44 cohort + 5 spares = exactly the
-    #    50-slot prefix. Histogram at r14 start: r13=50, r12=50,
-    #    r11=49, r10=44. --
-    "clean_customer_names", "complete_year_nations",
-    "declarative_transform_orders", "doc_bigram_perplexity",
-    "doc_bloom_incremental_dedup", "doc_bm25_relevance",
-    "doc_bpe_token_estimate", "doc_chunk_spans_udtf",
-    "doc_dup_spans", "doc_fingerprints", "doc_language_id",
-    "doc_quality_scores", "doc_shard_manifest", "doc_top_terms",
-    "doc_weighted_rendezvous_shards", "embedding_near_dup_pairs",
-    "encode_order_status", "event_hypertable_rollup",
-    "event_run_lengths", "event_sessions_windowed",
-    "event_sliding_windows", "event_type_median_udaf",
-    "event_value_histogram", "file_provenance_counts",
-    "fixed_width_roundtrip_nation", "jsonl_sink_roundtrip",
-    "market_share_by_year", "media_feature_extract",
-    "media_gif_features", "media_jpeg_features",
-    "media_png_features", "media_thumbnail_stats",
-    "media_wav_features", "mode_segment_per_nation",
-    "orc_sink_roundtrip", "order_counts_cube", "order_status_flags",
-    "parquet_schema_evolution", "parquet_sink_roundtrip",
-    "part_copurchase_triangles", "primary_priority_share",
-    "spot_fix_regions", "sum_min_count_semantics",
-    "uncategorized_part_types",
-    # -- spares: the 5 alphabetically-first r11 rows (precomputed
-    #    in the r13 sketch; the other 44 r11 rows are r15's load) --
-    "ann_ivf_store_probe", "ann_ivf_topk", "ann_lsh_bucketed",
-    "corpus_snapshot_diff", "csv_partition_extract_nation",
-    # -- r15 queue (sketched now, the discipline that has kept the
-    #    rotation exact five rounds running): the load is the FULL
-    #    remaining r11 cohort — 44 rows, 4 rounds stale at r15.
-    #    The exact cohort, precomputed from CORRECTNESS_r01..r13 +
-    #    this prefix (alphabetical): date_merge_year,
-    #    dbf_roundtrip_supplier, dedupe_on_category_priority,
-    #    doc_chunk_windows, doc_curation_decisions,
-    #    doc_decontaminate, doc_gopher_repetition,
-    #    doc_lsh_store_increment, doc_lsh_store_ingest,
-    #    doc_lsh_store_probe_small, doc_pack_sequences,
-    #    doc_pii_scrub, doc_quality_classifier, doc_source_mixture,
-    #    doc_tfidf_topk, doc_token_stats, dominant_event_type,
-    #    embedding_quantization, embedding_random_projection,
-    #    event_props_extract, event_seasonal_decompose,
-    #    event_type_changelog, event_user_pseudonymize,
-    #    event_zone_assignment, fk_orphan_counts,
-    #    freshest_event_per_user, fs_linkage_parts,
-    #    hourly_event_windows, impute_latc_mape,
-    #    incremental_rebuild_counts, ivf_store_append,
-    #    ivf_store_cell_stats, jw_linkage_parts,
-    #    nation_zone_overlay, orders_above_customer_avg,
-    #    parse_address_tagged_suppliers, pivot_event_values,
-    #    purchase_asof_signup, purchases_per_signup_interval,
-    #    sqlite_roundtrip_orders, supplier_month_utilization,
-    #    union_balances_by_nation, unpivot_lineitem_measures,
-    #    user_running_stats. The cohort contains the three
-    #    r11-certified LSH-store rows (doc_lsh_store_increment,
-    #    doc_lsh_store_ingest, doc_lsh_store_probe_small), so the
-    #    staged `build_lsh_store_singlepass` swap (plans/queued.py
-    #    — see its r15 LANDING CHECKLIST; tripwires in
-    #    tests/test_r15_queue.py, measured 32% faster build) lands
-    #    THAT round as a decorator move; those rows double as its
-    #    touched re-certifications, and the swap's two OTHER
-    #    store-building rows (doc_lsh_store_redelivery,
-    #    doc_lsh_stream_pairs — r12-green) must ALSO be declared
-    #    touched, costing two slots. 44 + any r15 registrations +
-    #    the alphabetically-first r12 rows as spares fill the 50:
-    #    with the swap and no registration that is FOUR spares
-    #    (allocate_order_total, ann_cosine_topk,
-    #    annual_nations_complete_months, calc_reconcile_orders);
-    #    without the swap, SIX (add correct_quantity_units,
-    #    customer_intkey_sentinel). --
+    # -- The r11 cohort is r15's rotation load: all 44 rows whose
+    #    latest green driver row is round 11 (4 rounds stale at
+    #    r15, the ceil(194/50)=4 staleness boundary — the guarantee
+    #    binds exactly this round). Alphabetical; recomputed this
+    #    round from CORRECTNESS_r01..r14 and byte-equal to the
+    #    cohort precomputed in the r14 sketch. The cohort's three
+    #    LSH-store rows sit in _TOUCHED_THIS_ROUND above (the swap
+    #    re-certification doubling as their rotation), leaving 41
+    #    rows here. 5 touched + 41 cohort + 4 spares = exactly the
+    #    50-slot prefix. Histogram at r15 start: r14=50, r13=50,
+    #    r12=50, r11=44. --
+    "date_merge_year", "dbf_roundtrip_supplier",
+    "dedupe_on_category_priority", "doc_chunk_windows",
+    "doc_curation_decisions", "doc_decontaminate",
+    "doc_gopher_repetition", "doc_pack_sequences", "doc_pii_scrub",
+    "doc_quality_classifier", "doc_source_mixture", "doc_tfidf_topk",
+    "doc_token_stats", "dominant_event_type",
+    "embedding_quantization", "embedding_random_projection",
+    "event_props_extract", "event_seasonal_decompose",
+    "event_type_changelog", "event_user_pseudonymize",
+    "event_zone_assignment", "fk_orphan_counts",
+    "freshest_event_per_user", "fs_linkage_parts",
+    "hourly_event_windows", "impute_latc_mape",
+    "incremental_rebuild_counts", "ivf_store_append",
+    "ivf_store_cell_stats", "jw_linkage_parts",
+    "nation_zone_overlay", "orders_above_customer_avg",
+    "parse_address_tagged_suppliers", "pivot_event_values",
+    "purchase_asof_signup", "purchases_per_signup_interval",
+    "sqlite_roundtrip_orders", "supplier_month_utilization",
+    "union_balances_by_nation", "unpivot_lineitem_measures",
+    "user_running_stats",
+    # -- spares: the 4 alphabetically-first r12 rows (the
+    #    precomputed with-swap budget: the swap's two r12-green
+    #    touched rows consumed the other two no-swap spare slots) --
+    "allocate_order_total", "ann_cosine_topk",
+    "annual_nations_complete_months", "calc_reconcile_orders",
+    # -- r16 queue (sketched now, the discipline that has kept the
+    #    rotation exact six rounds running): the load is the
+    #    REMAINING r12 cohort — 44 rows, 4 rounds stale at r16
+    #    (the original 50 r12 rows minus the 6 this prefix
+    #    re-certifies: doc_lsh_store_redelivery,
+    #    doc_lsh_stream_pairs and the 4 spares above). The exact
+    #    cohort, precomputed from CORRECTNESS_r01..r14 + this
+    #    prefix (alphabetical): correct_quantity_units,
+    #    customer_intkey_sentinel, customer_parts_true_gran,
+    #    customer_phone_standardized, customer_unique_priority,
+    #    date_merge_month, doc_apply_bpe, doc_bottomk_sample,
+    #    doc_fingerprints_fast, doc_leakage_safe_split,
+    #    doc_shingle_stats, doc_stratified_sample,
+    #    doc_weighted_sample, excel_roundtrip_nation,
+    #    fs_linkage_trained, hourly_wide_melt_roundtrip,
+    #    imputation_mape_score, impute_event_values,
+    #    impute_latc_tubal_mape, ivf_store_redelivery,
+    #    lineitem_exact_quantiles, lineitem_multiheader_stack,
+    #    lineitem_zorder_stats, linkage_best_match,
+    #    minhash_dedup_clusters, minhash_near_dup_pairs,
+    #    nation_holed_zone_overlay, nation_multipart_explode,
+    #    ngram_jaccard_dup_pairs, orders_observed_counts,
+    #    orders_profile, part_name_levenshtein_pairs,
+    #    pipeline_nation_summary, region_revenue_allocation,
+    #    scan_stats_orders, signup_conversion_funnel,
+    #    simhash_near_dup_pairs, sql_interface_nation_revenue,
+    #    supplier_close_balances, supplier_customer_pagerank,
+    #    supplier_territory_area, suppliers_kept_waiting,
+    #    user_value_ramps, xbrl_roundtrip_totals. 44 + any r16
+    #    registrations/touched + the alphabetically-first r13 rows
+    #    as spares fill the 50: with no registration that is SIX
+    #    spares (bpe_merges_docs, datapackage_descriptor,
+    #    doc_prefix_filter_dup_pairs, doc_rendezvous_shards,
+    #    doc_token_budget, embedding_blocked_clusters). --
 ]
 
 

@@ -196,14 +196,13 @@ def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
     text (VERDICT r9 #6 / r10 #8, the single-text-pass derivation;
     landed r12 for the one-shot miner, see `minhash_candidate_pairs`;
     the `build_lsh_store` twin — bands from the just-written sets
-    table — waits for the round its store rows rotate through the
-    driver prefix).
+    table — landed r15).
 
     Byte-identical to `oph_banded` BY CONSTRUCTION: the sets frame
     holds exactly the distinct xxhash64 shingle hashes oph_banded's
     explode produces, and the OPH bin/min/densify/band pipeline
     below applies the same expressions in the same order — pinned
-    per-row-equal in tests/test_r15_queue.py at two SFs (the
+    per-row-equal in tests/test_r16_queue.py at two SFs (the
     divergence tripwire).
 
     Input contract: ``sets_df`` is `shingle_hash_sets` output (or
@@ -596,6 +595,21 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
     plans the bucket join and the verify join with NO Exchange on
     the store side (the same bucketed-layout contract as
     `similarity.build_ivf_store`).
+
+    Single-text-pass build (the build half of the r12
+    `oph_banded_from_sets` swap, staged two rounds and landed r15):
+    the corpus is shingled ONCE — the SETS table writes first, and
+    the bands table derives from the WRITTEN sets table via
+    `oph_banded_from_sets`, so the second corpus text pass becomes a
+    scan of stored hash arrays (measured 32% off the index build at
+    sf0.1; the saved work is the corpus text pass, so the fraction
+    grows with document length at scale). Write order flips (sets
+    before bands) with unchanged crash semantics: both tables drop
+    first, the build is re-runnable from scratch, and probes/appends
+    assert against the bands table's params — written last, so a
+    half-built store fails loudly rather than serving. Byte-identity
+    of BOTH tables vs the pre-swap two-pass build is pinned against
+    frozen fingerprints in tests/test_r16_queue.py.
     """
     from pudl_spark.sources.files import (
         set_table_build_params, write_bucketed_table,
@@ -605,14 +619,15 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
         _invalidate_store_bytes(spark, t)  # rebuilt size differs
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     write_bucketed_table(
-        oph_banded(df, id_col, text_col, num_hashes, bands, shingle_k),
-        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
-        sort_cols=["band", "bucket", "id"],
-        path=os.path.join(path, "bands"))
-    write_bucketed_table(
         shingle_hash_sets(df, id_col, text_col, shingle_k),
         f"{table_prefix}_sets", ["id"], num_buckets,
         sort_cols=["id"], path=os.path.join(path, "sets"))
+    write_bucketed_table(
+        oph_banded_from_sets(spark.table(f"{table_prefix}_sets"),
+                             num_hashes, bands),
+        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
+        sort_cols=["band", "bucket", "id"],
+        path=os.path.join(path, "bands"))
     # The bands table carries the index's build parameters
     # (VERDICT r10 #4): every append/probe asserts against them, so
     # a caller who repeats the wrong num_hashes/bands/shingle_k now

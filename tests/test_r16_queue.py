@@ -1,11 +1,11 @@
-"""Tripwires and regression pins for work staged beyond r14: the
+"""Tripwires and regression pins for staged-queue work: the
 byte-identity tripwires for the `oph_banded_from_sets` build-half
-swap (lands r15 when the LSH-store rows rotate through the prefix)
-and the brute-force regression pin for the r12-unified sampler
-scaffold. The r13-staged `table_quality_screens` composite
-registered in r14 (plans/queries.py) and is covered by
-test_oracle_parity's full registry sweep; differential tests for
-any r15-staged queries join this file as they stage."""
+swap (LANDED r15 — `build_lsh_store` is now single-text-pass; the
+store-level tripwire below compares the live build against frozen
+pre-swap fingerprints) and the brute-force regression pin for the
+r12-unified sampler scaffold. Nothing is staged for r16 yet;
+differential tests for r16-staged queries join this file as they
+stage (the per-round rename pattern)."""
 
 from __future__ import annotations
 
@@ -41,9 +41,9 @@ def test_oph_banded_from_sets_byte_identical(spark, sf):
     text-shingling path row-for-row (VERDICT r9 #6): since r12 this
     derivation IS `minhash_candidate_pairs`' bands stage (the
     single-text-pass swap), so this doubles as the correctness pin
-    for the live miner and the tripwire for the still-staged
-    `build_lsh_store` half (deferred to r15; see the queued.py
-    docstring for the slot-budget reasoning)."""
+    for the live miner and — since the r15 build swap — for the
+    bands stage of `build_lsh_store` itself (which now derives its
+    bands table from the just-written sets table)."""
     from pudl_spark.functions.dedup import (
         oph_banded, oph_banded_from_sets, shingle_hash_sets,
     )
@@ -119,38 +119,51 @@ def test_unified_samplers_match_brute_force(spark):
     assert any(r[0] is None for r in got_w)  # NULL stratum sampled
 
 
-def test_singlepass_build_store_byte_identical(spark):
-    """Store-level tripwire for the staged r15 build swap: the
-    single-text-pass build must leave BOTH bucketed tables (bands,
-    sets) byte-equal to the live two-pass build's, including the
-    persisted build params the probes/appends assert against."""
+@pytest.mark.parametrize("sf,want", [
+    ("/root/testdata/sf0.001",
+     {"bands": (8000, "68e18de76fa57a31d8048b07e79f1aab"
+                      "19c7ab76df11363caad0912f93f431c9"),
+      "sets": (500, "bf3797d280f4e359e1946eb81bf4eb72"
+                    "3168390555b8a16a5b0a680b70f026ee")}),
+    (SF,
+     {"bands": (8000, "518fe0a5d71c4104c9d9fcfed187f5c1"
+                      "747e3a1a247b4b7860bd0fe2a90caf03"),
+      "sets": (500, "d325d2d2ec6bad3b71a8ef5dc3146ff8"
+                    "0b9daa10deea4b0a3189dc7327448afe")}),
+])
+def test_singlepass_build_store_matches_frozen_fingerprint(
+        spark, sf, want):
+    """Store-level tripwire for the r15 build swap: the live
+    (single-text-pass) `build_lsh_store` must leave BOTH bucketed
+    tables byte-equal to the pre-swap two-pass build — pinned
+    against sha256 fingerprints of the sorted collected rows,
+    frozen from the two-pass build at r15 landing time, at two SFs.
+    The persisted build params the probes/appends assert against
+    are checked too."""
+    import hashlib
     import os
     import tempfile
 
     from pudl_spark.catalog import read_parquet_table
     from pudl_spark.functions.dedup import build_lsh_store
-    from pudl_spark.plans.queued import build_lsh_store_singlepass
     from pudl_spark.sources.files import get_table_build_params
 
-    d = read_parquet_table(spark, f"{SF}/documents.parquet")
+    d = read_parquet_table(spark, f"{sf}/documents.parquet")
     with tempfile.TemporaryDirectory() as td:
         try:
-            build_lsh_store(spark, d, "doc_id", "text", "t_sp_live",
+            build_lsh_store(spark, d, "doc_id", "text", "t_sp_frz",
                             os.path.join(td, "a"))
-            build_lsh_store_singlepass(spark, d, "doc_id", "text",
-                                       "t_sp_one",
-                                       os.path.join(td, "b"))
             for suffix in ("bands", "sets"):
-                live = sorted(map(tuple, spark.table(
-                    f"t_sp_live_{suffix}").collect()))
-                one = sorted(map(tuple, spark.table(
-                    f"t_sp_one_{suffix}").collect()))
-                assert one == live and one, suffix
-            assert (get_table_build_params(spark, "t_sp_live_bands")
-                    == get_table_build_params(spark, "t_sp_one_bands"))
+                rows = sorted(map(tuple, spark.table(
+                    f"t_sp_frz_{suffix}").collect()))
+                got = (len(rows),
+                       hashlib.sha256(repr(rows).encode()).hexdigest())
+                assert got == want[suffix], suffix
+            assert (get_table_build_params(spark, "t_sp_frz_bands")
+                    == {"num_hashes": "64", "bands": "16",
+                        "shingle_k": "3", "num_buckets": "8"})
         finally:
-            for t in ("t_sp_live_bands", "t_sp_live_sets",
-                      "t_sp_one_bands", "t_sp_one_sets"):
+            for t in ("t_sp_frz_bands", "t_sp_frz_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
