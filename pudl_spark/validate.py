@@ -56,9 +56,15 @@ def check_row_counts_per_partition(df: DataFrame,
     key must match an expected '' row, not dangle through the full
     outer join), a None key in ``expected`` likewise maps to '',
     and ``partition_col=None`` selects the macro's whole-table mode
-    (one count keyed ''). Extra observed partitions, missing
-    expected partitions and count mismatches all violate, exactly
-    the macro's WHERE.
+    (one count keyed ''). The observed side groups by the RAW cast
+    value and coalesces AFTER aggregation — the macro's
+    ``GROUP BY {{ partition_expr }}`` with the COALESCE in the
+    SELECT — so a frame containing both NULL and literal ''
+    partition values produces TWO '' observed rows that each join
+    the expected '' row and both violate (ADVICE r14; pinned in
+    tests/test_validate_and_forest.py). Extra observed partitions,
+    missing expected partitions and count mismatches all violate,
+    exactly the macro's WHERE.
     """
     spark = df.sparkSession
     col_name = partition_col or "partition"
@@ -71,9 +77,10 @@ def check_row_counts_per_partition(df: DataFrame,
             .select(F.lit("").alias(col_name), "actual_count")
     else:
         got = (df.groupBy(
-            F.coalesce(F.col(partition_col).cast("string"),
-                       F.lit("")).alias(col_name))
-            .agg(F.count(F.lit(1)).alias("actual_count")))
+            F.col(partition_col).cast("string").alias("__raw_part"))
+            .agg(F.count(F.lit(1)).alias("actual_count"))
+            .select(F.coalesce("__raw_part", F.lit(""))
+                    .alias(col_name), "actual_count"))
     return (
         got.join(F.broadcast(exp), on=col_name, how="full_outer")
         .filter(
@@ -476,7 +483,9 @@ def check_consistent_years(df: DataFrame, datetime_col: str,
     equality). Rows with a NULL on either side are excluded before
     the ratio, empty input passes (ratio 0), and the violation row
     mirrors the reference's single stats row (total, mismatched,
-    ratio, threshold, failure_reason). One aggregation.
+    ratio, threshold, failure_reason — the reason string matches the
+    macro's rendering including the '(N of M)' counts segment and
+    the threshold as a rounded percentage). One aggregation.
     """
     yd, yr = F.year(datetime_col), F.year(date_col)
     stats = (df.filter(F.col(datetime_col).isNotNull()
@@ -498,10 +507,16 @@ def check_consistent_years(df: DataFrame, datetime_col: str,
                     F.concat(
                         F.lit("Found "),
                         F.round(ratio * 100, 5).cast("string"),
-                        F.lit(f"% mismatched years between "
+                        F.lit("% ("),
+                        F.coalesce("mismatched_records", F.lit(0))
+                        .cast("string"),
+                        F.lit(" of "),
+                        F.col("total_records").cast("string"),
+                        F.lit(f") mismatched years between "
                               f"{datetime_col} and {date_col}, "
                               f"exceeds threshold of "
-                              f"{max_mismatch_ratio}"))
+                              f"{round(max_mismatch_ratio * 100, 5)}"
+                              f"%"))
                     .alias("failure_reason"))
             .filter(F.col("mismatch_ratio") > max_mismatch_ratio))
 
@@ -534,27 +549,36 @@ def debug_quantile_constraints(
         return (F.lit(None).cast("double") if v is None
                 else F.lit(float(v)))
 
-    rows = []
     if weight_col is None:
+        # ONE aggregation, ONE scan (ADVICE r14): all percentiles
+        # compute in a single stats row, then stack() unpivots that
+        # row to one row per constraint — no per-constraint replay
+        # of the aggregation.
         agg = df.agg(*[
             F.expr(f"percentile(`{col.replace(chr(96), chr(96) * 2)}`,"
                    f" {q})").alias(f"q{i}")
             for i, (q, _, _) in enumerate(constraints)])
-        for i, (q, lo, hi) in enumerate(constraints):
-            rows.append(agg.select(
-                F.lit(float(q)).alias("quantile"),
-                F.col(f"q{i}").cast("double").alias("value"),
-                bound(lo).alias("min_value"),
-                bound(hi).alias("max_value")))
-    else:
-        for q, lo, hi in constraints:
-            wq = weighted_quantile(df, col, weight_col, q,
-                                   out_col="value")
-            rows.append(wq.select(
-                F.lit(float(q)).alias("quantile"),
-                F.col("value").cast("double").alias("value"),
-                bound(lo).alias("min_value"),
-                bound(hi).alias("max_value")))
+
+        def sql_bound(v):
+            return ("CAST(NULL AS DOUBLE)" if v is None
+                    else f"CAST({float(v)!r} AS DOUBLE)")
+
+        cells = ", ".join(
+            f"CAST({float(q)!r} AS DOUBLE), CAST(`q{i}` AS DOUBLE), "
+            f"{sql_bound(lo)}, {sql_bound(hi)}"
+            for i, (q, lo, hi) in enumerate(constraints))
+        return agg.select(F.expr(
+            f"stack({len(constraints)}, {cells}) AS "
+            f"(quantile, value, min_value, max_value)"))
+    rows = []
+    for q, lo, hi in constraints:
+        wq = weighted_quantile(df, col, weight_col, q,
+                               out_col="value")
+        rows.append(wq.select(
+            F.lit(float(q)).alias("quantile"),
+            F.col("value").cast("double").alias("value"),
+            bound(lo).alias("min_value"),
+            bound(hi).alias("max_value")))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

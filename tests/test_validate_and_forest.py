@@ -53,6 +53,19 @@ def test_row_counts_per_partition(spark):
         nulls, None, {"": 3}).count() == 0
     assert check_row_counts_per_partition(
         nulls, None, {"": 4}).count() == 1
+    # macro parity on the NULL-vs-'' edge (ADVICE r14): the macro
+    # groups by the RAW expression and coalesces in the SELECT, so a
+    # frame holding BOTH a NULL and a literal '' partition value
+    # yields TWO '' observed rows that each join the expected ''
+    # row — and both violate even though their counts sum to it
+    mixed = spark.createDataFrame(
+        [(None, "a"), (None, "b"), ("", "c")],
+        "part string, dummy string")
+    two = check_row_counts_per_partition(
+        mixed, "part", {"": 3}).collect()
+    assert len(two) == 2
+    assert sorted(r["actual_count"] for r in two) == [1, 2]
+    assert all(r["expected_count"] == 3 for r in two)
 
 
 def test_quantile_constraints(spark):
@@ -452,8 +465,13 @@ def test_debug_quantile_constraints(spark):
     cons = [(0.5, 40.0, 60.0),   # median 50.5: in bounds
             (0.9, None, 80.0),   # p90 ~90: violates, open lower bound
             (0.1, 0.0, None)]    # p10 ~10: in bounds, open upper
-    dbg = {r["quantile"]: r for r in debug_quantile_constraints(
-        df, "x", cons).collect()}
+    dbg_df = debug_quantile_constraints(df, "x", cons)
+    # one scan, one Aggregate for the whole unweighted constraint
+    # list (ADVICE r14): the stats row unpivots via stack(), no
+    # per-constraint replay of the aggregation
+    from tests.plan_utils import optimized_plan_classes
+    assert optimized_plan_classes(dbg_df).count("Aggregate") == 1
+    dbg = {r["quantile"]: r for r in dbg_df.collect()}
     assert len(dbg) == 3
     assert abs(dbg[0.5]["value"] - 50.5) < 1e-9
     assert dbg[0.9]["min_value"] is None
@@ -574,7 +592,12 @@ def test_consistent_years(spark):
     assert v[0]["total_records"] == 3
     assert v[0]["mismatched_records"] == 1
     assert abs(v[0]["mismatch_ratio"] - 1 / 3) < 1e-12
-    assert "exceeds threshold" in v[0]["failure_reason"]
+    # the reason string matches the reference macro's rendering
+    # exactly (ADVICE r14): ratio rounded to 5 decimals, the
+    # '(N of M)' counts segment, threshold as a percentage
+    assert v[0]["failure_reason"] == (
+        "Found 33.33333% (1 of 3) mismatched years between dt and d,"
+        " exceeds threshold of 0.1%")
     # ...and passes a 50% bound
     assert check_consistent_years(df, "dt", "d", 0.5).count() == 0
     # empty input: ratio 0, passes even a 0 threshold is not exceeded
