@@ -310,6 +310,23 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_SCRATCH.json"), "w") as f:
         json.dump(out, f, indent=1)
+    # Driver-artifact self-heal (VERDICT r14 #8): the round driver
+    # archives only the LAST 2000 bytes of stdout, and the full line
+    # above outgrew that window two rounds running (BENCH_r13/r14
+    # carry parsed=null + a mid-stream tail). Emit a FINAL compact
+    # line that fits the window whole: headline metrics, the 20
+    # slowest queries by name (the wall's bulk), and the complete
+    # per-query time vector "t" in registry order — `times` preserves
+    # the BENCH_QUERIES insertion order, so the vector zips back to
+    # names from the repo at this commit. The full artifact is
+    # unchanged in BENCH_SCRATCH.json / the line above.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    print(json.dumps(
+        {"metric": "headline_suite_wall", "value": total,
+         "unit": "sec", "sf": sf, "n_queries": len(times),
+         "queries": {k: round(v, 2) for k, v in slowest.items()},
+         "t": [round(v, 2) for v in times.values()]},
+        separators=(",", ":")))
     spark.stop()
 
 

@@ -16,6 +16,11 @@ MUTATION-BASED corpus (build_mutated) and runs the dedup family —
 verbatim copies make near-dup pair output quadratic in the
 multiplier by construction, so the id-shift recipe can't
 scale-stress exactly the queries whose 100 TB story matters most.
+
+--store-stress [--mults 1,10,100] (r15) runs the persisted-LSH-store
+lifecycle on the mutated corpus: per mult, build the store once
+(timed, ~linear allowed), then probe and append a FIXED batch — the
+claim bounded is per-batch cost independent of store size.
 """
 
 from __future__ import annotations
@@ -100,8 +105,29 @@ DEDUP_QUERIES = [
 ]
 
 
+def _mutation_expr(tag: str, rate: int):
+    """Per-copy deterministic same-length word substitution over
+    ``text``, keyed on (token, tag): doc lengths, shingle counts and
+    n_chars stay consistent (split/array_join on a single space
+    round-trips runs of spaces as empty tokens, guarded by
+    length(w) > 0). Shared by the corpus scaler (tag = copy index)
+    and the store-lifecycle probe batch (tag = 'probe')."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"""
+        array_join(transform(split(text, ' '), w ->
+          CASE WHEN length(w) > 0
+                AND pmod(xxhash64(concat(w, ':{tag}')), 100) < {rate}
+               THEN substring(
+                      repeat(md5(concat(w, ':{tag}')),
+                             1 + CAST(length(w) / 32 AS INT)),
+                      1, length(w))
+               ELSE w END), ' ')""")
+
+
 def build_mutated(spark, mult: int, base: str = BASE,
-                  out_dir: str = MUT_SCALED, rate: int = 60) -> None:
+                  out_dir: str = MUT_SCALED, rate: int = 60,
+                  with_embeddings: bool = True) -> None:
     """Mutation-based corpus scaler for the DEDUP family (VERDICT r13
     #4). Verbatim copy-scaling is confounded for near-dup queries:
     every copy of a doc is a jaccard-1.0 partner of every other copy,
@@ -160,19 +186,7 @@ def build_mutated(spark, mult: int, base: str = BASE,
     for i in range(mult):
         c = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**7))
         if i:
-            # same-length substitution keyed on (token, copy): doc
-            # lengths, shingle counts and n_chars stay consistent
-            # (split/array_join on a single space round-trips runs
-            # of spaces as empty tokens, guarded by length(w) > 0)
-            c = c.withColumn("text", F.expr(f"""
-                array_join(transform(split(text, ' '), w ->
-                  CASE WHEN length(w) > 0
-                        AND pmod(xxhash64(concat(w, ':{i}')), 100) < {rate}
-                       THEN substring(
-                              repeat(md5(concat(w, ':{i}')),
-                                     1 + CAST(length(w) / 32 AS INT)),
-                              1, length(w))
-                       ELSE w END), ' ')"""))
+            c = c.withColumn("text", _mutation_expr(str(i), rate))
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -180,6 +194,9 @@ def build_mutated(spark, mult: int, base: str = BASE,
     out.write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet"))
 
+    if not with_embeddings:
+        # the store-lifecycle stress indexes text only
+        return
     e = read_parquet_table(spark, os.path.join(base,
                                                "embeddings.parquet"))
     dim = e.select(F.size("embedding").alias("d")).first()["d"]
@@ -239,6 +256,101 @@ def stress_dedup(spark, mult: int, names=None,
                 / (mult * row["base"]["rows"]), 3)
         out[name] = row
         print(json.dumps({"query": name, **row}), flush=True)
+    return out
+
+
+STORE_STRESS_DIR = "/tmp/spark_graft_store_stress"
+
+
+def stress_store_lifecycle(spark, mults=(1, 10, 100),
+                           rate: int = 60) -> dict:
+    """100x stress for the PERSISTED LSH store lifecycle (VERDICT
+    r14 "What's missing" #3): build-once/probe-many under a mutated
+    growing corpus. The claim to bound is PER-BATCH cost independent
+    of store size. At each mult: build the mutated corpus
+    (build_mutated — per-doc near-dup partner counts stay constant
+    as it grows), build the LSH store ONCE over it (timed; the one
+    lifecycle stage allowed to scale with the corpus, ~linearly),
+    then time the SAME fixed batch probing and appending against
+    that store.
+
+    The batch is a 500-doc slice of the BASE corpus (doc_id % 10 ==
+    0), word-mutated at rate 10 under the reserved tag 'probe' and
+    id-shifted to 5e9 — identical bytes at every mult and
+    localCheckpoint()ed once, so any wall growth across mults is
+    store-size dependence, nothing else. Rate 10 keeps expected
+    jaccard vs each doc's unmutated original at ~(0.9^3)/(2-0.9^3)
+    = 0.57, so probing at threshold 0.5 returns ~one pair per batch
+    doc REGARDLESS of store size — constant verify work and
+    constant output, the clean fixture for the flatness claim. The
+    probe times the In()-pruned serving path (min_store_bytes=0 —
+    the regime a 100 TB index lives in; join-exact vs the full scan
+    per the certified probe query), with batch_rows supplied so the
+    gate costs no extra action. Append is the O(batch) bucketed
+    two-table append, timed after the probes so the probed store is
+    pristine."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import (
+        append_to_lsh_store, build_lsh_store, lsh_store_probe,
+        _table_location_bytes,
+    )
+
+    base_docs = read_parquet_table(
+        spark, os.path.join(BASE, "documents.parquet"))
+    batch = (base_docs.filter(F.expr("pmod(doc_id, 10) = 0"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(5 * 10**9))
+             .withColumn("text", _mutation_expr("probe", 10))
+             .localCheckpoint())
+    n_batch = batch.count()
+
+    out = {}
+    for mult in mults:
+        corpus_dir = os.path.join(STORE_STRESS_DIR, f"corpus_{mult}")
+        store_dir = os.path.join(STORE_STRESS_DIR, f"store_{mult}")
+        prefix = f"stress_life_{mult}"
+        build_mutated(spark, mult, out_dir=corpus_dir, rate=rate,
+                      with_embeddings=False)
+        corpus = read_parquet_table(
+            spark, os.path.join(corpus_dir, "documents.parquet"))
+        n_corpus = corpus.count()
+        gc.collect()
+        t0 = time.perf_counter()
+        build_lsh_store(spark, corpus, "doc_id", "text", prefix,
+                        store_dir)
+        build_s = time.perf_counter() - t0
+        store_bytes = (_table_location_bytes(spark, f"{prefix}_bands")
+                       + _table_location_bytes(spark, f"{prefix}_sets"))
+        probe_runs, probe_rows = [], None
+        for _ in range(3):
+            gc.collect()
+            t0 = time.perf_counter()
+            probe_rows = lsh_store_probe(
+                spark, prefix, batch, "doc_id", "text",
+                jaccard_threshold=0.5, min_store_bytes=0,
+                batch_rows=n_batch).count()
+            probe_runs.append(time.perf_counter() - t0)
+        gc.collect()
+        t0 = time.perf_counter()
+        append_to_lsh_store(spark, prefix, batch, "doc_id", "text")
+        append_s = time.perf_counter() - t0
+        row = {"corpus_docs": n_corpus,
+               "store_mb": round(store_bytes / 2**20, 1),
+               "build_s": round(build_s, 2),
+               "probe_runs": [round(r, 2) for r in probe_runs],
+               "probe_floor": round(min(probe_runs), 2),
+               "probe_rows": probe_rows,
+               "append_s": round(append_s, 2)}
+        out[str(mult)] = row
+        print(json.dumps({"mult": mult, **row}), flush=True)
+        for t in (f"{prefix}_bands", f"{prefix}_sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(STORE_STRESS_DIR, ignore_errors=True)
     return out
 
 
@@ -474,6 +586,8 @@ def main() -> int:
     # --append-stress used to fall through into the query names).
     reseed_stress = False
     dedup_stress = False
+    store_stress = False
+    mults = (1, 10, 100)
     mutate_rate = 60
     while args and args[0].startswith("--"):
         if args[0] == "--append-stress":
@@ -482,6 +596,11 @@ def main() -> int:
             reseed_stress = True; args = args[1:]
         elif args[0] == "--dedup-stress":
             dedup_stress = True; args = args[1:]
+        elif args[0] == "--store-stress":
+            store_stress = True; args = args[1:]
+        elif args[0] == "--mults":
+            mults = tuple(int(m) for m in args[1].split(","))
+            args = args[2:]
         elif args[0] == "--mutate-rate":
             mutate_rate = int(args[1]); args = args[2:]
         elif args[0] == "--mult":
@@ -496,6 +615,14 @@ def main() -> int:
     spark = get_spark("scale_stress")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    if store_stress:
+        res = stress_store_lifecycle(spark, mults, rate=mutate_rate)
+        print(json.dumps({"mults": list(mults),
+                          "mutate_rate": mutate_rate,
+                          "store_stress": res}))
+        spark.stop()
+        return 0
 
     if dedup_stress:
         print(f"building mutated {mult}x corpus (rate {mutate_rate}) "
