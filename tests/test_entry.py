@@ -174,3 +174,26 @@ def test_prefix_ordering_check_rejects_misordering():
     # stale-certified queries may occupy prefix slots.
     _assert_oldest_first(green, ["fresh_q", "stale_q"],
                          touched={"fresh_q"})
+
+
+def test_bench_tail_line_fits_driver_window():
+    """The bench self-heal line (VERDICT r14 #8) only helps if it
+    fits the driver's 2000-byte stdout tail window WHOLE. Rebuild it
+    from the committed anchor's real query names/times — the worst
+    case the repo knows — and pin the budget with headroom for suite
+    growth (~15 more queries at current naming length)."""
+    import json
+    import os
+
+    anchor = os.path.join(REPO, "BENCH_LATEST_FULL.json")
+    with open(anchor) as f:
+        d = json.load(f)
+    times = d["queries"]
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:20])
+    line = json.dumps(
+        {"metric": "headline_suite_wall", "value": d["value"],
+         "unit": "sec", "sf": d["sf"], "n_queries": len(times),
+         "queries": {k: round(v, 2) for k, v in slowest.items()},
+         "t": [round(v, 2) for v in times.values()]},
+        separators=(",", ":"))
+    assert len(line.encode()) < 1700, len(line.encode())

@@ -415,3 +415,63 @@ def test_harvest_voting_matches_bruteforce(spark, src1, src2):
         ms = [m for kk, _, m in rows if kk == k and m is not None]
         want[k] = (a_out, sum(ms) if ms else None)
     assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(
+    st.tuples(st.sampled_from([2019, 2020, 2021, None]),
+              st.sampled_from([2019, 2020, 2021, None])),
+    min_size=0, max_size=12),
+    thr=st.sampled_from([0.0, 0.001, 0.25, 0.5]))
+def test_consistent_years_matches_sql(spark, pairs, thr):
+    """check_consistent_years vs a literal DuckDB twin of
+    expect_consistent_years.sql. Structured fields compare exactly;
+    the ratio compares within 1e-6 and the failure_reason string is
+    NOT byte-compared here because the macro's CAST(... AS FLOAT) is
+    float32 in DuckDB while Spark computes float64 — the rendered
+    5-decimal rounding can differ in the last digit (e.g. 5/6). The
+    exact string format is pinned byte-for-byte in
+    test_validate_and_forest.py::test_consistent_years on an
+    f32-safe ratio."""
+    import datetime
+
+    from pudl_spark.validate import check_consistent_years
+
+    rows = [(None if a is None
+             else datetime.datetime(a, 6, 15, 12, 0, 0),
+             None if b is None else datetime.date(b, 3, 1))
+            for a, b in pairs]
+    sdf = spark.createDataFrame(rows, "dt timestamp, d date")
+    got = check_consistent_years(sdf, "dt", "d", thr).collect()
+
+    pdf = pd.DataFrame(rows, columns=["dt", "d"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"""
+        WITH year_comparison AS (
+            SELECT CASE WHEN EXTRACT(YEAR FROM CAST(dt AS TIMESTAMP))
+                             != EXTRACT(YEAR FROM CAST(d AS DATE))
+                        THEN 1 ELSE 0 END AS is_mismatch
+            FROM t WHERE dt IS NOT NULL AND d IS NOT NULL),
+        mismatch_stats AS (
+            SELECT COUNT(*) AS total_records,
+                   SUM(is_mismatch) AS mismatched_records,
+                   CASE WHEN COUNT(*) > 0
+                        THEN CAST(SUM(is_mismatch) AS FLOAT)
+                             / COUNT(*)
+                        ELSE 0 END AS mismatch_ratio
+            FROM year_comparison)
+        SELECT total_records, mismatched_records, mismatch_ratio
+        FROM mismatch_stats WHERE mismatch_ratio > {thr}
+    """).fetchall()
+    assert len(got) == len(want)
+    if got:
+        g, w = got[0], want[0]
+        assert g["total_records"] == w[0]
+        assert g["mismatched_records"] == w[1]
+        assert abs(g["mismatch_ratio"] - w[2]) < 1e-6
+        assert g["max_allowed_ratio"] == thr
+        assert g["failure_reason"].startswith("Found ")
+        assert (f"({g['mismatched_records']} of "
+                f"{g['total_records']})") in g["failure_reason"]
