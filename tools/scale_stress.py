@@ -21,6 +21,10 @@ scale-stress exactly the queries whose 100 TB story matters most.
 lifecycle on the mutated corpus: per mult, build the store once
 (timed, ~linear allowed), then probe and append a FIXED batch — the
 claim bounded is per-batch cost independent of store size.
+
+--ivf-stress [--mults 1,10,100] (r15) is the IVF twin: signed-
+permutation-scaled embeddings, build the cell-bucketed store once,
+then a fixed top-k probe batch + a fixed append batch per scale.
 """
 
 from __future__ import annotations
@@ -125,9 +129,32 @@ def _mutation_expr(tag: str, rate: int):
                ELSE w END), ' ')""")
 
 
+def _signed_perm_expr(dim: int, tag: str):
+    """Deterministic per-tag SIGNED PERMUTATION of an `embedding`
+    array — a bit-exact orthogonal transform (permuting float32
+    lanes and flipping sign bits loses no precision). Shared by the
+    corpus scaler (tag = copy index) and the IVF lifecycle stress'
+    fixed probe batch (tag = 'probe')."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(int.from_bytes(
+        hashlib.md5(f"perm:{tag}".encode()).digest(), "big"))
+    perm = list(range(dim))
+    rng.shuffle(perm)
+    signs = [rng.choice((1.0, -1.0)) for _ in range(dim)]
+    return F.array(*[
+        (F.element_at("embedding", perm[j] + 1)
+         * F.lit(signs[j])).cast("float")
+        for j in range(dim)])
+
+
 def build_mutated(spark, mult: int, base: str = BASE,
                   out_dir: str = MUT_SCALED, rate: int = 60,
-                  with_embeddings: bool = True) -> None:
+                  with_embeddings: bool = True,
+                  with_documents: bool = True) -> None:
     """Mutation-based corpus scaler for the DEDUP family (VERDICT r13
     #4). Verbatim copy-scaling is confounded for near-dup queries:
     every copy of a doc is a jaccard-1.0 partner of every other copy,
@@ -169,9 +196,6 @@ def build_mutated(spark, mult: int, base: str = BASE,
     rows_scaled ~= mult * rows_base (stress_dedup reports the
     ratio as row_linearity).
     """
-    import hashlib
-    import random
-
     from pyspark.sql import functions as F
 
     from pudl_spark.catalog import read_parquet_table
@@ -180,22 +204,24 @@ def build_mutated(spark, mult: int, base: str = BASE,
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
 
-    d = read_parquet_table(spark, os.path.join(base,
-                                               "documents.parquet"))
-    parts = []
-    for i in range(mult):
-        c = d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10**7))
-        if i:
-            c = c.withColumn("text", _mutation_expr(str(i), rate))
-        parts.append(c)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.write.mode("overwrite").parquet(
-        os.path.join(out_dir, "documents.parquet"))
+    if with_documents:
+        d = read_parquet_table(spark, os.path.join(base,
+                                                   "documents.parquet"))
+        parts = []
+        for i in range(mult):
+            c = d.withColumn("doc_id",
+                             F.col("doc_id") + F.lit(i * 10**7))
+            if i:
+                c = c.withColumn("text", _mutation_expr(str(i), rate))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet"))
 
     if not with_embeddings:
-        # the store-lifecycle stress indexes text only
+        # the LSH store-lifecycle stress indexes text only
         return
     e = read_parquet_table(spark, os.path.join(base,
                                                "embeddings.parquet"))
@@ -204,15 +230,8 @@ def build_mutated(spark, mult: int, base: str = BASE,
     for i in range(mult):
         c = e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**7))
         if i:
-            rng = random.Random(int.from_bytes(
-                hashlib.md5(f"perm:{i}".encode()).digest(), "big"))
-            perm = list(range(dim))
-            rng.shuffle(perm)
-            signs = [rng.choice((1.0, -1.0)) for _ in range(dim)]
-            c = c.withColumn("embedding", F.array(*[
-                (F.element_at("embedding", perm[j] + 1)
-                 * F.lit(signs[j])).cast("float")
-                for j in range(dim)]))
+            c = c.withColumn("embedding",
+                             _signed_perm_expr(dim, str(i)))
         parts.append(c)
     out = parts[0]
     for p in parts[1:]:
@@ -350,6 +369,90 @@ def stress_store_lifecycle(spark, mults=(1, 10, 100),
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(corpus_dir, ignore_errors=True)
         shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(STORE_STRESS_DIR, ignore_errors=True)
+    return out
+
+
+def stress_ivf_lifecycle(spark, mults=(1, 10, 100)) -> dict:
+    """The IVF twin of `stress_store_lifecycle` (r15): per-batch
+    probe/append cost vs store size under the mutated growing
+    corpus. At each mult: scale embeddings via per-copy signed
+    permutation (intra-copy cosines preserved bit-exactly), build
+    the cell-bucketed IVF store ONCE (timed; seeds sample at
+    vec_id % seed_modulus so SEED COUNT GROWS WITH THE CORPUS and
+    mean cell size stays ~constant), then time the SAME fixed
+    batches against it: a 50-query top-k probe (`ivf_store_topk`,
+    min-of-3) and an append of ~500 permuted base vectors under a
+    reserved id range. Expected shape: probe near-flat (per-query
+    work = seed scan + nprobe cells of ~constant size; the seed
+    scan DOES grow linearly but at corpus/97 rows it stays tiny
+    through the measured decade — the hierarchical-seed rework it
+    would eventually need is noted in SCALE.md), append O(batch
+    x seed scan), build ~linear."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.similarity import (
+        append_to_ivf_store, build_ivf_store, ivf_store_topk,
+    )
+
+    base_e = read_parquet_table(
+        spark, os.path.join(BASE, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    dim = base_e.select(F.size("embedding").alias("d")).first()["d"]
+    queries = (base_e.filter(F.col("vec_id") % 101 == 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       "embedding").localCheckpoint())
+    n_q = queries.count()
+    batch = (base_e.filter(F.col("vec_id") % 10 == 0)
+             .withColumn("vec_id", F.col("vec_id") + F.lit(5 * 10**9))
+             .withColumn("embedding", _signed_perm_expr(dim, "probe"))
+             .localCheckpoint())
+    batch.count()
+
+    out = {}
+    for mult in mults:
+        corpus_dir = os.path.join(STORE_STRESS_DIR, f"ivf_{mult}")
+        store_dir = os.path.join(STORE_STRESS_DIR, f"ivfstore_{mult}")
+        name = f"stress_ivf_{mult}"
+        build_mutated(spark, mult, out_dir=corpus_dir,
+                      with_documents=False)
+        corpus = read_parquet_table(
+            spark, os.path.join(corpus_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        n_corpus = corpus.count()
+        gc.collect()
+        t0 = time.perf_counter()
+        build_ivf_store(spark, corpus, name, store_dir)
+        build_s = time.perf_counter() - t0
+        n_seeds = spark.table(f"{name}_seeds").count()
+        probe_runs, probe_rows = [], None
+        for _ in range(3):
+            gc.collect()
+            t0 = time.perf_counter()
+            probe_rows = ivf_store_topk(spark, name, queries,
+                                        k=10).count()
+            probe_runs.append(time.perf_counter() - t0)
+        gc.collect()
+        t0 = time.perf_counter()
+        append_to_ivf_store(spark, name, batch)
+        append_s = time.perf_counter() - t0
+        row = {"corpus_vecs": n_corpus, "n_seeds": n_seeds,
+               "n_queries": n_q,
+               "build_s": round(build_s, 2),
+               "probe_runs": [round(r, 2) for r in probe_runs],
+               "probe_floor": round(min(probe_runs), 2),
+               "probe_rows": probe_rows,
+               "append_s": round(append_s, 2)}
+        out[str(mult)] = row
+        print(json.dumps({"mult": mult, **row}), flush=True)
+        for t in (name, f"{name}_seeds"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        shutil.rmtree(store_dir, ignore_errors=True)
+        shutil.rmtree(f"{store_dir}_seeds", ignore_errors=True)
     shutil.rmtree(STORE_STRESS_DIR, ignore_errors=True)
     return out
 
@@ -587,6 +690,7 @@ def main() -> int:
     reseed_stress = False
     dedup_stress = False
     store_stress = False
+    ivf_stress = False
     mults = (1, 10, 100)
     mutate_rate = 60
     while args and args[0].startswith("--"):
@@ -598,6 +702,8 @@ def main() -> int:
             dedup_stress = True; args = args[1:]
         elif args[0] == "--store-stress":
             store_stress = True; args = args[1:]
+        elif args[0] == "--ivf-stress":
+            ivf_stress = True; args = args[1:]
         elif args[0] == "--mults":
             mults = tuple(int(m) for m in args[1].split(","))
             args = args[2:]
@@ -621,6 +727,13 @@ def main() -> int:
         print(json.dumps({"mults": list(mults),
                           "mutate_rate": mutate_rate,
                           "store_stress": res}))
+        spark.stop()
+        return 0
+
+    if ivf_stress:
+        res = stress_ivf_lifecycle(spark, mults)
+        print(json.dumps({"mults": list(mults),
+                          "ivf_stress": res}))
         spark.stop()
         return 0
 
