@@ -25,6 +25,11 @@ claim bounded is per-batch cost independent of store size.
 --ivf-stress [--mults 1,10,100] (r15) is the IVF twin: signed-
 permutation-scaled embeddings, build the cell-bucketed store once,
 then a fixed top-k probe batch + a fixed append batch per scale.
+
+--churn-stress [--mult N] [--batches B] (r15) measures append-churn
+degradation and compaction recovery: probe floor fresh, after B
+drip appends (file count grows num_buckets per append), and after
+compact_bucketed_table restores one file per bucket.
 """
 
 from __future__ import annotations
@@ -373,6 +378,109 @@ def stress_store_lifecycle(spark, mults=(1, 10, 100),
     return out
 
 
+def stress_store_churn(spark, mult: int = 10,
+                       n_batches: int = 30) -> dict:
+    """Append-churn degradation + compaction recovery — the numbers
+    behind the bucket-aware compaction cadence (r15). Build the LSH
+    store on the mutated corpus at `mult`x, measure the fixed-batch
+    In()-pruned probe floor, append `n_batches` SMALL batches (each
+    a 500-doc mutated slice under its own reserved id range — the
+    drip-ingest pattern that grows a bucketed table's file count by
+    num_buckets per append), re-measure the probe against the
+    churned layout, then `compact_bucketed_table` both tables back
+    to one file per bucket and re-measure. Parquet row-group
+    pruning skips BYTES in churned files but every surviving file
+    still pays open/footer cost — compaction is what keeps the
+    serving path's file count, and therefore its fixed per-probe
+    cost, bounded as appends accumulate."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from pudl_spark.catalog import read_parquet_table
+    from pudl_spark.functions.dedup import (
+        _resolve_table_location, append_to_lsh_store,
+        build_lsh_store, lsh_store_probe,
+    )
+    from pudl_spark.operators.layout import compact_bucketed_table
+
+    def n_files(table):
+        loc = _resolve_table_location(spark, table)
+        path = loc[len("file:"):] if loc.startswith("file:") else loc
+        return sum(1 for _, _, fs in os.walk(path)
+                   for f in fs if f.endswith(".parquet"))
+
+    base_docs = read_parquet_table(
+        spark, os.path.join(BASE, "documents.parquet"))
+    slice_ = base_docs.filter(F.expr("pmod(doc_id, 10) = 0"))
+    probe_batch = (slice_
+                   .withColumn("doc_id",
+                               F.col("doc_id") + F.lit(5 * 10**9))
+                   .withColumn("text", _mutation_expr("probe", 10))
+                   .localCheckpoint())
+    n_probe = probe_batch.count()
+
+    corpus_dir = os.path.join(STORE_STRESS_DIR, "churn_corpus")
+    store_dir = os.path.join(STORE_STRESS_DIR, "churn_store")
+    prefix = "stress_churn"
+    build_mutated(spark, mult, out_dir=corpus_dir,
+                  with_embeddings=False)
+    corpus = read_parquet_table(
+        spark, os.path.join(corpus_dir, "documents.parquet"))
+    build_lsh_store(spark, corpus, "doc_id", "text", prefix,
+                    store_dir)
+
+    def probe_floor():
+        runs = []
+        for _ in range(3):
+            gc.collect()
+            t0 = time.perf_counter()
+            lsh_store_probe(spark, prefix, probe_batch, "doc_id",
+                            "text", jaccard_threshold=0.5,
+                            min_store_bytes=0,
+                            batch_rows=n_probe).count()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 2), [round(r, 2) for r in runs]
+
+    out = {"mult": mult, "n_batches": n_batches}
+    out["files_fresh"] = {s: n_files(f"{prefix}_{s}")
+                          for s in ("bands", "sets")}
+    out["probe_fresh"], out["probe_fresh_runs"] = probe_floor()
+
+    t0 = time.perf_counter()
+    # drip batches are TINY (50 docs: pmod 100) so the churned
+    # store's CONTENT stays within ~ a few % of fresh and the
+    # churned-vs-compacted probe delta isolates the FILE-COUNT cost
+    # (both states hold identical rows)
+    drip = base_docs.filter(F.expr("pmod(doc_id, 100) = 0"))
+    for i in range(n_batches):
+        batch = (drip
+                 .withColumn("doc_id", F.col("doc_id")
+                             + F.lit(10**10 + i * 10**7))
+                 .withColumn("text",
+                             _mutation_expr(f"churn{i}", 60)))
+        append_to_lsh_store(spark, prefix, batch, "doc_id", "text")
+    out["append_total_s"] = round(time.perf_counter() - t0, 2)
+    out["files_churned"] = {s: n_files(f"{prefix}_{s}")
+                            for s in ("bands", "sets")}
+    out["probe_churned"], out["probe_churned_runs"] = probe_floor()
+
+    t0 = time.perf_counter()
+    for s in ("bands", "sets"):
+        compact_bucketed_table(spark, f"{prefix}_{s}")
+    out["compact_s"] = round(time.perf_counter() - t0, 2)
+    out["files_compacted"] = {s: n_files(f"{prefix}_{s}")
+                              for s in ("bands", "sets")}
+    out["probe_compacted"], out["probe_compacted_runs"] = \
+        probe_floor()
+
+    print(json.dumps(out), flush=True)
+    for t in (f"{prefix}_bands", f"{prefix}_sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(STORE_STRESS_DIR, ignore_errors=True)
+    return out
+
+
 def stress_ivf_lifecycle(spark, mults=(1, 10, 100)) -> dict:
     """The IVF twin of `stress_store_lifecycle` (r15): per-batch
     probe/append cost vs store size under the mutated growing
@@ -691,6 +799,8 @@ def main() -> int:
     dedup_stress = False
     store_stress = False
     ivf_stress = False
+    churn_stress = False
+    churn_batches = 30
     mults = (1, 10, 100)
     mutate_rate = 60
     while args and args[0].startswith("--"):
@@ -704,6 +814,10 @@ def main() -> int:
             store_stress = True; args = args[1:]
         elif args[0] == "--ivf-stress":
             ivf_stress = True; args = args[1:]
+        elif args[0] == "--churn-stress":
+            churn_stress = True; args = args[1:]
+        elif args[0] == "--batches":
+            churn_batches = int(args[1]); args = args[2:]
         elif args[0] == "--mults":
             mults = tuple(int(m) for m in args[1].split(","))
             args = args[2:]
@@ -727,6 +841,12 @@ def main() -> int:
         print(json.dumps({"mults": list(mults),
                           "mutate_rate": mutate_rate,
                           "store_stress": res}))
+        spark.stop()
+        return 0
+
+    if churn_stress:
+        res = stress_store_churn(spark, mult, churn_batches)
+        print(json.dumps({"churn_stress": res}))
         spark.stop()
         return 0
 
