@@ -475,3 +475,119 @@ def test_consistent_years_matches_sql(spark, pairs, thr):
         assert g["failure_reason"].startswith("Found ")
         assert (f"({g['mismatched_records']} of "
                 f"{g['total_records']})") in g["failure_reason"]
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(parts=st.lists(st.sampled_from(["a", "b", "", None]),
+                      min_size=0, max_size=12),
+       exp=st.dictionaries(st.sampled_from(["a", "b", "", "c"]),
+                           st.integers(0, 4), max_size=4))
+def test_row_counts_per_partition_matches_macro(spark, parts, exp):
+    """check_row_counts_per_partition vs the LITERAL
+    row_counts_per_partition macro in DuckDB — including the r15
+    raw-GROUP-BY parity fix: NULL and '' partition values group
+    separately, then coalesce in the SELECT, so both engines emit
+    one violation row per (expected x observed) '' match."""
+    from pudl_spark.validate import check_row_counts_per_partition
+
+    sdf = spark.createDataFrame([(p,) for p in parts], "part string")
+    got = sorted(
+        (r["part"], r["actual_count"], r["expected_count"])
+        for r in check_row_counts_per_partition(
+            sdf, "part", dict(exp)).collect())
+
+    pdf = pd.DataFrame({"part": pd.array(parts, dtype="string")})
+    con = duckdb.connect()
+    con.register("model", pdf)
+    con.execute("CREATE TABLE rc(table_name VARCHAR, "
+                "partition VARCHAR, row_count BIGINT)")
+    for k, v in exp.items():
+        con.execute("INSERT INTO rc VALUES ('t', ?, ?)", [k, v])
+    want = sorted(map(tuple, con.execute("""
+        WITH expected AS (
+            SELECT COALESCE(CAST(partition AS VARCHAR), '')
+                       AS partition,
+                   row_count AS expected_count
+            FROM rc WHERE table_name = 't'),
+        observed AS (
+            SELECT COALESCE(CAST(part AS VARCHAR), '') AS partition,
+                   COUNT(*) AS observed_count
+            FROM model GROUP BY part)
+        SELECT COALESCE(expected.partition, observed.partition),
+               observed_count, expected_count
+        FROM expected FULL OUTER JOIN observed
+          ON expected.partition = observed.partition
+        WHERE expected_count != observed_count
+           OR expected_count IS NULL OR observed_count IS NULL
+    """).fetchall()))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st, parents=st.lists(st.sampled_from(VALS),
+                                      min_size=0, max_size=6))
+def test_foreign_key_df_matches_sql(spark, rows, parents):
+    """check_foreign_key_df vs the anti-join twin: NULL child keys
+    are excluded (SQL NOT IN would nuke the result on a NULL
+    parent, so the twin spells the anti-join out)."""
+    from pudl_spark.validate import check_foreign_key_df
+
+    pdf = _frame(rows)
+    parent = spark.createDataFrame(
+        [(None if p is None else int(p),) for p in parents]
+        or [(None,)], "pk long")
+    got = sorted(r["v"] for r in check_foreign_key_df(
+        _spark_frame(spark, pdf), ["v"], parent, ["pk"]).collect())
+    ppdf = pd.DataFrame(
+        {"pk": pd.array(parents if parents else [None],
+                        dtype="Int64")})
+    con = duckdb.connect()
+    con.register("child", pdf)
+    con.register("parent", ppdf)
+    want = sorted(r[0] for r in con.execute(
+        "SELECT DISTINCT v FROM child WHERE v IS NOT NULL "
+        "AND NOT EXISTS (SELECT 1 FROM parent "
+        "                WHERE parent.pk = child.v)").fetchall())
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st,
+       lo=st.sampled_from([0.0, 0.25, 0.5]),
+       hi=st.sampled_from([0.5, 0.75, 1.0]))
+def test_column_fraction_with_condition_matches_sql(spark, rows,
+                                                    lo, hi):
+    """check_column_fraction_with_condition vs the reference CTE:
+    integer-valued weights make both engines' sums exact, the raw
+    f64 fraction is the identical expression on both sides (so the
+    violation VERDICT matches exactly), and a zero/NULL total sum
+    passes (try_divide / NULLIF parity)."""
+    from pudl_spark.validate import (
+        check_column_fraction_with_condition,
+    )
+
+    pdf = _frame(rows)
+    got = check_column_fraction_with_condition(
+        _spark_frame(spark, pdf), "v", "x >= 1", lo, hi).collect()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"""
+        WITH s AS (
+            SELECT SUM(CASE WHEN x >= 1 THEN v ELSE 0 END) AS num,
+                   SUM(v) AS den
+            FROM t)
+        SELECT CAST(num AS DOUBLE) / NULLIF(den, 0) AS f,
+               num, den FROM s
+        WHERE CAST(num AS DOUBLE) / NULLIF(den, 0) < {lo}
+           OR CAST(num AS DOUBLE) / NULLIF(den, 0) > {hi}
+    """).fetchall()
+    assert len(got) == len(want)
+    if got:
+        g, w = got[0], want[0]
+        assert abs(g["actual_fraction"] - round(w[0], 4)) < 1e-9
+        assert g["condition_sum"] == float(w[1])
+        assert g["total_sum"] == float(w[2])
+        assert (g["min_fraction"], g["max_fraction"]) == (lo, hi)
