@@ -591,3 +591,62 @@ def test_column_fraction_with_condition_matches_sql(spark, rows,
         assert g["condition_sum"] == float(w[1])
         assert g["total_sum"] == float(w[2])
         assert (g["min_fraction"], g["max_fraction"]) == (lo, hi)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st)
+def test_columns_are_close_matches_sql(spark, rows):
+    """check_columns_are_close vs the row-wise SQL twin: both-NULL
+    passes, one-sided NULL propagates to a NULL predicate and
+    passes (three-valued logic parity), equal/distant values split
+    on the identical |a-b| <= tol*GREATEST(|a|,|b|) expression."""
+    from pudl_spark.validate import check_columns_are_close
+
+    pdf = _frame(rows)
+    got = sorted((r["x"], r["y"]) for r in check_columns_are_close(
+        _spark_frame(spark, pdf), "x", "y", rel_tol=1e-6).collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute("""
+        SELECT x, y FROM t
+        WHERE NOT ((x IS NULL AND y IS NULL)
+                   OR ABS(x - y) <= 1e-6 * GREATEST(ABS(x), ABS(y)))
+    """).fetchall()))
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_st,
+       totals=st.tuples(st.sampled_from(VALS), st.sampled_from(VALS),
+                        st.sampled_from(VALS)))
+def test_sum_close_to_total_matches_sql(spark, rows, totals):
+    """check_sum_close_to_total vs the SQL twin, with the total
+    joined in as a CONSTANT per group (the check's contract — its
+    first() pick is only deterministic then): all-NULL part sums
+    yield a NULL predicate and pass in both engines."""
+    from pudl_spark.validate import check_sum_close_to_total
+
+    tot = dict(zip(["a", "b", "c"], totals))
+    pdf = _frame(rows)
+    pdf["total"] = pdf["k"].map(tot).astype("Int64")
+    sdf = _spark_frame(spark, pdf[["k", "v", "x", "y"]]) \
+        .withColumn("total", F.create_map(
+            *[F.lit(x) for kv in tot.items() for x in kv]
+        )[F.col("k")].cast("long"))
+    got = sorted(
+        (r["k"], r["sum_parts"], r["total"])
+        for r in check_sum_close_to_total(
+            sdf, ["k"], "v", "total").collect())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = sorted(map(tuple, con.execute("""
+        WITH g AS (
+            SELECT k, SUM(v) AS sum_parts, MAX(total) AS total
+            FROM t GROUP BY k)
+        SELECT k, sum_parts, total FROM g
+        WHERE NOT (ABS(sum_parts - total)
+                   <= 1e-6 * GREATEST(ABS(sum_parts), ABS(total)))
+    """).fetchall()))
+    assert got == want
