@@ -179,7 +179,8 @@ def write_bucketed_table(df: DataFrame, table_name: str,
                          sort_cols: list[str] | None = None,
                          mode: str = "overwrite",
                          path: str | None = None,
-                         recover: bool = True) -> None:
+                         recover: bool = True,
+                         distribute: bool = True) -> None:
     """Bucketed managed table — the shuffle-free-join layout.
 
     At 100 TB the dominant cost of fact-to-fact joins (orders x
@@ -194,6 +195,23 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     (catalog entry + caller-owned files — the self-cleaning-store
     discipline for query-scoped stores) instead of a managed table
     under the warehouse dir.
+
+    ``distribute`` (r15 optimization): hash-repartition on the bucket
+    columns into ``num_buckets`` partitions before the write.
+    Spark's bucketed writer otherwise emits one file per (input
+    partition x bucket present in it) — a 32-partition upstream at
+    8 buckets wrote 32-64 files of 14-60 KB per store table
+    (measured), paying listing + footer + commit overhead per file
+    on every write AND every probe. ``repartition(n, cols)`` uses
+    the SAME hash family as the bucket spec (pmod of Murmur3), so
+    each write task holds exactly one bucket and each write emits
+    exactly ``num_buckets`` files — the Iceberg
+    ``write.distribution-mode=hash`` discipline. The heavy upstream
+    compute (shingling, scoring) stays below the exchange at full
+    parallelism; only the index-sized rows shuffle once. File size
+    at scale is governed by ``num_buckets``, which is the layout's
+    scale knob already. Set False to keep the old write-local
+    behavior (no exchange) when the caller has pre-partitioned.
     """
     if mode == "append" and recover:
         spark = df.sparkSession
@@ -212,6 +230,8 @@ def write_bucketed_table(df: DataFrame, table_name: str,
             )
 
             recover_pending_compaction(spark, table_name)
+    if distribute:
+        df = df.repartition(num_buckets, *bucket_cols)
     writer = df.write.mode(mode).format("parquet") \
         .bucketBy(num_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))

@@ -117,8 +117,14 @@ def test_compaction_files_per_bucket_bound(spark):
                         "doc_id", "text", "t_cmp2",
                         os.path.join(td, "s"), num_buckets=2)
         try:
+            # two appends: each write now emits exactly num_buckets
+            # files (hash-distributed writer), so fragmentation comes
+            # from append count, not upstream partitioning
             append_to_lsh_store(spark, "t_cmp2",
-                                d.filter(F.col("doc_id") % 3 == 0),
+                                d.filter(F.col("doc_id") % 6 == 0),
+                                "doc_id", "text", num_buckets=2)
+            append_to_lsh_store(spark, "t_cmp2",
+                                d.filter(F.col("doc_id") % 6 == 3),
                                 "doc_id", "text", num_buckets=2)
             sets_dir = os.path.join(td, "s", "sets")
             before = sorted(map(tuple, spark.table("t_cmp2_sets")
