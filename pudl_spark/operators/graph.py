@@ -143,10 +143,15 @@ def triangle_stats(edges: DataFrame, src: str = "src",
     canon = canon.localCheckpoint(eager=True)
     # Degrees straight off the canonical (halved) edge list — each
     # edge contributes once per endpoint; the doubled frame the naive
-    # form builds first is never needed.
+    # form builds first is never needed. PINNED (lazy checkpoint, r15
+    # guide §2.1): deg has three consumers (both orientation joins and
+    # the final output join) and without a pin each one replays the
+    # union+aggregate over the edge set — the r15 before-plan showed
+    # this whole subtree 8x.
     deg = (canon.select(F.col("u").alias("node"))
            .union(canon.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+           .localCheckpoint(eager=False))
     # Orient each CANONICAL edge from the endpoint that is smaller
     # under (degree, id) ordering — the classic total order that
     # bounds out-degree at O(sqrt(E)). One pass over E edges (not
@@ -157,10 +162,14 @@ def triangle_stats(edges: DataFrame, src: str = "src",
                                F.col("degree").alias("dv")), "v")
     keep = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # Pinned like deg (r15): oriented feeds the closure join's left
+    # side AND both adjacency builds — unpinned, the two-join
+    # orientation tree ran three times per action.
     oriented = dd.select(
         F.when(keep, F.col("u")).otherwise(F.col("v")).alias("ou"),
         F.when(keep, F.col("v")).otherwise(F.col("u")).alias("ov")
-    ).select(F.col("ou").alias("u"), F.col("ov").alias("v"))
+    ).select(F.col("ou").alias("u"), F.col("ov").alias("v")) \
+     .localCheckpoint(eager=False)
     # Compact-forward closing (Latapy 2008): instead of materializing
     # every wedge (x -> y, x -> z) and shuffling that O(sum dout^2)
     # frame to a closure join, build each node's out-neighbor ARRAY
@@ -181,13 +190,24 @@ def triangle_stats(edges: DataFrame, src: str = "src",
                   F.array_intersect("u_nbrs", "v_nbrs").alias("common"))
           .filter(F.size("common") > 0))
     # Per-corner credit: u and v each get |common|, every w in common
-    # gets 1 — three tiny aggregations instead of a 3x explode of the
-    # full triangle list.
-    cu = e2.select(F.col("u").alias("node"), F.size("common").alias("c"))
-    cv = e2.select(F.col("v").alias("node"), F.size("common").alias("c"))
-    cw = e2.select(F.explode("common").alias("node"),
-                   F.lit(1).alias("c"))
-    tri = (cu.union(cv).union(cw)
+    # gets 1. ONE explode pass over e2 (r15, guide §2.1): the earlier
+    # cu/cv/cw three-branch union consumed e2 three times, and each
+    # branch replayed the whole closure-join tree — the r15
+    # before-plan's dominant replication. Emitting all three credit
+    # kinds as one concatenated struct array keeps the aggregate input
+    # rows identical while evaluating e2 exactly once.
+    credits = e2.select(F.explode(F.concat(
+        F.array(
+            F.struct(F.col("u").alias("node"),
+                     F.size("common").cast("long").alias("c")),
+            F.struct(F.col("v").alias("node"),
+                     F.size("common").cast("long").alias("c"))),
+        F.transform("common",
+                    lambda w: F.struct(w.alias("node"),
+                                       F.lit(1).cast("long")
+                                       .alias("c"))))).alias("nc"))
+    tri = (credits.select(F.col("nc.node").alias("node"),
+                          F.col("nc.c").alias("c"))
            .groupBy("node").agg(F.sum("c").alias("n_tri")))
     return (
         deg.join(tri, "node", "left")

@@ -7472,15 +7472,28 @@ def part_copurchase_triangles(spark, sf_dir):
     """
     from pudl_spark.operators.graph import triangle_stats
 
-    li = (_t(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    b = li.select(F.col("l_orderkey").alias("o"),
-                  F.col("l_partkey").alias("p2"))
-    edges = (li.join(b, (F.col("l_orderkey") == F.col("o"))
-                     & (F.col("l_partkey") < F.col("p2")))
-             .select(F.col("l_partkey").alias("src"),
-                     F.col("p2").alias("dst"))
-             .distinct())
+    # Map-side pair generation (r15, guide §2.2/§3.4): the previous
+    # shape self-joined the distinct (order, part) projection on
+    # l_orderkey — two extra shuffles of lineitem plus the join — to
+    # enumerate within-order pairs that a per-order sorted part array
+    # yields map-side after ONE groupBy shuffle. Order sizes are
+    # bounded (the per-order self-join argument already relied on
+    # that), so the pair arrays are tiny. The output distinct is
+    # dropped too: triangle_stats canonicalizes-and-distincts its
+    # input, so the old query deduplicated the same edge set twice.
+    parts = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey")
+             .groupBy("l_orderkey")
+             .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps")))
+    pairs = F.flatten(F.transform(
+        F.col("ps"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ps"), i + F.lit(2),
+                    F.size(F.col("ps")) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("src"), y.alias("dst")))))
+    edges = (parts.select(F.explode(pairs).alias("e"))
+             .select(F.col("e.src").alias("src"),
+                     F.col("e.dst").alias("dst")))
     return triangle_stats(edges)
 
 
