@@ -9593,8 +9593,18 @@ def table_quality_screens(spark, sf_dir):
         check_weighted_quantile_constraints,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # Scan sharing (r15, guide §6.1/§2.1 — the SCALE.md "production
+    # validation job" note made real): the eleven check branches used
+    # to scan lineitem SEVEN times, orders five and events twice in
+    # the one action. Each table now materializes ONCE as a pruned
+    # lazy localCheckpoint and every check branch reads the pinned
+    # blocks; the checks themselves are the same real validate.py
+    # functions over the same rows, so the eleven result rows are
+    # unchanged (oracle-verified).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_discount", "l_tax").localCheckpoint(eager=False)
+    orders = _t(spark, sf_dir, "orders").localCheckpoint(eager=False)
     events = _t(spark, sf_dir, "events")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -9679,9 +9689,10 @@ def table_quality_screens(spark, sf_dir):
     # 5. missingness — value nulled at event_id % 13 == 0 (~7.7%)
     #    vs an upper bound of 5%: FAILS; the metric is an exact
     #    integer ratio, bit-identical cross-engine.
-    ev = events.withColumn(
-        "value", F.when(F.col("event_id") % 13 != 0,
-                        F.col("value")))
+    ev = events.select(
+        F.when(F.col("event_id") % 13 != 0,
+               F.col("value")).alias("value")).localCheckpoint(
+        eager=False)
     miss_metric = ev.agg(F.round(
         (F.count(F.lit(1)) - F.count("value")).cast("double")
         / F.count(F.lit(1)), 6).alias("metric"))

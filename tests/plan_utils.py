@@ -40,3 +40,25 @@ def file_scan_schemas(df) -> list[tuple[str, list[str]]]:
             loc = n.relation().location().rootPaths().head().toString()
             out.append((loc.rstrip("/").rsplit("/", 1)[-1], cols))
     return out
+
+
+def rdd_scan_schemas(df) -> list[tuple[str, ...]]:
+    """Sorted column tuples of every distinct RDD scan (checkpointed
+    relation) in the PRE-AQE physical plan. A query that pins shared
+    inputs via localCheckpoint hides its file scans behind these
+    (the checkpoint carries ONLY the pruned projection, so its
+    schema is what bounds bytes at scale); the pruning pins assert
+    on the checkpointed schemas instead."""
+    def walk(node, acc):
+        acc.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    out = set()
+    for n in walk(df._jdf.queryExecution().sparkPlan(), []):
+        if "RDDScan" in n.getClass().getSimpleName():
+            out.add(tuple(sorted(
+                f.name() for f in n.schema().fields())))
+    return sorted(out)

@@ -546,30 +546,34 @@ def test_subcomponents_sum_to_total(spark):
 
 
 def test_table_quality_screens_plan_pruning(spark):
-    """Column-pruning pin for the registered composite (r14): at
-    100 TB the composite's cost is scan bytes, so every lineitem /
-    events scan must prune to exactly the 2 columns its check
-    reads, and the ONLY full-width scan allowed is the not-all-null
-    check's orders pass (which must examine every column by
-    definition). Node-level assertion (plan_utils.file_scan_schemas),
-    not explain-string grepping."""
-    from plan_utils import file_scan_schemas
+    """Column-pruning + scan-sharing pin for the registered composite
+    (r14 pruning pin, reshaped r15): at 100 TB the composite's cost is
+    scan bytes, so each source table must be read ONCE, pruned to
+    exactly the columns its checks need. Since r15 the query pins one
+    pruned lazy localCheckpoint per table and all eleven branches read
+    the pinned blocks, so the pruning contract lives on the
+    checkpointed schemas (plan_utils.rdd_scan_schemas): lineitem is
+    the five check columns, events collapses to the nulled value
+    column, orders is the one deliberately full-width pass the
+    not-all-null check requires. The only file scans left in the plan
+    are the two single-column dimension reads (nation/region)."""
+    from plan_utils import file_scan_schemas, rdd_scan_schemas
 
     from pudl_spark.plans.queries import QUERIES
 
     df = QUERIES["table_quality_screens"](spark,
                                           "/root/testdata/sf0.001")
-    scans = file_scan_schemas(df)
-    assert scans, "no parquet scans found in the physical plan"
-    wide = []
-    for table, cols in scans:
-        if table.startswith(("lineitem", "events")):
-            assert len(cols) <= 2, (table, cols)
-        elif len(cols) > 2:
-            wide.append((table, cols))
-    # exactly one full-width scan: not-all-null over orders
-    assert len(wide) == 1 and wide[0][0].startswith("orders"), wide
-    assert "o_orderkey" in wide[0][1] and "o_comment" not in wide[0][1]
+    pinned = rdd_scan_schemas(df)
+    assert ("l_discount", "l_extendedprice", "l_quantity",
+            "l_returnflag", "l_tax") in pinned, pinned
+    assert ("value",) in pinned, pinned
+    orders_pin = [s for s in pinned if "o_orderkey" in s]
+    assert len(orders_pin) == 1 and "o_comment" not in orders_pin[0]
+    # fact tables are NOT rescanned as files: the only remaining
+    # parquet scans are the single-column dimension reads
+    for table, cols in file_scan_schemas(df):
+        assert table.startswith(("nation", "region")), (table, cols)
+        assert len(cols) <= 1, (table, cols)
 
 
 def test_consistent_years(spark):
