@@ -387,9 +387,10 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
     ``batch_rows``: pass the known query count so the regime gate
     never re-evaluates the caller's query pipeline just to count it
     (ADVICE r8); in the pruned branch the scored probe table is
-    additionally localCheckpoint()ed — n_queries * seed_probe rows,
-    small by the gate — so the scoring/window pipeline runs ONCE for
-    both the cell collect and the candidate join. ``seed_modulus``
+    collected ONCE — n_queries * seed_probe rows, small by the gate —
+    and served back as a LocalRelation, so the scoring/window
+    pipeline runs exactly once and the candidate join broadcasts the
+    local probe rows against the pruned store scan. ``seed_modulus``
     is accepted for one deprecation cycle and ignored: since the
     ``{table}_seeds`` sidecar landed, the seed rule is implied by
     the store build (passing a value merely no-ops instead of
@@ -462,15 +463,26 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
         # reaches the parquet reader, so the cell-sorted store files
         # prune to the probed cells' row groups instead of scanning
         # the corpus and joining it away.
-        # Small by the gate: cut the probe pipeline's lineage so the
-        # cell collect and the candidate join evaluate the scoring/
-        # window stages (and the caller's query lineage) once.
-        qseeds = qseeds.localCheckpoint()
-        cells = sorted(r["cell"] for r in
-                       qseeds.select("cell").distinct()
-                       .limit(max_prune_values + 1).collect())
-        if len(cells) <= max_prune_values:
+        # Small by the gate: ONE bounded collect replaces the r8
+        # localCheckpoint + separate cell collect (two driver
+        # actions, and the checkpointed scoring pipeline stayed in
+        # the served plan as extra AQE stages). The collected rows
+        # come back as a LocalRelation probe side — the scoring/
+        # window pipeline runs exactly once, the In() cell list
+        # derives in Python for free, and the served plan is just
+        # broadcast(local probe rows) join pruned store scan.
+        # Doubles/arrays round-trip driver-exact, so candidate
+        # scores are bit-identical to the distributed path.
+        qrows = qseeds.limit(max_prune_values + 1).collect()
+        if len(qrows) <= max_prune_values:
+            qseeds = spark.createDataFrame(qrows, qseeds.schema)
+            cells = sorted({r["cell"] for r in qrows})
             s = s.filter(F.col("cell").isin(cells))
+        else:
+            # Caller understated batch_rows: stay distributed (the
+            # bulk full-join regime); cut lineage as before so the
+            # probe pipeline is not replayed per consumer.
+            qseeds = qseeds.localCheckpoint()
     cand = qseeds.join(s, "cell").select(
         "query_id", F.col("vec_id").alias("neighbor_id"),
         (dot_expr(F.col("__qvec"), F.col("embedding"))
@@ -553,7 +565,13 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
 
     base = emb.select("vec_id", "embedding").withColumn(
         "nrm", l2_norm_expr(F.col("embedding")))
-    seeds = sample_seeds(base, seed_modulus)
+    # seeds persisted too (r15): centroid_array consumes it twice
+    # (the count and the threshold filter) and seed_cells a third
+    # time — un-persisted, each consumer re-ran the FULL corpus scan
+    # just to re-filter the corpus/97 seed rows. One corpus scan now
+    # fills the seed blocks and the three consumers read those.
+    seeds = sample_seeds(base, seed_modulus).persist(
+        StorageLevel.MEMORY_AND_DISK)
     # Persisted (NOT localCheckpoint'ed): the centroid array is
     # broadcast by two consumers (seed-cell assignment and the
     # vector probe) and sc (corpus/seed_modulus rows) feeds BOTH the
@@ -605,6 +623,7 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
     finally:
         sc.unpersist()
         cents_arr.unpersist()
+        seeds.unpersist()
 
 
 def append_to_ivf_store(spark, table_name: str, new_vecs: DataFrame,
