@@ -357,7 +357,17 @@ def cluster_embeddings_ivf(df: DataFrame, id_col: str = "vec_id",
     seeds = sample_seeds(emb, seed_modulus)
     best = ivf_partitioned_argmax(emb, seeds, nprobe=nprobe,
                                   centroid_factor=centroid_factor)
-    assigned = base.join(best, "vec_id", "left")
+    # Lazy localCheckpoint (r15): blocked and singles below both
+    # consume `assigned`, and Catalyst replays a subtree per
+    # consumer — un-pinned, the union's two branches each re-ran
+    # the FULL argmax tree (corpus scan, centroid scoring, cell
+    # join, argmax agg: 28 scans / 46 Exchanges in the bench plan).
+    # Pinning the assignment runs it once; the union branches read
+    # the materialized blocks. Lazy: nothing materializes until the
+    # query's own action, so no extra driver job; blocks die with
+    # the job (the oph_banded tradeoff note).
+    assigned = base.join(best, "vec_id", "left").localCheckpoint(
+        eager=False)
     blocked = assigned.filter(F.col("cluster_seed").isNotNull()).select(
         "vec_id", "embedding", F.col("cluster_seed").alias("block"))
 

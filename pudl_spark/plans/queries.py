@@ -8575,7 +8575,13 @@ def doc_apply_bpe(spark, sf_dir):
     """
     from pudl_spark.functions.bpe import apply_bpe
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread_docs (r15): the merge loop is CPU-bound Python inside
+    # the Arrow island, and the few-MB corpus arrives as 2 scan
+    # splits — serializing the tokenizer on 2 of 32 cores (the r5
+    # media incident pattern). No-op at real scale where the files
+    # split naturally.
+    d = _spread_docs(_t(spark, sf_dir, "documents")
+                     .select("doc_id", "text"))
     out = apply_bpe(d, "text", _BPE_FIXED_MERGES)
     # NULL-text rows carry NULL tokens (apply_bpe is NULL-total, the
     # oracle's string chain propagates NULL identically): size(NULL)

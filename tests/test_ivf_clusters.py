@@ -60,9 +60,26 @@ def test_ivf_clusters_plan_shape(spark):
     # The only nested-loop products are the bounded centroid-stage
     # broadcasts (1-row seed count, O(sqrt(k)) centroid array) —
     # never an unkeyed corpus x corpus product; the block co-location
-    # is a keyed shuffle for the applyInPandas island.
+    # is a keyed shuffle for the applyInPandas island. Since r15 the
+    # assignment is pinned behind a lazy localCheckpoint (so the
+    # blocked/singleton union evaluates the argmax tree ONCE); the
+    # outer plan therefore shows the pinned RDD, and the broadcast
+    # shape is asserted on the argmax pipeline itself.
     df = QUERIES["embedding_ivf_clusters"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("CartesianProduct") == 0
-    assert "BroadcastNestedLoopJoin" in plan
     assert "FlatMapGroupsInPandas" in plan
+    # One pinned assignment feeds both union branches: the argmax
+    # tree must not be replayed per branch.
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+
+    from pudl_spark.functions.similarity import (
+        ivf_partitioned_argmax, l2_norm_expr, sample_seeds)
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding")
+           .withColumn("nrm", l2_norm_expr(F.col("embedding"))))
+    inner = ivf_partitioned_argmax(emb, sample_seeds(emb))
+    iplan = inner._jdf.queryExecution().executedPlan().toString()
+    assert iplan.count("CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" in iplan
