@@ -380,15 +380,37 @@ def em_train(pairs: DataFrame, gamma_cols: dict[str, Column],
     smoothing that keeps zero-count levels from collapsing a
     probability to exactly 0 (log-undefined downstream).
     """
-    import numpy as np
-
     comps = list(gamma_cols)
     pat_df = (pairs.select(*[gamma_cols[c].alias(f"__g_{c}")
                              for c in comps])
               .groupBy(*[f"__g_{c}" for c in comps]).count().collect())
-    patterns = np.array([[r[f"__g_{c}"] for c in comps] for r in pat_df],
-                        dtype=np.int64)
-    counts = np.array([r["count"] for r in pat_df], dtype=np.float64)
+    items = sorted((tuple(r[f"__g_{c}"] for c in comps), r["count"])
+                   for r in pat_df)  # collect order-independent ULPs
+    return em_train_from_counts([list(k) for k, _ in items],
+                                [v for _, v in items], comps, n_levels,
+                                lam0=lam0, iters=iters, tol=tol,
+                                smooth=smooth)
+
+
+def em_train_from_counts(patterns, counts, comps: list,
+                         n_levels: dict[str, int], lam0: float = 0.3,
+                         iters: int = 100, tol: float = 1e-9,
+                         smooth: float = 1e-6) -> EMParams:
+    """EM core over precomputed γ-pattern sufficient statistics —
+    ``patterns`` is a list of per-pattern level tuples (one entry per
+    comparison in ``comps``), ``counts`` the pair count of each
+    pattern. `em_train` is exactly this after its one distributed
+    aggregation; callers that already hold the pattern counts (e.g. a
+    query that also needs labeled per-pattern tallies and shares ONE
+    groupBy for both — guide §6.1 read amplification) call this
+    directly and pay zero extra Spark jobs. Identical float64
+    arithmetic, identical results.
+    """
+    import numpy as np
+
+    patterns = np.array(patterns, dtype=np.int64).reshape(
+        len(counts), len(comps))
+    counts = np.array(counts, dtype=np.float64)
 
     lam = float(lam0)
     m = {c: np.array([(l + 1.0) for l in range(n_levels[c])]) for c in comps}

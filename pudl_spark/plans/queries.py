@@ -5416,7 +5416,9 @@ def fs_linkage_trained(spark, sf_dir):
     degenerate trainer fails: the fixed init is ≥0.3 off the truth on
     the name comparison (measured recovery: ≤0.007 at sf0.001/0.01).
     """
-    from pudl_spark.functions.linkage import em_train, gamma_column
+    from pudl_spark.functions.linkage import (
+        em_train_from_counts, gamma_column,
+    )
 
     p = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type")
@@ -5448,15 +5450,29 @@ def fs_linkage_trained(spark, sf_dir):
         "type": gamma_column([F.col("l_type") == F.col("r_type")]),
     }
     n_levels = {"name": 3, "brand": 2, "type": 2}
-    em = em_train(pairs, gammas, n_levels)
 
-    # Labeled truth from the same pair population (one more tiny agg);
-    # drives both the relational m_true/u_true surface and the
-    # driver-side EM tolerance check.
+    # ONE pass over the pair population (r15, guide §6.1): the labeled
+    # γ-pattern counts (≤ 2 × 12 rows) are the sufficient statistics
+    # for EVERYTHING downstream — EM training (marginalize over
+    # is_match: exact integer sums), the labeled-truth tolerance
+    # check, and the output aggregations (rebuilt on a LocalRelation
+    # of these rows with the same expressions, so doubles are
+    # identical). The previous shape replayed the pairs fixture three
+    # times (EM collect, truth collect, 3-branch output union —
+    # 20 part scans per run; now 4).
     lab = pairs.select("is_match",
                        *[g.alias(f"g_{c}") for c, g in gammas.items()])
     rows = (lab.groupBy("is_match", "g_name", "g_brand", "g_type")
             .count().collect())
+
+    comps = list(gammas)
+    agg = {}
+    for r in rows:
+        key = tuple(r[f"g_{c}"] for c in comps)
+        agg[key] = agg.get(key, 0) + r["count"]
+    items = sorted(agg.items())  # order-stable EM reductions
+    em = em_train_from_counts([list(k) for k, _ in items],
+                              [v for _, v in items], comps, n_levels)
     tot_m = sum(r["count"] for r in rows if r["is_match"])
     tot_u = sum(r["count"] for r in rows if not r["is_match"])
     truth_m = {c: [0.0] * n_levels[c] for c in n_levels}
@@ -5473,6 +5489,16 @@ def fs_linkage_trained(spark, sf_dir):
         for c in n_levels for lv in range(n_levels[c])
     }
 
+    # Output rebuilt over a LocalRelation of the collected pattern
+    # counts (same aggregation expressions, weighted by the pattern
+    # count — exact integer sums, so every n_match/n_nonmatch and the
+    # derived rounded doubles are identical to aggregating the pair
+    # rows directly).
+    local = spark.createDataFrame(
+        [(bool(r["is_match"]), int(r["g_name"]), int(r["g_brand"]),
+          int(r["g_type"]), int(r["count"])) for r in rows],
+        "is_match boolean, g_name int, g_brand int, g_type int, "
+        "count bigint")
     out = None
     for c in n_levels:
         w = Window.partitionBy(F.lit(c))
@@ -5480,10 +5506,12 @@ def fs_linkage_trained(spark, sf_dir):
         for lv in range(n_levels[c]):
             em_ok = F.when(F.col("level") == lv,
                            F.lit(ok[(c, lv)])).otherwise(em_ok)
-        d = (lab.groupBy(F.col(f"g_{c}").cast("int").alias("level"))
-             .agg(F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        d = (local.groupBy(F.col(f"g_{c}").cast("int").alias("level"))
+             .agg(F.sum(F.when(F.col("is_match"), F.col("count"))
+                        .otherwise(F.lit(0)))
                   .cast("bigint").alias("n_match"),
-                  F.sum(F.when(F.col("is_match"), 0).otherwise(1))
+                  F.sum(F.when(F.col("is_match"), F.lit(0))
+                        .otherwise(F.col("count")))
                   .cast("bigint").alias("n_nonmatch"))
              .withColumn("comparison", F.lit(c))
              .withColumn("m_true", F.round(

@@ -227,6 +227,34 @@ def test_em_train_deterministic(spark):
     assert r1 == r2
 
 
+def test_em_train_from_counts_matches_em_train(spark):
+    """`em_train` is exactly `em_train_from_counts` over its one
+    distributed aggregation (the r15 fs_linkage_trained scan-sharing
+    rests on this): feeding the same γ-pattern sufficient statistics
+    directly must reproduce identical float64 parameters, in any
+    pattern order."""
+    from pudl_spark.functions.linkage import (
+        em_train, em_train_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [((i * 7) % 3, (i * 5) % 2, (i * 11) % 2) for i in range(500)],
+        "a int, b int, c int")
+    full = em_train(df, {"a": F.col("a"), "b": F.col("b"),
+                         "c": F.col("c")}, {"a": 3, "b": 2, "c": 2})
+    counts: dict = {}
+    for i in range(500):
+        k = ((i * 7) % 3, (i * 5) % 2, (i * 11) % 2)
+        counts[k] = counts.get(k, 0) + 1
+    items = sorted(counts.items())
+    direct = em_train_from_counts(
+        [list(k) for k, _ in items], [v for _, v in items],
+        ["a", "b", "c"], {"a": 3, "b": 2, "c": 2})
+    assert direct.lam == full.lam
+    assert direct.m == full.m and direct.u == full.u
+    assert direct.iters == full.iters
+
+
 def test_score_with_em_separates_planted_classes(spark):
     """End-to-end train -> score: EM-trained weights must rank true
     matches above non-matches on the planted-mixture fixture."""
