@@ -5493,12 +5493,23 @@ def fs_linkage_trained(spark, sf_dir):
     # counts (same aggregation expressions, weighted by the pattern
     # count — exact integer sums, so every n_match/n_nonmatch and the
     # derived rounded doubles are identical to aggregating the pair
-    # rows directly).
-    local = spark.createDataFrame(
-        [(bool(r["is_match"]), int(r["g_name"]), int(r["g_brand"]),
-          int(r["g_type"]), int(r["count"])) for r in rows],
-        "is_match boolean, g_name int, g_brand int, g_type int, "
-        "count bigint")
+    # rows directly). Inline VALUES, not createDataFrame: parallelize
+    # fans 24 rows over defaultParallelism near-empty partitions and
+    # every output branch pays a 32-task scan (measured 3-5 s of pure
+    # task scheduling); a VALUES LocalRelation stays plan-local.
+    _schema = ("is_match boolean, g_name int, g_brand int, "
+               "g_type int, count bigint")
+    if rows:
+        vals = ",".join(
+            f"({str(bool(r['is_match'])).lower()},{int(r['g_name'])},"
+            f"{int(r['g_brand'])},{int(r['g_type'])},{int(r['count'])})"
+            for r in rows)
+        local = spark.sql(
+            "SELECT col1 AS is_match, CAST(col2 AS INT) AS g_name, "
+            "CAST(col3 AS INT) AS g_brand, CAST(col4 AS INT) AS g_type, "
+            f"CAST(col5 AS BIGINT) AS count FROM VALUES {vals}")
+    else:  # empty fixture: empty relation with the same schema
+        local = spark.createDataFrame([], _schema)
     out = None
     for c in n_levels:
         w = Window.partitionBy(F.lit(c))
@@ -6472,7 +6483,16 @@ def doc_bigram_perplexity(spark, sf_dir):
     from pudl_spark.functions.text import tokens as _tok
 
     t = F.transform(_tok(F.col("text")), lambda w: F.lower(w))
-    docs = d.select("doc_id", t.alias("t"))
+    # Single text/explode pass (r15, guide §2.1/§6.1 — the same cure
+    # as the minhash sets checkpoint): un-pinned, Catalyst replayed
+    # the regex tokenize for every consumer (c12 subtree, the c1
+    # re-aggregation, the scoring probe side, vocab — 4 documents
+    # scans) and the bigram explode for three of them. Pin the token
+    # arrays (tokenize once) and the exploded bigrams (explode once);
+    # every branch reads the materialized blocks. Same caveat as the
+    # dedup checkpoints: O(corpus tokens) executor block footprint,
+    # blocks don't survive executor loss.
+    docs = d.select("doc_id", t.alias("t")).localCheckpoint(eager=False)
     idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
     big = (
         docs.filter(F.size("t") >= 2)
@@ -6483,8 +6503,13 @@ def doc_bigram_perplexity(spark, sf_dir):
                 F.element_at(F.col("t"), i + 1).alias("w2"),
             ))).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
+        .localCheckpoint(eager=False)
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Pin the bigram model too: un-pinned, the c12 aggregation replays
+    # under BOTH the c1 derivation and the scoring join's broadcast
+    # (two full aggregations of the corpus bigrams). Vocabulary-sized.
+    c12 = (big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+           .localCheckpoint(eager=False))
     # c(w1) = count of bigram STARTS = sum over w2 of c(w1,w2): derive
     # it from the (much smaller) bigram table instead of re-exploding
     # the corpus — one fewer corpus-sized scan+shuffle.
