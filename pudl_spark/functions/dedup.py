@@ -97,13 +97,13 @@ def minhash_signature(col: Column | str, num_hashes: int = 64,
 
 def oph_banded(df: DataFrame, id_col: str, text_col: str,
                num_hashes: int = 64, bands: int = 16,
-               shingle_k: int = 3) -> DataFrame:
+               shingle_k: int = 3,
+               checkpoint: bool = True) -> DataFrame:
     """LSH band keys ``(id, band, bucket)`` from OPH minhash
     signatures — the shared blocking primitive for the one-shot pair
     miner (`minhash_candidate_pairs`) and the persisted incremental
     index (`build_lsh_store` / `lsh_store_probe`).
     """
-    rows_per_band = num_hashes // bands
     df = _spread(df, id_col)
     # One-permutation hashing (OPH, Li/Owen/Zhang 2012 — the scheme
     # production corpus dedup uses): instead of num_hashes independent
@@ -140,56 +140,79 @@ def oph_banded(df: DataFrame, id_col: str, text_col: str,
     sig_map = binned.groupBy("id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_map = sig_map.withColumn(
-        "__v0",
-        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
-    # Rotation densification by coalesce-doubling: after pass r,
-    # __v{r}[i] = first non-empty among bins i .. i+2^r-1 (mod nb).
-    # Each pass materializes as its own projected column so the
-    # expression tree stays linear (re-referencing the prior array
-    # EXPRESSION would copy its subtree and blow up codegen).
-    def _double(prev: str, s: int):
-        return lambda i: F.coalesce(
-            F.element_at(F.col(prev), i + 1),
-            F.element_at(F.col(prev),
-                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
-        )
+    return _sig_map_to_banded(sig_map, num_hashes, bands, checkpoint)
 
+
+def _sig_map_to_banded(sig_map: DataFrame, num_hashes: int,
+                       bands: int, checkpoint: bool = True) -> DataFrame:
+    """Shared OPH tail: the per-id (bin -> min) map densifies by
+    rotation and explodes into ``(id, band, bucket)`` band keys —
+    the common back half of `oph_banded` and `oph_banded_from_sets`.
+
+    Rotation densification by coalesce-doubling: after pass r,
+    __v{r}[i] = first non-empty among bins i .. i+2^r-1 (mod nb).
+    Each pass materializes as its own projected column so the
+    expression tree stays linear (re-referencing the prior array
+    EXPRESSION would copy its subtree and blow up codegen).
+
+    SQL-string expressions, not the Column DSL (r15, guide §1.2
+    per-task... rather per-CALL work): the python-built lambdas paid
+    hundreds of py4j round trips — ~0.5 s of driver time per call,
+    re-paid by every probe/build/append/miner — while one parsed
+    expr per projection yields the IDENTICAL Catalyst tree (pinned
+    by the byte-identity tripwires in tests/test_r16_queue.py and
+    the store fingerprints) at ~10x less construction cost.
+
+    Lazy localCheckpoint before the band explode, not persist():
+    same effect (the signature table materializes once at first
+    action, so the banded frame's self-join in the pair miner reads
+    stored blocks twice instead of recomputing the signatures per
+    side), but the blocks are owned by the RDD, so the
+    ContextCleaner reclaims them when the returned frame is
+    garbage-collected. persist() registers with the cache manager
+    and leaks until an explicit unpersist, which a lazily-returned
+    frame can never schedule.
+
+    ``checkpoint=False`` (r15) for SINGLE-consumer callers — the
+    store build/append writes and the probe's full-scan regime,
+    which each evaluate the banded frame exactly once: there the
+    checkpoint materializes an O(corpus)/O(batch) signature block
+    set nobody reads twice (and under AQE the .rdd conversion runs
+    the signature stages eagerly at construction). Rows identical
+    either way — pinned by the store fingerprints and the
+    tests/test_r16_queue.py tripwires.
+    """
+    rows_per_band = num_hashes // bands
+    hi = num_hashes - 1
+    sig_map = sig_map.withColumn(
+        "__v0", F.expr(f"transform(sequence(0, {hi}), "
+                       "i -> element_at(__m, cast(i as bigint)))"))
     step, r = 1, 0
     while step < num_hashes:
         sig_map = sig_map.withColumn(
-            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
+            f"__v{r + 1}",
+            F.expr(f"transform(sequence(0, {hi}), i -> coalesce("
+                   f"element_at(__v{r}, i + 1), element_at(__v{r}, "
+                   f"pmod(i + {step}, {num_hashes}) + 1)))"))
         step, r = step * 2, r + 1
-    # Lazy localCheckpoint, not persist(): same effect (the signature
-    # table materializes once at first action, so the banded frame's
-    # self-join in the pair miner reads stored blocks twice instead
-    # of recomputing the signatures per side), but the blocks
-    # are owned by the RDD, so the ContextCleaner reclaims them when
-    # the returned frame is garbage-collected. persist() registers
-    # with the cache manager and leaks until an explicit unpersist,
-    # which a lazily-returned frame can never schedule.
-    sig_agg = sig_map.select(
-        "id", F.col(f"__v{r}").alias("__sig")).localCheckpoint(eager=False)
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    sig_agg = sig_map.select("id", F.col(f"__v{r}").alias("__sig"))
+    if checkpoint:
+        sig_agg = sig_agg.localCheckpoint(eager=False)
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bucket', xxhash64(slice(__sig, "
+        f"{b * rows_per_band + 1}, {rows_per_band})))"
+        for b in range(bands))
     # Bands shuffle WITHOUT the verify sets (ids + two longs only —
     # the explode multiplies rows by `bands`, so payload width matters
     # 16x); sets re-join below for the candidate pairs only.
     return sig_agg.select(
-        "id", F.explode(band_arr).alias("bb")
+        "id", F.explode(F.expr(f"array({entries})")).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
 
 
 def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
-                         bands: int = 16) -> DataFrame:
+                         bands: int = 16,
+                         checkpoint: bool = True) -> DataFrame:
     """LSH band keys derived from an already-computed ``(id, __set)``
     shingle-hash frame — `shingle_hash_sets`' output, or the
     persisted ``{prefix}_sets`` table — instead of re-shingling raw
@@ -210,7 +233,6 @@ def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
     `_spread` across cores — this derivation adds no repartition of
     its own.
     """
-    rows_per_band = num_hashes // bands
     nb = F.lit(num_hashes)
     exploded = sets_df.select(
         "id", F.explode("__set").alias("__sh"))
@@ -220,38 +242,7 @@ def oph_banded_from_sets(sets_df: DataFrame, num_hashes: int = 64,
     sig_map = binned.groupBy("id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("__bin", "__mh"))).alias("__m"))
-    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig_map = sig_map.withColumn(
-        "__v0",
-        F.transform(idx, lambda i: F.element_at("__m", i.cast("long"))))
-
-    def _double(prev, s):
-        return lambda i: F.coalesce(
-            F.element_at(F.col(prev), i + 1),
-            F.element_at(F.col(prev),
-                         F.pmod(i + F.lit(s), F.lit(num_hashes)) + 1),
-        )
-
-    step, r = 1, 0
-    while step < num_hashes:
-        sig_map = sig_map.withColumn(
-            f"__v{r + 1}", F.transform(idx, _double(f"__v{r}", step)))
-        step, r = step * 2, r + 1
-    sig_agg = sig_map.select(
-        "id", F.col(f"__v{r}").alias("__sig")
-    ).localCheckpoint(eager=False)
-    band_arr = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
-    return sig_agg.select(
-        "id", F.explode(band_arr).alias("bb")
-    ).select("id", "bb.band", "bb.bucket")
+    return _sig_map_to_banded(sig_map, num_hashes, bands, checkpoint)
 
 
 def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
@@ -624,7 +615,7 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
         sort_cols=["id"], path=os.path.join(path, "sets"))
     write_bucketed_table(
         oph_banded_from_sets(spark.table(f"{table_prefix}_sets"),
-                             num_hashes, bands),
+                             num_hashes, bands, checkpoint=False),
         f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
         sort_cols=["band", "bucket", "id"],
         path=os.path.join(path, "bands"))
@@ -676,7 +667,8 @@ def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
     sets_rows = shingle_hash_sets(new_docs, id_col, text_col,
                                   shingle_k).localCheckpoint()
     write_bucketed_table(
-        oph_banded_from_sets(sets_rows, num_hashes, bands),
+        oph_banded_from_sets(sets_rows, num_hashes, bands,
+                             checkpoint=False),
         f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
         sort_cols=["band", "bucket", "id"], mode="append")
     write_bucketed_table(
@@ -751,7 +743,8 @@ def append_to_lsh_store_idempotent(
                                   shingle_k).localCheckpoint()
     for suffix, rows, sorts, buckets in (
             ("_bands",
-             oph_banded_from_sets(sets_rows, num_hashes, bands),
+             oph_banded_from_sets(sets_rows, num_hashes, bands,
+                                  checkpoint=False),
              ["band", "bucket", "id"], ["band", "bucket"]),
             ("_sets", sets_rows, ["id"], ["id"])):
         if suffix in guard_tables:
@@ -914,8 +907,13 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         # and the verify all read materialized rows instead of
         # re-running the caller's upstream pipeline.
         new_docs = new_docs.localCheckpoint()
+    # Band keys: in the small/pruned regime nb feeds the bucket
+    # collect AND the candidate join, so the signature checkpoint
+    # pays for itself; a large batch consumes nb exactly once (the
+    # full-scan candidate join), so skip materializing O(batch)
+    # signature blocks nobody reads twice (r15).
     nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
-                    shingle_k)
+                    shingle_k, checkpoint=small)
     if (prune_scan and small
             and (min_store_bytes <= 0
                  or _table_location_bytes(spark, f"{table_prefix}_bands")
