@@ -53,7 +53,14 @@ def harvest(sources: dict[str, DataFrame], pk: list[str],
             raise KeyError(f"source {name}: missing pk {sorted(missing_pk)}")
         tagged.append(
             df.select(*cols).withColumn("__source", F.lit(name)))
-    pool = union_by_name(tagged)
+    # Pin the pooled union (r15, guide §2.1/§6.1): it feeds the
+    # entity-PK distinct, one aggregation per harvested column and
+    # the report branches — un-pinned, Catalyst replays every
+    # source's scan+projection per consumer (3 sources x 3 consumers
+    # = 9 scans in harvest_user_profile's plan). The pool is already
+    # projected to pk + harvested columns, so the materialized
+    # blocks are as narrow as the pruned scans they replace.
+    pool = union_by_name(tagged).localCheckpoint(eager=False)
 
     entity = pool.select(*pk).distinct()
     reports = []
