@@ -6359,8 +6359,13 @@ def doc_tfidf_topk(spark, sf_dir):
             F.split(F.trim("text"), r"\s+"), lambda t: F.lower(t)))
         .alias("term"),
     ).filter(F.col("term") != "")
+    # Pin the term-frequency table (r15, same cure as the bigram LM
+    # pins): un-pinned, the tokenize+explode+agg tree replays under
+    # BOTH the document-frequency aggregation and the scoring join's
+    # probe side (3 documents scans in one action). Post-aggregation
+    # rows, far narrower than the exploded token stream.
     tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nn = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
