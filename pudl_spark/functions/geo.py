@@ -851,8 +851,16 @@ def overlay(left: DataFrame, right: DataFrame, left_key: str,
                        else 0.0)
         return pd.Series(out, dtype="float64")
 
+    # asNondeterministic (r15, guide §4.4): the ``__iarea > 0`` filter
+    # below references this UDF-computed column, and the optimizer's
+    # filter pushdown otherwise duplicates the whole clip+area kernel
+    # — two ArrowEvalPython nodes running the exact polygon clip per
+    # candidate pair (observed in nation_zone_overlay's plan). The
+    # kernel is pure, so blocking reordering only pins it to a single
+    # evaluation; results are unchanged.
     pieces = cand.withColumn(
-        "__iarea", _inter_area(F.col(left_geom), F.col(right_geom)))
+        "__iarea", _inter_area.asNondeterministic()(
+            F.col(left_geom), F.col(right_geom)))
     pieces = pieces.filter(F.col("__iarea") > 0.0).withColumn(
         "__ratio", F.col("__iarea") / F.col("__larea"))
     scaled = [(F.col(c) * F.col("__ratio")).alias(c) for c in data_cols]
