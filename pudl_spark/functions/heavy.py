@@ -49,8 +49,14 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
     # items sketch as strings (the mapInPandas schema is fixed); the
     # exact recount also runs on the string form, so mixed-type input
     # columns group by their canonical string rendering.
+    # Pin the item stream (r15, guide §2.1/§6.1): it feeds the sketch
+    # pass, the exact recount and the certification count (plus the
+    # rare-path anti-join) — un-pinned, the caller's upstream
+    # (typically tokenize+explode of the whole corpus) replays per
+    # consumer. Same block-footprint caveat as the dedup sets
+    # checkpoints.
     src = items.select(F.col(col).cast("string").alias("item")).filter(
-        F.col("item").isNotNull())
+        F.col("item").isNotNull()).localCheckpoint(eager=False)
 
     def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
