@@ -475,7 +475,12 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
         # scores are bit-identical to the distributed path.
         qrows = qseeds.limit(max_prune_values + 1).collect()
         if len(qrows) <= max_prune_values:
-            qseeds = spark.createDataFrame(qrows, qseeds.schema)
+            # Single-slice parallelize (r15): the default fans these
+            # few rows over defaultParallelism near-empty partitions
+            # and the candidate join's broadcast build pays ~32 empty
+            # tasks (measured ~0.4 s per probe).
+            qseeds = spark.createDataFrame(
+                spark.sparkContext.parallelize(qrows, 1), qseeds.schema)
             cells = sorted({r["cell"] for r in qrows})
             s = s.filter(F.col("cell").isin(cells))
         else:

@@ -59,6 +59,19 @@ def _spread_docs(df):
     return spread_small_input(df, "doc_id")
 
 
+def _collected(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Sink-roundtrip materialization: collect the BOUNDED result and
+    serve it back as a SINGLE-partition local frame. Plain
+    ``createDataFrame(rows)`` parallelizes a handful of rows over
+    defaultParallelism near-empty partitions, so every downstream
+    action (the bench's noop sink, the driver's hash collect) pays
+    ~32 empty tasks per consumer (r15, measured ~0.4 s per query).
+    Only valid for tiny post-aggregation outputs — the same contract
+    the collect itself already asserts at each call site."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect(), 1), df.schema)
+
+
 def query(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -4804,7 +4817,7 @@ def incremental_rebuild_counts(spark, sf_dir):
         # sink roundtrips): ONLY valid because the output is a tiny
         # post-aggregation frame (3 status rows) — never copy this
         # collect into a query with large output.
-        return spark.createDataFrame(out.collect(), out.schema)
+        return _collected(spark, out)
 
 
 @query("table_row_counts", sql="""
@@ -5144,7 +5157,7 @@ def sqlite_roundtrip_orders(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -5183,7 +5196,7 @@ def parquet_sink_roundtrip(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -5226,7 +5239,7 @@ def csv_partition_extract_nation(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -7267,7 +7280,7 @@ def orc_sink_roundtrip(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -7598,7 +7611,7 @@ def jsonl_sink_roundtrip(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -7901,7 +7914,7 @@ def fixed_width_roundtrip_nation(spark, sf_dir):
             ("n_name", 7, 20, "string"),
             ("n_regionkey", 27, 4, "int"),
         ])
-        out = spark.createDataFrame(back.collect(), back.schema)
+        out = _collected(spark, back)
     return out
 
 
@@ -7949,7 +7962,7 @@ def parquet_schema_evolution(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -7990,7 +8003,7 @@ def file_provenance_counts(spark, sf_dir):
         # Pin before the tempdir vanishes — valid ONLY because the
         # result is a tiny post-aggregation frame; never copy this
         # collect into a query with large output.
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = _collected(spark, out)
     return out
 
 
@@ -8264,7 +8277,7 @@ def ivf_store_cell_stats(spark, sf_dir):
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): ONLY valid because the output is one row per
             # cell (~corpus/97) — bounded, post-aggregation.
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_store")
             spark.sql("DROP TABLE IF EXISTS ann_ivf_store_seeds")
@@ -8405,7 +8418,7 @@ def doc_lsh_store_increment(spark, sf_dir):
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): bounded — O(the increment's dup pairs), the
             # same order as the pair miner's own output.
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             for t in ("lsh_docs_bands", "lsh_docs_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -8485,7 +8498,7 @@ def ann_ivf_store_probe(spark, sf_dir):
                              F.round(F.col("score"), 6).alias("score"))
             # Materialize before the store vanishes: bounded — at
             # most n_queries * k rows.
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store")
             spark.sql("DROP TABLE IF EXISTS ann_ivf_probe_store_seeds")
@@ -8822,7 +8835,7 @@ def doc_lsh_store_probe_small(spark, sf_dir):
                                   min_store_bytes=0)
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): bounded — O(the batch's dup pairs).
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             for t in ("lsh_small_bands", "lsh_small_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -8861,7 +8874,7 @@ def doc_lsh_store_ingest(spark, sf_dir):
                                   "text", jaccard_threshold=0.8)
             # Materialize before the store vanishes (sink-roundtrip
             # pattern): bounded — O(the batch's dup pairs).
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             for t in ("lsh_ing_bands", "lsh_ing_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -8923,7 +8936,7 @@ def ivf_store_append(spark, sf_dir):
                    .filter((F.col("vec_id") % 97 == 3)
                            | (F.col("vec_id") % 11 == 0))
                    .select("cell", "vec_id"))
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_append_store")
             spark.sql("DROP TABLE IF EXISTS ivf_append_store_seeds")
@@ -8962,7 +8975,7 @@ def doc_lsh_store_redelivery(spark, sf_dir):
                                                "text")
             out = lsh_store_probe(spark, "lsh_rd", batch, "doc_id",
                                   "text", jaccard_threshold=0.8)
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             for t in ("lsh_rd_bands", "lsh_rd_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -8999,7 +9012,7 @@ def ivf_store_redelivery(spark, sf_dir):
                    .filter((F.col("vec_id") % 97 == 3)
                            | (F.col("vec_id") % 11 == 0))
                    .select("cell", "vec_id"))
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_rd_store")
             spark.sql("DROP TABLE IF EXISTS ivf_rd_store_seeds")
@@ -9057,7 +9070,7 @@ def doc_lsh_stream_pairs(spark, sf_dir):
                    .select("new_id", "corpus_id", "jaccard",
                            F.col("batch_id").cast("long")
                            .alias("batch_id")))
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             for t in ("lsh_strmp_bands", "lsh_strmp_sets"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -9300,7 +9313,7 @@ def ivf_stream_matches(spark, sf_dir):
                         F.round("score", 6).alias("score"),
                         F.col("batch_id").cast("long")
                         .alias("batch_id")))
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_strm")
             spark.sql("DROP TABLE IF EXISTS ivf_strm_seeds")
@@ -9343,7 +9356,7 @@ def ivf_store_reseed(spark, sf_dir):
             out = (spark.table("ivf_rs_store")
                    .filter(F.col("vec_id") % 7 == 0)
                    .select("cell", "vec_id"))
-            return spark.createDataFrame(out.collect(), out.schema)
+            return _collected(spark, out)
         finally:
             spark.sql("DROP TABLE IF EXISTS ivf_rs_store")
             spark.sql("DROP TABLE IF EXISTS ivf_rs_store_seeds")
