@@ -595,12 +595,25 @@ def build_lsh_store(spark, df: DataFrame, id_col: str, text_col: str,
     scan of stored hash arrays (measured 32% off the index build at
     sf0.1; the saved work is the corpus text pass, so the fraction
     grows with document length at scale). Write order flips (sets
-    before bands) with unchanged crash semantics: both tables drop
-    first, the build is re-runnable from scratch, and probes/appends
-    assert against the bands table's params — written last, so a
-    half-built store fails loudly rather than serving. Byte-identity
-    of BOTH tables vs the pre-swap two-pass build is pinned against
+    before bands) with crash semantics covered on every reader: both
+    tables drop first, the build is re-runnable from scratch,
+    probes/appends read BOTH tables (a missing one raises at plan
+    time), and the streaming bootstrap gate requires both tables
+    before taking the probe path (r16 — the r15 order flip had left
+    that gate keyed on the first-written table). Byte-identity of
+    BOTH tables vs the pre-swap two-pass build is pinned against
     frozen fingerprints in tests/test_r16_queue.py.
+
+    Deliberately SEQUENTIAL, unlike the IVF build's concurrent
+    store+sidecar writes (r16, measured): deriving bands from a
+    checkpointed sets frame to unlock write overlap was tried and
+    REVERTED — localCheckpoint does not preserve the frame's
+    partitioning, so the OPH aggregations lost the Exchange-free
+    plan the id-bucketed sets table gives them (HashPartitioning(id)
+    satisfies both groupBys' clustering), costing +2 exchanges and
+    +2 AQE stage jobs; interleaved same-window A/B floors read the
+    fused form ~0.5-0.8 s SLOWER per build at sf0.1, and at scale
+    the extra corpus-sized exchanges only grow.
     """
     from pudl_spark.sources.files import (
         set_table_build_params, write_bucketed_table,
@@ -666,15 +679,33 @@ def append_to_lsh_store(spark, table_prefix: str, new_docs: DataFrame,
         "append_to_lsh_store")
     sets_rows = shingle_hash_sets(new_docs, id_col, text_col,
                                   shingle_k).localCheckpoint()
-    write_bucketed_table(
-        oph_banded_from_sets(sets_rows, num_hashes, bands,
-                             checkpoint=False),
-        f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
-        sort_cols=["band", "bucket", "id"], mode="append")
-    write_bucketed_table(
-        sets_rows,
-        f"{table_prefix}_sets", ["id"], num_buckets,
-        sort_cols=["id"], mode="append")
+    # Concurrent appends (r16, guide §2.6 — same fusion as the
+    # build): both tables' append chains read the materialized batch
+    # blocks and are independent, so the wall is max(append) instead
+    # of append + append. Crash window unchanged in kind: a blind
+    # append was never redelivery-safe in ANY order (that is what
+    # `append_to_lsh_store_idempotent` exists for), and a crash
+    # leaving one table appended is equally silent whichever table
+    # it is. The idempotent variant stays SEQUENTIAL — the streaming
+    # loop's skip-detection relies on its write order.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _append_bands() -> None:
+        write_bucketed_table(
+            oph_banded_from_sets(sets_rows, num_hashes, bands,
+                                 checkpoint=False),
+            f"{table_prefix}_bands", ["band", "bucket"], num_buckets,
+            sort_cols=["band", "bucket", "id"], mode="append")
+
+    def _append_sets() -> None:
+        write_bucketed_table(
+            sets_rows,
+            f"{table_prefix}_sets", ["id"], num_buckets,
+            sort_cols=["id"], mode="append")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(_append_bands), pool.submit(_append_sets)]:
+            f.result()
     _invalidate_after_append(spark, table_prefix)
 
 
@@ -741,6 +772,13 @@ def append_to_lsh_store_idempotent(
     # filtered the directly-banded rows before.
     sets_rows = shingle_hash_sets(batch, id_col, text_col,
                                   shingle_k).localCheckpoint()
+    # ORDER IS LOAD-BEARING (bands strictly before sets — do NOT
+    # parallelize like the plain append, r16): the streaming loop's
+    # fully-redelivered-batch detection keys on the _sets table, so
+    # the invariant "id in _sets => its band rows are present" must
+    # hold through any crash; sets-before-bands (or concurrent)
+    # would let a crash strand ids whose redelivery is then skipped
+    # with their band rows permanently missing.
     for suffix, rows, sorts, buckets in (
             ("_bands",
              oph_banded_from_sets(sets_rows, num_hashes, bands,
@@ -780,6 +818,15 @@ def _invalidate_store_bytes(spark, table_name: str) -> None:
     first; a missing table (checked via the catalog, so the resolve
     never throws-and-logs an AnalysisException on the expected
     first-build case) has nothing cached under any live key."""
+    if not _STORE_BYTES_CACHE:
+        # Nothing cached under ANY key (r16, guide §5.3): the common
+        # build path — fresh store, no probe has sized it yet — was
+        # paying a tableExists catalog lookup plus a DESCRIBE
+        # FORMATTED command per table just to invalidate an empty
+        # map. The probes that populate the cache also pay the
+        # resolves that key it, so this fast path can never strand a
+        # stale entry.
+        return
     if not spark.catalog.tableExists(table_name):
         return
     _STORE_BYTES_CACHE.pop(_resolve_table_location(spark, table_name),

@@ -242,8 +242,7 @@ def _argmax_over_cells(vectors: DataFrame, seed_cell: DataFrame,
     cells = ([-F.col("__top")["n1"]] if nprobe == 1
              else [-F.col("__top")["n1"], -F.col("__top")["n2"]])
     probed = (vectors.crossJoin(F.broadcast(cents_arr))
-              .withColumn("__top", _probes(F.col("embedding"),
-                                           F.col("nrm"), nprobe))
+              .withColumn("__top", _probes("embedding", "nrm", nprobe))
               .select("vec_id", "embedding", "nrm",
                       F.explode(F.array(*cells)).alias("__cell"))
               .filter(F.col("__cell").isNotNull()))
@@ -299,12 +298,12 @@ def seed_cells(seeds: DataFrame, cents_arr: DataFrame,
     """
     return (seeds.crossJoin(F.broadcast(cents_arr))
             .withColumn("__top", _topn_centroid_fold(
-                F.col("seed_vec"), F.col("seed_nrm"), 1))
+                "seed_vec", "seed_nrm", 1))
             .select("seed_id", "seed_vec", "seed_nrm",
                     (-F.col("__top")["n1"]).alias(cell_col)))
 
 
-def _topn_centroid_fold(vec, nrm, n):
+def _topn_centroid_fold(vec: str, nrm: str, n: int):
     """Array of the n (1 or 2) nearest centroid ids. ONE fold
     over the scored centroid array keeps (best, second-best), so
     the dot products are evaluated exactly once per row — an
@@ -312,38 +311,44 @@ def _topn_centroid_fold(vec, nrm, n):
     scoring transform per element, O(c^2) dot products. Ties
     break to the SMALLER centroid id via the negated-id field
     (lexicographic (score, -id) compare — the same rule the SQL
-    row_number replay uses)."""
+    row_number replay uses).
+
+    Built as ONE parsed SQL expression (r16, guide §1.2 — the same
+    per-call construction-cost cure as dedup's `_sig_map_to_banded`):
+    the Column-DSL form paid ~0.3 s of py4j round trips per CALL,
+    re-paid up to three times per IVF store lifecycle (seed-cell
+    assignment, corpus argmax, probe) and once per cluster/dedup
+    query construction, while the parsed string yields the same
+    fold over the same scoring expressions in the same order — every
+    float op identical IEEE arithmetic, so scores and tie-breaks are
+    bit-exact (pinned by an equality test, the store fingerprints
+    and oracle parity). ``vec``/``nrm`` are column NAMES — every
+    caller scores plain columns of the frame under construction.
+
+    TRUE OR NULL = TRUE, so each branch's IS NULL disjunct admits
+    the first element although the comparisons yield NULL."""
     if n not in (1, 2):
         raise ValueError("nprobe must be 1 or 2")
-    scores = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            (dot_expr(vec, c["cent_vec"])
-             / (nrm * c["cent_nrm"])).alias("s"),
-            (-c["cent_id"]).alias("nid")))
-    zero = F.struct(
-        F.lit(None).cast("double").alias("s1"),
-        F.lit(None).cast("long").alias("n1"),
-        F.lit(None).cast("double").alias("s2"),
-        F.lit(None).cast("long").alias("n2"))
-
-    def merge(acc, x):
-        # TRUE OR NULL = TRUE, so the isNull disjunct admits the
-        # first element although the comparisons yield NULL
-        beats1 = (acc["s1"].isNull() | (x["s"] > acc["s1"])
-                  | ((x["s"] == acc["s1"]) & (x["nid"] > acc["n1"])))
-        beats2 = (acc["s2"].isNull() | (x["s"] > acc["s2"])
-                  | ((x["s"] == acc["s2"]) & (x["nid"] > acc["n2"])))
-        return (
-            F.when(beats1, F.struct(
-                x["s"].alias("s1"), x["nid"].alias("n1"),
-                acc["s1"].alias("s2"), acc["n1"].alias("n2")))
-            .when(beats2, F.struct(
-                acc["s1"].alias("s1"), acc["n1"].alias("n1"),
-                x["s"].alias("s2"), x["nid"].alias("n2")))
-            .otherwise(acc))
-
-    return F.aggregate(scores, zero, merge)
+    dot = (f"aggregate(zip_with({vec}, c.cent_vec, "
+           "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+           "0.0D, (acc, v) -> acc + v)")
+    merge = (
+        "CASE WHEN acc.s1 IS NULL OR x.s > acc.s1 "
+        "OR (x.s = acc.s1 AND x.nid > acc.n1) "
+        "THEN named_struct('s1', x.s, 'n1', x.nid, "
+        "'s2', acc.s1, 'n2', acc.n1) "
+        "WHEN acc.s2 IS NULL OR x.s > acc.s2 "
+        "OR (x.s = acc.s2 AND x.nid > acc.n2) "
+        "THEN named_struct('s1', acc.s1, 'n1', acc.n1, "
+        "'s2', x.s, 'n2', x.nid) "
+        "ELSE acc END")
+    return F.expr(
+        "aggregate(transform(__cents, c -> named_struct("
+        f"'s', {dot} / ({nrm} * c.cent_nrm), 'nid', -c.cent_id)), "
+        "named_struct('s1', CAST(NULL AS DOUBLE), "
+        "'n1', CAST(NULL AS BIGINT), 's2', CAST(NULL AS DOUBLE), "
+        "'n2', CAST(NULL AS BIGINT)), "
+        f"(acc, x) -> {merge})")
 
 
 def ivf_store_topk(spark, table_name: str, queries: DataFrame,
@@ -434,8 +439,8 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
                 else [-F.col("__top")["n1"], -F.col("__top")["n2"]])
     qprobe = (q.crossJoin(F.broadcast(cents_arr))
               .withColumn("__top",
-                          _topn_centroid_fold(F.col("__qvec"),
-                                              F.col("__qnrm"), nprobe))
+                          _topn_centroid_fold("__qvec", "__qnrm",
+                                              nprobe))
               .select("query_id", "__qvec", "__qnrm",
                       F.explode(F.array(*cellcols)).alias("__ccell"))
               .filter(F.col("__ccell").isNotNull()))
@@ -601,15 +606,40 @@ def build_ivf_store(spark, emb: DataFrame, table_name: str, path: str,
                 .select(F.coalesce(F.col("cluster_seed"),
                                    -F.col("vec_id") - 1).alias("cell"),
                         "vec_id", "embedding", "nrm"))
+        from concurrent.futures import ThreadPoolExecutor
+
         from pudl_spark.sources.files import write_bucketed_table
 
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        write_bucketed_table(rows, table_name, ["cell"], num_buckets,
-                             sort_cols=["cell", "vec_id"], path=path)
         spark.sql(f"DROP TABLE IF EXISTS {table_name}_seeds")
-        write_bucketed_table(sc, f"{table_name}_seeds", ["ccell"],
-                             num_buckets, sort_cols=["ccell", "seed_id"],
-                             path=f"{path}_seeds")
+        # Concurrent store + sidecar writes (r16, guide §2.6/§5.3 —
+        # the fused write-chain ask): sc/cents are materialized by
+        # the count above, so the corpus-sized store write and the
+        # corpus/97-sized sidecar write are independent consumers of
+        # persisted blocks; overlapping them folds the sidecar's
+        # write+commit+catalog chain into the store write's wall.
+        # Crash semantics: with no "written last" table a crash can
+        # leave either table alone — every reader still fails loudly
+        # (probes read the sidecar AND the store; the missing one
+        # raises at plan time) and the streaming bootstrap gate
+        # requires BOTH tables before probing.
+
+        def _write_store() -> None:
+            write_bucketed_table(rows, table_name, ["cell"],
+                                 num_buckets,
+                                 sort_cols=["cell", "vec_id"],
+                                 path=path)
+
+        def _write_sidecar() -> None:
+            write_bucketed_table(sc, f"{table_name}_seeds", ["ccell"],
+                                 num_buckets,
+                                 sort_cols=["ccell", "seed_id"],
+                                 path=f"{path}_seeds")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [pool.submit(_write_store),
+                      pool.submit(_write_sidecar)]:
+                f.result()
         # The seeds sidecar carries the build parameters
         # (VERDICT r10 #4): appends assert nprobe/centroid_factor/
         # num_buckets (a mismatch silently assigns new vectors under

@@ -398,14 +398,17 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
         batch = batch_df.localCheckpoint()
         if batch.count() == 0:
             return
-        # Bootstrap gate on the SETS table — the one build writes
-        # LAST: a crash between the bootstrap's two table writes
-        # leaves bands without sets, and a bands-keyed gate would
-        # then route the redelivery into the probe path and throw on
-        # the missing sets table forever. Keyed on sets, the
-        # redelivery re-enters the build, which drops both leftovers
-        # and rebuilds cleanly.
-        if not spark.catalog.tableExists(f"{table_prefix}_sets"):
+        # Bootstrap gate on BOTH tables (r16; the build's two writes
+        # run concurrently since r16 — and the r15 single-pass swap
+        # had already flipped the write order under this gate's old
+        # "sets is written last" assumption, leaving a crash between
+        # the bootstrap's writes able to strand sets-without-bands
+        # and route every redelivery into a probe that throws on the
+        # missing bands table forever). Requiring both tables, a
+        # partial bootstrap — EITHER table missing — re-enters the
+        # build, which drops the leftovers and rebuilds cleanly.
+        if not (spark.catalog.tableExists(f"{table_prefix}_sets")
+                and spark.catalog.tableExists(f"{table_prefix}_bands")):
             build_lsh_store(spark, batch, id_col, text_col,
                             table_prefix, store_path,
                             num_buckets=num_buckets, **sig)
@@ -523,8 +526,9 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
     the corpus); fully-redelivered batches are detected by the same
     cell-pruned id lookup and skipped, leaving their matches
     partition intact. The FIRST batch bootstraps via
-    `build_ivf_store` (gated on the ``_seeds`` sidecar — written
-    LAST by the build — so a bootstrap crash re-enters the build).
+    `build_ivf_store` (gated on BOTH store tables existing — the
+    build's writes are concurrent — so a bootstrap crash that left
+    either table alone re-enters the build).
     Note the IVF caveat the batch API documents: the seed set
     freezes at bootstrap, so stream-built == batch-replay exactly
     (pinned in tests/test_ivf_ingest_stream.py), while equivalence
@@ -548,7 +552,12 @@ def ivf_ingest_stream(stream_vecs: DataFrame, table_name: str,
         n = batch.count()
         if n == 0:
             return
-        if not spark.catalog.tableExists(f"{table_name}_seeds"):
+        # Bootstrap gate on BOTH tables (r16: the build's store and
+        # sidecar writes run concurrently, so neither is "written
+        # last" — a partial bootstrap re-enters the build, which
+        # drops the leftovers and rebuilds cleanly).
+        if not (spark.catalog.tableExists(f"{table_name}_seeds")
+                and spark.catalog.tableExists(table_name)):
             build_ivf_store(spark, batch, table_name, store_path,
                             num_buckets=num_buckets, nprobe=nprobe,
                             centroid_factor=centroid_factor)
