@@ -873,31 +873,39 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     must match the ones the store was built with.
 
     With ``prune_scan`` (VERDICT r7 #8) SMALL probe batches also
-    SKIP store bytes, not just the Exchange: the batch's distinct
-    band-bucket hashes (bounded by batch_size * bands) and then the
-    surviving candidates' corpus ids (bounded by the batch's dup
-    pairs) are collected into In() predicates pushed into the two
-    store scans. Both tables are written SORTED by exactly these
-    columns, so parquet row-group min/max stats prune the index
-    files the batch never touches — per-batch read cost follows the
-    batch, not the corpus. The regime gate matters: pruning pays two
-    extra small jobs (the value collects, the second of which
-    re-runs the batch-sized candidate join), and an In() literal
-    beyond a few thousand values costs more to PLAN than the scan it
-    saves (measured: an ~11k-value batch regressed 3.9 s -> 13 s at
+    SKIP store bytes, not just the Exchange: the batch's band keys
+    (EXACTLY batch_size * bands rows, bounded by the regime gate)
+    are collected ONCE and served back as a LocalRelation — the
+    ivf_store_topk serving pattern (r16) — so the OPH pipeline runs
+    exactly once, the distinct band-bucket hashes derive in Python
+    for free, and the candidate join broadcasts the local band keys
+    against a store scan In()-pruned to them. The surviving
+    candidate PAIRS (bounded by the batch's dup pairs) collect the
+    same way: the verify action then reads a local pair list and an
+    In()-pruned sets scan instead of re-running the candidate join.
+    Both tables are written SORTED by exactly the pruned columns, so
+    parquet row-group min/max stats prune the index files the batch
+    never touches — per-batch read cost follows the batch, not the
+    corpus. The regime gate matters: an In() literal beyond a few
+    thousand values costs more to PLAN than the scan it saves
+    (measured: an ~11k-value batch regressed 3.9 s -> 13 s at
     sf0.1, ~10x at sf1) — so a batch whose band-hash set exceeds
     ``max_prune_values`` takes the plain full-scan join, which is
     already the right plan for large batches (the join amortizes the
     index scan over many probe rows). Results are join-exact in both
-    regimes: pruned == unpruned.
+    regimes: pruned == unpruned (longs and doubles round-trip the
+    driver exactly, so the LocalRelation serving changes no values).
 
     ``batch_rows``: callers that already know the batch size pass it
     here so the regime gate never triggers an extra action over the
     batch's lineage (a DERIVED batch — the output of a cleaning
     pipeline — would otherwise re-run that pipeline just to be
-    counted, ADVICE r8). A small batch is localCheckpoint()ed in
-    BOTH regimes — it is small by the gate's own definition — so its
-    upstream DAG evaluates ONCE, not once per collect/join consumer.
+    counted, ADVICE r8). In the small regime the batch's
+    shingle-hash SETS (not the raw batch) are what materializes —
+    one text pass feeds banding and verify both, the single-shingle
+    shape the build and append already use. The large regime keeps
+    everything lazy and pipelined in the one returned action
+    (measured faster than a sets checkpoint there — r16).
 
     ``min_store_bytes`` (r9, measured): pruning exists to SKIP INDEX
     BYTES, so it must not engage unless there are enough bytes to
@@ -949,31 +957,56 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
     n = batch_rows if batch_rows is not None else new_docs.count()
     small = n * bands <= max_prune_values
     if small:
-        # Small by the gate (<= max_prune_values/bands rows): cut the
-        # batch's lineage so the bucket collect, the candidate join
-        # and the verify all read materialized rows instead of
-        # re-running the caller's upstream pipeline.
+        # Small by the gate: checkpoint the batch once (its upstream
+        # pipeline evaluates exactly once — ADVICE r8), then band it
+        # WITHOUT the signature checkpoint: nb is collected whole
+        # below, so the OPH pipeline runs exactly once regardless
+        # and a sig checkpoint would only add a materialization.
+        # (A sets-checkpoint + derived-banding variant was measured
+        # SLOWER here — +1 job and ~+0.9 s per probe at sf0.1: at
+        # this batch size the extra checkpoint barrier costs more
+        # than the second ~hundred-doc shingle pass it saves.)
         new_docs = new_docs.localCheckpoint()
-    # Band keys: in the small/pruned regime nb feeds the bucket
-    # collect AND the candidate join, so the signature checkpoint
-    # pays for itself; a large batch consumes nb exactly once (the
-    # full-scan candidate join), so skip materializing O(batch)
-    # signature blocks nobody reads twice (r15).
-    nb = oph_banded(new_docs, id_col, text_col, num_hashes, bands,
-                    shingle_k, checkpoint=small)
-    if (prune_scan and small
-            and (min_store_bytes <= 0
-                 or _table_location_bytes(spark, f"{table_prefix}_bands")
-                 + _table_location_bytes(spark, f"{table_prefix}_sets")
-                 >= min_store_bytes)):
-        # Bounded collect: one row per distinct batch band-hash.
-        vals = [r["bucket"] for r in
-                nb.select("bucket").distinct()
-                .limit(max_prune_values + 1).collect()]
-        pruned = len(vals) <= max_prune_values
-        if pruned:
-            store_bands = store_bands.filter(
-                F.col("bucket").isin(sorted(vals)))
+        new_sets = shingle_hash_sets(new_docs, id_col, text_col,
+                                     shingle_k)
+        nb = oph_banded(new_docs, id_col, text_col, num_hashes,
+                        bands, shingle_k, checkpoint=False)
+    else:
+        # LARGE regime: keep everything lazy and pipelined inside
+        # the one returned action — banding and verify each shingle
+        # the text map-side, which measures FASTER than a sets
+        # checkpoint + derived banding (r16 interleaved A/B floors:
+        # the checkpoint barrier + its AQE stage jobs cost ~0.4-0.6 s
+        # per probe at sf0.1, more than the second pipelined shingle
+        # pass saves — the same negative result as the r15 build-
+        # fusion attempt).
+        new_sets = shingle_hash_sets(new_docs, id_col, text_col,
+                                     shingle_k)
+        nb = oph_banded(new_docs, id_col, text_col, num_hashes,
+                        bands, shingle_k, checkpoint=False)
+    if small:
+        # Small by the gate: nb is EXACTLY n * bands <=
+        # max_prune_values rows of (id, band, bucket) — collect it
+        # ONCE and serve it back as a single-slice LocalRelation
+        # (the ivf_store_topk r15 pattern). The OPH densify pipeline
+        # runs exactly once (no signature checkpoint, no separate
+        # bucket-distinct collect), the candidate join broadcasts
+        # the local band keys against the store scan, and the
+        # In() bucket list derives in Python for free. Longs
+        # round-trip driver-exact, so the join is unchanged.
+        nbrows = nb.collect()
+        nb = spark.createDataFrame(
+            spark.sparkContext.parallelize(nbrows, 1), nb.schema)
+        if (prune_scan
+                and (min_store_bytes <= 0
+                     or _table_location_bytes(
+                         spark, f"{table_prefix}_bands")
+                     + _table_location_bytes(
+                         spark, f"{table_prefix}_sets")
+                     >= min_store_bytes)):
+            pruned = True
+            store_bands = store_bands.filter(F.col("bucket").isin(
+                sorted({r["bucket"] for r in nbrows})))
     cand = (
         nb.alias("a").join(
             store_bands.alias("b"),
@@ -984,20 +1017,21 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         .dropDuplicates(["new_id", "corpus_id"])
     )
     if pruned:
-        # Bounded collect: one row per candidate corpus doc (~the
-        # batch's dup pairs plus banding collisions, O(batch)). Only
-        # in the small-batch regime — the collect re-evaluates the
-        # (pruned, batch-sized) candidate join once, reading the
-        # CHECKPOINTED batch rows, never the caller's upstream
-        # pipeline; against an unpruned corpus-wide join that
-        # recompute would cost more than the sets-scan it saves.
-        ids = [r["corpus_id"] for r in
-               cand.select("corpus_id").distinct()
-               .limit(max_prune_values + 1).collect()]
-        if len(ids) <= max_prune_values:
-            store_sets = store_sets.filter(
-                F.col("id").isin(sorted(ids)))
-    new_sets = shingle_hash_sets(new_docs, id_col, text_col, shingle_k)
+        # Bounded collect: one row per candidate pair (~the batch's
+        # dup pairs plus banding collisions, O(batch)). Only in the
+        # small-batch regime — the collect evaluates the (pruned,
+        # batch-sized) candidate join once over the LOCAL band keys
+        # and the bucket-pruned store scan. Collecting the PAIRS
+        # (not just the corpus ids) lets the verify action read a
+        # LocalRelation instead of re-running the candidate join a
+        # second time (r16): its two joins then probe only the
+        # checkpointed batch sets and the id-pruned store sets scan.
+        crows = cand.limit(max_prune_values + 1).collect()
+        if len(crows) <= max_prune_values:
+            cand = spark.createDataFrame(
+                spark.sparkContext.parallelize(crows, 1), cand.schema)
+            store_sets = store_sets.filter(F.col("id").isin(
+                sorted({r["corpus_id"] for r in crows})))
     return verified_jaccard_pairs(cand, new_sets, store_sets,
                                   "new_id", "corpus_id",
                                   jaccard_threshold)

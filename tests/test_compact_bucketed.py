@@ -80,8 +80,13 @@ def test_compaction_restores_file_bound_and_probe_contracts(spark):
                            if "FileScan" in ln and "t_cmp_bands" in ln]
             sets_scans = [ln for ln in plan.splitlines()
                           if "FileScan" in ln and "t_cmp_sets" in ln]
-            assert bands_scans and sets_scans, plan
-            assert all("In(bucket" in ln for ln in bands_scans), plan
+            # r16: the pruned probe's served plan reads the collected
+            # candidate pairs as a LocalRelation — no bands scan at
+            # all (the In(bucket)-pruned bands scan runs inside the
+            # bounded pair collect's own action); the sets scan keeps
+            # its In(id) predicate against the compacted files.
+            assert not bands_scans, plan
+            assert sets_scans, plan
             assert all("In(id" in ln for ln in sets_scans), plan
             got_p = sorted(map(tuple, pruned.collect()))
             got_f = sorted(map(tuple, lsh_store_probe(

@@ -114,8 +114,15 @@ def test_probe_prunes_store_scans(spark):
                            if "FileScan" in ln and "t_lsh3_bands" in ln]
             sets_scans = [ln for ln in plan.splitlines()
                           if "FileScan" in ln and "t_lsh3_sets" in ln]
-            assert bands_scans and sets_scans, plan
-            assert all("In(bucket" in ln for ln in bands_scans), plan
+            # r16: the served plan no longer scans the bands table at
+            # all — the candidate pairs collect (bounded, via the
+            # In(bucket)-pruned bands scan in their own action) and
+            # serve back as a LocalRelation, so the verify action
+            # reads only the batch's checkpointed sets and the
+            # In(id)-pruned store sets scan.
+            assert not bands_scans, plan
+            assert "ExistingRDD" in plan, plan  # the served pair list
+            assert sets_scans, plan
             assert all("In(id" in ln for ln in sets_scans), plan
             got = sorted(map(tuple, out.collect()))
             ref = sorted(map(tuple, lsh_store_probe(
@@ -213,7 +220,12 @@ def test_probe_small_query_plan_is_pruned(spark, monkeypatch):
              if "FileScan" in ln and "lsh_small_bands" in ln]
     sets = [ln for ln in p.splitlines()
             if "FileScan" in ln and "lsh_small_sets" in ln]
-    assert bands and all("In(bucket" in ln for ln in bands), p
+    # r16 serving shape: the returned plan reads the collected
+    # candidate pairs (ExistingRDD) — no bands scan at all — and the
+    # In(id)-pruned sets scan. If min_store_bytes=0 were dropped,
+    # the byte gate would flip to the full-scan regime: bands scans
+    # would reappear and the In(id) predicate would vanish.
+    assert not bands and "ExistingRDD" in p, p
     assert sets and all("In(id" in ln for ln in sets), p
 
 
