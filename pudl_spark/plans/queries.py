@@ -6372,13 +6372,17 @@ def doc_tfidf_topk(spark, sf_dir):
             F.split(F.trim("text"), r"\s+"), lambda t: F.lower(t)))
         .alias("term"),
     ).filter(F.col("term") != "")
-    # Pin the term-frequency table (r15, same cure as the bigram LM
-    # pins): un-pinned, the tokenize+explode+agg tree replays under
-    # BOTH the document-frequency aggregation and the scoring join's
-    # probe side (3 documents scans in one action). Post-aggregation
-    # rows, far narrower than the exploded token stream.
+    # UN-pinned (r16, reverting the r15 tf localCheckpoint): the pin
+    # cut the plan's documents scans 3 -> 1, but the tf table is
+    # (doc x term)-sized — materializing it into block storage costs
+    # MORE than re-running the parallel tokenize under the two extra
+    # consumers, measured at BOTH scales (same-session interleaved
+    # A/B: 0.86 vs 1.00 s at sf0.1, 1.36 vs 1.72 s at sf1). The
+    # scan-count win never became a wall or byte win because the
+    # "saved" upstream is map-side work over a table smaller than
+    # the pinned intermediate.
     tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nn = d.agg(F.count(F.lit(1)).alias("n"))
     scored = (
@@ -9681,7 +9685,21 @@ def table_quality_screens(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_returnflag",
         "l_discount", "l_tax").localCheckpoint(eager=False)
-    orders = _t(spark, sf_dir, "orders").localCheckpoint(eager=False)
+    # The orders pin is PRUNED to the three columns its four shared
+    # consumers read (r16, ADVICE r15 medium): the old full-width pin
+    # materialized the entire fact table into executor block storage
+    # — an O(table) footprint with no fault tolerance — just so the
+    # one check that truly reads every column (not-all-null) could
+    # share it. That check is a single streaming aggregate over one
+    # scan, so it now reads the parquet directly (columnar scan, one
+    # pass, nothing pinned) and the pin shrinks to date/custkey/
+    # priority; total parquet bytes read are unchanged (the pruned
+    # pin reads 3 columns, the direct scan reads the full width the
+    # full-width pin read anyway). Same rows, same eleven results.
+    orders_full = _t(spark, sf_dir, "orders")
+    orders = orders_full.select(
+        "o_orderdate", "o_custkey",
+        "o_orderpriority").localCheckpoint(eager=False)
     events = _t(spark, sf_dir, "events")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -9748,7 +9766,7 @@ def table_quality_screens(spark, sf_dir):
     frames.append(screen(
         "columns_not_all_null",
         check_columns_not_all_null(
-            orders.withColumn("ghost", F.lit(None).cast("string")),
+            orders_full.withColumn("ghost", F.lit(None).cast("string")),
             table_name="orders")))
 
     # 4. combination coverage — region keys plus a planted key 99

@@ -554,9 +554,13 @@ def test_table_quality_screens_plan_pruning(spark):
     the pinned blocks, so the pruning contract lives on the
     checkpointed schemas (plan_utils.rdd_scan_schemas): lineitem is
     the five check columns, events collapses to the nulled value
-    column, orders is the one deliberately full-width pass the
-    not-all-null check requires. The only file scans left in the plan
-    are the two single-column dimension reads (nation/region)."""
+    column, and the orders pin is the THREE columns its four shared
+    consumers read (r16, ADVICE r15 medium — the old full-width
+    orders pin put an O(table) footprint in executor storage so the
+    one genuinely full-width check could share it). The not-all-null
+    check now reads the parquet directly: one full-width streaming
+    file scan, nothing pinned. Remaining file scans are that one
+    orders pass plus the two single-column dimension reads."""
     from plan_utils import file_scan_schemas, rdd_scan_schemas
 
     from pudl_spark.plans.queries import QUERIES
@@ -567,13 +571,22 @@ def test_table_quality_screens_plan_pruning(spark):
     assert ("l_discount", "l_extendedprice", "l_quantity",
             "l_returnflag", "l_tax") in pinned, pinned
     assert ("value",) in pinned, pinned
-    orders_pin = [s for s in pinned if "o_orderkey" in s]
-    assert len(orders_pin) == 1 and "o_comment" not in orders_pin[0]
-    # fact tables are NOT rescanned as files: the only remaining
-    # parquet scans are the single-column dimension reads
+    orders_pin = [s for s in pinned if "o_orderdate" in s]
+    assert orders_pin == [("o_custkey", "o_orderdate",
+                           "o_orderpriority")], pinned
+    # fact tables are not otherwise rescanned as files: the only
+    # parquet scans are not-all-null's one full-width orders pass
+    # and the single-column dimension reads
+    seen_orders = 0
     for table, cols in file_scan_schemas(df):
-        assert table.startswith(("nation", "region")), (table, cols)
-        assert len(cols) <= 1, (table, cols)
+        if table.startswith("orders"):
+            seen_orders += 1
+            assert "o_orderkey" in cols and len(cols) > 3, (
+                table, cols)  # full width
+        else:
+            assert table.startswith(("nation", "region")), (table, cols)
+            assert len(cols) <= 1, (table, cols)
+    assert seen_orders == 1
 
 
 def test_consistent_years(spark):
