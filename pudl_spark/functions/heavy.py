@@ -49,14 +49,17 @@ def heavy_hitters(items: DataFrame, col: str, k: int = 10,
     # items sketch as strings (the mapInPandas schema is fixed); the
     # exact recount also runs on the string form, so mixed-type input
     # columns group by their canonical string rendering.
-    # Pin the item stream (r15, guide §2.1/§6.1): it feeds the sketch
-    # pass, the exact recount and the certification count (plus the
-    # rare-path anti-join) — un-pinned, the caller's upstream
-    # (typically tokenize+explode of the whole corpus) replays per
-    # consumer. Same block-footprint caveat as the dedup sets
-    # checkpoints.
+    # UN-pinned (r16, reverting the r15 item-stream localCheckpoint):
+    # the stream feeds three separate actions (sketch, recount,
+    # certification count), but interleaved A/B at sf0.1 AND 10x data
+    # reads pin == no-pin to within noise (1.63 vs 1.64 s; 2.07 vs
+    # 2.03 s) — the typical upstream (tokenize+explode) is cheap
+    # parallel map work — while the pin held an O(corpus tokens)
+    # block set (227 MB at sf1) in executor storage with no fault
+    # tolerance. A caller whose item stream has a genuinely expensive
+    # upstream should checkpoint/persist it before calling.
     src = items.select(F.col(col).cast("string").alias("item")).filter(
-        F.col("item").isNotNull()).localCheckpoint(eager=False)
+        F.col("item").isNotNull())
 
     def sketch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}

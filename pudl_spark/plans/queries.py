@@ -6505,15 +6505,19 @@ def doc_bigram_perplexity(spark, sf_dir):
     from pudl_spark.functions.text import tokens as _tok
 
     t = F.transform(_tok(F.col("text")), lambda w: F.lower(w))
-    # Single text/explode pass (r15, guide §2.1/§6.1 — the same cure
-    # as the minhash sets checkpoint): un-pinned, Catalyst replayed
-    # the regex tokenize for every consumer (c12 subtree, the c1
-    # re-aggregation, the scoring probe side, vocab — 4 documents
-    # scans) and the bigram explode for three of them. Pin the token
-    # arrays (tokenize once) and the exploded bigrams (explode once);
-    # every branch reads the materialized blocks. Same caveat as the
-    # dedup checkpoints: O(corpus tokens) executor block footprint,
-    # blocks don't survive executor loss.
+    # Single text pass (r15, guide §2.1/§6.1): un-pinned, Catalyst
+    # replayed the regex tokenize for every consumer (c12 subtree,
+    # the c1 re-aggregation, the scoring probe side, vocab — 4
+    # documents scans). Pin the token ARRAYS only (tokenize once;
+    # measured the paying pin at 10x data: 1.44 s vs 1.71 s unpinned
+    # same-session). The exploded bigram stream is NOT pinned (r16,
+    # VERDICT r15 #3): it was the query's largest pinned frame —
+    # O(corpus tokens) of (doc_id, w1, w2) string rows in executor
+    # block storage with no fault tolerance — and interleaved A/B at
+    # both scales reads the re-explode-from-pinned-arrays form equal
+    # or faster (sf0.1 1.79 vs 1.93 s; sf1 1.44 vs 1.43 s): the
+    # explode is cheap map-side work over the already-pinned arrays,
+    # so materializing its output bought nothing.
     docs = d.select("doc_id", t.alias("t")).localCheckpoint(eager=False)
     idx = F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0)))
     big = (
@@ -6525,7 +6529,6 @@ def doc_bigram_perplexity(spark, sf_dir):
                 F.element_at(F.col("t"), i + 1).alias("w2"),
             ))).alias("bg"))
         .select("doc_id", "bg.w1", "bg.w2")
-        .localCheckpoint(eager=False)
     )
     # Pin the bigram model too: un-pinned, the c12 aggregation replays
     # under BOTH the c1 derivation and the scoring join's broadcast
