@@ -789,8 +789,9 @@ def append_to_lsh_store_idempotent(
             store_ids = spark.table(
                 f"{table_prefix}{suffix}").select("id")
             if small:
+                from pudl_spark.catalog import in_values_expr
                 store_ids = store_ids.filter(
-                    F.col("id").isin(sorted(ids)))
+                    in_values_expr("id", sorted(ids)))
             rows = rows.join(store_ids.distinct(), "id", "left_anti")
         write_bucketed_table(rows, f"{table_prefix}{suffix}",
                              buckets, num_buckets, sort_cols=sorts,
@@ -1005,8 +1006,9 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
                          spark, f"{table_prefix}_sets")
                      >= min_store_bytes)):
             pruned = True
-            store_bands = store_bands.filter(F.col("bucket").isin(
-                sorted({r["bucket"] for r in nbrows})))
+            from pudl_spark.catalog import in_values_expr
+            store_bands = store_bands.filter(in_values_expr(
+                "bucket", sorted({r["bucket"] for r in nbrows})))
     cand = (
         nb.alias("a").join(
             store_bands.alias("b"),
@@ -1030,8 +1032,9 @@ def lsh_store_probe(spark, table_prefix: str, new_docs: DataFrame,
         if len(crows) <= max_prune_values:
             cand = spark.createDataFrame(
                 spark.sparkContext.parallelize(crows, 1), cand.schema)
-            store_sets = store_sets.filter(F.col("id").isin(
-                sorted({r["corpus_id"] for r in crows})))
+            from pudl_spark.catalog import in_values_expr
+            store_sets = store_sets.filter(in_values_expr(
+                "id", sorted({r["corpus_id"] for r in crows})))
     return verified_jaccard_pairs(cand, new_sets, store_sets,
                                   "new_id", "corpus_id",
                                   jaccard_threshold)

@@ -487,7 +487,8 @@ def ivf_store_topk(spark, table_name: str, queries: DataFrame,
             qseeds = spark.createDataFrame(
                 spark.sparkContext.parallelize(qrows, 1), qseeds.schema)
             cells = sorted({r["cell"] for r in qrows})
-            s = s.filter(F.col("cell").isin(cells))
+            from pudl_spark.catalog import in_values_expr
+            s = s.filter(in_values_expr("cell", cells))
         else:
             # Caller understated batch_rows: stay distributed (the
             # bulk full-join regime); cut lineage as before so the
@@ -1001,7 +1002,8 @@ def antijoin_store_ids(spark, table_name: str, rows: DataFrame,
              .limit(max_prune_values + 1).collect()]
     store_ids = spark.table(table_name)
     if len(cells) <= max_prune_values:
+        from pudl_spark.catalog import in_values_expr
         store_ids = store_ids.filter(
-            F.col("cell").isin(sorted(cells)))
+            in_values_expr("cell", sorted(cells)))
     return rows.join(store_ids.select("vec_id").distinct(),
                      "vec_id", "left_anti")

@@ -224,31 +224,48 @@ def bm25_scores(df, text_col: str, terms: list[str],
         raise ValueError(
             f"bm25_scores: input already has column(s) {sorted(clash)} "
             "that this operator uses as temp/output names; rename them")
-    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
-    df = df.withColumn("__toks", toks)
-    dl = F.size(F.col("__toks")).cast("long")
+    # Expressions are built as PARSED SQL text (the r15
+    # `_sig_map_to_banded` cure, guide §1.2): the per-term chain below
+    # costs ~1,500 py4j round trips (~0.4 s of driver wall per
+    # construction, measured r16) when assembled through Column
+    # operators one call at a time, and one JVM-side parse when
+    # assembled as text. The SQL mirrors the Column form token for
+    # token — same functions, same literal values, same association
+    # order — so the Catalyst tree and the float results are
+    # unchanged (equality-pinned in tests/test_text_ops.py).
+    def _d(x: float) -> str:
+        return f"{float(x)!r}D"
+
+    def _s(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    qc = f"`{text_col}`"
+    toks_sql = (f"transform(CASE WHEN trim({qc}) = '' THEN "
+                f"CAST(array() AS array<string>) ELSE "
+                f"split(trim({qc}), '\\\\s+') END, t -> lower(t))")
+    df = df.withColumn("__toks", F.expr(toks_sql))
+    dl_sql = "CAST(size(__toks) AS BIGINT)"
     stats = df.agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
-        F.sum(dl).cast("double").alias("__sumdl"),
-        *[F.sum(F.array_contains(F.col("__toks"), t).cast("long"))
-          .cast("double").alias(f"__df_{i}")
+        F.expr("CAST(count(1) AS DOUBLE) AS __n"),
+        F.expr(f"CAST(sum({dl_sql}) AS DOUBLE) AS __sumdl"),
+        *[F.expr(f"CAST(sum(CAST(array_contains(__toks, {_s(t)}) "
+                 f"AS BIGINT)) AS DOUBLE) AS __df_{i}")
           for i, t in enumerate(terms)],
     )
-    out = df.crossJoin(F.broadcast(stats)).withColumn("__dl", dl)
-    score = F.lit(0.0)
+    out = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__dl", F.expr(dl_sql))
+    score_sql = _d(0.0)
     for i, t in enumerate(terms):
-        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t))
-                    ).cast("double")
-        idf = F.log(
-            (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
-            / (F.col(f"__df_{i}") + F.lit(0.5)) + F.lit(1.0))
-        denom = (tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
-                 + F.lit(b) * F.col("__dl").cast("double")
-                 / (F.col("__sumdl") / F.col("__n"))))
-        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+        tf = f"CAST(size(filter(__toks, x -> x = {_s(t)})) AS DOUBLE)"
+        idf = (f"ln((__n - __df_{i} + {_d(0.5)}) / "
+               f"(__df_{i} + {_d(0.5)}) + {_d(1.0)})")
+        denom = (f"{tf} + {_d(k1)} * ({_d(1.0)} - {_d(b)} + {_d(b)} "
+                 f"* CAST(__dl AS DOUBLE) / (__sumdl / __n))")
+        score_sql = (f"({score_sql} + {idf} * "
+                     f"({tf} * {_d(k1 + 1.0)}) / ({denom}))")
     return (
         out.withColumn("doc_len", F.col("__dl"))
-        .withColumn("bm25", F.round(score, 6))
+        .withColumn("bm25", F.expr(f"round({score_sql}, 6)"))
         .drop("__toks", "__dl", "__n", "__sumdl",
               *[f"__df_{i}" for i in range(len(terms))])
     )

@@ -439,8 +439,9 @@ def lsh_ingest_stream(stream_docs: DataFrame, table_prefix: str,
                .limit(max_prune_values + 1).collect()]
         store_sets = spark.table(f"{table_prefix}_sets").select("id")
         if len(ids) <= max_prune_values:
+            from pudl_spark.catalog import in_values_expr
             store_sets = store_sets.filter(
-                F.col("id").isin(sorted(ids)))
+                in_values_expr("id", sorted(ids)))
         fresh = batch.join(
             store_sets.select(F.col("id").alias(id_col)).distinct(),
             id_col, "left_anti").localCheckpoint()
