@@ -55,6 +55,30 @@ _TOUCHED_THIS_ROUND = [
     #     dropped (plan shapes changed; rows oracle-verified equal).
     "table_quality_screens", "doc_tfidf_topk", "doc_bigram_perplexity",
     "doc_top_terms",
+    # (4) the driver-side construction fast paths (guide §1.2): query
+    #     expressions assembled as ONE parsed SQL text instead of
+    #     per-call py4j Column operators — bit-exact by equality test
+    #     and by this round's oracle sweeps, but an implementation
+    #     change is an implementation change (the `_topn_centroid_fold`
+    #     standard above). Queries whose own expression trees now come
+    #     from the SQL-text builders (bm25, the rendezvous pair, the
+    #     zorder interleave, the text/dedup shingle-and-score family):
+    "doc_bm25_relevance", "declarative_transform_orders",
+    "doc_bpe_token_estimate", "doc_quality_scores", "doc_language_id",
+    "doc_quality_classifier", "doc_curation_decisions",
+    "doc_decontaminate", "doc_rendezvous_shards",
+    "doc_weighted_rendezvous_shards", "doc_dup_spans",
+    "simhash_near_dup_pairs", "doc_prefix_filter_dup_pairs",
+    "doc_fingerprints_fast", "doc_shingle_stats", "lineitem_zorder_stats",
+    "minhash_near_dup_pairs", "minhash_dedup_clusters",
+    "ngram_jaccard_dup_pairs",
+    #     NOT rotated (documented adjudication): queries affected only
+    #     by the registry-wide catalog fast paths (the schema memo and
+    #     the metadata-based spread decision) with no expression-tree
+    #     change — 194 > 50 slots makes rotating "everything" the same
+    #     as rotating nothing, the decision equivalence is test-pinned
+    #     (tests/test_catalog_fastpath.py), and the full-registry
+    #     oracle sweep this round covered all 194.
 ]
 
 # The prefix ordering below was BUILT against the certification
@@ -77,43 +101,44 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     # -- The r12 cohort is r16's rotation load: the 44 rows whose
     #    latest green driver row is round 12 (4 rounds stale at
     #    r16, the ceil(194/50)=4 staleness boundary). Alphabetical;
-    #    recomputed this round from CORRECTNESS_r01..r15. One
-    #    cohort row (ivf_store_redelivery) sits in
-    #    _TOUCHED_THIS_ROUND above, leaving 43; the 16-slot touched
-    #    set (an optimization round touches hot paths, which is the
-    #    point) leaves room for the first 34 — the LAST NINE cohort
-    #    rows (signup_conversion_funnel, simhash_near_dup_pairs,
-    #    sql_interface_nation_revenue, supplier_close_balances,
-    #    supplier_customer_pagerank, supplier_territory_area,
-    #    suppliers_kept_waiting, user_value_ramps,
-    #    xbrl_roundtrip_totals) slip to the r17 queue at 5 rounds
-    #    stale, the first (and unavoidable: 16 + 43 > 50) breach of
-    #    the 4-round target; r17 MUST lead its prefix with them.
-    #    16 touched + 34 cohort = exactly the 50-slot prefix.
-    #    Histogram at r16 start: r15=50, r14=50, r13=50, r12=44. --
+    #    recomputed this round from CORRECTNESS_r01..r15. Eight
+    #    cohort rows (ivf_store_redelivery, doc_fingerprints_fast,
+    #    doc_shingle_stats, lineitem_zorder_stats,
+    #    minhash_dedup_clusters, minhash_near_dup_pairs,
+    #    ngram_jaccard_dup_pairs, simhash_near_dup_pairs) sit in
+    #    _TOUCHED_THIS_ROUND above, leaving 36; the 35-slot touched
+    #    set (an optimization round touches hot paths, and the
+    #    construction fast paths touch the whole text/dedup family)
+    #    leaves room for the first 15 — the LAST 21 cohort rows
+    #    (impute_event_values .. xbrl_roundtrip_totals, named in the
+    #    r17 queue note below) slip to the r17 queue at 5 rounds
+    #    stale, a breach of the 4-round target forced by the
+    #    touched-first rule (35 + 36 > 50); r17 MUST lead its prefix
+    #    with them. 35 touched + 15 cohort = exactly the 50-slot
+    #    prefix. Histogram at r16 start: r15=50, r14=50, r13=50,
+    #    r12=44. --
     "correct_quantity_units", "customer_intkey_sentinel",
     "customer_parts_true_gran", "customer_phone_standardized",
     "customer_unique_priority", "date_merge_month", "doc_apply_bpe",
-    "doc_bottomk_sample", "doc_fingerprints_fast",
-    "doc_leakage_safe_split", "doc_shingle_stats",
+    "doc_bottomk_sample", "doc_leakage_safe_split",
     "doc_stratified_sample", "doc_weighted_sample",
     "excel_roundtrip_nation", "fs_linkage_trained",
     "hourly_wide_melt_roundtrip", "imputation_mape_score",
-    "impute_event_values", "impute_latc_tubal_mape",
-    "lineitem_exact_quantiles", "lineitem_multiheader_stack",
-    "lineitem_zorder_stats", "linkage_best_match",
-    "minhash_dedup_clusters", "minhash_near_dup_pairs",
-    "nation_holed_zone_overlay", "nation_multipart_explode",
-    "ngram_jaccard_dup_pairs", "orders_observed_counts",
-    "orders_profile", "part_name_levenshtein_pairs",
-    "pipeline_nation_summary", "region_revenue_allocation",
-    "scan_stats_orders",
     # -- r17 queue (sketched now, keeping the rotation exact): lead
-    #    with the nine 5-round-stale r12 rows named above, then the
-    #    r13 cohort (50 rows, 4 rounds stale at r17) minus whatever
-    #    r17 touches — 9 + 41 of 50 fills the prefix; the remaining
-    #    r13 rows spill to r18's head exactly like this round's
-    #    nine. --
+    #    with the 21 5-round-stale r12 rows (impute_event_values,
+    #    impute_latc_tubal_mape, lineitem_exact_quantiles,
+    #    lineitem_multiheader_stack, linkage_best_match,
+    #    nation_holed_zone_overlay, nation_multipart_explode,
+    #    orders_observed_counts, orders_profile,
+    #    part_name_levenshtein_pairs, pipeline_nation_summary,
+    #    region_revenue_allocation, scan_stats_orders,
+    #    signup_conversion_funnel, sql_interface_nation_revenue,
+    #    supplier_close_balances, supplier_customer_pagerank,
+    #    supplier_territory_area, suppliers_kept_waiting,
+    #    user_value_ramps, xbrl_roundtrip_totals), then the r13
+    #    cohort (50 rows, 4 rounds stale at r17) minus whatever r17
+    #    touches — 21 + 29 of 50 fills the prefix; the remaining r13
+    #    rows spill to r18's head exactly like this round's 21. --
 ]
 
 

@@ -131,7 +131,7 @@ def oph_banded(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.explode(
             F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), k=shingle_k),
+                F.transform(word_shingles(text_col, k=shingle_k),
                             lambda s: F.xxhash64(s)))).alias("__sh"),
     )
     binned = exploded.groupBy(
@@ -258,7 +258,7 @@ def shingle_hash_sets(df: DataFrame, id_col: str, text_col: str,
     return df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), k=shingle_k),
+            F.transform(word_shingles(text_col, k=shingle_k),
                         lambda s: F.xxhash64(s))).alias("__set"))
 
 
@@ -1140,7 +1140,7 @@ def simhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), k=shingle_k),
+            F.transform(word_shingles(text_col, k=shingle_k),
                         lambda s: F.xxhash64(s))).alias("__set"),
     )
     pairs = (
@@ -1179,7 +1179,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     prepped = _spread(df, id_col).select(
         F.col(id_col).alias("id"),
-        char_ngrams(F.col(text_col), n=n).alias("grams"),
+        char_ngrams(text_col, n=n).alias("grams"),
     ).withColumn(
         "__sketch",
         F.slice(F.array_sort(F.transform(
@@ -1240,7 +1240,7 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
     tooling has no equivalent; this is a training-data-pipeline
     extension (SURVEY.md LLM ops).
     """
-    grams = word_shingles(F.col(text_col), k=k, distinct=False)
+    grams = word_shingles(text_col, k=k, distinct=False)
     # Per-doc totals are map-side arithmetic on the base table — no
     # shuffle, no explode; the exploded frame below carries only
     # (id, pos, hash).

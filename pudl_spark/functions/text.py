@@ -10,7 +10,50 @@ and stays inside whole-stage codegen.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, functions as F
+
+# SQL-text fast path (r16, guide §1.2): the expression builders below
+# are assembled per query CONSTRUCTION, and the Column-operator form
+# pays one py4j round trip per call — hundreds to thousands per query
+# (~0.1-0.5 s of driver wall, measured). When the input column is a
+# plain string name, each builder instead renders the IDENTICAL
+# expression as SQL text and parses it JVM-side in one round trip.
+# The trees match token for token (same functions, literals and
+# association order; lambda variable names differ cosmetically), so
+# plans and results are unchanged — oracle-pinned for every consumer
+# query. Column inputs keep the original operator path.
+_PLAIN_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _ident_sql(col: Column | str) -> str | None:
+    """Backticked SQL identifier for a plain string column name;
+    None for Column inputs or non-plain names (dotted/exotic), which
+    keep the Column-operator path."""
+    if isinstance(col, str) and _PLAIN_IDENT.match(col):
+        return f"`{col}`"
+    return None
+
+
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _tokens_sql(c: str) -> str:
+    return (f"CASE WHEN trim({c}) = '' THEN "
+            f"CAST(array() AS array<string>) "
+            f"ELSE split(trim({c}), '\\\\s+') END")
+
+
+def _word_shingles_sql(c: str, k: int, distinct: bool) -> str:
+    t = _tokens_sql(c)
+    idx = (f"CASE WHEN size({t}) >= {k} THEN "
+           f"sequence(1, size({t}) - {k - 1}) "
+           f"ELSE CAST(array() AS array<int>) END")
+    sh = f"transform({idx}, i -> array_join(slice({t}, i, {k}), ' '))"
+    return f"array_distinct({sh})" if distinct else sh
 
 # Tiny per-language marker vocabularies for the n-gram/stopword
 # heuristic language ID. Real pipelines swap in fastText et al.; the
@@ -31,6 +74,9 @@ STOPWORDS_EN = (
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization; empty string -> empty array."""
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        return F.expr(_tokens_sql(c_sql))
     c = F.col(col) if isinstance(col, str) else col
     t = F.split(F.trim(c), r"\s+")
     return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
@@ -46,6 +92,14 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     runs each count; long words count ceil(len/4) pieces (the common
     ~4-chars-per-token heuristic).
     """
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        pieces = (f"aggregate({_tokens_sql(c_sql)}, "
+                  f"CAST(0 AS BIGINT), (acc, wrd) -> "
+                  f"acc + CAST(ceil(length(wrd) / 4.0D) AS BIGINT))")
+        punct = (f"length({c_sql}) - length(regexp_replace({c_sql}, "
+                 f"'[^\\\\w\\\\s]', ''))")
+        return F.expr(f"CAST({pieces} + {punct} AS BIGINT)")
     c = F.col(col) if isinstance(col, str) else col
     words = tokens(c)
     pieces = F.aggregate(
@@ -60,6 +114,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def char_ngrams(col: Column | str, n: int = 3,
                 distinct: bool = True) -> Column:
     """Character n-gram (shingle) array via sequence+substr — no UDF."""
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        idx = (f"CASE WHEN length({c_sql}) >= {n} THEN "
+               f"sequence(1, length({c_sql}) - {n - 1}) "
+               f"ELSE CAST(array() AS array<int>) END")
+        grams = f"transform({idx}, i -> substr({c_sql}, i, {n}))"
+        return F.expr(f"array_distinct({grams})" if distinct else grams)
     c = F.col(col) if isinstance(col, str) else col
     # NB sequence(1, 0) steps DOWN in Spark -> guard short strings.
     idx = F.when(
@@ -72,6 +133,9 @@ def char_ngrams(col: Column | str, n: int = 3,
 def word_shingles(col: Column | str, k: int = 3,
                   distinct: bool = True) -> Column:
     """k-word shingles: array of space-joined consecutive token runs."""
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        return F.expr(_word_shingles_sql(c_sql, k, distinct))
     t = tokens(col)
     # NB sequence(1, 0) steps DOWN in Spark -> guard short documents.
     idx = F.when(
@@ -89,6 +153,21 @@ def language_id_expr(col: Column | str,
     Deterministic tie-break by language code.
     """
     markers = markers or LANG_MARKERS
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        t = _tokens_sql(c_sql)
+        best = "CAST(NULL AS STRING)"
+        best_score = str(min_hits - 1)
+        for lang in sorted(markers):
+            vocab = ("array(" + ",".join(
+                _sq(m) for m in markers[lang]) + ")")
+            score = f"size(array_intersect({t}, {vocab}))"
+            cond = f"{score} > {best_score}"
+            best = (f"CASE WHEN {cond} THEN {_sq(lang)} "
+                    f"ELSE {best} END")
+            best_score = (f"CASE WHEN {cond} THEN {score} "
+                          f"ELSE {best_score} END")
+        return F.expr(best)
     t = tokens(col)
     best = F.lit(None).cast("string")
     best_score = F.lit(min_hits - 1)
@@ -107,6 +186,12 @@ def quality_score_expr(col: Column | str,
     mean word length, alpha ratio and stopword ratio — the standard
     cheap pre-filter family for web corpora.
     """
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        f = _quality_features_sql(c_sql, stopwords)
+        return F.expr(
+            f"0.3D * {f['len_score']} + 0.2D * {f['word_score']} "
+            f"+ 0.2D * {f['alpha_ratio']} + 0.3D * {f['stop_score']}")
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(c)
     n_tok = F.size(t)
@@ -125,6 +210,34 @@ def quality_score_expr(col: Column | str,
     stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
     return (0.3 * len_score + 0.2 * word_score + 0.2 * alpha_ratio
             + 0.3 * stop_score)
+
+
+def _quality_features_sql(c_sql: str,
+                          stopwords: tuple[str, ...]) -> dict[str, str]:
+    """SQL fragments for the shared quality features — token-for-token
+    the Column chains in quality_score_expr / quality_logit_expr."""
+    t = _tokens_sql(c_sql)
+    n_tok = f"size({t})"
+    n_chars = f"length({c_sql})"
+    mean_word = (f"CASE WHEN {n_tok} > 0 THEN {n_chars} / {n_tok} "
+                 f"ELSE 0.0D END")
+    alpha_ratio = (
+        f"CASE WHEN {n_chars} > 0 THEN "
+        f"length(regexp_replace({c_sql}, '[^A-Za-z ]', '')) "
+        f"/ {n_chars} ELSE 0.0D END")
+    sw = "array(" + ",".join(_sq(s) for s in stopwords) + ")"
+    stop_hits = (f"size(filter({t}, "
+                 f"w -> array_contains({sw}, lower(w))))")
+    stop_ratio = (f"CASE WHEN {n_tok} > 0 THEN {stop_hits} / {n_tok} "
+                  f"ELSE 0.0D END")
+    return {
+        "len_score": f"least({n_tok} / 100.0D, 1.0D)",
+        "word_score": (f"CASE WHEN (({mean_word}) >= 3) AND "
+                       f"(({mean_word}) <= 10) THEN 1.0D "
+                       f"ELSE 0.3D END"),
+        "alpha_ratio": f"({alpha_ratio})",
+        "stop_score": f"least(({stop_ratio}) * 5.0D, 1.0D)",
+    }
 
 
 def document_fingerprint(col: Column | str, k: int = 5) -> Column:
@@ -147,6 +260,13 @@ def document_fingerprint_digest(col: Column | str, k: int = 5) -> Column:
     it bit-for-bit, unlike xxhash64). Hex strings compare bytewise in
     both engines, so min() agrees.
     """
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        sh = _word_shingles_sql(c_sql, k, True)
+        hashed = f"transform({sh}, s -> md5(encode(s, 'utf-8')))"
+        return F.expr(
+            f"CASE WHEN size({sh}) > 0 THEN array_min({hashed}) "
+            f"ELSE md5(encode({c_sql}, 'utf-8')) END")
     c = F.col(col) if isinstance(col, str) else col
     sh = word_shingles(c, k=k, distinct=True)
     hashed = F.transform(sh, lambda s: F.md5(F.encode(s, "utf-8")))
@@ -290,6 +410,16 @@ def quality_logit_expr(col: Column | str,
     callers derive sigmoid(z) and the keep/drop label. The expression
     shape (association order) is part of the contract — mirror it
     exactly in any oracle. Map-only, whole-stage-codegen."""
+    c_sql = _ident_sql(col)
+    if c_sql is not None:
+        f = _quality_features_sql(c_sql, stopwords)
+        w1, w2, w3, w4 = weights
+        return F.expr(
+            f"((({float(w1)!r}D * {f['len_score']} "
+            f"+ {float(w2)!r}D * {f['alpha_ratio']}) "
+            f"+ {float(w3)!r}D * {f['stop_score']}) "
+            f"+ {float(w4)!r}D * {f['word_score']}) "
+            f"+ {float(bias)!r}D")
     c = F.col(col) if isinstance(col, str) else col
     t = tokens(c)
     n_tok = F.size(t)

@@ -1172,7 +1172,7 @@ def doc_bpe_token_estimate(spark, sf_dir):
 
     d = _spread_docs(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 20 == 0)
     return d.select(
-        "doc_id", bpe_ish_token_count(F.col("text")).alias("bpe_tokens"))
+        "doc_id", bpe_ish_token_count("text").alias("bpe_tokens"))
 
 
 @query("doc_quality_scores", sql="""
@@ -1206,7 +1206,7 @@ def doc_quality_scores(spark, sf_dir):
 
     d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select("doc_id",
-                    quality_score_expr(F.col("text")).alias("quality"))
+                    quality_score_expr("text").alias("quality"))
 
 
 @query("exact_dedup_docs", sql="""
@@ -1799,7 +1799,7 @@ def doc_language_id(spark, sf_dir):
     d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", F.col("lang").alias("lang_actual"),
-        language_id_expr(F.col("text")).alias("lang_pred"))
+        language_id_expr("text").alias("lang_pred"))
 
 
 @query("doc_fingerprints", sql="""
@@ -2626,7 +2626,7 @@ def doc_fingerprints_fast(spark, sf_dir):
     d = _spread_docs(_t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
-        document_fingerprint_digest(F.col("text"), k=5)
+        document_fingerprint_digest("text", k=5)
         .alias("fingerprint"))
 
 
@@ -2760,8 +2760,8 @@ def doc_shingle_stats(spark, sf_dir):
     tt = F.trim(F.col("text"))
     return d.select(
         "doc_id",
-        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        F.size(word_shingles(F.col("text"), k=3)).cast("bigint")
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.size(word_shingles("text", k=3)).cast("bigint")
         .alias("n_shingles"),
         F.size(char_ngrams(tt, n=3)).cast("bigint")
         .alias("n_char_trigrams"),
@@ -4515,9 +4515,9 @@ def doc_curation_decisions(spark, sf_dir):
     docs = _spread_docs(_t(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id", "text",
-        F.size(tokens(F.col("text"))).alias("n_tok"),
-        language_id_expr(F.col("text")).isNotNull().alias("has_lang"),
-        quality_score_expr(F.col("text")).alias("q"),
+        F.size(tokens("text")).alias("n_tok"),
+        language_id_expr("text").isNotNull().alias("has_lang"),
+        quality_score_expr("text").alias("q"),
     )
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -4577,7 +4577,7 @@ def doc_decontaminate(spark, sf_dir):
     docs = _spread_docs(_t(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
-        F.explode(word_shingles(F.col("text"), k=5)).alias("s"),
+        F.explode(word_shingles("text", k=5)).alias("s"),
     ).withColumn("h", F.xxhash64("s"))
     bench = (sh.filter(F.col("doc_id") % 50 == 0)
              .select("h").distinct())
@@ -6320,7 +6320,7 @@ def doc_quality_classifier(spark, sf_dir):
     from pudl_spark.functions.text import quality_logit_expr
 
     d = _spread_docs(_t(spark, sf_dir, "documents"))
-    z = quality_logit_expr(F.col("text"))
+    z = quality_logit_expr("text")
     return d.select(
         "doc_id",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
@@ -8735,24 +8735,25 @@ def doc_rendezvous_shards(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
 
-    def hs(n):
-        return [F.md5(F.concat(F.col("doc_id").cast("string"),
-                               F.lit(f":shard:{s}"))) for s in range(n)]
-
-    def argmax(exprs):
-        arr = F.array(*[F.struct(h.alias("h"),
-                                 F.lit(-s).cast("int").alias("ns"))
-                        for s, h in enumerate(exprs)])
-        # max over (h, -s): h-ties (impossible for md5 of distinct
-        # inputs) would break to the SMALLEST shard id, matching the
-        # oracle's list_position-first-match rule.
-        return -F.array_max(arr)["ns"]
+    # Parsed SQL text (r16, guide §1.2): the per-shard struct-array
+    # construction cost ~3,100 py4j round trips (~0.4 s of driver
+    # wall on a 0.7 s query) through Column operators; the text form
+    # is three JVM-side parses of the identical expressions. max over
+    # (h, -s): h-ties (impossible for md5 of distinct inputs) would
+    # break to the SMALLEST shard id, matching the oracle's
+    # list_position-first-match rule.
+    def argmax(n):
+        entries = ",".join(
+            f"named_struct('h', md5(concat(CAST(doc_id AS STRING), "
+            f"':shard:{s}')), 'ns', CAST({-s} AS INT))"
+            for s in range(n))
+        return f"(-(array_max(array({entries})).ns))"
 
     return d.select(
         "doc_id",
-        argmax(hs(8)).cast("int").alias("shard8"),
-        argmax(hs(9)).cast("int").alias("shard9"),
-        (argmax(hs(8)) != argmax(hs(9))).alias("moved"))
+        F.expr(f"CAST({argmax(8)} AS INT)").alias("shard8"),
+        F.expr(f"CAST({argmax(9)} AS INT)").alias("shard9"),
+        F.expr(f"{argmax(8)} != {argmax(9)}").alias("moved"))
 
 
 @query("large_volume_customers", sql="""
@@ -9120,29 +9121,31 @@ def doc_weighted_rendezvous_shards(spark, sf_dir):
     """
     d = _t(spark, sf_dir, "documents")
 
+    # Parsed SQL text (r16, guide §1.2 — same cure as the unweighted
+    # twin above): ~3,500 py4j round trips of struct-array
+    # construction (~0.45 s of driver wall on a 0.6 s query) become
+    # three JVM-side parses of the identical expressions.
     def wscore(s):
-        u = ((F.conv(F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"),
-                           F.lit(f":wshard:{s}"))), 1, 6),
-            16, 10).cast("double") + F.lit(0.5))
-            / F.lit(16777216.0))
-        return -F.lit(float(s + 1)) / F.log(u)
+        u = (f"((CAST(conv(substring(md5(concat(CAST(doc_id AS "
+             f"STRING), ':wshard:{s}')), 1, 6), 16, 10) AS DOUBLE) "
+             f"+ 0.5D) / 16777216.0D)")
+        return f"-{float(s + 1)!r}D / ln({u})"
 
     def argmax(n):
-        arr = F.array(*[F.struct(wscore(s).alias("sc"),
-                                 F.lit(-s).cast("int").alias("ns"))
-                        for s in range(n)])
         # max over (score, -s): ties (never observed; u-collisions
         # give EQUAL scores only under equal weights) break to the
         # smallest shard id, matching the oracle's list_position
         # first-match rule.
-        return -F.array_max(arr)["ns"]
+        entries = ",".join(
+            f"named_struct('sc', {wscore(s)}, "
+            f"'ns', CAST({-s} AS INT))" for s in range(n))
+        return f"(-(array_max(array({entries})).ns))"
 
     return d.select(
         "doc_id",
-        argmax(4).cast("int").alias("shard4"),
-        argmax(5).cast("int").alias("shard5"),
-        (argmax(4) != argmax(5)).alias("moved"))
+        F.expr(f"CAST({argmax(4)} AS INT)").alias("shard4"),
+        F.expr(f"CAST({argmax(5)} AS INT)").alias("shard5"),
+        F.expr(f"{argmax(4)} != {argmax(5)}").alias("moved"))
 
 
 _WSMP_U = ("(" + _hex6("md5(CAST(doc_id AS VARCHAR) || ':wsmp')")
