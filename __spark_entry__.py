@@ -72,6 +72,14 @@ _TOUCHED_THIS_ROUND = [
     "doc_fingerprints_fast", "doc_shingle_stats", "lineitem_zorder_stats",
     "minhash_near_dup_pairs", "minhash_dedup_clusters",
     "ngram_jaccard_dup_pairs",
+    # (5) the one-SQL construction rewrites (guide §1.2, the same
+    #     per-construction analysis-cost cure at whole-query scope):
+    #     market_share_by_year's 8-relation chain and
+    #     table_quality_screens' union tail now render as ONE
+    #     spark.sql template — physical plans verified node-for-node
+    #     equal (plans/r16), results oracle-pinned; screens is
+    #     already rotated by (3).
+    "market_share_by_year",
     #     NOT rotated (documented adjudication): queries affected only
     #     by the registry-wide catalog fast paths (the schema memo and
     #     the metadata-based spread decision) with no expression-tree
@@ -106,26 +114,31 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    doc_shingle_stats, lineitem_zorder_stats,
     #    minhash_dedup_clusters, minhash_near_dup_pairs,
     #    ngram_jaccard_dup_pairs, simhash_near_dup_pairs) sit in
-    #    _TOUCHED_THIS_ROUND above, leaving 36; the 35-slot touched
+    #    _TOUCHED_THIS_ROUND above, leaving 36; the 36-slot touched
     #    set (an optimization round touches hot paths, and the
     #    construction fast paths touch the whole text/dedup family)
-    #    leaves room for the first 15 — the LAST 21 cohort rows
-    #    (impute_event_values .. xbrl_roundtrip_totals, named in the
-    #    r17 queue note below) slip to the r17 queue at 5 rounds
-    #    stale, a breach of the 4-round target forced by the
-    #    touched-first rule (35 + 36 > 50); r17 MUST lead its prefix
-    #    with them. 35 touched + 15 cohort = exactly the 50-slot
-    #    prefix. Histogram at r16 start: r15=50, r14=50, r13=50,
-    #    r12=44. --
+    #    leaves room for the first 14 — the LAST 22 cohort rows
+    #    (imputation_mape_score + impute_event_values ..
+    #    xbrl_roundtrip_totals, named in the r17 queue note below)
+    #    slip to the r17 queue at 5 rounds stale, a breach of the
+    #    4-round target forced by the touched-first rule
+    #    (36 + 36 > 50); r17 MUST lead its prefix with them.
+    #    36 touched + 14 cohort = exactly the 50-slot prefix.
+    #    Histogram at r16 start: r15=50, r14=50, r13=50, r12=44. --
     "correct_quantity_units", "customer_intkey_sentinel",
     "customer_parts_true_gran", "customer_phone_standardized",
     "customer_unique_priority", "date_merge_month", "doc_apply_bpe",
     "doc_bottomk_sample", "doc_leakage_safe_split",
     "doc_stratified_sample", "doc_weighted_sample",
     "excel_roundtrip_nation", "fs_linkage_trained",
-    "hourly_wide_melt_roundtrip", "imputation_mape_score",
+    "hourly_wide_melt_roundtrip",
+    # imputation_mape_score was the 15th cohort slot until the late
+    # market_share_by_year rotation (touched set (5)) reclaimed it:
+    # 36 touched + 14 cohort = the 50-slot prefix; it joins the 21
+    # displaced r12 rows at the head of the r17 queue below.
     # -- r17 queue (sketched now, keeping the rotation exact): lead
-    #    with the 21 5-round-stale r12 rows (impute_event_values,
+    #    with the 22 5-round-stale r12 rows (imputation_mape_score,
+    #    impute_event_values,
     #    impute_latc_tubal_mape, lineitem_exact_quantiles,
     #    lineitem_multiheader_stack, linkage_best_match,
     #    nation_holed_zone_overlay, nation_multipart_explode,
@@ -137,8 +150,8 @@ _PRIORITY = _TOUCHED_THIS_ROUND + [
     #    supplier_territory_area, suppliers_kept_waiting,
     #    user_value_ramps, xbrl_roundtrip_totals), then the r13
     #    cohort (50 rows, 4 rounds stale at r17) minus whatever r17
-    #    touches — 21 + 29 of 50 fills the prefix; the remaining r13
-    #    rows spill to r18's head exactly like this round's 21. --
+    #    touches — 22 + 28 of 50 fills the prefix; the remaining r13
+    #    rows spill to r18's head exactly like this round's 22. --
 ]
 
 

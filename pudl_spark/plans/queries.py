@@ -7663,46 +7663,51 @@ def market_share_by_year(spark, sf_dir):
     shuffle. Decimal-routed volume keeps the share ratio
     bit-identical.
     """
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey",
-        "l_extendedprice", "l_discount")
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey", "o_orderdate")
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    p = _t(spark, sf_dir, "part").filter(
-        F.col("p_type") == "PROMO").select("p_partkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    cn = n.select(F.col("n_nationkey").alias("cn_key"),
-                  F.col("n_regionkey").alias("cn_region"))
-    sn = n.select(F.col("n_nationkey").alias("sn_key"),
-                  F.col("n_name").alias("supp_nation"))
-    vol = (li
-           .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-           .join(c, F.col("c_custkey") == F.col("o_custkey"))
-           .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
-           .join(F.broadcast(r), F.col("r_regionkey") == F.col("cn_region"))
-           .join(p, F.col("p_partkey") == F.col("l_partkey"))
-           .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
-           .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
-           .select(
-               F.year("o_orderdate").cast("bigint").alias("o_year"),
-               (_dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(3,2)")
-                   - F.col("l_discount").cast("decimal(3,2)")))
-               .alias("volume"),
-               "supp_nation"))
-    return vol.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3",
-                         F.col("volume"))
-                  .otherwise(F.lit(0).cast("decimal(12,2)")))
-            .cast("double")
-            / F.sum("volume").cast("double"), 6).alias("mkt_share"),
-        F.count(F.lit(1)).alias("n_lines"))
+    # ONE-SQL construction (r16, guide §1.2): the 8-relation join
+    # tree used to assemble through ~30 incremental Dataset ops and
+    # classic PySpark re-analyzes the growing tree on every op —
+    # ~0.45 s of driver wall per construction for a plan whose
+    # execution floor is ~1 s. The SQL template renders the SAME
+    # relational algebra in one analysis pass: identical join order,
+    # identical predicates, identical decimal-routed arithmetic, and
+    # the same three pinned-broadcast dimensions via the hint.
+    # Physical plan verified node-for-node equal to the old chain
+    # (plans/r16/market_share_by_year.txt); results oracle-pinned.
+    return spark.sql("""
+        SELECT o_year,
+          round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END)
+                     AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+          COUNT(1) AS n_lines
+        FROM (
+          SELECT /*+ BROADCAST(cn, r, sn) */
+            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+            CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2))
+                 - CAST(l.l_discount AS DECIMAL(3,2))) AS volume,
+            sn.n_name AS supp_nation
+          FROM {li} l
+          JOIN {o} o ON o.o_orderkey = l.l_orderkey
+          JOIN {c} c ON c.c_custkey = o.o_custkey
+          JOIN {n} cn ON cn.n_nationkey = c.c_nationkey
+          JOIN {r} r ON r.r_regionkey = cn.n_regionkey
+          JOIN {p} p ON p.p_partkey = l.l_partkey
+          JOIN {s} s ON s.s_suppkey = l.l_suppkey
+          JOIN {n2} sn ON sn.n_nationkey = s.s_nationkey
+          WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        ) vol
+        GROUP BY o_year
+    """, li=_t(spark, sf_dir, "lineitem"),
+         o=_t(spark, sf_dir, "orders"),
+         c=_t(spark, sf_dir, "customer"),
+         n=_t(spark, sf_dir, "nation"),
+         r=_t(spark, sf_dir, "region"),
+         p=_t(spark, sf_dir, "part"),
+         s=_t(spark, sf_dir, "supplier"),
+         n2=_t(spark, sf_dir, "nation"))
 
 
 @query("orders_above_customer_avg", sql="""
@@ -9712,18 +9717,11 @@ def table_quality_screens(spark, sf_dir):
     dec = "decimal(12,2)"
 
     def screen(name, viol, metric=None):
-        # one lazy result row: COUNT(*) over the check's violations
-        # frame, plus an optional 1-row metric aggregate joined in
-        row = viol.agg(
-            F.count(F.lit(1)).cast("long").alias("n_violations"))
-        if metric is None:
-            row = row.withColumn("metric",
-                                 F.lit(None).cast("double"))
-        else:
-            row = row.crossJoin(F.broadcast(metric))
-        return row.select(
-            F.lit(name).alias("check_name"), "n_violations",
-            F.col("metric").cast("double").alias("metric"))
+        # one (check_name, violations frame, optional 1-row metric
+        # frame) entry; the result ROW is rendered by the one-SQL
+        # union tail below — the check plans themselves are built
+        # here, by the real validate.py functions, unchanged.
+        return (name, viol, metric)
 
     frames = []
 
@@ -9869,7 +9867,33 @@ def table_quality_screens(spark, sf_dir):
             li.withColumn("cap", F.lit(0.12)), "l_discount",
             "l_tax", "cap")))
 
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    # ONE-SQL union tail (r16, guide §1.2 — the same driver-side
+    # construction-cost cure as the SQL-text builders): the eleven
+    # (name, count, metric) rows used to assemble through ~44
+    # incremental Dataset ops (per-branch agg / broadcast crossJoin /
+    # select plus ten unionByName), and classic PySpark re-analyzes
+    # the whole growing tree on every op — ~0.9 s of driver wall on
+    # trees this deep, re-paid per construction. Rendering the SAME
+    # shape (count aggregate, broadcast cross join to the 1-row
+    # metric, UNION ALL in the same branch order) as ONE SQL template
+    # over the check frames pays a single analysis pass; the check
+    # functions and their plans are untouched, so the eleven result
+    # rows are unchanged (oracle-pinned).
+    parts, rels = [], {}
+    for i, (name, viol, metric) in enumerate(frames):
+        rels[f"v{i}"] = viol
+        if metric is None:
+            parts.append(
+                f"SELECT '{name}' AS check_name, "
+                f"CAST(count(1) AS BIGINT) AS n_violations, "
+                f"CAST(NULL AS DOUBLE) AS metric FROM {{v{i}}}")
+        else:
+            rels[f"m{i}"] = metric
+            parts.append(
+                f"SELECT /*+ BROADCAST(m{i}) */ "
+                f"'{name}' AS check_name, n_violations, "
+                f"CAST(metric AS DOUBLE) AS metric "
+                f"FROM (SELECT CAST(count(1) AS BIGINT) "
+                f"AS n_violations FROM {{v{i}}}) "
+                f"CROSS JOIN {{m{i}}} AS m{i}")
+    return spark.sql("\nUNION ALL\n".join(parts), **rels)
