@@ -22,6 +22,15 @@ def connected_components(edges: DataFrame, src: str = "src",
     where component is the minimum node id reachable from node. Node
     ids must be orderable (int/string); labels are checkpointed every
     round (constant-depth lineage at any graph size).
+
+    Fault-tolerance trade (ADVICE r15): the per-round pins are
+    ``localCheckpoint`` — executor-local blocks with NO lineage
+    fallback, so losing an executor mid-run aborts the job instead
+    of recomputing (acceptable for the minutes-long rounds here; the
+    blocks are label-table-sized, not corpus-sized). A multi-hour
+    run on a lossy/preemptible cluster should set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap these for
+    ``checkpoint()`` — same algorithm, durable rounds.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

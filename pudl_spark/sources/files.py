@@ -212,6 +212,19 @@ def write_bucketed_table(df: DataFrame, table_name: str,
     at scale is governed by ``num_buckets``, which is the layout's
     scale knob already. Set False to keep the old write-local
     behavior (no exchange) when the caller has pre-partitioned.
+
+    CAVEAT (ADVICE r15): ``distribute=True`` also CAPS the write
+    stage at ``num_buckets`` tasks — at 8 buckets a large one-shot
+    build serializes its parquet encoding onto 8 cores. For the
+    index-sized stores here that is the right trade (file count and
+    commit overhead dominate); for a large one-shot build raise
+    ``num_buckets`` (more write parallelism AND more files, the same
+    knob) or pass ``distribute=False`` and accept per-(partition x
+    bucket) files. The one-file-per-bucket claim rests on
+    ``repartition``'s HashPartitioning and the bucket spec sharing
+    the pmod(Murmur3) hash family — pinned by the file-count test
+    (tests/test_bucketed.py), which breaks loudly if either side's
+    hashing ever diverges.
     """
     if mode == "append" and recover:
         spark = df.sparkSession
